@@ -1,0 +1,77 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Measurement protocol mirrors the reference CLI (crates/cli/src/main.rs:131-160):
+per-query wall time of the Spark action (collect), build/IO setup excluded
+via a warm-up pass that caches the input tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# Headline set: one per operator family (dense topk x3 metrics, range,
+# knn-join, aggregates, sparse, binary, text pipeline, dedup, events,
+# relational).
+BENCH_QUERIES = [
+    "topk_l2",
+    "topk_cos",
+    "topk_dot",
+    "range_l2",
+    "knn_join_l2",
+    "agg_sum_vector",
+    "sparse_topk_dot",
+    "bin_hamming_topk",
+    "doc_token_count",
+    "doc_dedup_exact",
+    "doc_minhash_pairs",
+    "events_hourly",
+    "tpch_q1",
+]
+
+
+def main() -> None:
+    from pgvecto_rs_spark.session import get_spark
+    from pgvecto_rs_spark import queries as Q
+
+    spark = get_spark("pgvecto-rs-spark-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    registry = Q.queries()
+    names = [n for n in BENCH_QUERIES if n in registry]
+
+    # Warm-up: materialize JVM/codegen paths and OS page cache, excluded
+    # from timing (the reference excludes build/IO too).
+    for n in names:
+        registry[n](spark, SF_DIR).limit(1).collect()
+
+    timings: dict[str, float] = {}
+    for n in names:
+        t0 = time.perf_counter()
+        registry[n](spark, SF_DIR).collect()
+        timings[n] = round(time.perf_counter() - t0, 4)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "total_query_wall_time",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

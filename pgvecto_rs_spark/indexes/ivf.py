@@ -1,0 +1,193 @@
+"""IVF (inverted-file) ANN index — the scale workhorse.
+
+Reference: crates/ivf/src/lib.rs (build :122-211, vbase probes :68-119,
+nprobe selection :230-239), k-means crates/k_means/ (nlist=1000 default,
+10 Lloyd iterations, spherical option = re-normalize centroids each
+round; sample cap 65536 via common/src/sample.rs).
+
+Spark-first design (SURVEY.md §7 Phase 3):
+
+- **train**: sample ≤65536 vectors to the driver (same cap as the
+  reference), vectorized numpy Lloyd iterations — centroids are
+  nlist×dims floats, trivially driver-sized even at nlist=65536.
+- **assign**: broadcast centroids; one Arrow-batched pandas UDF computes
+  argmin list_id per row (a single (batch × nlist) matmul).
+- **layout**: Parquet *partitioned by* ``list_id``.  At query time
+  ``WHERE list_id IN (<top-nprobe>)`` is partition pruning — Spark
+  reads only nprobe/nlist of the data, the exact analogue of probing
+  nprobe inverted lists.  At 100 TB with nlist=1000, nprobe=10 this
+  scans ~1% of the corpus, embarrassingly parallel across executors.
+- **search**: centroid top-nprobe on the driver (numpy over the small
+  centroid table), pruned scan, exact kernel distance, TakeOrdered k.
+
+Cos metric follows the reference opclass: vectors are normalized at
+build, queries normalized at search, kernel is Dot, SQL distance is
+``d + 1`` (src/index/am_options.rs:54-62, 231-249).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.indexes import base
+from pgvecto_rs_spark.operators.search import distance as dist_expr
+
+DEFAULT_NLIST = 1000  # crates/base/src/index.rs:368-370
+DEFAULT_NPROBE = 10  # crates/base/src/index.rs:558-560
+KMEANS_ITERS = 10  # crates/k_means/src/lib.rs:40-46
+SAMPLE_CAP = 65536  # common/src/sample.rs
+
+
+def _lloyd(
+    x: np.ndarray, nlist: int, iters: int = KMEANS_ITERS, spherical: bool = False, seed: int = 42
+) -> np.ndarray:
+    """Vectorized Lloyd k-means (crates/k_means/src/lloyd.rs semantics:
+    fixed iterations, empty clusters re-seeded from random points)."""
+    rng = np.random.default_rng(seed)
+    n = x.shape[0]
+    nlist = min(nlist, n)
+    centroids = x[rng.choice(n, size=nlist, replace=False)].copy()
+    for _ in range(iters):
+        # squared L2 via the expansion trick; argmin over centroids
+        d = (
+            np.einsum("ij,ij->i", x, x)[:, None]
+            - 2.0 * (x @ centroids.T)
+            + np.einsum("ij,ij->i", centroids, centroids)[None, :]
+        )
+        assign = np.argmin(d, axis=1)
+        for c in range(nlist):
+            mask = assign == c
+            if mask.any():
+                centroids[c] = x[mask].mean(axis=0)
+            else:  # re-seed empty cluster (lloyd.rs does the same)
+                centroids[c] = x[rng.integers(0, n)]
+        if spherical:  # k_means/src/lib.rs:24-30
+            centroids = base.normalize_rows(centroids)
+    return centroids.astype(np.float32)
+
+
+class IVFIndex:
+    def __init__(self, spark: SparkSession, path: str, meta: dict, centroids: np.ndarray):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+        self.centroids = centroids
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+        metric: str = "l2",
+        nlist: int = DEFAULT_NLIST,
+        spherical: bool = False,
+        seed: int = 42,
+        payload_cols: Sequence[str] = (),
+    ) -> "IVFIndex":
+        kernel, do_norm = base.resolve_metric(metric)
+        src = df.where(F.col(vector_col).isNotNull())  # NULLs not indexed (am.rs:199-211)
+        vec = base.normalized_col(vector_col, do_norm).cast("array<float>")
+        prepared = src.select(
+            F.col(id_col).alias("id"), vec.alias("vec"), *[F.col(c) for c in payload_cols]
+        )
+
+        # --- train on a driver-side sample (cap mirrors the reference)
+        n_total = prepared.count()
+        fraction = min(1.0, SAMPLE_CAP / max(n_total, 1))
+        sample = (
+            prepared.select("vec").sample(fraction=fraction, seed=seed).limit(SAMPLE_CAP).collect()
+        )
+        x = np.asarray([r["vec"] for r in sample], dtype=np.float64)
+        nlist_eff = min(nlist, len(x))
+        centroids = _lloyd(x, nlist_eff, spherical=spherical, seed=seed)
+
+        # --- assign list ids with one broadcast matmul per Arrow batch
+        sc = spark.sparkContext
+        bc = sc.broadcast(centroids.astype(np.float64))
+        c_sq = sc.broadcast(np.einsum("ij,ij->i", centroids.astype(np.float64), centroids.astype(np.float64)))
+
+        @F.pandas_udf("int")
+        def assign_list(v: pd.Series) -> pd.Series:
+            mat = np.asarray(v.tolist(), dtype=np.float64)
+            cent = bc.value
+            d = -2.0 * (mat @ cent.T) + c_sq.value[None, :]
+            return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+        indexed = prepared.withColumn("list_id", assign_list("vec"))
+        (
+            indexed.repartition("list_id")
+            .write.mode("overwrite")
+            .partitionBy("list_id")
+            .parquet(os.path.join(path, "lists"))
+        )
+
+        np.save(os.path.join(path, "centroids.npy"), centroids, allow_pickle=False)
+        meta = {
+            "kind": "ivf",
+            "metric": metric.lower(),
+            "kernel": kernel,
+            "normalize": do_norm,
+            "nlist": int(nlist_eff),
+            "dims": int(centroids.shape[1]),
+            "n_rows": int(n_total),
+            "spherical": spherical,
+            "payload_cols": list(payload_cols),
+        }
+        base.write_meta(path, meta)
+        return cls(spark, path, meta, centroids)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "IVFIndex":
+        meta = base.read_meta(path)
+        centroids = np.load(os.path.join(path, "centroids.npy"))
+        return cls(spark, path, meta, centroids)
+
+    # ------------------------------------------------------------------
+    def probe_lists(self, q: np.ndarray, nprobe: int) -> list[int]:
+        d = base.np_kernel_distance(self.meta["kernel"], self.centroids.astype(np.float64), q)
+        return np.argsort(d, kind="stable")[:nprobe].tolist()
+
+    def search(
+        self,
+        query: Sequence[float],
+        k: int = 10,
+        nprobe: int = DEFAULT_NPROBE,
+        filter=None,
+    ) -> DataFrame:
+        """Top-k by metric distance.  Returns DataFrame(id, distance).
+
+        The scan touches only the nprobe pruned partitions; residual
+        ``filter`` runs before the limit (VBASE exact-k under filters).
+        """
+        q = base.prep_query(query, self.meta["normalize"])
+        lists = self.probe_lists(q, nprobe)
+        df = self.spark.read.parquet(os.path.join(self.path, "lists")).where(
+            F.col("list_id").isin(lists)
+        )
+        if filter is not None:
+            df = df.where(filter)
+        qlist = [float(v) for v in q]
+        d = dist_expr(F.col("vec"), qlist, self.meta["kernel"])
+        out = df.withColumn("distance", base.post_map(self.meta["metric"], d))
+        return out.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k).drop("vec")
+
+    def stat(self) -> dict:
+        """vector_index_stat analogue (src/index/views.rs:17-80)."""
+        return {
+            "idx_status": "NORMAL",
+            "idx_indexing": False,
+            "idx_tuples": self.meta["n_rows"],
+            "idx_sealed": [self.meta["n_rows"]],
+            "idx_growing": [],
+            "idx_options": {k: self.meta[k] for k in ("kind", "metric", "nlist", "dims")},
+        }

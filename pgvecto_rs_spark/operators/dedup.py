@@ -1,0 +1,358 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Scale design (the point of running these on Spark):
+
+- **exact**: one hash-shuffle on a 16-byte digest — the minimum possible
+  movement; at 100 TB this is a single groupBy over ~n rows of ~50 bytes.
+- **MinHash + LSH**: shingle → minhash signature (one pass, Python-free)
+  → band buckets → self-join *within buckets only*.  The O(n²) pair
+  explosion is confined to hash buckets, the classic LSH trick; skewed
+  buckets are bounded by ``max_bucket`` (drop pathological buckets, same
+  spirit as AQE skew handling).
+- **SimHash**: 64-bit signature via per-token hashing; near-dup =
+  Hamming distance on two longs — join on band keys of the signature.
+- **embedding cosine**: near-dup pairs via the IVF/LSH index path in
+  ``pgvecto_rs_spark.indexes`` or brute knn_join for small sides.
+
+MinHash here is fully deterministic: shingles hashed with xxhash64
+(seeded), permutations are the classic ``(a*x + b) mod p`` family with
+fixed constants, so results are reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "exact_dedup",
+    "minhash_signature",
+    "lsh_candidate_pairs",
+    "minhash_dedup_groups",
+    "shingles",
+    "simhash",
+    "simhash_candidate_pairs",
+]
+
+# Mersenne prime 2^61 - 1: multiply of two < 2^61 values overflows i64,
+# so the permutation family uses mod-p arithmetic on 31-bit hashes
+# instead — products stay < 2^62, exact under ANSI longs.
+_P = (1 << 31) - 1  # Mersenne prime, classic MinHash modulus
+
+
+def _perm_constants(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_perm)]
+
+
+def shingles(text: Column | str, k: int = 5) -> Column:
+    """Character k-shingles of the normalized text, as a distinct array.
+    Character shingles (vs word) are robust to tokenization choices."""
+    t = F.regexp_replace(F.lower(F.trim(text if isinstance(text, Column) else F.col(text))), r"\s+", " ")
+    n = F.length(t)
+    return F.when(n < k, F.array(t)).otherwise(
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), n - (k - 1)), lambda i: F.substring(t, i, k))
+        )
+    )
+
+
+def _shingle_hashes(text: Column | str, k: int = 5) -> Column:
+    """31-bit positive hash per distinct shingle (xxhash64 folded)."""
+    return F.transform(
+        shingles(text, k),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_P)).cast("long"),
+    )
+
+
+def minhash_signature(text: Column | str, num_perm: int = 32, k: int = 5, seed: int = 42) -> Column:
+    """MinHash signature: array<long> of length ``num_perm``.
+
+    sig[i] = min over shingles x of (a_i * x + b_i) mod p.  All-native
+    expression: one transform per permutation over the shingle-hash
+    array, min-reduced — no UDF, fully codegen'd.
+    """
+    hashes = _shingle_hashes(text, k)
+    # Single fold over the shingle hashes: the expensive part (shingle
+    # extraction + xxhash) is evaluated ONCE per document; each step
+    # updates all num_perm running minimums.  (The naive formulation —
+    # one array_min(transform(...)) per permutation — re-evaluates the
+    # shingle pipeline num_perm times; Catalyst does not CSE across
+    # projection expressions.)
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in _perm_constants(num_perm, seed)
+        ]
+    )
+    init = F.array(*[F.lit(_P).cast("long") for _ in range(num_perm)])
+    return F.aggregate(
+        hashes,
+        init,
+        lambda acc, x: F.zip_with(
+            acc,
+            F.transform(ab, lambda p: (p["a"] * x + p["b"]) % F.lit(_P)),
+            lambda m, c: F.least(m, c),
+        ),
+    )
+
+
+def minhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """(__id, __sig array<long>) via explode + groupBy-min — the
+    scale formulation.  Shingle hashing happens once per (doc, shingle)
+    row; the num_perm mins are plain aggregate columns with map-side
+    combine, so the shuffle carries only num_perm longs per doc and
+    codegen stays narrow (the single-Column fold version compiles a
+    huge method that chokes Janino when duplicated across join plans).
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"), F.explode(_shingle_hashes(text_col, k)).alias("__h")
+    )
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_P)).alias(f"__m{i}")
+        for i, (a, b) in enumerate(_perm_constants(num_perm, seed))
+    ]
+    votes = ex.groupBy("__id").agg(*aggs)
+    return votes.select(
+        "__id", F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("__sig")
+    )
+
+
+def simhash_signatures_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """(__id, __sig long) — 64-bit SimHash via explode + groupBy of 64
+    bit-vote sums (same scale reasoning as minhash_signatures_df)."""
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))).alias("__h"),
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(F.col("__h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(0)
+            if j < 63
+            else F.when(F.col("__h") < 0, 1).otherwise(0)
+        ).alias(f"__b{j}")
+        for j in range(64)
+    ]
+    votes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"), *bit_aggs)
+    n = F.col("__n")
+    low = sum(
+        (
+            F.when(F.col(f"__b{j}") * 2 > n, F.lit(1 << j).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            for j in range(63)
+        ),
+        start=F.lit(0).cast("long"),
+    )
+    top = F.when(F.col("__b63") * 2 > n, F.lit(-(1 << 63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return votes.select("__id", (low + top).alias("__sig"))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup groups by content hash: returns
+    (content_hash, n_copies, keep_id) — keep_id = min id, the canonical
+    survivor.  One shuffle on the digest."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return (
+        df.select(F.md5(norm).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(id_col).alias("keep_id"),
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    seed: int = 42,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded MinHash LSH.
+
+    rows = documents; output = (id_a, id_b) candidate pairs with
+    id_a < id_b, distinct.  Two docs collide if ANY band of their
+    signatures matches.  Shuffle cost: rows × bands lightweight rows;
+    join happens inside buckets only.  Buckets larger than
+    ``max_bucket`` are dropped (boilerplate/empty-doc pathologies that
+    would otherwise produce quadratic blowup at scale).
+    """
+    rows_per_band = num_perm // bands
+    sig = minhash_signatures_df(df, text_col, id_col, num_perm, k, seed)
+    banded = sig.select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                ",", *[F.col("__sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "bb"),
+    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    # bound pathological buckets (skew guard)
+    sized = banded.withColumn(
+        "__bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).where(F.col("__bucket_n") <= max_bucket)
+
+    a = sized.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_a"))
+    b = sized.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_b"))
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_dedup_groups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    num_perm: int = 32,
+    bands: int = 8,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH candidates filtered by estimated Jaccard (signature agreement
+    >= threshold).  Returns (id_a, id_b, est_jaccard)."""
+    pairs = lsh_candidate_pairs(df, text_col, id_col, num_perm, bands, k, seed)
+    sig = minhash_signatures_df(df, text_col, id_col, num_perm, k, seed).withColumnRenamed(
+        "__id", "__sid"
+    )
+    joined = (
+        pairs.join(sig.withColumnRenamed("__sid", "id_a").withColumnRenamed("__sig", "sig_a"), "id_a")
+        .join(sig.withColumnRenamed("__sid", "id_b").withColumnRenamed("__sig", "sig_b"), "id_b")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda m: m,
+        )
+    )
+    est = agree.cast("double") / F.lit(float(num_perm))
+    return (
+        joined.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def simhash(text: Column | str, bits: int = 64, k: int = 5) -> Column:
+    """64-bit SimHash of the shingle set, as a signed long.
+
+    bit j of the signature = majority vote of shingle-hash bit j.
+    Computed natively: per bit, count shingles whose xxhash64 has that
+    bit set vs total.  (bits != 64 not supported — one long word.)
+    """
+    if bits != 64:
+        raise ValueError("simhash: only 64-bit signatures supported")
+    hashes = F.transform(shingles(text, k), lambda s: F.xxhash64(s))
+    n = F.size(hashes)
+    # Single fold: per shingle hash, add its 64 bits to 64 running
+    # vote counters (shingle pipeline evaluated once, same reasoning
+    # as minhash_signature).  Bit j of hash h: j<63 via mask AND;
+    # j=63 via sign test (1<<63 is not a valid long literal).
+    def bits_of(h: Column) -> Column:
+        low = [
+            F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(0)).cast("int")
+            for j in range(63)
+        ]
+        top = F.when(h < 0, F.lit(1)).otherwise(F.lit(0)).cast("int")
+        return F.array(*low, top)
+
+    init = F.array(*[F.lit(0).cast("int") for _ in range(64)])
+    votes = F.aggregate(
+        hashes, init, lambda acc, h: F.zip_with(acc, bits_of(h), lambda a, b: a + b)
+    )
+    # majority vote -> bit j; assemble the signed long from bit arrays:
+    # low 62..0 sum exactly; bit 63 contributes the sign via subtraction.
+    bit = F.transform(votes, lambda v: F.when(v * 2 > n, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    low_part = F.aggregate(
+        F.zip_with(
+            F.slice(bit, 1, 63),
+            F.array(*[F.lit(1 << j).cast("long") for j in range(63)]),
+            lambda b, m: b * m,
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    top_part = F.when(F.element_at(bit, 64) == 1, F.lit(-(1 << 63)).cast("long")).otherwise(
+        F.lit(0).cast("long")
+    )
+    return low_part + top_part
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    k: int = 5,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on 16-bit bands of the signature
+    (pigeonhole: hamming<=3 over 4 bands guarantees >=1 exact band
+    match), verify exact Hamming <= max_hamming."""
+    sig = simhash_signatures_df(df, text_col, id_col, k)
+    bands = sig.select(
+        "__id",
+        "__sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned("__sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "__sig", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
+    a = bands.select("band", "key", F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"))
+    b = bands.select("band", "key", F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"))
+    pairs = (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        pairs.withColumn("hamming", ham.cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

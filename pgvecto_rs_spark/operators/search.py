@@ -1,0 +1,159 @@
+"""Exact vector search: top-k, range ("sphere") search, knn-join.
+
+These reproduce the reference's *query semantics* (src/index/am_scan.rs)
+on the exact path — Spark's TakeOrderedAndProject is the distributed
+analogue of the reference's per-segment ordered streams merged by a
+LoserTree (crates/index/src/lib.rs:401-422): each partition produces its
+local top-k, the driver merges — no full sort, no full shuffle.
+
+ANN paths live in ``pgvecto_rs_spark.indexes`` and share this module's
+distance dispatch.
+
+Distance metrics (crates/base/src/distance.rs:5-10 + the SQL opclasses):
+``l2`` (squared L2), ``dot`` (negative dot), ``cos`` (cosine distance),
+``hamming``/``jaccard`` for bvector.  ``cos`` follows the reference's
+opclass rewrite: normalize + Dot + post-map ``d + 1``
+(src/index/am_options.rs:54-62, 231-249) when served by an index; the
+exact path computes it directly — identical result, fewer kernels.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.functions import binary as B
+from pgvecto_rs_spark.functions import dense as D
+from pgvecto_rs_spark.functions import sparse as S
+
+DENSE_METRICS = ("l2", "dot", "cos")
+
+
+def _qlit(q: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in q]).cast("array<float>")
+
+
+def distance(col: Column | str, query: Column | Sequence[float], metric: str = "l2") -> Column:
+    """Distance Column between a vector column and a query.
+
+    ``query`` may be a Column (vector-vector) or a Python sequence
+    (query literal, the common search shape).
+    """
+    q = _qlit(query) if not isinstance(query, Column) else query
+    metric = metric.lower()
+    if metric == "l2":
+        return D.l2sq_distance(col, q, check=False)
+    if metric == "dot":
+        return D.neg_dot_product(col, q, check=False)
+    if metric == "cos":
+        return D.cosine_distance(col, q, check=False)
+    if metric == "hamming":
+        return B.bvector_hamming_distance(col, q, check=False)
+    if metric == "jaccard":
+        return B.bvector_jaccard_distance(col, q, check=False)
+    if metric == "sparse_l2":
+        return S.svector_l2sq_distance(col, q, check=False)
+    if metric == "sparse_dot":
+        return S.svector_neg_dot(col, q, check=False)
+    if metric == "sparse_cos":
+        return S.svector_cosine_distance(col, q, check=False)
+    raise ValueError(f"unknown metric {metric!r}")
+
+
+def top_k(
+    df: DataFrame,
+    col: str,
+    query: Sequence[float] | Column,
+    k: int,
+    metric: str = "l2",
+    filter: Column | None = None,
+    dist_col: str = "distance",
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """``SELECT ... ORDER BY col <op> query LIMIT k`` — exact path.
+
+    NULL vectors are skipped, matching the reference's index behavior
+    (src/index/am.rs:199-211: NULLs are never indexed/returned).
+
+    Residual ``filter`` is applied BEFORE the limit — this is the VBASE
+    exact-k guarantee (README.md:25): Spark evaluates the filter in the
+    same stage as the scan, then takes the global top-k of survivors, so
+    a selective filter can never starve the result set.
+
+    Physical plan: per-partition partial TakeOrdered + driver merge
+    (TakeOrderedAndProject) — O(n/p · log k) per task, no shuffle.
+    """
+    d = distance(F.col(col), query, metric)
+    out = df.where(F.col(col).isNotNull())
+    if filter is not None:
+        out = out.where(filter)
+    out = out.withColumn(dist_col, d)
+    order = [F.col(dist_col).asc()]
+    if tiebreaker:
+        order.append(F.col(tiebreaker).asc())
+    return out.orderBy(*order).limit(k)
+
+
+def range_search(
+    df: DataFrame,
+    col: str,
+    query: Sequence[float] | Column,
+    radius: float,
+    metric: str = "l2",
+    filter: Column | None = None,
+    dist_col: str = "distance",
+) -> DataFrame:
+    """Sphere search ``WHERE col <<op>> sphere(query, radius)`` — i.e.
+    ``dist(col, query) < radius`` (strict, src/sql/finalize.sql:492-574;
+    impl operators_vecf32.rs:91-128).
+
+    Expressed as a plain filter so Catalyst can combine it with other
+    predicates, push partition pruning, etc.
+    """
+    d = distance(F.col(col), query, metric)
+    out = df.where(F.col(col).isNotNull()).withColumn(dist_col, d).where(F.col(dist_col) < radius)
+    if filter is not None:
+        out = out.where(filter)
+    return out
+
+
+def knn_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+    k: int,
+    metric: str = "l2",
+    dist_col: str = "distance",
+    broadcast_left: bool = True,
+    partition_keys: Iterable[str] | None = None,
+    tiebreaker: str | None = None,
+) -> DataFrame:
+    """For every row of ``left`` (queries), the top-k rows of ``right``
+    (corpus) by distance — the LATERAL-join idiom users of the reference
+    write by hand (SURVEY.md §2.6 "similarity join").
+
+    Plan shape: broadcast the (small) query side, crossJoin — evaluated
+    as BroadcastNestedLoopJoin so the corpus is scanned once, partitioned
+    — then per-query top-k via window rank.  At scale, the corpus-side
+    scan dominates and parallelizes across its partitions; use the IVF
+    index path for large query sides.
+    """
+    from pyspark.sql import Window
+
+    lhs = F.broadcast(left) if broadcast_left else left
+    joined = lhs.crossJoin(right).where(F.col(right_col).isNotNull())
+    d = distance(F.col(right_col), F.col(left_col), metric)
+    joined = joined.withColumn(dist_col, d)
+    qkeys = list(partition_keys) if partition_keys else [c for c in left.columns]
+    order = [F.col(dist_col).asc()]
+    if tiebreaker:
+        order.append(F.col(tiebreaker).asc())
+    w = Window.partitionBy(*qkeys).orderBy(*order)
+    return (
+        joined.withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .drop("__rank")
+    )

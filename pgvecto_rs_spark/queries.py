@@ -1,0 +1,600 @@
+"""The engine's query registry: every implemented operator exposed as a
+(spark_callable, oracle_sql) pair for the driver's correctness gate.
+
+Determinism rules (so the DuckDB comparison is boundary-safe):
+
+- per-row distances are computed in DOUBLE over fixed element order on
+  both sides, then ``round(_, 4)`` — the two engines see the same double
+  so the rounding is identical;
+- multi-row sums go through exact DECIMAL accumulation (Spark's partial
+  aggregation makes double sums order-nondeterministic; decimals are
+  exact and order-free);
+- every top-k is tie-broken by id;
+- md5 (not engine-specific hashes) for fingerprints.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.functions import binary as VB
+from pgvecto_rs_spark.functions import dense as VD
+from pgvecto_rs_spark.functions import sparse as VS
+from pgvecto_rs_spark.operators import dedup as DD
+from pgvecto_rs_spark.operators import search as SR
+from pgvecto_rs_spark.operators import textanalysis as TA
+
+# ---------------------------------------------------------------------------
+# shared constants
+# ---------------------------------------------------------------------------
+
+DIMS = 64
+# Fixed 64-dim query vector, in-distribution for the testdata embeddings.
+Q64 = [round(0.2 * math.sin(i + 1), 4) for i in range(DIMS)]
+Q64_SQL = "[" + ", ".join(repr(x) for x in Q64) + "]"
+SPARSE_THRESHOLD = 0.15
+RANGE_RADIUS = 1.75
+STOPWORDS_SQL = "[" + ", ".join(f"'{w}'" for w in TA.EN_STOPWORDS) + "]"
+
+
+def _q_col() -> Column:
+    return F.array(*[F.lit(x) for x in Q64]).cast("array<float>")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects unless nanos are surfaced as raw int64."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _r4(c: Column) -> Column:
+    return F.round(c, 4)
+
+
+# DuckDB-side distance expressions over `embedding` vs the Q64 literal.
+_SQL_L2 = (
+    f"list_sum(list_transform(range(1, {DIMS + 1}), "
+    f"i -> (CAST(embedding[i] AS DOUBLE) - ({Q64_SQL})[i]) ^ 2))"
+)
+_SQL_DOT = (
+    f"list_sum(list_transform(range(1, {DIMS + 1}), "
+    f"i -> CAST(embedding[i] AS DOUBLE) * ({Q64_SQL})[i]))"
+)
+_SQL_NORMSQ_E = (
+    f"list_sum(list_transform(range(1, {DIMS + 1}), "
+    f"i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))"
+)
+_Q_NORM = math.sqrt(sum(x * x for x in Q64))  # exact same f64 both sides
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+# ---------------------------------------------------------------------------
+# 1. dense top-k (ORDER BY v <-> q LIMIT k  — README.md:118-121 flagship)
+# ---------------------------------------------------------------------------
+
+@register(
+    "topk_l2",
+    f"""
+    SELECT vec_id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id, {_SQL_L2} AS d FROM embeddings
+    ) ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = SR.top_k(_emb(spark, sf_dir), "embedding", Q64, 10, metric="l2", tiebreaker="vec_id")
+    return df.select("vec_id", _r4(F.col("distance")).alias("dist"))
+
+
+@register(
+    "topk_dot",
+    f"""
+    SELECT vec_id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id, -({_SQL_DOT}) AS d FROM embeddings
+    ) ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = SR.top_k(_emb(spark, sf_dir), "embedding", Q64, 10, metric="dot", tiebreaker="vec_id")
+    return df.select("vec_id", _r4(F.col("distance")).alias("dist"))
+
+
+@register(
+    "topk_cos",
+    f"""
+    SELECT vec_id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id,
+             1.0 - ({_SQL_DOT}) / SQRT(({_SQL_NORMSQ_E}) * {sum(x * x for x in Q64)!r}) AS d
+      FROM embeddings
+    ) ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def topk_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = SR.top_k(_emb(spark, sf_dir), "embedding", Q64, 10, metric="cos", tiebreaker="vec_id")
+    return df.select("vec_id", _r4(F.col("distance")).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# 2. range ("sphere") search — WHERE v <<->> sphere(q, r)
+# ---------------------------------------------------------------------------
+
+@register(
+    "range_l2",
+    f"""
+    SELECT vec_id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id, {_SQL_L2} AS d FROM embeddings
+    ) WHERE d < {RANGE_RADIUS}
+    """,
+)
+def range_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = SR.range_search(_emb(spark, sf_dir), "embedding", Q64, RANGE_RADIUS, metric="l2")
+    return df.select("vec_id", _r4(F.col("distance")).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# 3. knn-join (LATERAL top-k per query row)
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_join_l2",
+    """
+    SELECT query_id, neighbor_id, ROUND(d, 4) AS dist FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) ^ 2 AS d,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])),
+                        e.vec_id
+             ) AS rn
+      FROM embeddings q CROSS JOIN embeddings e
+      WHERE q.vec_id < 5
+    ) WHERE rn <= 3
+    """,
+)
+def knn_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    left = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    out = SR.knn_join(
+        left, emb, "qvec", "embedding", k=3, metric="l2", partition_keys=["query_id"],
+        tiebreaker="vec_id",
+    )
+    return out.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"), _r4(F.col("distance")).alias("dist")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. scalar functions: norm / normalize / dims / slice / arithmetic
+# ---------------------------------------------------------------------------
+
+@register(
+    "vector_norms",
+    f"""
+    SELECT vec_id,
+           ROUND(SQRT({_SQL_NORMSQ_E}), 4) AS norm,
+           CAST({DIMS} AS INT) AS dims,
+           ROUND(SQRT(list_sum(list_transform(
+             list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / SQRT({_SQL_NORMSQ_E}) AS FLOAT)),
+             y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))), 4) AS unit_norm
+    FROM embeddings WHERE vec_id < 20
+    """,
+)
+def vector_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _emb(spark, sf_dir).where(F.col("vec_id") < 20)
+    return df.select(
+        "vec_id",
+        _r4(VD.vector_norm("embedding")).alias("norm"),
+        VD.vector_dims("embedding").cast("int").alias("dims"),
+        _r4(VD.vector_norm(VD.vector_normalize("embedding"))).alias("unit_norm"),
+    )
+
+
+@register(
+    "slice_arith",
+    """
+    SELECT vec_id,
+           ROUND(list_sum(list_transform(embedding[9:16],
+             x -> CAST(CAST(x + x AS FLOAT) AS DOUBLE) + CAST(CAST(x * x AS FLOAT) AS DOUBLE))), 4) AS s
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def slice_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """v[8:16] slice (0-based, end-exclusive), then f32 add/mul parity:
+    Σ (x+x) + (x*x) with the inner ops rounded to f32 like the
+    reference's f32 kernels."""
+    df = _emb(spark, sf_dir).where(F.col("vec_id") < 50)
+    s = VD.vector_slice("embedding", 8, 16)
+    both = F.zip_with(
+        VD.vector_add(s, s, check=False),
+        VD.vector_mul(s, s, check=False),
+        lambda a, m: a.cast("double") + m.cast("double"),
+    )
+    total = F.aggregate(both, F.lit(0.0), lambda acc, x: acc + x)
+    return df.select("vec_id", _r4(total).alias("s"))
+
+
+# ---------------------------------------------------------------------------
+# 5. vector aggregates: sum(vector) / avg(vector) grouped
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_sum_vector",
+    """
+    SELECT label, CAST(ord AS BIGINT) AS pos,
+           CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS sum_val
+    FROM (
+      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS ord
+      FROM embeddings
+    )
+    GROUP BY label, ord
+    """,
+)
+def agg_sum_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(vector) GROUP BY label (src/datatype/aggregate_vecf32.rs) as a
+    posexplode + partial-aggregate plan: map-side combine on
+    (label, pos) — the Spark-native analogue of sfunc/combinefunc."""
+    df = _emb(spark, sf_dir)
+    return (
+        df.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("decimal(38,9)").alias("sum_val"))
+        .select("label", (F.col("pos") + 1).cast("long").alias("pos"), "sum_val")
+    )
+
+
+@register(
+    "agg_avg_vector",
+    """
+    SELECT label, CAST(ord AS BIGINT) AS pos,
+           ROUND(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 4) AS avg_val
+    FROM (
+      SELECT label, CAST(unnest(embedding) AS DOUBLE) AS val,
+             generate_subscripts(embedding, 1) AS ord
+      FROM embeddings
+    )
+    GROUP BY label, ord
+    """,
+)
+def agg_avg_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _emb(spark, sf_dir)
+    return (
+        df.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(
+            _r4(
+                F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_val")
+        )
+        .select("label", (F.col("pos") + 1).cast("long").alias("pos"), "avg_val")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. sparse vectors (thresholded embeddings as svector)
+# ---------------------------------------------------------------------------
+
+def _sparse_emb(df: DataFrame) -> DataFrame:
+    thresholded = F.transform(
+        F.col("embedding"),
+        lambda x: F.when(F.abs(x) > SPARSE_THRESHOLD, x).otherwise(F.lit(0.0)).cast("float"),
+    )
+    return df.withColumn("svec", VS.dense_to_svector(thresholded))
+
+
+_SQL_SPARSE_E = f"CASE WHEN abs(embedding[i]) > {SPARSE_THRESHOLD} THEN CAST(embedding[i] AS DOUBLE) ELSE 0.0 END"
+_SQL_SPARSE_Q = f"CASE WHEN abs(({Q64_SQL})[i]) > {SPARSE_THRESHOLD} THEN ({Q64_SQL})[i] ELSE 0.0 END"
+
+
+@register(
+    "sparse_topk_dot",
+    f"""
+    SELECT vec_id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id,
+             -(list_sum(list_transform(range(1, {DIMS + 1}),
+                i -> ({_SQL_SPARSE_E}) * ({_SQL_SPARSE_Q})))) AS d
+      FROM embeddings
+    ) ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def sparse_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparse_emb(_emb(spark, sf_dir))
+    qs = F.array(
+        *[F.lit(x if abs(x) > SPARSE_THRESHOLD else 0.0) for x in Q64]
+    ).cast("array<float>")
+    qsv = VS.dense_to_svector(qs)
+    d = VS.svector_neg_dot(F.col("svec"), qsv, check=False)
+    return (
+        df.select("vec_id", d.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id", _r4(F.col("d")).alias("dist"))
+    )
+
+
+@register(
+    "sparse_norm",
+    f"""
+    SELECT vec_id,
+           ROUND(SQRT(list_sum(list_transform(range(1, {DIMS + 1}),
+             i -> ({_SQL_SPARSE_E}) * ({_SQL_SPARSE_E})))), 4) AS norm,
+           CAST(len(list_filter(embedding, x -> abs(x) > {SPARSE_THRESHOLD})) AS INT) AS nnz
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def sparse_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _sparse_emb(_emb(spark, sf_dir)).where(F.col("vec_id") < 50)
+    return df.select(
+        "vec_id",
+        _r4(VS.svector_norm("svec")).alias("norm"),
+        F.size(F.col("svec")["values"]).cast("int").alias("nnz"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 7. binary vectors (binarized embeddings)
+# ---------------------------------------------------------------------------
+
+_SQL_BIT_E = "CASE WHEN embedding[i] > 0 THEN 1 ELSE 0 END"
+_SQL_BIT_Q = f"CASE WHEN ({Q64_SQL})[i] > 0 THEN 1 ELSE 0 END"
+
+
+@register(
+    "bin_hamming_topk",
+    f"""
+    SELECT vec_id, CAST(d AS BIGINT) AS dist FROM (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, {DIMS + 1}),
+               i -> CASE WHEN ({_SQL_BIT_E}) != ({_SQL_BIT_Q}) THEN 1 ELSE 0 END)) AS d
+      FROM embeddings
+    ) ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def bin_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _emb(spark, sf_dir).withColumn("bvec", VB.binarize("embedding"))
+    qb = VB.binarize(_q_col())
+    d = VB.bvector_hamming_distance(F.col("bvec"), qb, check=False)
+    return (
+        df.select("vec_id", d.cast("long").alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(10)
+    )
+
+
+@register(
+    "bin_jaccard_topk",
+    f"""
+    SELECT vec_id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id,
+             1.0 - CAST(list_sum(list_transform(range(1, {DIMS + 1}),
+                     i -> CASE WHEN ({_SQL_BIT_E}) = 1 AND ({_SQL_BIT_Q}) = 1 THEN 1 ELSE 0 END)) AS DOUBLE)
+                 / CAST(list_sum(list_transform(range(1, {DIMS + 1}),
+                     i -> CASE WHEN ({_SQL_BIT_E}) = 1 OR ({_SQL_BIT_Q}) = 1 THEN 1 ELSE 0 END)) AS DOUBLE) AS d
+      FROM embeddings
+    ) ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def bin_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _emb(spark, sf_dir).withColumn("bvec", VB.binarize("embedding"))
+    qb = VB.binarize(_q_col())
+    d = VB.bvector_jaccard_distance(F.col("bvec"), qb, check=False)
+    return (
+        df.select("vec_id", d.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id", _r4(F.col("d")).alias("dist"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 8. text analysis (documents)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+)
+def doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", TA.token_count("text").alias("n_tokens"))
+
+
+@register(
+    "doc_stats",
+    rf"""
+    SELECT doc_id,
+           ROUND(CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)
+             ELSE 0.0 END, 4) AS punct_ratio,
+           ROUND(CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) / length(text)
+             ELSE 0.0 END, 4) AS upper_ratio,
+           ROUND(CASE WHEN length(trim(lower(text))) = 0 THEN 0.0 ELSE
+             CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                       w -> list_contains({STOPWORDS_SQL}, w))) AS DOUBLE)
+             / len(string_split_regex(trim(lower(text)), '\s+')) END, 4) AS stop_ratio
+    FROM documents
+    """,
+)
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _docs(spark, sf_dir)
+    return df.select(
+        "doc_id",
+        _r4(TA.punct_ratio("text")).alias("punct_ratio"),
+        _r4(TA.uppercase_ratio("text")).alias("upper_ratio"),
+        _r4(TA.stopword_ratio("text")).alias("stop_ratio"),
+    )
+
+
+@register(
+    "doc_language",
+    rf"""
+    SELECT doc_id,
+           ROUND(
+             (CASE WHEN length(trim(lower(text))) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         w -> list_contains({STOPWORDS_SQL}, w))) AS DOUBLE)
+               / len(string_split_regex(trim(lower(text)), '\s+')) END)
+             * (1.0 - CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)
+                 ELSE 0.0 END), 4) AS en_score
+    FROM documents
+    """,
+)
+def doc_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", _r4(TA.language_score("text")).alias("en_score")
+    )
+
+
+@register(
+    "doc_dedup_exact",
+    r"""
+    SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS content_hash,
+           COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+    FROM documents GROUP BY 1
+    """,
+)
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.exact_dedup(_docs(spark, sf_dir))
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select("doc_id", TA.doc_fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# 9. near-dedup (no SQL oracle — rows-only check; validated in tests)
+# ---------------------------------------------------------------------------
+
+@register("doc_minhash_pairs", None)
+def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.lsh_candidate_pairs(_docs(spark, sf_dir), num_perm=32, bands=8)
+
+
+@register("doc_simhash_pairs", None)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return DD.simhash_candidate_pairs(_docs(spark, sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# 10. events: hourly rollup (streaming-shaped agg, batch semantics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly",
+    """
+    SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _events(spark, sf_dir)
+    # ts is int64 nanoseconds; integer `div` keeps the bucketing exact
+    # (double division would lose precision above 2^53).
+    return df.groupBy(
+        F.expr("ts div 3600000000000").cast("long").alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 11. relational substrate sanity: TPC-H Q1 (Catalyst does the work)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
+    charge = (
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
+    ).cast("decimal(18,6)")
+    return (
+        df.where(F.col("l_shipdate") <= F.lit("1998-09-02 23:59:59").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
+            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
+            _r4(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            _r4(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            _r4(F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: the README quick-start query shape on sf0.001."""
+    return topk_l2(spark, "/root/testdata/sf0.001")
