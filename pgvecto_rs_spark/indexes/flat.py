@@ -1,0 +1,164 @@
+"""Flat (brute-force) index with optional scalar quantization.
+
+Reference: crates/flat/src/lib.rs (vbase :42-64 = scan all codes, keep a
+rerank window, rerank by exact distance; build :83-107), scalar
+quantization crates/quantization/src/scalar.rs:32-120 (per-dim min/max,
+k-bit codes, default 8 bits — crates/base/src/index.rs:447-462), window
+reranker crates/quantization/src/reranker/flat.rs.
+
+Spark design:
+
+- exact path: the scan IS the index — Parquet columnar + TakeOrdered.
+- SQ path: store ``codes array<smallint>`` (one byte of information per
+  dim) next to the exact vectors.  First pass scans only the code
+  column (4× less I/O than f32 at 8 bits), computes approximate
+  distances natively (decode = min + code·Δ inside zip_with), keeps a
+  rerank window of ``max(k, rerank_size)`` candidates, then recomputes
+  exact distances for the window only — the reference's two-phase
+  quantized scan, expressed as one DataFrame plan.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.indexes import base
+from pgvecto_rs_spark.operators.search import distance as dist_expr
+
+SQ_BITS = 8  # default (crates/base/src/index.rs:447-462)
+
+
+class FlatIndex:
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+        metric: str = "l2",
+        quantization: str | None = None,  # None | "sq8"
+    ) -> "FlatIndex":
+        kernel, do_norm = base.resolve_metric(metric)
+        src = df.where(F.col(vector_col).isNotNull())
+        vec = base.normalized_col(vector_col, do_norm).cast("array<float>")
+        prepared = src.select(F.col(id_col).alias("id"), vec.alias("vec"))
+
+        meta: dict = {
+            "kind": "flat",
+            "metric": metric.lower(),
+            "kernel": kernel,
+            "normalize": do_norm,
+            "quantization": quantization,
+        }
+
+        if quantization == "sq8":
+            # per-dim min/max over the dataset (scalar.rs:32-60 trains
+            # the same bounds); one aggregation pass.
+            dims = len(prepared.select("vec").first()["vec"])
+            exploded = prepared.select(F.posexplode("vec").alias("pos", "x"))
+            mm = (
+                exploded.groupBy("pos")
+                .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+                .orderBy("pos")
+                .collect()
+            )
+            lo = np.array([r["lo"] for r in mm], dtype=np.float64)
+            hi = np.array([r["hi"] for r in mm], dtype=np.float64)
+            width = np.where(hi > lo, hi - lo, 1.0)
+            lo_c = F.array(*[F.lit(float(v)) for v in lo])
+            w_c = F.array(*[F.lit(float(v)) for v in width])
+            levels = (1 << SQ_BITS) - 1
+            codes = F.zip_with(
+                F.col("vec").cast("array<double>"),
+                F.zip_with(lo_c, w_c, lambda a, b: F.struct(a.alias("lo"), b.alias("w"))),
+                lambda x, p: F.least(
+                    F.lit(levels),
+                    F.greatest(
+                        F.lit(0), F.round((x - p["lo"]) / p["w"] * levels, 0).cast("int")
+                    ),
+                ).cast("smallint"),
+            )
+            prepared = prepared.withColumn("codes", codes)
+            meta["sq_lo"] = lo.tolist()
+            meta["sq_width"] = width.tolist()
+            meta["dims"] = dims
+
+        prepared.write.mode("overwrite").parquet(os.path.join(path, "rows"))
+        n = spark.read.parquet(os.path.join(path, "rows")).count()
+        meta["n_rows"] = int(n)
+        base.write_meta(path, meta)
+        return cls(spark, path, meta)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "FlatIndex":
+        return cls(spark, path, base.read_meta(path))
+
+    # ------------------------------------------------------------------
+    def _decoded_codes(self) -> F.Column:
+        """Approximate vector from codes: lo + code/levels * width."""
+        levels = float((1 << SQ_BITS) - 1)
+        lo_c = F.array(*[F.lit(float(v)) for v in self.meta["sq_lo"]])
+        w_c = F.array(*[F.lit(float(v)) for v in self.meta["sq_width"]])
+        return F.zip_with(
+            F.col("codes"),
+            F.zip_with(lo_c, w_c, lambda a, b: F.struct(a.alias("lo"), b.alias("w"))),
+            lambda c, p: (p["lo"] + c.cast("double") / levels * p["w"]).cast("float"),
+        )
+
+    def search(
+        self,
+        query: Sequence[float],
+        k: int = 10,
+        rerank_size: int = 0,
+        filter=None,
+    ) -> DataFrame:
+        """Top-k; for sq8, two-phase scan with a rerank window of
+        ``max(k, rerank_size)`` (GUC sq_rerank_size semantics,
+        src/gucs/executing.rs:4-14)."""
+        q = base.prep_query(query, self.meta["normalize"])
+        qlist = [float(v) for v in q]
+        df = self.spark.read.parquet(os.path.join(self.path, "rows"))
+        if filter is not None:
+            df = df.where(filter)
+
+        if self.meta.get("quantization") == "sq8":
+            window = max(k, rerank_size, k * 4)
+            approx = dist_expr(self._decoded_codes(), qlist, self.meta["kernel"])
+            cand = (
+                df.withColumn("adist", approx)
+                .orderBy(F.col("adist").asc(), F.col("id").asc())
+                .limit(window)
+            )
+            exact = dist_expr(F.col("vec"), qlist, self.meta["kernel"])
+            out = cand.withColumn("distance", base.post_map(self.meta["metric"], exact))
+            return (
+                out.orderBy(F.col("distance").asc(), F.col("id").asc())
+                .limit(k)
+                .select("id", "distance")
+            )
+
+        d = dist_expr(F.col("vec"), qlist, self.meta["kernel"])
+        out = df.withColumn("distance", base.post_map(self.meta["metric"], d))
+        return out.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k).select("id", "distance")
+
+    def stat(self) -> dict:
+        return {
+            "idx_status": "NORMAL",
+            "idx_indexing": False,
+            "idx_tuples": self.meta["n_rows"],
+            "idx_sealed": [self.meta["n_rows"]],
+            "idx_growing": [],
+            "idx_options": {k: self.meta.get(k) for k in ("kind", "metric", "quantization")},
+        }

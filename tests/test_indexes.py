@@ -1,0 +1,146 @@
+"""Index correctness: flat == exact oracle; IVF/SQ recall gates
+(BASELINE.md: recall@10 >= 0.95 at the default operating points);
+sparse inverted == exact sparse dot ranking."""
+
+from __future__ import annotations
+
+import math
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.indexes import FlatIndex, IVFIndex, SparseInvertedIndex
+from pgvecto_rs_spark.operators.search import top_k
+from pgvecto_rs_spark.queries import Q64, SPARSE_THRESHOLD
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def exact_ids(emb, metric, k=10):
+    rows = top_k(emb, "embedding", Q64, k, metric=metric, tiebreaker="vec_id").collect()
+    return [r["vec_id"] for r in rows]
+
+
+def recall(got_ids, truth_ids):
+    return len(set(got_ids) & set(truth_ids)) / len(truth_ids)
+
+
+class TestFlat:
+    def test_exact_matches_oracle(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = FlatIndex.create(spark, emb, d, metric="l2")
+            got = [r["id"] for r in idx.search(Q64, k=10).collect()]
+            assert got == exact_ids(emb, "l2")
+
+    def test_cos_post_map(self, spark, emb):
+        """cos metric = normalize + dot + 1 must equal direct cosine."""
+        with tempfile.TemporaryDirectory() as d:
+            idx = FlatIndex.create(spark, emb, d, metric="cos")
+            got = idx.search(Q64, k=5).collect()
+            truth = top_k(emb, "embedding", Q64, 5, metric="cos", tiebreaker="vec_id").collect()
+            assert [r["id"] for r in got] == [r["vec_id"] for r in truth]
+            for g, t in zip(got, truth):
+                assert g["distance"] == pytest.approx(t["distance"], abs=1e-6)
+
+    def test_sq8_recall(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = FlatIndex.create(spark, emb, d, metric="l2", quantization="sq8")
+            got = [r["id"] for r in idx.search(Q64, k=10).collect()]
+            assert recall(got, exact_ids(emb, "l2")) >= 0.95
+
+    def test_reopen(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            FlatIndex.create(spark, emb, d, metric="l2")
+            idx = FlatIndex.open(spark, d)
+            assert idx.search(Q64, k=3).count() == 3
+            st = idx.stat()
+            assert st["idx_tuples"] == emb.count() and not st["idx_indexing"]
+
+
+class TestIVF:
+    def test_recall_at_default_operating_point(self, spark, emb):
+        """Mean recall@10 over a 20-query set (the reference CLI's
+        precision protocol, crates/cli/src/main.rs:20-32) must be
+        >= 0.95 at nlist ~= sqrt(n), nprobe=10, replicas=2
+        (BASELINE.md quality gate)."""
+        n = emb.count()
+        nlist = max(4, int(math.isqrt(n)))
+        qrows = emb.orderBy("vec_id").limit(20).collect()
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=nlist, replicas=2)
+            recs = []
+            for qr in qrows:
+                q = list(qr["embedding"])
+                got = [r["id"] for r in idx.search(q, k=10, nprobe=10).collect()]
+                truth = [
+                    r["vec_id"]
+                    for r in top_k(emb, "embedding", q, 10, metric="l2", tiebreaker="vec_id").collect()
+                ]
+                recs.append(recall(got, truth))
+            assert sum(recs) / len(recs) >= 0.95, recs
+
+    def test_full_probe_is_exact(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=8)
+            got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8).collect()]
+            assert got == exact_ids(emb, "l2")
+
+    def test_filtered_search_exact_k(self, spark, emb):
+        """VBASE property: a selective residual filter must not starve
+        the result set below k (filter applies before the limit)."""
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=4)
+            out = idx.search(Q64, k=5, nprobe=4, filter=F.col("id") % 2 == 0).collect()
+            assert len(out) == 5
+            assert all(r["id"] % 2 == 0 for r in out)
+
+    def test_open_round_trip(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            IVFIndex.create(spark, emb, d, metric="cos", nlist=4)
+            idx = IVFIndex.open(spark, d)
+            assert idx.meta["kernel"] == "dot" and idx.meta["normalize"]
+            assert idx.search(Q64, k=3, nprobe=2).count() == 3
+
+
+class TestSparseInverted:
+    def _sparse_df(self, emb):
+        from pgvecto_rs_spark.functions import sparse as VS
+
+        thr = F.transform(
+            F.col("embedding"),
+            lambda x: F.when(F.abs(x) > SPARSE_THRESHOLD, x).otherwise(F.lit(0.0)).cast("float"),
+        )
+        return emb.select(F.col("vec_id").alias("doc_id"), VS.dense_to_svector(thr).alias("svec"))
+
+    def test_matches_exact_sparse_dot(self, spark, emb):
+        from pgvecto_rs_spark.functions import sparse as VS
+
+        sdf = self._sparse_df(emb)
+        q = {i: x for i, x in enumerate(Q64) if abs(x) > SPARSE_THRESHOLD}
+        with tempfile.TemporaryDirectory() as d:
+            idx = SparseInvertedIndex.create(spark, sdf, d)
+            got = idx.search(q, k=10).collect()
+
+        # exact oracle: brute-force svector dot (docs with zero overlap
+        # score 0 and are excluded by the index — compare the overlap set)
+        qs = VS.to_svector(
+            64,
+            F.array(*[F.lit(i) for i in q]).cast("array<int>"),
+            F.array(*[F.lit(v) for v in q.values()]).cast("array<float>"),
+        )
+        brute = (
+            sdf.select("doc_id", VS.svector_neg_dot(F.col("svec"), qs, check=False).alias("d"))
+            .where(F.col("d") != 0.0)
+            .orderBy(F.col("d").asc(), F.col("doc_id").asc())
+            .limit(10)
+            .collect()
+        )
+        assert [r["id"] for r in got] == [r["doc_id"] for r in brute]
+        for g, b in zip(got, brute):
+            assert g["distance"] == pytest.approx(b["d"], rel=1e-9)
