@@ -1,0 +1,324 @@
+"""HNSW index — per-segment graphs, executor-local traversal.
+
+Reference: crates/hnsw/src/lib.rs (build :116-196 parallel insertion,
+deterministic level = trailing-base-m count of the vertex number,
+``hierarchy_for_a_vertex`` :575-583; defaults m=12, ef_construction=300,
+crates/base/src/index.rs:406-413; search = greedy upper-level descent
+``fast_search`` :321-346 + best-first at layer 0,
+crates/graph/src/search.rs:54-89; ef_search default 100,
+base/src/index.rs:561-563), per-segment vbase streams merged by a
+LoserTree (crates/index/src/lib.rs:401-422).
+
+Spark mapping (SURVEY.md §7 Phase 5): graph traversal is pointer-chasing
+and does not fit DataFrame algebra, so each *segment* (a bounded slice
+of rows, like the reference's sealed segments) is built and searched
+inside one ``applyInPandas`` task with numpy adjacency arrays.  Segments
+build in parallel across executors; a query searches all segments in
+parallel (k per segment) and Spark's TakeOrdered is the LoserTree
+analogue.  The deterministic level function keeps builds reproducible
+(same property the reference relies on for rebuild tests).
+
+Scale notes: a 100 TB corpus is thousands of segments; build is
+embarrassingly parallel; at query time per-segment ef candidates (not
+raw rows) cross the shuffle.  The inner loop here is pure
+numpy/Python — production would swap in a compiled kernel per segment
+(the orchestration, storage layout and merge semantics are the
+engine's contribution, exactly as the reference delegates kernels to
+SIMD dispatch).
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.indexes import base
+
+DEFAULT_M = 12  # crates/base/src/index.rs:406-409
+DEFAULT_EF_CONSTRUCTION = 300  # :410-413
+DEFAULT_EF_SEARCH = 100  # :561-563
+DEFAULT_SEGMENT_ROWS = 20_000
+
+
+def _level_of(vertex_no: int, m: int) -> int:
+    """Deterministic hierarchy level: number of trailing zeros of the
+    1-based vertex number in base m (hnsw/src/lib.rs:575-583)."""
+    lvl = 0
+    x = vertex_no + 1
+    while x % m == 0:
+        lvl += 1
+        x //= m
+    return lvl
+
+
+def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
+    """Sequential HNSW insertion over one segment.  Returns
+    neighbors[node] = list of int32 arrays, one per level."""
+    n = len(vecs)
+    levels = [_level_of(i, m) for i in range(n)]
+    caps = lambda lvl: (2 * m) if lvl == 0 else m  # noqa: E731
+    neighbors: list[list[np.ndarray]] = [
+        [np.empty(0, dtype=np.int32) for _ in range(levels[i] + 1)] for i in range(n)
+    ]
+    if n == 0:
+        return neighbors, levels
+
+    def dist(i: int, q: np.ndarray) -> float:
+        return float(base.np_kernel_distance(kernel, vecs[i : i + 1], q)[0])
+
+    def dist_many(idx: np.ndarray, q: np.ndarray) -> np.ndarray:
+        return base.np_kernel_distance(kernel, vecs[idx], q)
+
+    entry = 0
+    for i in range(1, n):
+        q = vecs[i]
+        lvl = levels[i]
+        ep, ep_d = entry, dist(entry, q)
+        # greedy descent through levels above lvl
+        for l in range(levels[entry], lvl, -1):
+            changed = True
+            while changed:
+                changed = False
+                nbrs = neighbors[ep][l] if l < len(neighbors[ep]) else np.empty(0, np.int32)
+                if len(nbrs):
+                    ds = dist_many(nbrs, q)
+                    j = int(np.argmin(ds))
+                    if ds[j] < ep_d:
+                        ep, ep_d = int(nbrs[j]), float(ds[j])
+                        changed = True
+        # ef-search + connect at each level from min(lvl, top) down to 0
+        for l in range(min(lvl, levels[entry]), -1, -1):
+            # best-first search with ef_construction
+            visited = {ep}
+            cand = [(ep_d, ep)]  # min-heap
+            result = [(-ep_d, ep)]  # max-heap of size ef
+            while cand:
+                d, u = heapq.heappop(cand)
+                if d > -result[0][0] and len(result) >= ef_construction:
+                    break
+                nbrs = neighbors[u][l] if l < len(neighbors[u]) else np.empty(0, np.int32)
+                new = [int(v) for v in nbrs if v not in visited]
+                if new:
+                    visited.update(new)
+                    ds = dist_many(np.asarray(new), q)
+                    for v, dv in zip(new, ds):
+                        if len(result) < ef_construction or dv < -result[0][0]:
+                            heapq.heappush(cand, (float(dv), v))
+                            heapq.heappush(result, (-float(dv), v))
+                            if len(result) > ef_construction:
+                                heapq.heappop(result)
+            found = sorted((-d, v) for d, v in result)
+            chosen = [v for _, v in found[: caps(l)]]
+            neighbors[i][l] = np.asarray(chosen, dtype=np.int32)
+            # bidirectional edges with degree pruning by distance
+            for v in chosen:
+                cur = neighbors[v][l]
+                merged = np.append(cur, np.int32(i))
+                if len(merged) > caps(l):
+                    ds = dist_many(merged, vecs[v])
+                    merged = merged[np.argsort(ds, kind="stable")[: caps(l)]]
+                neighbors[v][l] = merged
+            ep = chosen[0] if chosen else ep
+            ep_d = dist(ep, q)
+        if lvl > levels[entry]:
+            entry = i
+    return neighbors, levels
+
+
+def _search_graph(
+    vecs: np.ndarray,
+    neighbors: list[list[np.ndarray]],
+    levels: list[int],
+    entry: int,
+    q: np.ndarray,
+    kernel: str,
+    ef: int,
+):
+    """Greedy descent + best-first layer-0 search.  Returns (dists,
+    node_indexes) of up to ef candidates, sorted ascending."""
+    if len(vecs) == 0:
+        return np.empty(0), np.empty(0, dtype=np.int64)
+
+    def dist_many(idx: np.ndarray) -> np.ndarray:
+        return base.np_kernel_distance(kernel, vecs[idx], q)
+
+    ep = entry
+    ep_d = float(base.np_kernel_distance(kernel, vecs[ep : ep + 1], q)[0])
+    for l in range(levels[entry], 0, -1):
+        changed = True
+        while changed:
+            changed = False
+            nbrs = neighbors[ep][l] if l < len(neighbors[ep]) else np.empty(0, np.int32)
+            if len(nbrs):
+                ds = dist_many(nbrs)
+                j = int(np.argmin(ds))
+                if ds[j] < ep_d:
+                    ep, ep_d = int(nbrs[j]), float(ds[j])
+                    changed = True
+    visited = {ep}
+    cand = [(ep_d, ep)]
+    result = [(-ep_d, ep)]
+    while cand:
+        d, u = heapq.heappop(cand)
+        if d > -result[0][0] and len(result) >= ef:
+            break
+        nbrs = neighbors[u][0]
+        new = [int(v) for v in nbrs if v not in visited]
+        if new:
+            visited.update(new)
+            ds = dist_many(np.asarray(new))
+            for v, dv in zip(new, ds):
+                if len(result) < ef or dv < -result[0][0]:
+                    heapq.heappush(cand, (float(dv), v))
+                    heapq.heappush(result, (-float(dv), v))
+                    if len(result) > ef:
+                        heapq.heappop(result)
+    out = sorted((-d, v) for d, v in result)
+    return np.asarray([d for d, _ in out]), np.asarray([v for _, v in out])
+
+
+class HNSWIndex:
+    def __init__(self, spark: SparkSession, path: str, meta: dict):
+        self.spark = spark
+        self.path = path
+        self.meta = meta
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+        metric: str = "l2",
+        m: int = DEFAULT_M,
+        ef_construction: int = DEFAULT_EF_CONSTRUCTION,
+        segment_rows: int = DEFAULT_SEGMENT_ROWS,
+    ) -> "HNSWIndex":
+        kernel, do_norm = base.resolve_metric(metric)
+        src = df.where(F.col(vector_col).isNotNull())
+        vec = base.normalized_col(vector_col, do_norm).cast("array<float>")
+        n = src.count()
+        n_segments = max(1, -(-n // segment_rows))
+        prepared = src.select(
+            F.col(id_col).alias("id"),
+            vec.alias("vec"),
+            (F.monotonically_increasing_id() % n_segments).cast("int").alias("seg"),
+        )
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("id").reset_index(drop=True)
+            vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            neighbors, levels = _build_graph(vecs, kernel, m, ef_construction)
+            entry = int(np.argmax(levels)) if levels else 0
+            return pd.DataFrame(
+                {
+                    "seg": pdf["seg"],
+                    "idx": np.arange(len(pdf), dtype=np.int64),
+                    "id": pdf["id"].astype("int64"),
+                    "vec": pdf["vec"],
+                    "level": np.asarray(levels, dtype=np.int32),
+                    "neighbors": [[lvl.tolist() for lvl in nb] for nb in neighbors],
+                    "entry": np.full(len(pdf), entry, dtype=np.int64),
+                }
+            )
+
+        schema = (
+            "seg int, idx bigint, id bigint, vec array<float>, level int, "
+            "neighbors array<array<int>>, entry bigint"
+        )
+        (
+            prepared.repartition(n_segments, "seg")
+            .groupBy("seg")
+            .applyInPandas(build, schema)
+            .write.mode("overwrite")
+            .partitionBy("seg")
+            .parquet(os.path.join(path, "graph"))
+        )
+        meta = {
+            "kind": "hnsw",
+            "metric": metric.lower(),
+            "kernel": kernel,
+            "normalize": do_norm,
+            "m": m,
+            "ef_construction": ef_construction,
+            "n_rows": int(n),
+            "n_segments": int(n_segments),
+        }
+        base.write_meta(path, meta)
+        return cls(spark, path, meta)
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "HNSWIndex":
+        return cls(spark, path, base.read_meta(path))
+
+    # ------------------------------------------------------------------
+    def search(
+        self,
+        query: Sequence[float],
+        k: int = 10,
+        ef_search: int = DEFAULT_EF_SEARCH,
+        filter=None,
+        max_widen: int = 3,
+    ) -> DataFrame:
+        """Top-k: per-segment graph search (ef_search candidates each),
+        global TakeOrdered merge.  With a residual ``filter``, mirrors
+        VBASE's unbounded stream by iterative ef-widening: if fewer than
+        k survivors, re-search with ef×4 up to ``max_widen`` times, then
+        fall back to exact scan of the segment rows."""
+        q = base.prep_query(query, self.meta["normalize"])
+        kernel, metric = self.meta["kernel"], self.meta["metric"]
+        graph = self.spark.read.parquet(os.path.join(self.path, "graph"))
+
+        ef = max(ef_search, k)
+        for attempt in range(max_widen + 1):
+            out = self._search_once(graph, q, k, ef, filter)
+            rows = out.limit(k).collect() if filter is not None else None
+            if filter is None:
+                return out.limit(k)
+            if len(rows) >= min(k, self.meta["n_rows"]) or ef >= self.meta["n_rows"]:
+                return self.spark.createDataFrame(rows, out.schema)
+            ef *= 4
+        return out.limit(k)
+
+    def _search_once(self, graph: DataFrame, q: np.ndarray, k: int, ef: int, filter) -> DataFrame:
+        kernel, metric = self.meta["kernel"], self.meta["metric"]
+        qb = self.spark.sparkContext.broadcast(q)
+
+        def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("idx").reset_index(drop=True)
+            vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            neighbors = [
+                [np.asarray(l, dtype=np.int32) for l in nb] for nb in pdf["neighbors"]
+            ]
+            levels = pdf["level"].tolist()
+            entry = int(pdf["entry"].iloc[0])
+            ds, idxs = _search_graph(vecs, neighbors, levels, entry, qb.value, kernel, ef)
+            return pd.DataFrame(
+                {"id": pdf["id"].to_numpy()[idxs], "distance": ds}
+            )
+
+        cand = graph.groupBy("seg").applyInPandas(per_segment, "id bigint, distance double")
+        cand = cand.withColumn("distance", base.post_map(metric, F.col("distance")))
+        if filter is not None:
+            cand = cand.where(filter)
+        return cand.orderBy(F.col("distance").asc(), F.col("id").asc())
+
+    def stat(self) -> dict:
+        return {
+            "idx_status": "NORMAL",
+            "idx_indexing": False,
+            "idx_tuples": self.meta["n_rows"],
+            "idx_sealed": [self.meta["n_rows"]],
+            "idx_growing": [],
+            "idx_options": {
+                k: self.meta[k] for k in ("kind", "metric", "m", "ef_construction", "n_segments")
+            },
+        }

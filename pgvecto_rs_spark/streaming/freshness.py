@@ -1,0 +1,259 @@
+"""Index freshness: growing delta + versioned tombstones + compaction.
+
+Reference semantics (SURVEY.md §2.8):
+
+- growing segment: append-only WAL-backed rows, searched brute-force
+  (crates/index/src/segment/growing.rs:132-220)
+- delete/MVCC: versioned delete map; a payload is visible iff its
+  insert-time version is current (crates/index/src/delete.rs:10-74,
+  filtered during vbase at crates/index/src/lib.rs:416-422)
+- sealing/merge: background optimizer folds growing segments into
+  sealed ones and applies deletes
+  (crates/index/src/optimizing/mod.rs:33-131)
+- crash recovery: WAL replay (lib.rs:128-211) — Parquet's atomic
+  task-commit protocol plays the WAL role here: a partially-written
+  append never becomes visible.
+
+Spark design: the sealed part is any of the ANN indexes (flat/ivf/hnsw);
+the growing part is an append-only Parquet directory searched exactly;
+tombstones are (id, version) rows.  A search unions
+``sealed ∖ tombstones`` with ``delta_live`` and takes the global top-k
+— the LoserTree merge analogue.  ``compact()`` is the optimizer pass:
+rebuild the sealed index over the live rows, clear delta + tombstones.
+
+Structured Streaming: ``foreach_batch_sink()`` returns a function for
+``writeStream.foreachBatch`` so a stream of (id, vector) rows feeds the
+growing segment with exactly-once batches — the ``aminsert`` path.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.indexes import base
+from pgvecto_rs_spark.indexes.flat import FlatIndex
+from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+from pgvecto_rs_spark.indexes.ivf import IVFIndex
+from pgvecto_rs_spark.operators.search import distance as dist_expr
+
+_KINDS = {"flat": FlatIndex, "ivf": IVFIndex, "hnsw": HNSWIndex}
+
+
+class FreshVectorIndex:
+    """A vector index that stays searchable while rows arrive/leave."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta = base.read_meta(path)
+        cls = _KINDS[self.meta["sealed_kind"]]
+        self.sealed = cls.open(spark, os.path.join(path, "sealed"))
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        df: DataFrame,
+        path: str,
+        vector_col: str = "embedding",
+        id_col: str = "vec_id",
+        metric: str = "l2",
+        sealed_kind: str = "flat",
+        **index_opts,
+    ) -> "FreshVectorIndex":
+        idx_cls = _KINDS[sealed_kind]
+        idx_cls.create(
+            spark,
+            df,
+            os.path.join(path, "sealed"),
+            vector_col=vector_col,
+            id_col=id_col,
+            metric=metric,
+            **index_opts,
+        )
+        meta = {
+            "kind": "fresh",
+            "sealed_kind": sealed_kind,
+            "metric": metric.lower(),
+            "vector_col": vector_col,
+            "id_col": id_col,
+            "version": 1,
+            "index_opts": index_opts,
+        }
+        base.write_meta(path, meta)
+        os.makedirs(os.path.join(path, "delta"), exist_ok=True)
+        os.makedirs(os.path.join(path, "tombstones"), exist_ok=True)
+        return cls(spark, path)
+
+    open = classmethod(lambda cls, spark, path: cls(spark, path))
+
+    # ------------------------------------------------------------------
+    def _bump(self) -> int:
+        self.meta["version"] += 1
+        base.write_meta(self.path, self.meta)
+        return self.meta["version"]
+
+    def insert(self, df: DataFrame) -> None:
+        """Append (id, vector) rows to the growing segment
+        (``aminsert`` path; NULL vectors skipped like am.rs:266-278)."""
+        v = self._bump()
+        kernel, do_norm = base.resolve_metric(self.meta["metric"])
+        vec = base.normalized_col(self.meta["vector_col"], do_norm).cast("array<float>")
+        (
+            df.where(F.col(self.meta["vector_col"]).isNotNull())
+            .select(
+                F.col(self.meta["id_col"]).cast("long").alias("id"),
+                vec.alias("vec"),
+                F.lit(v).alias("version"),
+            )
+            .write.mode("append")
+            .parquet(os.path.join(self.path, "delta", "rows"))
+        )
+
+    def delete(self, ids: Sequence[int]) -> None:
+        """Tombstone ids at the current version (delete.rs:52-65 —
+        deletes shadow strictly-older inserts, so a later re-insert of
+        the same id is visible again)."""
+        v = self._bump()
+        self.spark.createDataFrame(
+            [(int(i), v) for i in ids], "id long, version int"
+        ).write.mode("append").parquet(os.path.join(self.path, "tombstones", "rows"))
+
+    def foreach_batch_sink(self):
+        """For ``stream.writeStream.foreachBatch(idx.foreach_batch_sink())``."""
+
+        def sink(batch_df: DataFrame, epoch_id: int) -> None:
+            self.insert(batch_df)
+
+        return sink
+
+    # ------------------------------------------------------------------
+    def _delta(self) -> DataFrame | None:
+        p = os.path.join(self.path, "delta", "rows")
+        if not glob.glob(os.path.join(p, "*.parquet")):
+            return None
+        return self.spark.read.parquet(p)
+
+    def _tombstones(self) -> DataFrame | None:
+        p = os.path.join(self.path, "tombstones", "rows")
+        if not glob.glob(os.path.join(p, "*.parquet")):
+            return None
+        return self.spark.read.parquet(p)
+
+    def search(self, query: Sequence[float], k: int = 10, **search_opts) -> DataFrame:
+        """Top-k over sealed ∪ growing, minus tombstoned rows — the
+        vbase union + delete filter (crates/index/src/lib.rs:387-423)."""
+        tomb = self._tombstones()
+        tomb_rows = tomb.groupBy("id").agg(F.max("version").alias("tv")).collect() if tomb is not None else []
+        dead = {r["id"]: r["tv"] for r in tomb_rows}
+
+        # sealed side: rows predate all tombstones -> any tombstone kills
+        sealed_filter = ~F.col("id").isin(list(dead)) if dead else None
+        sealed = self.sealed.search(query, k=k, filter=sealed_filter, **search_opts)
+
+        delta = self._delta()
+        if delta is None:
+            return sealed
+        # growing side: brute-force exact over the (small) delta, with
+        # version visibility: insert version must beat the tombstone's
+        kernel, do_norm = base.resolve_metric(self.meta["metric"])
+        q = base.prep_query(query, do_norm)
+        d = dist_expr(F.col("vec"), [float(x) for x in q], kernel)
+        live = delta
+        if dead:
+            tomb_df = self.spark.createDataFrame(
+                [(i, v) for i, v in dead.items()], "id long, tv int"
+            )
+            live = (
+                delta.join(F.broadcast(tomb_df), "id", "left")
+                .where(F.col("tv").isNull() | (F.col("version") > F.col("tv")))
+                .drop("tv")
+            )
+        growing = live.select(
+            "id", base.post_map(self.meta["metric"], d).alias("distance")
+        )
+        merged = sealed.select("id", "distance").unionByName(growing)
+        # the same id can be visible on both sides (re-insert without
+        # delete); keep its best distance, dedup BEFORE the limit so the
+        # result never falls short of k
+        merged = merged.groupBy("id").agg(F.min("distance").alias("distance"))
+        return merged.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
+
+    # ------------------------------------------------------------------
+    def compact(self) -> None:
+        """The optimizer pass (optimizing/mod.rs:58-105): fold delta into
+        the sealed index, apply deletes, clear delta + tombstones."""
+        tomb = self._tombstones()
+        dead = (
+            {r["id"]: r["tv"] for r in tomb.groupBy("id").agg(F.max("version").alias("tv")).collect()}
+            if tomb is not None
+            else {}
+        )
+        sealed_rows = self.spark.read.parquet(
+            os.path.join(self.sealed.path, "rows" if self.meta["sealed_kind"] == "flat" else "")
+        ) if self.meta["sealed_kind"] == "flat" else None
+        if sealed_rows is None:
+            # generic path: re-read sealed vectors from the index layout
+            sub = {"ivf": "lists", "hnsw": "graph"}[self.meta["sealed_kind"]]
+            sealed_rows = self.spark.read.parquet(os.path.join(self.sealed.path, sub)).select("id", "vec")
+        else:
+            sealed_rows = sealed_rows.select("id", "vec")
+        if dead:
+            sealed_rows = sealed_rows.where(~F.col("id").isin(list(dead)))
+        live = sealed_rows
+        delta = self._delta()
+        if delta is not None:
+            d_live = delta
+            if dead:
+                tomb_df = self.spark.createDataFrame(
+                    [(i, v) for i, v in dead.items()], "id long, tv int"
+                )
+                d_live = (
+                    delta.join(F.broadcast(tomb_df), "id", "left")
+                    .where(F.col("tv").isNull() | (F.col("version") > F.col("tv")))
+                    .drop("tv")
+                )
+            live = live.unionByName(d_live.select("id", "vec"))
+
+        idx_cls = _KINDS[self.meta["sealed_kind"]]
+        new_path = os.path.join(self.path, "sealed_new")
+        idx_cls.create(
+            self.spark,
+            live,
+            new_path,
+            vector_col="vec",
+            id_col="id",
+            metric=self.meta["metric"],
+            **self.meta.get("index_opts", {}),
+        )
+        old = os.path.join(self.path, "sealed")
+        shutil.rmtree(old)
+        os.rename(new_path, old)
+        for sub in ("delta", "tombstones"):
+            shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+            os.makedirs(os.path.join(self.path, sub), exist_ok=True)
+        self.sealed = idx_cls.open(self.spark, old)
+        self._bump()
+
+    def stat(self) -> dict:
+        """vector_index_stat analogue (src/index/views.rs:17-80)."""
+        delta = self._delta()
+        tomb = self._tombstones()
+        growing = delta.count() if delta is not None else 0
+        return {
+            "idx_status": "NORMAL",
+            "idx_indexing": False,
+            "idx_tuples": self.sealed.meta.get("n_rows", 0) + growing,
+            "idx_sealed": [self.sealed.meta.get("n_rows", 0)],
+            "idx_growing": [growing] if growing else [],
+            "idx_tombstones": tomb.count() if tomb is not None else 0,
+            "idx_options": {"sealed_kind": self.meta["sealed_kind"], "metric": self.meta["metric"]},
+        }

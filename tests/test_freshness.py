@@ -1,0 +1,92 @@
+"""Freshness semantics (reference §2.8): inserts visible before
+compaction, tombstoned rows never reappear, re-insert after delete is
+visible (version semantics, delete.rs:45-51), compaction folds delta."""
+
+from __future__ import annotations
+
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.queries import Q64
+from pgvecto_rs_spark.streaming import FreshVectorIndex
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df.cache().count()
+    return df
+
+
+def make(spark, emb, path, **kw):
+    base_rows = emb.where(F.col("vec_id") < 400)
+    return FreshVectorIndex.create(spark, base_rows, path, sealed_kind="flat", **kw)
+
+
+def test_insert_visible_before_compaction(spark, emb):
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)
+        before = {r["id"] for r in idx.search(Q64, k=10).collect()}
+        late = emb.where(F.col("vec_id") >= 400)  # contains some top hits
+        idx.insert(late)
+        after = {r["id"] for r in idx.search(Q64, k=10).collect()}
+        assert any(i >= 400 for i in after), "delta rows must be searchable"
+        st = idx.stat()
+        assert st["idx_growing"] and st["idx_growing"][0] > 0
+        assert before != after
+
+
+def test_delete_and_reinsert_version_semantics(spark, emb):
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)
+        top = [r["id"] for r in idx.search(Q64, k=3).collect()]
+        victim = top[0]
+        idx.delete([victim])
+        got = [r["id"] for r in idx.search(Q64, k=10).collect()]
+        assert victim not in got, "tombstoned row must disappear"
+        # re-insert the same id -> visible again (version > tombstone)
+        idx.insert(emb.where(F.col("vec_id") == victim))
+        got2 = [r["id"] for r in idx.search(Q64, k=10).collect()]
+        assert victim in got2, "re-inserted row must be visible again"
+
+
+def test_compaction_folds_delta_and_tombstones(spark, emb):
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)
+        idx.insert(emb.where(F.col("vec_id") >= 400))
+        top = [r["id"] for r in idx.search(Q64, k=5).collect()]
+        idx.delete([top[0]])
+        expect = [r["id"] for r in idx.search(Q64, k=10).collect()]
+        idx.compact()
+        st = idx.stat()
+        assert not st["idx_growing"] and st["idx_tombstones"] == 0
+        assert st["idx_sealed"][0] == emb.count() - 1
+        got = [r["id"] for r in idx.search(Q64, k=10).collect()]
+        assert got == expect, "compaction must not change results"
+
+
+def test_structured_streaming_sink(spark, emb, tmp_path):
+    """F8: micro-batches appended via writeStream.foreachBatch become
+    searchable — the aminsert/growing-segment path."""
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)
+        stage = str(tmp_path / "stage")
+        late = emb.where(F.col("vec_id") >= 400)
+        late.write.mode("overwrite").parquet(stage)
+
+        stream = (
+            spark.readStream.schema(late.schema).option("maxFilesPerTrigger", 1).parquet(stage)
+        )
+        q = (
+            stream.writeStream.foreachBatch(idx.foreach_batch_sink())
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {r["id"] for r in idx.search(Q64, k=10).collect()}
+        assert any(i >= 400 for i in got)
+        assert idx.stat()["idx_growing"][0] == late.count()

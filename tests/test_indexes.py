@@ -144,3 +144,45 @@ class TestSparseInverted:
         assert [r["id"] for r in got] == [r["doc_id"] for r in brute]
         for g, b in zip(got, brute):
             assert g["distance"] == pytest.approx(b["d"], rel=1e-9)
+
+
+class TestHNSW:
+    def test_recall_and_merge(self, spark, emb):
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        with tempfile.TemporaryDirectory() as d:
+            # segment_rows forces a multi-segment build -> exercises the
+            # per-segment search + TakeOrdered merge (LoserTree analogue)
+            idx = HNSWIndex.create(spark, emb, d, metric="l2", segment_rows=200)
+            assert idx.meta["n_segments"] >= 3
+            qrows = emb.orderBy("vec_id").limit(10).collect()
+            recs = []
+            for qr in qrows:
+                q = list(qr["embedding"])
+                got = [r["id"] for r in idx.search(q, k=10, ef_search=100).collect()]
+                truth = [
+                    r["vec_id"]
+                    for r in top_k(emb, "embedding", q, 10, metric="l2", tiebreaker="vec_id").collect()
+                ]
+                recs.append(recall(got, truth))
+            assert sum(recs) / len(recs) >= 0.95, recs
+
+    def test_filtered_widening_returns_exact_k(self, spark, emb):
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        with tempfile.TemporaryDirectory() as d:
+            idx = HNSWIndex.create(spark, emb, d, metric="l2", segment_rows=300)
+            # ef_search=5 starves a 1-in-7 filter; widening must recover k
+            out = idx.search(Q64, k=5, ef_search=5, filter=F.col("id") % 7 == 0).collect()
+            assert len(out) == 5
+            assert all(r["id"] % 7 == 0 for r in out)
+
+    def test_deterministic_build(self, spark, emb):
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        with tempfile.TemporaryDirectory() as d1, tempfile.TemporaryDirectory() as d2:
+            a = HNSWIndex.create(spark, emb, d1, metric="l2", segment_rows=10**6)
+            b = HNSWIndex.create(spark, emb, d2, metric="l2", segment_rows=10**6)
+            ra = [r["id"] for r in a.search(Q64, k=10).collect()]
+            rb = [r["id"] for r in b.search(Q64, k=10).collect()]
+            assert ra == rb
