@@ -30,12 +30,19 @@ BENCH_QUERIES = [
     "range_l2",
     "knn_join_l2",
     "agg_sum_vector",
+    "agg_sum_svector",
     "sparse_topk_dot",
     "bin_hamming_topk",
+    "ivf_topk_l2",
+    "hnsw_topk_l2",
+    "flat_sq8_topk_l2",
     "doc_token_count",
     "doc_dedup_exact",
     "doc_minhash_pairs",
+    "doc_simhash_pairs",
+    "doc_embed_hash_topk",
     "events_hourly",
+    "events_sessions",
     "tpch_q1",
 ]
 

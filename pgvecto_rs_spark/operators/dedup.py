@@ -115,7 +115,7 @@ def minhash_signatures_df(
     codegen stays narrow (the single-Column fold version compiles a
     huge method that chokes Janino when duplicated across join plans).
     """
-    ex = df.select(
+    ex = _spread(df).select(
         F.col(id_col).alias("__id"), F.explode(_shingle_hashes(text_col, k)).alias("__h")
     )
     aggs = [
@@ -136,7 +136,7 @@ def simhash_signatures_df(
 ) -> DataFrame:
     """(__id, __sig long) — 64-bit SimHash via explode + groupBy of 64
     bit-vote sums (same scale reasoning as minhash_signatures_df)."""
-    ex = df.select(
+    ex = _spread(df).select(
         F.col(id_col).alias("__id"),
         F.explode(F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))).alias("__h"),
     )
@@ -163,6 +163,37 @@ def simhash_signatures_df(
         F.lit(0).cast("long")
     )
     return votes.select("__id", (low + top).alias("__sig"))
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure enough partitions that the shingle fan-out parallelizes.
+
+    Small corpora often arrive as one Parquet file -> one partition;
+    the ~200x explode then runs on a single core (observed 5x wall-time
+    difference at 5k docs).  At real scale inputs already have many
+    partitions and this is a no-op."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
+def _pairs_within(ids_col: str, groups: DataFrame) -> DataFrame:
+    """(id_a, id_b) with id_a < id_b from every bucket's id array —
+    nested transform + flatten, bounded by the bucket-size guard."""
+    ids = F.array_sort(F.array_distinct(F.col(ids_col)))
+    n = F.size(ids)
+    pairs = F.flatten(
+        F.transform(
+            ids,
+            lambda x, i: F.transform(
+                F.slice(ids, i + 2, n), lambda y: F.struct(x.alias("a"), y.alias("b"))
+            ),
+        )
+    )
+    return groups.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b")
+    )
 
 
 def exact_dedup(
@@ -205,7 +236,7 @@ def lsh_candidate_pairs(
     sig = minhash_signatures_df(df, text_col, id_col, num_perm, k, seed)
     banded = sig.select(
         "__id",
-        F.posexplode(
+        F.explode(
             F.array(
                 *[
                     F.struct(
@@ -219,22 +250,18 @@ def lsh_candidate_pairs(
                     for b in range(bands)
                 ]
             )
-        ).alias("band_idx", "bb"),
+        ).alias("bb"),
     ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # bound pathological buckets (skew guard)
-    sized = banded.withColumn(
-        "__bucket_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).where(F.col("__bucket_n") <= max_bucket)
-
-    a = sized.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_a"))
-    b = sized.select(F.col("band"), F.col("bucket"), F.col("__id").alias("id_b"))
-    return (
-        a.join(b, ["band", "bucket"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # One aggregation per (band, bucket): collect member ids, bound
+    # pathological buckets (skew guard), expand pairs inside the array —
+    # the signature pipeline runs ONCE and there is no self-join.
+    groups = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("__id").alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
+    return _pairs_within("ids", groups).distinct()
 
 
 def minhash_dedup_groups(
@@ -342,17 +369,27 @@ def simhash_candidate_pairs(
             )
         ).alias("bb"),
     ).select("__id", "__sig", F.col("bb.band").alias("band"), F.col("bb.key").alias("key"))
-    a = bands.select("band", "key", F.col("__id").alias("id_a"), F.col("__sig").alias("sig_a"))
-    b = bands.select("band", "key", F.col("__id").alias("id_b"), F.col("__sig").alias("sig_b"))
-    pairs = (
-        a.join(b, ["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
-        .distinct()
+    # collect (id, sig) per bucket once; expand + verify Hamming inside
+    # the array — no self-join, signature pipeline evaluated once
+    groups = (
+        bands.groupBy("band", "key")
+        .agg(F.collect_list(F.struct("__id", "__sig")).alias("members"))
+        .where(F.size("members") >= 2)
     )
-    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        pairs.withColumn("hamming", ham.cast("int"))
-        .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    ms = F.array_sort(F.array_distinct(F.col("members")))
+    n = F.size(ms)
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, n),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"),
+                    y["__id"].alias("id_b"),
+                    F.bit_count(x["__sig"].bitwiseXOR(y["__sig"])).cast("int").alias("hamming"),
+                ),
+            ),
+        )
     )
+    exploded = groups.select(F.explode(pairs).alias("p")).select("p.id_a", "p.id_b", "p.hamming")
+    return exploded.where(F.col("hamming") <= max_hamming).distinct()

@@ -16,6 +16,7 @@ Determinism rules (so the DuckDB comparison is boundary-safe):
 from __future__ import annotations
 
 import math
+import os
 from collections.abc import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -593,6 +594,202 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("count_order"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. sparse aggregate (svector.slt:22-80 semantics at table scale)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_sum_svector",
+    f"""
+    SELECT label, idx, ROUND(CAST(CAST(s AS FLOAT) AS DOUBLE), 4) AS sum_val FROM (
+      SELECT label, CAST(ord - 1 AS INT) AS idx,
+             SUM(CASE WHEN abs(val) > {SPARSE_THRESHOLD} THEN CAST(val AS DOUBLE) ELSE 0.0 END) AS s
+      FROM (
+        SELECT label, unnest(embedding) AS val, generate_subscripts(embedding, 1) AS ord
+        FROM embeddings
+      ) GROUP BY label, ord
+    ) WHERE CAST(s AS FLOAT) != 0 AND idx IN (
+      SELECT DISTINCT ord - 1 FROM (
+        SELECT unnest(embedding) AS val, generate_subscripts(embedding, 1) AS ord FROM embeddings
+      ) WHERE abs(val) > {SPARSE_THRESHOLD}
+    )
+    """,
+)
+def agg_sum_svector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sum(svector) GROUP BY label with zero-drop finalize
+    (aggregate_svecf32.rs), output exploded for the oracle compare."""
+    from pgvecto_rs_spark.functions import aggregates as AG
+
+    df = _sparse_emb(_emb(spark, sf_dir))
+    summed = AG.sum_svector(df, ["label"], "svec")
+    return summed.select(
+        "label",
+        F.explode(
+            F.arrays_zip(
+                F.col("sum_svec")["indexes"].alias("idx"),
+                F.col("sum_svec")["values"].alias("v"),
+            )
+        ).alias("e"),
+    ).select(
+        "label",
+        F.col("e.idx").alias("idx"),
+        _r4(F.col("e.v").cast("double")).alias("sum_val"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 13. ANN index paths (ivf full-probe is exact -> oracle-checkable;
+#     hnsw/sq8 are approximate -> rows-only)
+# ---------------------------------------------------------------------------
+
+def _tmp_index_dir(name: str, sf_dir: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(f"{name}:{sf_dir}".encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"pgvrs_{name}_{tag}")
+
+
+@register(
+    "ivf_topk_l2",
+    f"""
+    SELECT id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id AS id, {_SQL_L2} AS d FROM embeddings
+    ) ORDER BY d, id LIMIT 10
+    """,
+)
+def ivf_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe = nlist (full probe) is exact — oracle-checkable
+    end-to-end through the index build + partition-pruned search path."""
+    from pgvecto_rs_spark.indexes import IVFIndex
+
+    path = _tmp_index_dir("ivf", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        IVFIndex.create(spark, _emb(spark, sf_dir), path, metric="l2", nlist=8)
+    idx = IVFIndex.open(spark, path)
+    out = idx.search(Q64, k=10, nprobe=8)
+    return out.select("id", _r4(F.col("distance")).alias("dist"))
+
+
+@register("hnsw_topk_l2", None)
+def hnsw_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+    path = _tmp_index_dir("hnsw", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        # small segments parallelize the per-segment python build and
+        # exercise the multi-segment merge path
+        HNSWIndex.create(spark, _emb(spark, sf_dir), path, metric="l2", segment_rows=512)
+    idx = HNSWIndex.open(spark, path)
+    out = idx.search(Q64, k=10, ef_search=100)
+    return out.select("id", _r4(F.col("distance")).alias("dist"))
+
+
+@register("flat_sq8_topk_l2", None)
+def flat_sq8_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvecto_rs_spark.indexes import FlatIndex
+
+    path = _tmp_index_dir("sq8", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        FlatIndex.create(spark, _emb(spark, sf_dir), path, metric="l2", quantization="sq8")
+    idx = FlatIndex.open(spark, path)
+    out = idx.search(Q64, k=10)
+    return out.select("id", _r4(F.col("distance")).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# 14. planner: sphere + ORDER BY + LIMIT (pushdown_plan.slt decisions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "planner_topk_sphere",
+    f"""
+    SELECT vec_id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id, {_SQL_L2} AS d FROM embeddings
+    ) WHERE d < {RANGE_RADIUS} ORDER BY d, vec_id LIMIT 5
+    """,
+)
+def planner_topk_sphere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY dist LIMIT k with a same-column sphere -> threshold
+    merge (am_scan.rs:41-52), routed by the Planner (seqscan path)."""
+    from pgvecto_rs_spark.plans import IndexCatalog, Planner
+    from pgvecto_rs_spark.plans.rewrite import Sphere
+
+    planner = Planner(IndexCatalog())
+    out = planner.top_k(
+        "embeddings",
+        _emb(spark, sf_dir),
+        "embedding",
+        Q64,
+        k=5,
+        metric="l2",
+        spheres=[Sphere("embedding", Q64, RANGE_RADIUS, "l2")],
+    )
+    assert planner.last_decision["threshold"] == RANGE_RADIUS
+    return out.select("vec_id", _r4(F.col("distance")).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# 15. text format round-trip (text_vecf32.rs parity at table scale)
+# ---------------------------------------------------------------------------
+
+@register("text_roundtrip", "SELECT COUNT(*) AS n_ok FROM embeddings")
+def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """format -> parse every embedding and count exact round-trips —
+    must equal the table count (shortest-repr float contract)."""
+    from pgvecto_rs_spark.functions import text_format as TFM
+
+    df = _emb(spark, sf_dir)
+    rt = TFM.parse_vector(TFM.format_vector(F.col("embedding")))
+    return df.where(rt == F.col("embedding")).agg(F.count(F.lit(1)).alias("n_ok"))
+
+
+# ---------------------------------------------------------------------------
+# 16. offline embedding source + ANN over it (north-star pipeline)
+# ---------------------------------------------------------------------------
+
+@register("doc_embed_hash_topk", None)
+def doc_embed_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> deterministic hash embedding -> cosine top-10 to an
+    embedded query string (text2vec analogue, src/embedding/mod.rs)."""
+    from pgvecto_rs_spark.operators.search import top_k as tk
+    from pgvecto_rs_spark.sources.embedding import _hash_provider, text2vec_hash
+
+    docs = _docs(spark, sf_dir).select("doc_id", text2vec_hash("text", 64).alias("emb"))
+    qv = _hash_provider(64)(["table scan query filter join"])[0].tolist()
+    out = tk(docs, "emb", qv, 10, metric="cos", tiebreaker="doc_id")
+    return out.select("doc_id", _r4(F.col("distance")).alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# 17. sessionization (streaming-shaped; windowed gap analysis)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_sessions",
+    """
+    SELECT user_id, COUNT(*) AS n_sessions FROM (
+      SELECT user_id,
+             CASE WHEN prev_ts IS NULL OR ts - prev_ts > 1800000000000 THEN 1 ELSE 0 END AS new_s
+      FROM (
+        SELECT user_id, epoch_ns(ts) AS ts,
+               LAG(epoch_ns(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id) AS prev_ts
+        FROM events
+      )
+    ) WHERE new_s = 1 GROUP BY user_id
+    """,
+)
+def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions per user with a 30-minute inactivity gap — lag + count
+    of session starts; ts is int64 nanoseconds."""
+    df = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    starts = df.withColumn("prev_ts", F.lag("ts").over(w)).where(
+        F.col("prev_ts").isNull() | (F.col("ts") - F.col("prev_ts") > 1_800_000_000_000)
+    )
+    return starts.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
 
 
 def entry(spark: SparkSession) -> DataFrame:

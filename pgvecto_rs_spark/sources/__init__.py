@@ -1,0 +1,2 @@
+from pgvecto_rs_spark.sources.embedding import text2vec, text2vec_hash  # noqa: F401
+from pgvecto_rs_spark.sources.vecs_files import read_fvecs, read_ivecs  # noqa: F401

@@ -1,0 +1,124 @@
+"""Multimodal plumbing, embedding source, planner decisions, vecs files."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.queries import Q64, RANGE_RADIUS
+
+
+class TestMultimodal:
+    def _media(self, spark):
+        rows = [
+            (1, "image", bytes(range(64))),
+            (2, "image", b"\xff\xd8\xff\xe0" + bytes(60)),
+            (3, "image", None),
+        ]
+        return spark.createDataFrame(rows, "media_id long, kind string, payload binary")
+
+    def test_metadata_sniffing(self, spark):
+        from pgvecto_rs_spark.operators.multimodal import attach_media_metadata
+
+        got = {r["media_id"]: r for r in attach_media_metadata(self._media(spark)).collect()}
+        assert got[2]["sniffed_mime"] == "image/jpeg"
+        assert got[1]["payload_bytes"] == 64
+
+    def test_fake_decode_features(self, spark):
+        from pgvecto_rs_spark.operators.multimodal import decode_image_features
+
+        out = decode_image_features(self._media(spark), fake=True).collect()
+        by_id = {r["media_id"]: r["feature"] for r in out}
+        assert len(by_id[1]) == 64
+        assert by_id[1][1] == pytest.approx(1 / 255.0)
+        assert by_id[3] is None
+
+    def test_real_decode_raises(self, spark):
+        from pgvecto_rs_spark.operators.multimodal import decode_image_features
+
+        with pytest.raises(Exception) as ei:
+            decode_image_features(self._media(spark), fake=False).collect()
+        assert "NotImplementedError" in str(ei.value) or "imaging library" in str(ei.value)
+
+    def test_video_frame_sampling(self, spark):
+        from pgvecto_rs_spark.operators.multimodal import sample_video_frames
+
+        df = spark.createDataFrame(
+            [(1, "video", bytes(64 * 25))], "media_id long, kind string, payload binary"
+        )
+        frames = sample_video_frames(df, every_n=10, fake=True).collect()
+        assert [r["frame_no"] for r in frames] == [0, 10, 20]
+        assert all(len(r["frame_payload"]) == 64 for r in frames)
+
+
+class TestEmbeddingSource:
+    def test_hash_embedding_deterministic_and_normalized(self, spark):
+        from pgvecto_rs_spark.sources.embedding import text2vec_hash
+
+        df = spark.createDataFrame([("hello world",), ("hello world",), ("",)], "t string")
+        out = [r["e"] for r in df.select(text2vec_hash("t", 32).alias("e")).collect()]
+        assert out[0] == out[1]
+        assert np.linalg.norm(out[0]) == pytest.approx(1.0, abs=1e-5)
+        assert np.linalg.norm(out[2]) == 0.0  # empty text -> zero vector
+
+    def test_provider_shape_validation(self, spark):
+        from pgvecto_rs_spark.sources.embedding import text2vec
+
+        bad = text2vec(lambda texts: np.zeros((len(texts), 3), np.float32), dims=4)
+        df = spark.createDataFrame([("x",)], "t string")
+        with pytest.raises(Exception):
+            df.select(bad(F.col("t"))).collect()
+
+
+class TestPlanner:
+    def test_index_vs_seqscan_and_veto(self, spark, sf_dir, tmp_path):
+        from pgvecto_rs_spark.indexes import FlatIndex
+        from pgvecto_rs_spark.plans import IndexCatalog, Planner
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cat = IndexCatalog()
+        idx = FlatIndex.create(spark, emb, str(tmp_path / "flat"), metric="l2")
+        cat.register("embeddings", "embedding", "l2", idx)
+
+        p = Planner(cat)
+        via_index = p.top_k("embeddings", emb, "embedding", Q64, 5, "l2").collect()
+        assert p.last_decision["path"] == "index"
+
+        p.enable_index = False  # vectors.enable_index = false veto
+        via_scan = p.top_k("embeddings", emb, "embedding", Q64, 5, "l2").collect()
+        assert p.last_decision["path"] == "seqscan"
+        assert [r["id"] for r in via_index] == [r["vec_id"] for r in via_scan]
+
+    def test_threshold_merge_same_column(self, spark, sf_dir):
+        from pgvecto_rs_spark.plans import IndexCatalog, Planner
+        from pgvecto_rs_spark.plans.rewrite import Sphere
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        p = Planner(IndexCatalog())
+        out = p.top_k(
+            "embeddings", emb, "embedding", Q64, 50, "l2",
+            spheres=[
+                Sphere("embedding", Q64, 99.0, "l2"),
+                Sphere("embedding", Q64, RANGE_RADIUS, "l2"),
+            ],
+        ).collect()
+        assert p.last_decision["threshold"] == RANGE_RADIUS  # min-merge
+        assert all(r["distance"] < RANGE_RADIUS for r in out)
+
+
+class TestVecsFiles:
+    def test_fvecs_round_trip(self, spark, tmp_path):
+        from pgvecto_rs_spark.sources.vecs_files import read_fvecs
+
+        mat = np.random.default_rng(1).normal(size=(7, 4)).astype(np.float32)
+        path = str(tmp_path / "x.fvecs")
+        with open(path, "wb") as f:
+            for row in mat:
+                np.int32(4).tofile(f)
+                row.tofile(f)
+        df = read_fvecs(spark, path)
+        got = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()], np.float32)
+        assert np.array_equal(got, mat)
