@@ -169,6 +169,40 @@ def vector_eq(a: Column | str, b: Column | str) -> Column:
     return (F.size(a) == F.size(b)) & (a == b)
 
 
+def _lex_cmp(a: Column, b: Column) -> Column:
+    """-1/0/1 lexicographic comparison (vect.rs:200-215 PartialOrd:
+    elementwise first difference, then length)."""
+    diffs = F.filter(
+        F.zip_with(a, b, lambda x, y: F.struct(x.alias("x"), y.alias("y"))),
+        lambda p: p["x"] != p["y"],
+    )
+    first = F.try_element_at(diffs, F.lit(1))  # NULL when no difference (ANSI-safe)
+    return (
+        F.when(first.isNotNull() & (first["x"] < first["y"]), F.lit(-1))
+        .when(first.isNotNull(), F.lit(1))
+        .when(F.size(a) < F.size(b), F.lit(-1))
+        .when(F.size(a) > F.size(b), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def vector_lt(a: Column | str, b: Column | str) -> Column:
+    """``a < b`` lexicographic (finalize.sql:248-406)."""
+    return _lex_cmp(_col(a), _col(b)) < 0
+
+
+def vector_le(a: Column | str, b: Column | str) -> Column:
+    return _lex_cmp(_col(a), _col(b)) <= 0
+
+
+def vector_gt(a: Column | str, b: Column | str) -> Column:
+    return _lex_cmp(_col(a), _col(b)) > 0
+
+
+def vector_ge(a: Column | str, b: Column | str) -> Column:
+    return _lex_cmp(_col(a), _col(b)) >= 0
+
+
 def vector_slice(v: Column | str, start: Column | int | None, end: Column | int | None) -> Column:
     """``v[start:end]`` — 0-based, end-exclusive slice fetch
     (src/datatype/subscript_vecf32.rs, vect.rs:173-182).

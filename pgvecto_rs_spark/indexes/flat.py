@@ -48,9 +48,12 @@ class FlatIndex:
         vector_col: str = "embedding",
         id_col: str = "vec_id",
         metric: str = "l2",
-        quantization: str | None = None,  # None | "sq8"
+        quantization: str | None = None,  # None | "sq8" | "pq" | "rabitq"
+        pq_ratio: int = 1,  # dims per subspace (base/src/index.rs:475-496)
+        seed: int = 42,
     ) -> "FlatIndex":
         kernel, do_norm = base.resolve_metric(metric)
+        os.makedirs(path, exist_ok=True)
         src = df.where(F.col(vector_col).isNotNull())
         vec = base.normalized_col(vector_col, do_norm).cast("array<float>")
         prepared = src.select(F.col(id_col).alias("id"), vec.alias("vec"))
@@ -62,6 +65,27 @@ class FlatIndex:
             "normalize": do_norm,
             "quantization": quantization,
         }
+
+        if quantization in ("pq", "rabitq"):
+            from pgvecto_rs_spark.indexes import quantization as Qz
+
+            dims = len(prepared.select("vec").first()["vec"])
+            meta["dims"] = dims
+            sample = (
+                prepared.select("vec").limit(Qz.TRAIN_CAP).collect()
+            )
+            x = np.asarray([r["vec"] for r in sample], dtype=np.float64)
+            if quantization == "pq":
+                n_sub = dims // pq_ratio
+                books = Qz.pq_train(x, n_sub, seed=seed)
+                np.save(os.path.join(path, "pq_codebooks.npy"), books, allow_pickle=False)
+                prepared = prepared.withColumn("codes", Qz.pq_encode_udf(books, spark)("vec"))
+                meta["pq_subspaces"] = n_sub
+            else:
+                proj = Qz.rabitq_projection(dims, seed)
+                np.save(os.path.join(path, "rabitq_proj.npy"), proj, allow_pickle=False)
+                enc = Qz.rabitq_encode_udf(proj, spark)("vec")
+                prepared = prepared.withColumn("rq", enc)
 
         if quantization == "sq8":
             # per-dim min/max over the dataset (scalar.rs:32-60 trains
@@ -133,9 +157,23 @@ class FlatIndex:
         if filter is not None:
             df = df.where(filter)
 
-        if self.meta.get("quantization") == "sq8":
+        quant = self.meta.get("quantization")
+        if quant in ("sq8", "pq", "rabitq"):
             window = max(k, rerank_size, k * 4)
-            approx = dist_expr(self._decoded_codes(), qlist, self.meta["kernel"])
+            if quant == "sq8":
+                approx = dist_expr(self._decoded_codes(), qlist, self.meta["kernel"])
+            elif quant == "pq":
+                from pgvecto_rs_spark.indexes import quantization as Qz
+
+                books = np.load(os.path.join(self.path, "pq_codebooks.npy"))
+                lut = Qz.pq_lut(books, np.asarray(qlist), self.meta["kernel"])
+                approx = Qz.pq_approx_distance("codes", lut)
+            else:
+                from pgvecto_rs_spark.indexes import quantization as Qz
+
+                proj = np.load(os.path.join(self.path, "rabitq_proj.npy"))
+                score = Qz.rabitq_score_udf(proj, np.asarray(qlist), self.meta["kernel"], self.spark)
+                approx = score(F.col("rq.norm"), F.col("rq.words"))
             cand = (
                 df.withColumn("adist", approx)
                 .orderBy(F.col("adist").asc(), F.col("id").asc())
@@ -149,7 +187,9 @@ class FlatIndex:
                 .select("id", "distance")
             )
 
-        d = dist_expr(F.col("vec"), qlist, self.meta["kernel"])
+        from pgvecto_rs_spark.operators.search import arrow_distance
+
+        d = arrow_distance(qlist, self.meta["kernel"])(F.col("vec"))
         out = df.withColumn("distance", base.post_map(self.meta["metric"], d))
         return out.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k).select("id", "distance")
 

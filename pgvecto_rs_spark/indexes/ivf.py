@@ -205,8 +205,10 @@ class IVFIndex:
         )
         if filter is not None:
             df = df.where(filter)
+        from pgvecto_rs_spark.operators.search import arrow_distance
+
         qlist = [float(v) for v in q]
-        d = dist_expr(F.col("vec"), qlist, self.meta["kernel"])
+        d = arrow_distance(qlist, self.meta["kernel"])(F.col("vec"))
         out = df.withColumn("distance", base.post_map(self.meta["metric"], d))
         if self.meta.get("replicas", 1) > 1:
             # multi-assignment can surface the same id from two probed

@@ -1,0 +1,184 @@
+"""Product quantization and RaBitQ — the remaining quantizers.
+
+Reference:
+- PQ: crates/quantization/src/product.rs:31-120 — split dims into
+  subspaces (``ratio`` dims each), k-means codebook of 2^bits centroids
+  per subspace (defaults ratio=1, bits=8; train sample cap 65536,
+  product.rs:60-66), asymmetric distance via per-query LUT.
+- RaBitQ: crates/quantization/src/rabitq.rs:24-143 — seeded random
+  orthogonal projection (QR of a gaussian matrix, rabitq.rs:37-56),
+  1-bit sign codes of the rotated normalized vector + per-vector
+  correction factors, estimator rescales the bit dot product.
+
+Spark shapes:
+- PQ codes are an ``array<smallint>`` column (n_subspaces bytes of
+  information per row).  The query-time LUT is a (n_sub × 2^bits)
+  table computed on the driver and inlined as a literal
+  array-of-arrays; approximate distance is a native ``aggregate`` over
+  the code array — whole-stage codegen, scanning ONLY the code column.
+- RaBitQ codes are sign bits packed into ``array<int>`` words plus a
+  stored norm.  Scoring unpacks per Arrow batch in numpy (one matmul
+  per batch) — the Python boundary is per-batch, not per-row.
+
+Both feed the same two-phase plan as SQ8: approximate scan -> rerank
+window -> exact distances (reranker/flat.rs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PQ_BITS = 8  # crates/base/src/index.rs:475-496 default
+TRAIN_CAP = 65536  # common/src/sample.rs
+
+
+# ---------------------------------------------------------------------------
+# Product quantization
+# ---------------------------------------------------------------------------
+
+def pq_train(sample: np.ndarray, n_subspaces: int, bits: int = PQ_BITS, seed: int = 42) -> np.ndarray:
+    """Codebooks (n_subspaces, 2^bits, sub_dims) via per-subspace Lloyd."""
+    from pgvecto_rs_spark.indexes.ivf import _lloyd
+
+    n, dims = sample.shape
+    if dims % n_subspaces:
+        raise ValueError(f"dims {dims} not divisible by n_subspaces {n_subspaces}")
+    sub = dims // n_subspaces
+    k = 1 << bits
+    books = []
+    for s in range(n_subspaces):
+        block = sample[:, s * sub : (s + 1) * sub]
+        books.append(_lloyd(block, min(k, len(block)), seed=seed + s).astype(np.float64))
+    # pad codebooks short of k (tiny training sets) by repeating rows so
+    # the LUT stays rectangular
+    full = np.zeros((n_subspaces, k, sub))
+    for s, b in enumerate(books):
+        full[s, : len(b)] = b
+        if len(b) < k:
+            full[s, len(b) :] = b[-1]
+    return full
+
+
+def pq_encode_udf(codebooks: np.ndarray, spark):
+    """Pandas UDF: vector -> array<smallint> of per-subspace centroid ids."""
+    bc = spark.sparkContext.broadcast(codebooks)
+
+    @F.pandas_udf("array<smallint>")
+    def encode(v: pd.Series) -> pd.Series:
+        books = bc.value
+        n_sub, k, sub = books.shape
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        codes = np.empty((len(mat), n_sub), dtype=np.int16)
+        for s in range(n_sub):
+            block = mat[:, s * sub : (s + 1) * sub]
+            d = (
+                np.einsum("ij,ij->i", block, block)[:, None]
+                - 2.0 * block @ books[s].T
+                + np.einsum("ij,ij->i", books[s], books[s])[None, :]
+            )
+            codes[:, s] = np.argmin(d, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return encode
+
+
+def pq_lut(codebooks: np.ndarray, q: np.ndarray, kernel: str) -> np.ndarray:
+    """Per-query LUT[s][c] = kernel distance contribution of subspace s
+    centroid c (product.rs asymmetric distance)."""
+    n_sub, k, sub = codebooks.shape
+    lut = np.empty((n_sub, k))
+    for s in range(n_sub):
+        qs = q[s * sub : (s + 1) * sub]
+        if kernel == "l2":
+            d = codebooks[s] - qs[None, :]
+            lut[s] = np.einsum("ij,ij->i", d, d)
+        else:  # dot
+            lut[s] = -(codebooks[s] @ qs)
+    return lut
+
+
+def pq_approx_distance(codes_col: Column | str, lut: np.ndarray) -> Column:
+    """Native ADC: Σ_s LUT[s][code_s] over the code array."""
+    c = F.col(codes_col) if isinstance(codes_col, str) else codes_col
+    lut_col = F.array(*[F.array(*[F.lit(float(x)) for x in row]) for row in lut])
+    pairs = F.zip_with(
+        c,
+        F.transform(lut_col, lambda row: row),  # identity keeps shapes aligned
+        lambda code, row: F.element_at(row, code.cast("int") + 1),
+    )
+    return F.aggregate(pairs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+# ---------------------------------------------------------------------------
+# RaBitQ
+# ---------------------------------------------------------------------------
+
+def rabitq_projection(dims: int, seed: int = 42) -> np.ndarray:
+    """Seeded random orthogonal matrix: QR of a gaussian (rabitq.rs:37-56)."""
+    rng = np.random.default_rng(seed)
+    g = rng.normal(size=(dims, dims))
+    qmat, r = np.linalg.qr(g)
+    # sign-fix so the decomposition is unique/deterministic
+    qmat *= np.sign(np.diag(r))[None, :]
+    return qmat
+
+
+def rabitq_encode_udf(proj: np.ndarray, spark):
+    """vector -> (norm float, sign bits packed into array<int> words).
+
+    bit i = sign(P·x̂)_i > 0; decode estimator x̂ ≈ norm · Pᵀ·sgn/√d."""
+    bc = spark.sparkContext.broadcast(proj)
+
+    @F.pandas_udf("struct<norm: float, words: array<int>>")
+    def encode(v: pd.Series) -> pd.DataFrame:
+        p = bc.value
+        dims = p.shape[0]
+        n_words = (dims + 31) // 32
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        safe = np.where(norms > 0, norms, 1.0)
+        rotated = (mat / safe[:, None]) @ p.T
+        bits = (rotated > 0).astype(np.uint32)
+        padded = np.zeros((len(mat), n_words * 32), dtype=np.uint32)
+        padded[:, :dims] = bits
+        words = padded.reshape(len(mat), n_words, 32)
+        packed = (words << np.arange(32, dtype=np.uint32)[None, None, :]).sum(axis=2).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "norm": norms.astype(np.float32),
+                "words": [row.astype("int32").tolist() for row in packed.view(np.int64) & 0xFFFFFFFF],
+            }
+        )
+
+    return encode
+
+
+def rabitq_score_udf(proj: np.ndarray, q: np.ndarray, kernel: str, spark):
+    """Approximate kernel distance from (norm, words) per Arrow batch:
+    dot(q, x) ≈ norm/√d · Σ_i (2·bit_i − 1)·(P·q̂... direct z_i) with
+    z = P·q — one unpack + matvec per batch, numpy-vectorized."""
+    dims = proj.shape[0]
+    z = proj @ q  # rotate the query once, driver-side
+    bz = spark.sparkContext.broadcast(z)
+    q_sq = float(q @ q)
+
+    @F.pandas_udf("double")
+    def score(norm: pd.Series, words: pd.Series) -> pd.Series:
+        zz = bz.value
+        d = len(zz)
+        n_words = (d + 31) // 32
+        w = np.asarray(words.tolist(), dtype=np.int64).astype(np.uint32)
+        bits = ((w[:, :, None] >> np.arange(32, dtype=np.uint32)[None, None, :]) & 1).astype(np.float64)
+        bits = bits.reshape(len(w), n_words * 32)[:, :d]
+        sgn = 2.0 * bits - 1.0
+        est_dot = (norm.to_numpy(dtype=np.float64) / np.sqrt(d)) * (sgn @ zz)
+        if kernel == "dot":
+            return pd.Series(-est_dot)
+        # l2: ||q||² + ||x||² − 2·q·x̂
+        n2 = norm.to_numpy(dtype=np.float64) ** 2
+        return pd.Series(q_sq + n2 - 2.0 * est_dot)
+
+    return score

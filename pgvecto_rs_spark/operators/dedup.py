@@ -298,6 +298,56 @@ def minhash_dedup_groups(
     )
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all document pairs:
+    (id_a, id_b, jaccard).  All-pairs is O(n²) — use it on candidate
+    sets (e.g. minhash buckets) or bounded slices; the MinHash path is
+    the at-scale approximation of exactly this measure."""
+    sh = df.select(
+        F.col(id_col).alias("__id"), F.array_distinct(shingles(text_col, k)).alias("__sh")
+    )
+    a = sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("sh_a"))
+    b = sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("sh_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return pairs.select("id_a", "id_b", j.alias("jaccard")).where(F.col("jaccard") >= threshold)
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.2,
+    method: str = "brute",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine distance < threshold:
+    (id_a, id_b, cos_dist).
+
+    ``brute`` cross-joins (exact; quadratic — bound the input).  At
+    corpus scale, build an IVFIndex with cos metric and restrict the
+    cross-join to same-list candidates (replicas=2 keeps boundary pairs)
+    — same bucket-bounded shape as the LSH text path.
+    """
+    from pgvecto_rs_spark.functions.dense import cosine_distance
+
+    e = df.select(F.col(id_col).alias("__id"), F.col(vector_col).alias("__v"))
+    if method != "brute":
+        raise NotImplementedError("use IVF bucketing for the at-scale path")
+    a = e.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
+    b = e.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
+    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    d = cosine_distance(F.col("v_a"), F.col("v_b"), check=False)
+    return pairs.select("id_a", "id_b", d.alias("cos_dist")).where(F.col("cos_dist") < threshold)
+
+
 def simhash(text: Column | str, bits: int = 64, k: int = 5) -> Column:
     """64-bit SimHash of the shingle set, as a signed long.
 

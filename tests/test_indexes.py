@@ -186,3 +186,32 @@ class TestHNSW:
             ra = [r["id"] for r in a.search(Q64, k=10).collect()]
             rb = [r["id"] for r in b.search(Q64, k=10).collect()]
             assert ra == rb
+
+
+class TestQuantization:
+    """PQ + RaBitQ recall gates (quantization.slt analogue: every
+    (algo x quantization) cell returns k results with good recall)."""
+
+    def test_pq_recall(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = FlatIndex.create(
+                spark, emb, d, metric="l2", quantization="pq", pq_ratio=4
+            )
+            got = [r["id"] for r in idx.search(Q64, k=10, rerank_size=40).collect()]
+            assert len(got) == 10
+            assert recall(got, exact_ids(emb, "l2")) >= 0.9
+
+    def test_rabitq_recall(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = FlatIndex.create(spark, emb, d, metric="l2", quantization="rabitq")
+            got = [r["id"] for r in idx.search(Q64, k=10, rerank_size=60).collect()]
+            assert len(got) == 10
+            assert recall(got, exact_ids(emb, "l2")) >= 0.8
+
+    def test_pq_dot_metric(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = FlatIndex.create(
+                spark, emb, d, metric="dot", quantization="pq", pq_ratio=4
+            )
+            got = [r["id"] for r in idx.search(Q64, k=10, rerank_size=40).collect()]
+            assert recall(got, exact_ids(emb, "dot")) >= 0.9
