@@ -49,12 +49,15 @@ class FlatIndex:
         id_col: str = "vec_id",
         metric: str = "l2",
         quantization: str | None = None,  # None | "sq8" | "pq" | "rabitq"
+        where=None,  # partial index predicate (partition.slt 'partial index')
         pq_ratio: int = 1,  # dims per subspace (base/src/index.rs:475-496)
         seed: int = 42,
     ) -> "FlatIndex":
         kernel, do_norm = base.resolve_metric(metric)
         os.makedirs(path, exist_ok=True)
         src = df.where(F.col(vector_col).isNotNull())
+        if where is not None:
+            src = src.where(where)  # partial index: only matching rows are indexed
         vec = base.normalized_col(vector_col, do_norm).cast("array<float>")
         prepared = src.select(F.col(id_col).alias("id"), vec.alias("vec"))
 

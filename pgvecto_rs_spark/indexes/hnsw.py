@@ -201,9 +201,12 @@ class HNSWIndex:
         m: int = DEFAULT_M,
         ef_construction: int = DEFAULT_EF_CONSTRUCTION,
         segment_rows: int = DEFAULT_SEGMENT_ROWS,
+        where=None,  # partial index predicate (partition.slt 'partial index')
     ) -> "HNSWIndex":
         kernel, do_norm = base.resolve_metric(metric)
         src = df.where(F.col(vector_col).isNotNull())
+        if where is not None:
+            src = src.where(where)  # partial index: only matching rows are indexed
         vec = base.normalized_col(vector_col, do_norm).cast("array<float>")
         n = src.count()
         n_segments = max(1, -(-n // segment_rows))

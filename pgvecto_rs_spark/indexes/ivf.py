@@ -110,6 +110,7 @@ class IVFIndex:
         seed: int = 42,
         payload_cols: Sequence[str] = (),
         replicas: int = 1,
+        where=None,  # partial index predicate (partition.slt 'partial index')
     ) -> "IVFIndex":
         """``replicas`` > 1 stores each vector in its ``replicas``
         nearest lists (multi-assignment).  A deliberate extension over
@@ -117,7 +118,9 @@ class IVFIndex:
         recall-per-probe (at 100 TB, storage is cheaper than scan I/O).
         Query-side results are deduped by id."""
         kernel, do_norm = base.resolve_metric(metric)
-        src = df.where(F.col(vector_col).isNotNull())  # NULLs not indexed (am.rs:199-211)
+        src = df.where(F.col(vector_col).isNotNull())
+        if where is not None:
+            src = src.where(where)  # partial index: only matching rows are indexed  # NULLs not indexed (am.rs:199-211)
         vec = base.normalized_col(vector_col, do_norm).cast("array<float>")
         prepared = src.select(
             F.col(id_col).alias("id"), vec.alias("vec"), *[F.col(c) for c in payload_cols]
