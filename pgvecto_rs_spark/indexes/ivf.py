@@ -111,6 +111,7 @@ class IVFIndex:
         payload_cols: Sequence[str] = (),
         replicas: int = 1,
         where=None,  # partial index predicate (partition.slt 'partial index')
+        residual_quantization: bool = False,  # ivf/src/lib.rs:172-188
     ) -> "IVFIndex":
         """``replicas`` > 1 stores each vector in its ``replicas``
         nearest lists (multi-assignment).  A deliberate extension over
@@ -155,6 +156,41 @@ class IVFIndex:
             return pd.Series([row.astype("int32").tolist() for row in top])
 
         indexed = prepared.withColumn("list_id", F.explode(assign_lists("vec")))
+
+        if residual_quantization:
+            # SQ8 over residuals (vec − centroid[list]): the residual
+            # range is much tighter than the raw range, so 8-bit codes
+            # lose less — the reference's residual_quantization option.
+            @F.pandas_udf("array<float>")
+            def residual(v: pd.Series, lid: pd.Series) -> pd.Series:
+                cent = bc.value
+                mat = np.asarray(v.tolist(), dtype=np.float64)
+                res = mat - cent[lid.to_numpy()]
+                return pd.Series([row.astype("float32").tolist() for row in res])
+
+            indexed = indexed.withColumn("res", residual("vec", "list_id"))
+            mm = (
+                indexed.select(F.posexplode("res").alias("pos", "x"))
+                .groupBy("pos")
+                .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+                .orderBy("pos")
+                .collect()
+            )
+            lo = np.array([m["lo"] for m in mm], dtype=np.float64)
+            hi = np.array([m["hi"] for m in mm], dtype=np.float64)
+            width = np.where(hi > lo, hi - lo, 1.0)
+            lo_c = F.array(*[F.lit(float(v)) for v in lo])
+            w_c = F.array(*[F.lit(float(v)) for v in width])
+            codes = F.zip_with(
+                F.col("res").cast("array<double>"),
+                F.zip_with(lo_c, w_c, lambda a, b: F.struct(a.alias("lo"), b.alias("w"))),
+                lambda x, p: F.least(
+                    F.lit(255),
+                    F.greatest(F.lit(0), F.round((x - p["lo"]) / p["w"] * 255, 0).cast("int")),
+                ).cast("smallint"),
+            )
+            indexed = indexed.withColumn("codes", codes).drop("res")
+
         (
             indexed.repartition("list_id")
             .write.mode("overwrite")
@@ -174,7 +210,11 @@ class IVFIndex:
             "spherical": spherical,
             "payload_cols": list(payload_cols),
             "replicas": int(r),
+            "residual_quantization": bool(residual_quantization),
         }
+        if residual_quantization:
+            meta["sq_lo"] = lo.tolist()
+            meta["sq_width"] = width.tolist()
         base.write_meta(path, meta)
         return cls(spark, path, meta, centroids)
 
@@ -195,11 +235,15 @@ class IVFIndex:
         k: int = 10,
         nprobe: int = DEFAULT_NPROBE,
         filter=None,
+        rerank_size: int = 0,
     ) -> DataFrame:
         """Top-k by metric distance.  Returns DataFrame(id, distance).
 
         The scan touches only the nprobe pruned partitions; residual
         ``filter`` runs before the limit (VBASE exact-k under filters).
+        With residual quantization, the first pass scores decoded
+        ``centroid + residual̂`` codes and a rerank window gets exact
+        distances (two-phase, reranker/flat.rs).
         """
         q = base.prep_query(query, self.meta["normalize"])
         lists = self.probe_lists(q, nprobe)
@@ -211,13 +255,46 @@ class IVFIndex:
         from pgvecto_rs_spark.operators.search import arrow_distance
 
         qlist = [float(v) for v in q]
-        d = arrow_distance(qlist, self.meta["kernel"])(F.col("vec"))
-        out = df.withColumn("distance", base.post_map(self.meta["metric"], d))
+        scorer = arrow_distance(qlist, self.meta["kernel"])
+
+        if self.meta.get("residual_quantization"):
+            # decode: centroid[list] + lo + code/255·width, then approx
+            # score, rerank window by exact vec distance
+            cent_rows = [(int(l), self.centroids[l].astype(float).tolist()) for l in lists]
+            cent_df = self.spark.createDataFrame(cent_rows, "list_id int, __cent array<float>")
+            lo_c = F.array(*[F.lit(float(v)) for v in self.meta["sq_lo"]])
+            w_c = F.array(*[F.lit(float(v)) for v in self.meta["sq_width"]])
+            decoded_res = F.zip_with(
+                F.col("codes"),
+                F.zip_with(lo_c, w_c, lambda a, b: F.struct(a.alias("lo"), b.alias("w"))),
+                lambda c, p: p["lo"] + c.cast("double") / 255.0 * p["w"],
+            )
+            approx_vec = F.zip_with(
+                F.col("__cent").cast("array<double>"), decoded_res, lambda c, rr: (c + rr).cast("float")
+            ).cast("array<float>")
+            window = max(k, rerank_size, k * 4)
+            cand = (
+                df.join(F.broadcast(cent_df), "list_id")
+                .withColumn("adist", scorer(approx_vec))
+                .orderBy(F.col("adist").asc(), F.col("id").asc())
+                .limit(window)
+            )
+            out = cand.withColumn(
+                "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
+            )
+        else:
+            out = df.withColumn(
+                "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
+            )
         if self.meta.get("replicas", 1) > 1:
             # multi-assignment can surface the same id from two probed
             # lists; rows are identical so any-one-per-id is exact
             out = out.dropDuplicates(["id"])
-        return out.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k).drop("vec")
+        return (
+            out.orderBy(F.col("distance").asc(), F.col("id").asc())
+            .limit(k)
+            .drop("vec", "codes", "adist", "__cent")
+        )
 
     def stat(self) -> dict:
         """vector_index_stat analogue (src/index/views.rs:17-80)."""

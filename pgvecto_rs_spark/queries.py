@@ -799,6 +799,21 @@ def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 16. offline embedding source + ANN over it (north-star pipeline)
 # ---------------------------------------------------------------------------
 
+@register("vecf16_topk_l2", None)
+def vecf16_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vecf16 path: snap embeddings to the IEEE f16 grid (the vecf16
+    storage model, crates/base/src/scalar/f16.rs computes via f32),
+    then L2 top-10.  Deterministic; no SQL oracle (DuckDB has no f16)."""
+    df = _emb(spark, sf_dir).withColumn("emb16", VD.to_f16_grid("embedding"))
+    d = VD.l2sq_distance(F.col("emb16"), _q_col(), check=False)
+    return (
+        df.select("vec_id", d.alias("d"))
+        .orderBy("d", "vec_id")
+        .limit(10)
+        .select("vec_id", _r4(F.col("d")).alias("dist"))
+    )
+
+
 @register("doc_embed_hash_topk", None)
 def doc_embed_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> deterministic hash embedding -> cosine top-10 to an

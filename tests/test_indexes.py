@@ -215,3 +215,36 @@ class TestQuantization:
             )
             got = [r["id"] for r in idx.search(Q64, k=10, rerank_size=40).collect()]
             assert recall(got, exact_ids(emb, "dot")) >= 0.9
+
+
+class TestAlgoQuantMatrix:
+    """quantization.slt + vbase.slt mirror: every (algorithm x
+    quantization) cell answers top-k with exactly k rows and sane
+    recall."""
+
+    def test_matrix(self, spark, emb):
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        truth = exact_ids(emb, "l2")
+        cells = []
+        with tempfile.TemporaryDirectory() as d:
+            cells.append(("flat/none", FlatIndex.create(spark, emb, f"{d}/a", metric="l2").search(Q64, k=10)))
+            cells.append(("flat/sq8", FlatIndex.create(spark, emb, f"{d}/b", metric="l2", quantization="sq8").search(Q64, k=10)))
+            cells.append(("flat/pq", FlatIndex.create(spark, emb, f"{d}/c", metric="l2", quantization="pq", pq_ratio=4).search(Q64, k=10, rerank_size=40)))
+            cells.append(("flat/rabitq", FlatIndex.create(spark, emb, f"{d}/d", metric="l2", quantization="rabitq").search(Q64, k=10, rerank_size=60)))
+            cells.append(("ivf/none", IVFIndex.create(spark, emb, f"{d}/e", metric="l2", nlist=8).search(Q64, k=10, nprobe=8)))
+            cells.append(("ivf/residual-sq8", IVFIndex.create(spark, emb, f"{d}/f", metric="l2", nlist=8, residual_quantization=True).search(Q64, k=10, nprobe=8, rerank_size=40)))
+            cells.append(("hnsw/none", HNSWIndex.create(spark, emb, f"{d}/g", metric="l2", segment_rows=300).search(Q64, k=10)))
+            for name, out in cells:
+                rows = out.collect()
+                assert len(rows) == 10, name
+                got = [r["id"] for r in rows]
+                assert recall(got, truth) >= 0.8, (name, got)
+
+    def test_ivf_residual_recall(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(
+                spark, emb, d, metric="l2", nlist=8, residual_quantization=True
+            )
+            got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8, rerank_size=40).collect()]
+            assert recall(got, exact_ids(emb, "l2")) >= 0.95

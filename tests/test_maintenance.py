@@ -31,3 +31,16 @@ def test_pgvector_compat_defaults():
         M.pgvector_compat_options("hnsw", ef=10)
     with pytest.raises(ValueError):
         M.pgvector_compat_options("gin")
+
+
+def test_evaluate_harness(spark, sf_dir):
+    """CLI `query` protocol: recall@k + QPS over a query set."""
+    from pgvecto_rs_spark.evaluate import evaluate_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = [list(r["embedding"]) for r in emb.orderBy("vec_id").limit(5).collect()]
+    with tempfile.TemporaryDirectory() as d:
+        idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=8)
+        rep = evaluate_index(idx, emb, qs, k=10, nprobe=8)
+    assert rep["recall_at_k"] == 1.0  # full probe is exact
+    assert rep["qps"] > 0 and rep["n_queries"] == 5
