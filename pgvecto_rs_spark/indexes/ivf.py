@@ -236,15 +236,32 @@ class IVFIndex:
         nprobe: int = DEFAULT_NPROBE,
         filter=None,
         rerank_size: int = 0,
+        max_widen: int = 3,
     ) -> DataFrame:
         """Top-k by metric distance.  Returns DataFrame(id, distance).
 
         The scan touches only the nprobe pruned partitions; residual
-        ``filter`` runs before the limit (VBASE exact-k under filters).
-        With residual quantization, the first pass scores decoded
-        ``centroid + residual̂`` codes and a rerank window gets exact
-        distances (two-phase, reranker/flat.rs).
+        ``filter`` runs before the limit (VBASE exact-k under filters —
+        within the probed lists).  If a selective filter leaves fewer
+        than k survivors, the probe set widens (nprobe ×4, up to
+        ``max_widen`` rounds or nlist) — the bounded analogue of
+        VBASE's unbounded ordered stream.  With residual quantization,
+        the first pass scores decoded ``centroid + residual̂`` codes and
+        a rerank window gets exact distances (two-phase).
         """
+        if filter is not None and max_widen > 0:
+            np_eff = nprobe
+            for _ in range(max_widen + 1):
+                out = self.search(
+                    query, k=k, nprobe=np_eff, filter=filter,
+                    rerank_size=rerank_size, max_widen=0,
+                )
+                rows = out.limit(k).collect()
+                if len(rows) >= min(k, self.meta["n_rows"]) or np_eff >= self.meta["nlist"]:
+                    return self.spark.createDataFrame(rows, out.schema)
+                np_eff = min(self.meta["nlist"], np_eff * 4)
+            return self.spark.createDataFrame(rows, out.schema)
+
         q = base.prep_query(query, self.meta["normalize"])
         lists = self.probe_lists(q, nprobe)
         df = self.spark.read.parquet(os.path.join(self.path, "lists")).where(

@@ -799,6 +799,34 @@ def text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 16. offline embedding source + ANN over it (north-star pipeline)
 # ---------------------------------------------------------------------------
 
+@register(
+    "sql_surface_topk",
+    f"""
+    SELECT vec_id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id, {_SQL_L2} AS d FROM embeddings
+    ) ORDER BY d, vec_id LIMIT 5
+    """,
+)
+def sql_surface_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's literal SQL shape, through our registered SQL
+    scalar functions (pgvecto_rs_spark.sql): Catalyst inlines the
+    function body, so this plan equals the Column-API plan."""
+    from pgvecto_rs_spark.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    _emb(spark, sf_dir).createOrReplaceTempView("emb_sql_v")
+    qsql = "array(" + ", ".join(f"CAST({x!r} AS FLOAT)" for x in Q64) + ")"
+    # Spark disallows SQL UDFs directly inside Sort; the idiomatic form
+    # computes the distance in a subquery and sorts the column.
+    return spark.sql(
+        f"""
+        SELECT vec_id, ROUND(d, 4) AS dist FROM (
+          SELECT vec_id, vec_l2sq(embedding, {qsql}) AS d FROM emb_sql_v
+        ) ORDER BY d, vec_id LIMIT 5
+        """
+    )
+
+
 @register("vecf16_topk_l2", None)
 def vecf16_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vecf16 path: snap embeddings to the IEEE f16 grid (the vecf16
@@ -854,6 +882,29 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("prev_ts").isNull() | (F.col("ts") - F.col("prev_ts") > 1_800_000_000_000)
     )
     return starts.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_sessions"))
+
+
+@register(
+    "events_props_json",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / COUNT(*), 4) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON props column: extract + aggregate (integer
+    sums are exact on both engines)."""
+    df = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        _r4(F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:

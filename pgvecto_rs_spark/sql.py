@@ -1,0 +1,85 @@
+"""SQL surface: register the vector kernel set as SQL scalar functions.
+
+The reference's user surface IS SQL (operators/functions registered in
+src/sql/finalize.sql).  Spark 4 SQL scalar UDFs (``CREATE FUNCTION …
+RETURN <expr>``) let us expose the same surface as *pure SQL
+expressions* — Catalyst inlines the body into the calling plan, so
+these run identically to the Column-API kernels (no Python, full
+optimizer visibility), and a user can literally write:
+
+    SELECT * FROM items ORDER BY vec_l2sq(embedding, array(3,2,1)) LIMIT 5
+
+Function set mirrors finalize.sql's operators/functions:
+vec_l2sq (<->), vec_negdot (<#>), vec_cos (<=>), vec_norm,
+vec_normalize, vec_dims, vec_add/sub/mul (+ - *), vec_slice (v[a:b]),
+bit_hamming (<-> on bvector bit arrays), bit_jaccard (<~>),
+svec_dot / svec_norm on the sparse struct.  Dim mismatches raise, like
+``check_matched_dims``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+_D = "CAST(a AS ARRAY<DOUBLE>)"
+_E = "CAST(b AS ARRAY<DOUBLE>)"
+_CHECK = (
+    "CASE WHEN size(a) != size(b) THEN "
+    "raise_error(printf('differently-dimensioned vectors: %d and %d', size(a), size(b))) "
+    "ELSE {expr} END"
+)
+
+_FUNCTIONS: dict[str, str] = {
+    # --- distances (finalize.sql:408-470)
+    "vec_l2sq": f"""(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE RETURN {_CHECK.format(expr=f'''
+        aggregate(zip_with({_D}, {_E}, (x, y) -> (x-y)*(x-y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)''')}""",
+    "vec_negdot": f"""(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE RETURN {_CHECK.format(expr=f'''
+        -aggregate(zip_with({_D}, {_E}, (x, y) -> x*y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)''')}""",
+    "vec_cos": f"""(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS DOUBLE RETURN {_CHECK.format(expr=f'''
+        1.0 - aggregate(zip_with({_D}, {_E}, (x, y) -> x*y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+            / sqrt(aggregate({_D}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x*x)
+                 * aggregate({_E}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x*x))''')}""",
+    # --- scalar functions (finalize.sql:601-632)
+    "vec_norm": """(a ARRAY<FLOAT>) RETURNS DOUBLE RETURN
+        sqrt(aggregate(CAST(a AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x*x))""",
+    "vec_dims": "(a ARRAY<FLOAT>) RETURNS INT RETURN size(a)",
+    "vec_normalize": """(a ARRAY<FLOAT>) RETURNS ARRAY<FLOAT> RETURN
+        CAST(transform(CAST(a AS ARRAY<DOUBLE>),
+             x -> x / sqrt(aggregate(CAST(a AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (acc, y) -> acc + y*y)))
+             AS ARRAY<FLOAT>)""",
+    # --- arithmetic (finalize.sql:90-148)
+    "vec_add": f"""(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS ARRAY<FLOAT> RETURN {_CHECK.format(
+        expr='zip_with(a, b, (x, y) -> x + y)')}""",
+    "vec_sub": f"""(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS ARRAY<FLOAT> RETURN {_CHECK.format(
+        expr='zip_with(a, b, (x, y) -> x - y)')}""",
+    "vec_mul": f"""(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS ARRAY<FLOAT> RETURN {_CHECK.format(
+        expr='zip_with(a, b, (x, y) -> x * y)')}""",
+    # --- slice v[lo:hi] (0-based, end-exclusive, NULL-on-invalid —
+    #     subscript_vecf32.rs semantics)
+    "vec_slice": """(a ARRAY<FLOAT>, lo INT, hi INT) RETURNS ARRAY<FLOAT> RETURN
+        CASE WHEN lo IS NULL OR hi IS NULL OR lo < 0 OR hi < 0 OR lo >= hi OR hi > size(a)
+             THEN NULL ELSE slice(a, lo + 1, hi - lo) END""",
+    # --- bit-vector kernels on the 0/1 array logical view
+    "bit_hamming": f"""(a ARRAY<INT>, b ARRAY<INT>) RETURNS BIGINT RETURN {_CHECK.format(
+        expr='size(filter(zip_with(a, b, (x, y) -> x != y), p -> p))')}""",
+    "bit_jaccard": f"""(a ARRAY<INT>, b ARRAY<INT>) RETURNS DOUBLE RETURN {_CHECK.format(expr='''
+        1.0 - CAST(size(filter(zip_with(a, b, (x, y) -> x = 1 AND y = 1), p -> p)) AS DOUBLE)
+            / CAST(size(filter(zip_with(a, b, (x, y) -> x = 1 OR y = 1), p -> p)) AS DOUBLE)''')}""",
+    # --- sparse struct kernels
+    "svec_dot": """(a STRUCT<dims:INT, indexes:ARRAY<INT>, values:ARRAY<FLOAT>>,
+                    b STRUCT<dims:INT, indexes:ARRAY<INT>, values:ARRAY<FLOAT>>) RETURNS DOUBLE RETURN
+        CASE WHEN a.dims != b.dims THEN raise_error('differently-dimensioned vectors') ELSE
+        aggregate(zip_with(a.indexes, CAST(a.values AS ARRAY<DOUBLE>), (i, v) -> struct(i AS i, v AS v)),
+                  CAST(0.0 AS DOUBLE),
+                  (acc, p) -> acc + p.v * coalesce(element_at(
+                      map_from_arrays(b.indexes, CAST(b.values AS ARRAY<DOUBLE>)), p.i), 0.0)) END""",
+    "svec_norm": """(a STRUCT<dims:INT, indexes:ARRAY<INT>, values:ARRAY<FLOAT>>) RETURNS DOUBLE RETURN
+        sqrt(aggregate(CAST(a.values AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x*x))""",
+}
+
+
+def register_sql_functions(spark: SparkSession) -> list[str]:
+    """Create the temporary SQL functions; returns the function names."""
+    for name, body in _FUNCTIONS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
+    return sorted(_FUNCTIONS)

@@ -248,3 +248,20 @@ class TestAlgoQuantMatrix:
             )
             got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8, rerank_size=40).collect()]
             assert recall(got, exact_ids(emb, "l2")) >= 0.95
+
+
+class TestIVFWidening:
+    def test_selective_filter_widens_probes(self, spark, emb):
+        """A 1-in-50 filter with nprobe=1 must still return exact k via
+        probe widening (bounded VBASE stream analogue)."""
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=16)
+            out = idx.search(Q64, k=5, nprobe=1, filter=F.col("id") % 50 == 0).collect()
+            assert len(out) == 5
+            assert all(r["id"] % 50 == 0 for r in out)
+            # and it matches the exact filtered oracle
+            truth = top_k(
+                emb, "embedding", Q64, 5, metric="l2",
+                filter=F.col("vec_id") % 50 == 0, tiebreaker="vec_id",
+            ).collect()
+            assert [r["id"] for r in out] == [r["vec_id"] for r in truth]

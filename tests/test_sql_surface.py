@@ -1,0 +1,72 @@
+"""SQL-surface parity: the registered SQL functions behave exactly like
+the Column-API kernels (the finalize.sql analogue)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from pgvecto_rs_spark.sql import register_sql_functions
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    names = register_sql_functions(spark)
+    assert "vec_l2sq" in names
+
+
+def q1(spark, sql):
+    return spark.sql(f"SELECT {sql} AS r").first()["r"]
+
+
+def test_distances(spark):
+    assert q1(spark, "vec_l2sq(array(1.0,2.0,3.0), array(3.0,2.0,1.0))") == 8.0
+    assert q1(spark, "vec_negdot(array(1.0,2.0,3.0), array(4.0,5.0,6.0))") == -32.0
+    got = q1(spark, "vec_cos(array(1.0,2.0,3.0), array(4.0,5.0,6.0))")
+    assert got == pytest.approx(1 - 32 / math.sqrt(14 * 77), rel=1e-12)
+
+
+def test_scalar_functions(spark):
+    assert q1(spark, "vec_norm(array(3.0,4.0))") == 5.0
+    assert q1(spark, "vec_dims(array(1.0,2.0))") == 2
+    assert q1(spark, "vec_normalize(array(3.0,4.0))") == pytest.approx([0.6, 0.8])
+    assert q1(spark, "vec_add(array(1.0,2.0), array(3.0,4.0))") == [4.0, 6.0]
+
+
+def test_slice_null_semantics(spark):
+    assert q1(spark, "vec_slice(array(0.0,1.0,2.0,3.0), 1, 3)") == [1.0, 2.0]
+    assert q1(spark, "vec_slice(array(0.0,1.0), 5, 9)") is None
+    assert q1(spark, "vec_slice(array(0.0,1.0), CAST(NULL AS INT), 1)") is None
+
+
+def test_dim_mismatch_raises(spark):
+    with pytest.raises(Exception) as ei:
+        q1(spark, "vec_l2sq(array(1.0), array(1.0,2.0))")
+    assert "differently-dimensioned" in str(ei.value)
+
+
+def test_bits_and_sparse(spark):
+    assert q1(spark, "bit_hamming(array(0,1,1), array(1,1,0))") == 2
+    assert q1(spark, "bit_jaccard(array(1,1,0), array(0,1,1))") == pytest.approx(1 - 1 / 3)
+    sv = "named_struct('dims', 3, 'indexes', array(0,2), 'values', array(CAST(1.0 AS FLOAT), CAST(3.0 AS FLOAT)))"
+    sw = "named_struct('dims', 3, 'indexes', array(2), 'values', array(CAST(2.0 AS FLOAT)))"
+    assert q1(spark, f"svec_dot({sv}, {sw})") == 6.0
+    assert q1(spark, f"svec_norm({sv})") == pytest.approx(math.sqrt(10))
+
+
+def test_full_sql_query_shape(spark, sf_dir):
+    """README.md:118-121 quick-start, verbatim SQL over a view."""
+    spark.read.parquet(f"{sf_dir}/embeddings.parquet").createOrReplaceTempView("items")
+    # NB Spark disallows SQL UDFs directly in ORDER BY — compute in a
+    # subquery, sort the column (same plan after inlining)
+    rows = spark.sql(
+        """
+        SELECT vec_id FROM (
+          SELECT vec_id,
+                 vec_l2sq(embedding, transform(sequence(1, 64), i -> CAST(0.1 AS FLOAT))) AS d
+          FROM items
+        ) ORDER BY d, vec_id LIMIT 5
+        """
+    ).collect()
+    assert len(rows) == 5
