@@ -885,6 +885,39 @@ def events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "knn_join_ivf_l2",
+    """
+    SELECT query_id, neighbor_id, ROUND(d, 4) AS dist FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+             list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) ^ 2 AS d,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])),
+                        e.vec_id
+             ) AS rn
+      FROM embeddings q CROSS JOIN embeddings e
+      WHERE q.vec_id < 5
+    ) WHERE rn <= 3
+    """,
+)
+def knn_join_ivf_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed similarity join at full probe (= exact, oracle-checked):
+    both sides shuffle by centroid list id — an equi-join, never a
+    cross join — then per-query window top-k."""
+    from pgvecto_rs_spark.operators.knn_ivf import knn_join_ivf
+
+    emb = _emb(spark, sf_dir)
+    left = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    out = knn_join_ivf(
+        left, emb, "qid", "qv", "vec_id", "embedding",
+        k=3, nlist=8, nprobe=8, replicas=1,
+    )
+    return out.select("query_id", "neighbor_id", _r4(F.col("distance")).alias("dist"))
+
+
+@register(
     "events_props_json",
     """
     SELECT event_type,

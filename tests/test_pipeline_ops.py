@@ -122,3 +122,52 @@ class TestVecsFiles:
         df = read_fvecs(spark, path)
         got = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()], np.float32)
         assert np.array_equal(got, mat)
+
+
+class TestKnnJoinIVF:
+    def test_recall_vs_brute(self, spark, sf_dir):
+        """Bucketed knn-join recall >= 0.9 vs the exact broadcast join
+        at a generous probe budget; exact when nprobe = nlist."""
+        from pgvecto_rs_spark.operators.knn_ivf import knn_join_ivf
+        from pgvecto_rs_spark.operators.search import knn_join
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        left = emb.where(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        approx = knn_join_ivf(
+            left, emb, "qid", "qv", "vec_id", "embedding",
+            k=5, nlist=16, nprobe=8, replicas=2,
+        ).collect()
+        exact = knn_join(
+            left, emb, "qv", "embedding", k=5,
+            partition_keys=["qid"], tiebreaker="vec_id",
+        ).collect()
+        a = {}
+        for r in approx:
+            a.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        e = {}
+        for r in exact:
+            e.setdefault(r["qid"], set()).add(r["vec_id"])
+        recs = [len(a.get(q, set()) & e[q]) / 5 for q in e]
+        assert sum(recs) / len(recs) >= 0.9, recs
+
+    def test_full_probe_exact(self, spark, sf_dir):
+        from pgvecto_rs_spark.operators.knn_ivf import knn_join_ivf
+        from pgvecto_rs_spark.operators.search import knn_join
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        left = emb.where(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        approx = knn_join_ivf(
+            left, emb, "qid", "qv", "vec_id", "embedding",
+            k=3, nlist=8, nprobe=8, replicas=1,
+        ).collect()
+        exact = knn_join(
+            left, emb, "qv", "embedding", k=3,
+            partition_keys=["qid"], tiebreaker="vec_id",
+        ).collect()
+        a = sorted((r["query_id"], r["neighbor_id"]) for r in approx)
+        e = sorted((r["qid"], r["vec_id"]) for r in exact)
+        assert a == e
