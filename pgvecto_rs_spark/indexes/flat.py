@@ -132,6 +132,12 @@ class FlatIndex:
     def open(cls, spark: SparkSession, path: str) -> "FlatIndex":
         return cls(spark, path, base.read_meta(path))
 
+    def _rows(self):
+        # cached handle: avoids re-running the file-listing job per query
+        if getattr(self, "_rows_df", None) is None:
+            self._rows_df = self.spark.read.parquet(os.path.join(self.path, "rows"))
+        return self._rows_df
+
     # ------------------------------------------------------------------
     def _decoded_codes(self) -> F.Column:
         """Approximate vector from codes: lo + code/levels * width."""
@@ -156,7 +162,7 @@ class FlatIndex:
         src/gucs/executing.rs:4-14)."""
         q = base.prep_query(query, self.meta["normalize"])
         qlist = [float(v) for v in q]
-        df = self.spark.read.parquet(os.path.join(self.path, "rows"))
+        df = self._rows()
         if filter is not None:
             df = df.where(filter)
 

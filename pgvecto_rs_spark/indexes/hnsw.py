@@ -278,7 +278,9 @@ class HNSWIndex:
         fall back to exact scan of the segment rows."""
         q = base.prep_query(query, self.meta["normalize"])
         kernel, metric = self.meta["kernel"], self.meta["metric"]
-        graph = self.spark.read.parquet(os.path.join(self.path, "graph"))
+        if getattr(self, "_graph_df", None) is None:
+            self._graph_df = self.spark.read.parquet(os.path.join(self.path, "graph"))
+        graph = self._graph_df
 
         ef = max(ef_search, k)
         for attempt in range(max_widen + 1):

@@ -94,6 +94,19 @@ class IVFIndex:
         self.path = path
         self.meta = meta
         self.centroids = centroids
+        self._lists_df: DataFrame | None = None
+
+    def _lists(self) -> DataFrame:
+        """The lists DataFrame, created once per index handle.
+
+        Re-creating it per search would re-run Spark's parallel
+        file-listing job over all nlist partition directories (one task
+        per directory — measured as the dominant per-query cost at
+        nlist=1000); a cached DataFrame keeps the InMemoryFileIndex and
+        leaves only the pruned scan per query."""
+        if self._lists_df is None:
+            self._lists_df = self.spark.read.parquet(os.path.join(self.path, "lists"))
+        return self._lists_df
 
     # ------------------------------------------------------------------
     @classmethod
@@ -264,9 +277,7 @@ class IVFIndex:
 
         q = base.prep_query(query, self.meta["normalize"])
         lists = self.probe_lists(q, nprobe)
-        df = self.spark.read.parquet(os.path.join(self.path, "lists")).where(
-            F.col("list_id").isin(lists)
-        )
+        df = self._lists().where(F.col("list_id").isin(lists))
         if filter is not None:
             df = df.where(filter)
         from pgvecto_rs_spark.operators.search import arrow_distance

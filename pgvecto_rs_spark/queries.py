@@ -46,17 +46,33 @@ def _q_col() -> Column:
     return F.array(*[F.lit(x) for x in Q64]).cast("array<float>")
 
 
+def _tune(spark: SparkSession) -> None:
+    """Runtime-settable session tuning, applied once per session.
+
+    The driver runs queries in its own (default-config) session; Spark's
+    default 200 shuffle partitions over-parallelizes these inputs by
+    ~10x.  All of these are plain SQL confs — safe to set at runtime."""
+    if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+        par = spark.sparkContext.defaultParallelism
+        spark.conf.set("spark.sql.shuffle.partitions", str(max(8, par)))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tune(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
     reader rejects unless nanos are surfaced as raw int64."""
+    _tune(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/events.parquet")
 

@@ -127,13 +127,30 @@ class FreshVectorIndex:
             [(int(i), v) for i in ids], "id long, version int"
         ).write.mode("append").parquet(os.path.join(self.path, "tombstones", "rows"))
 
-    def foreach_batch_sink(self):
-        """For ``stream.writeStream.foreachBatch(idx.foreach_batch_sink())``."""
+    def foreach_batch_sink(self, auto_compact_rows: int | None = None):
+        """For ``stream.writeStream.foreachBatch(idx.foreach_batch_sink())``.
+
+        ``auto_compact_rows`` triggers compaction when the growing
+        segment exceeds that many rows — the streaming analogue of the
+        optimizer's seal-on-size (max_growing_segment_size = 20,000,
+        crates/base/src/index.rs:210-213)."""
 
         def sink(batch_df: DataFrame, epoch_id: int) -> None:
             self.insert(batch_df)
+            if auto_compact_rows is not None:
+                self.maybe_compact(auto_compact_rows)
 
         return sink
+
+    def maybe_compact(self, max_growing_rows: int = 20_000) -> bool:
+        """Compact iff the growing segment exceeds the size threshold
+        (seal-on-size, optimizing/mod.rs:33-131).  Returns True if a
+        compaction ran."""
+        delta = self._delta()
+        if delta is not None and delta.count() >= max_growing_rows:
+            self.compact()
+            return True
+        return False
 
     # ------------------------------------------------------------------
     def _delta(self) -> DataFrame | None:

@@ -90,3 +90,18 @@ def test_structured_streaming_sink(spark, emb, tmp_path):
         got = {r["id"] for r in idx.search(Q64, k=10).collect()}
         assert any(i >= 400 for i in got)
         assert idx.stat()["idx_growing"][0] == late.count()
+
+
+def test_auto_seal_on_size(spark, emb):
+    """seal-on-size: foreachBatch sink compacts once the growing segment
+    crosses the threshold (max_growing_segment_size analogue)."""
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)
+        sink = idx.foreach_batch_sink(auto_compact_rows=50)
+        sink(emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 430)), 0)
+        assert idx.stat()["idx_growing"], "below threshold: stays growing"
+        sink(emb.where(F.col("vec_id") >= 430), 1)
+        st = idx.stat()
+        assert not st["idx_growing"], "threshold crossed: sealed"
+        assert st["idx_sealed"][0] == emb.count()
+        assert idx.search(Q64, k=10).count() == 10

@@ -265,3 +265,19 @@ class TestIVFWidening:
                 filter=F.col("vec_id") % 50 == 0, tiebreaker="vec_id",
             ).collect()
             assert [r["id"] for r in out] == [r["vec_id"] for r in truth]
+
+
+class TestSphericalIVF:
+    def test_spherical_cos(self, spark, emb):
+        """spherical k-means (centroids re-normalized each round,
+        k_means/src/lib.rs:24-30) with the cos opclass."""
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(
+                spark, emb, d, metric="cos", nlist=8, spherical=True
+            )
+            got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8).collect()]
+            truth = [
+                r["vec_id"]
+                for r in top_k(emb, "embedding", Q64, 10, metric="cos", tiebreaker="vec_id").collect()
+            ]
+            assert got == truth  # full probe: exact regardless of training
