@@ -124,6 +124,17 @@ def from_bits(bits: Column | str) -> Column:
     )
 
 
+def bvector_slice(v: Column | str, start: Column | int | None, end: Column | int | None) -> Column:
+    """``v[start:end]`` for bvector (bvect.rs:210-241 rebuilds the bit
+    words): same bound rules as the dense slice.  Implemented via the
+    dense 0/1 view + re-pack — correctness-first; the packed-shift
+    version is an optimization for wide vectors."""
+    from pgvecto_rs_spark.functions.dense import vector_slice
+
+    sliced_bits = vector_slice(bvector_to_dense(_col(v)), start, end)
+    return F.when(sliced_bits.isNotNull(), binarize(sliced_bits))
+
+
 # ---------------------------------------------------------------------------
 # popcount-based kernels
 # ---------------------------------------------------------------------------

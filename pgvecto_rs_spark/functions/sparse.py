@@ -227,6 +227,30 @@ def svector_normalize(v: Column | str) -> Column:
     )
 
 
+def svector_slice(v: Column | str, start: Column | int | None, end: Column | int | None) -> Column:
+    """``v[start:end]`` for svector (svect.rs:353-379): result dims =
+    end−start, entries with start ≤ i < end reindexed to i−start; NULL
+    when start ≥ end, end > dims, negative or NULL bounds.  An empty
+    entry set is a valid (all-zero) svector."""
+    v = _col(v)
+    lo = F.lit(0) if start is None else (F.lit(start) if isinstance(start, int) else start)
+    hi = v["dims"] if end is None else (F.lit(end) if isinstance(end, int) else end)
+    valid = (
+        lo.isNotNull() & hi.isNotNull() & (lo >= 0) & (hi >= 0)
+        & (lo < hi) & (hi <= v["dims"])
+    )
+    kept = F.filter(
+        F.zip_with(v["indexes"], v["values"], lambda i, x: F.struct(i.alias("i"), x.alias("v"))),
+        lambda p: (p["i"] >= lo) & (p["i"] < hi),
+    )
+    sliced = svector(
+        (hi - lo).cast("int"),
+        F.transform(kept, lambda p: p["i"] - lo),
+        F.transform(kept, lambda p: p["v"]),
+    )
+    return F.when(valid, sliced)
+
+
 # ---------------------------------------------------------------------------
 # arithmetic (sorted merge semantics, svect.rs:228-339)
 # ---------------------------------------------------------------------------

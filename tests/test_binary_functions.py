@@ -72,3 +72,17 @@ class TestScalar:
 
     def test_dims(self, spark):
         assert _one(spark, B.bvector_dims(bv(1, 0, 1))) == 3
+
+
+class TestSlice:
+    """bvector subscript (bvect.rs:210-241): bits re-packed, NULL on
+    invalid bounds; cross word boundaries."""
+
+    def test_slice_across_words(self, spark):
+        bits = [1 if i % 3 == 0 else 0 for i in range(40)]
+        got = _one(spark, B.bvector_to_dense(B.bvector_slice(bv(*bits), 5, 38)))
+        assert got == [float(b) for b in bits[5:38]]
+
+    def test_slice_invalid_is_null(self, spark):
+        assert _one(spark, B.bvector_slice(bv(1, 0, 1), 2, 1)) is None
+        assert _one(spark, B.bvector_slice(bv(1, 0, 1), 0, 4)) is None

@@ -117,3 +117,28 @@ class TestConversions:
         back = _one(spark, S.dense_to_svector(S.svector_to_dense(v)))
         assert list(back["indexes"]) == [1, 3]
         assert list(back["values"]) == [2.0, -1.5]
+
+
+class TestSlice:
+    """svector subscript goldens (svector_subscript.slt semantics,
+    svect.rs:353-379: reindexed entries, NULL-on-invalid)."""
+
+    def test_slice_reindexes(self, spark):
+        v = sv(spark, 8, [(1, 1.0), (3, 3.0), (6, 6.0)])
+        got = _one(spark, S.svector_slice(v, 2, 7))
+        assert got["dims"] == 5
+        assert list(got["indexes"]) == [1, 4]  # 3-2, 6-2
+        assert list(got["values"]) == [3.0, 6.0]
+
+    def test_slice_empty_is_valid(self, spark):
+        v = sv(spark, 8, [(0, 1.0)])
+        got = _one(spark, S.svector_slice(v, 2, 5))
+        assert got["dims"] == 3 and list(got["indexes"]) == []
+
+    def test_slice_invalid_is_null(self, spark):
+        from pyspark.sql import functions as F
+
+        v = sv(spark, 8, [(1, 1.0)])
+        assert _one(spark, S.svector_slice(v, 5, 5)) is None
+        assert _one(spark, S.svector_slice(v, 0, 9)) is None
+        assert _one(spark, S.svector_slice(v, F.lit(None).cast("int"), 3)) is None
