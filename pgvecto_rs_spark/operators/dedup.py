@@ -71,9 +71,12 @@ def _shingle_hashes(text: Column | str, k: int = 5) -> Column:
 def minhash_signature(text: Column | str, num_perm: int = 32, k: int = 5, seed: int = 42) -> Column:
     """MinHash signature: array<long> of length ``num_perm``.
 
-    sig[i] = min over shingles x of (a_i * x + b_i) mod p.  All-native
-    expression: one transform per permutation over the shingle-hash
-    array, min-reduced — no UDF, fully codegen'd.
+    sig[i] = min over shingles x of (a_i * x + b_i) mod p.
+
+    NOTE: Column-level helper for ad-hoc/small-data use; pipelines
+    should use :func:`minhash_signatures_df` — the fold below builds a
+    large generated method that Janino compiles slowly when the
+    expression is duplicated across join branches.
     """
     hashes = _shingle_hashes(text, k)
     # Single fold over the shingle hashes: the expensive part (shingle
@@ -350,6 +353,9 @@ def embedding_neardup_pairs(
 
 def simhash(text: Column | str, bits: int = 64, k: int = 5) -> Column:
     """64-bit SimHash of the shingle set, as a signed long.
+
+    NOTE: Column-level helper for ad-hoc use; pipelines should use
+    :func:`simhash_signatures_df` (see minhash_signature's note).
 
     bit j of the signature = majority vote of shingle-hash bit j.
     Computed natively: per bit, count shingles whose xxhash64 has that
