@@ -81,6 +81,33 @@ def _r4(c: Column) -> Column:
     return F.round(c, 4)
 
 
+def _r4t(c: Column) -> Column:
+    """Tie-free round-to-4-decimals: floor(x*1e4 + 0.5) / 1e4.
+
+    Spark's ROUND(double, n) goes through the shortest-string decimal
+    representation (HALF_UP on the printed digits) while DuckDB rounds the
+    binary value via float multiply — they disagree whenever the double sits
+    near a decimal tie.  floor(x*1e4 + 0.5)/1e4 uses only IEEE-754 ops that
+    both engines implement identically (correctly-rounded * and /, exact
+    floor), so identical input doubles always hash-match.  The oracle SQL
+    must spell the same formula: FLOOR(x * 10000 + 0.5) / 10000.0.
+    """
+    return F.floor(c * F.lit(10000.0) + F.lit(0.5)) / F.lit(10000.0)
+
+
+def _scaled_sum(c: Column, scale: float) -> Column:
+    """Tie-free scaled-integer sum: SUM(BIGINT(floor(x*scale + 0.5))).
+
+    Casting doubles to DECIMAL before summing rounds each value, and dyadic
+    doubles (e.g. 1/1024) hit *exact* decimal ties where Spark (HALF_UP) and
+    DuckDB diverge.  Scaling to integers first makes the per-value rounding
+    tie-free and the aggregation an exact associative integer sum, immune to
+    partial-aggregation ordering.  Oracle side:
+    SUM(CAST(FLOOR(x * scale + 0.5) AS BIGINT)).
+    """
+    return F.sum(F.floor(c.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long"))
+
+
 # DuckDB-side distance expressions over `embedding` vs the Q64 literal.
 _SQL_L2 = (
     f"list_sum(list_transform(range(1, {DIMS + 1}), "
@@ -275,7 +302,7 @@ def slice_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_sum_vector",
     """
     SELECT label, CAST(ord AS BIGINT) AS pos,
-           CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DECIMAL(38,9)) AS sum_val
+           SUM(CAST(FLOOR(val * 1000000.0 + 0.5) AS BIGINT)) AS sum_val_u
     FROM (
       SELECT label, CAST(unnest(embedding) AS DOUBLE) AS val,
              generate_subscripts(embedding, 1) AS ord
@@ -287,13 +314,18 @@ def slice_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_sum_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """sum(vector) GROUP BY label (src/datatype/aggregate_vecf32.rs) as a
     posexplode + partial-aggregate plan: map-side combine on
-    (label, pos) — the Spark-native analogue of sfunc/combinefunc."""
+    (label, pos) — the Spark-native analogue of sfunc/combinefunc.
+
+    Values are compared as micro-scaled integers (see _scaled_sum): float
+    components are dyadic rationals whose decimal expansions hit exact
+    rounding ties, so DECIMAL sums are not engine-portable.
+    """
     df = _emb(spark, sf_dir)
     return (
         df.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("decimal(38,9)").alias("sum_val"))
-        .select("label", (F.col("pos") + 1).cast("long").alias("pos"), "sum_val")
+        .agg(_scaled_sum(F.col("val"), 1000000.0).alias("sum_val_u"))
+        .select("label", (F.col("pos") + 1).cast("long").alias("pos"), "sum_val_u")
     )
 
 
@@ -601,20 +633,21 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
            COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_value
+           SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_u
     FROM events GROUP BY 1, 2
     """,
 )
 def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events(spark, sf_dir)
     # ts is int64 nanoseconds; integer `div` keeps the bucketing exact
-    # (double division would lose precision above 2^53).
+    # (double division would lose precision above 2^53).  value sums are
+    # micro-scaled integers (tie-free; see _scaled_sum).
     return df.groupBy(
         F.expr("ts div 3600000000000").cast("long").alias("hour_bucket"),
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("sum_value"),
+        _scaled_sum(F.col("value"), 1000000.0).alias("sum_value_u"),
     )
 
 
@@ -626,13 +659,13 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_disc_price,
-           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) * (1 + l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
-           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
-           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
-           ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+           SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sum_qty_c,
+           SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_price_c,
+           SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS sum_disc_price_u,
+           SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) * 1000000.0 + 0.5) AS BIGINT)) AS sum_charge_u,
+           FLOOR(CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+           FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+           FLOOR(CAST(SUM(CAST(FLOOR(l_discount * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
            COUNT(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 23:59:59'
@@ -640,23 +673,29 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 over the double-typed lineitem parquet.  Money/quantity sums
+    are scaled-integer (cents / micros) so partial aggregation order and
+    decimal tie-rounding can never diverge between engines (see _scaled_sum);
+    averages use the tie-free _r4t formula on identically-ordered IEEE ops."""
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    disc_price = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")
-    charge = (
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * (1 + F.col("l_tax"))
-    ).cast("decimal(18,6)")
+    disc_price = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax"))
+    cnt = F.count(F.lit(1))
+    sum_qty_c = _scaled_sum(F.col("l_quantity"), 100.0)
+    sum_price_c = _scaled_sum(F.col("l_extendedprice"), 100.0)
+    sum_disc_u = _scaled_sum(F.col("l_discount"), 1000000.0)
     return (
         df.where(F.col("l_shipdate") <= F.lit("1998-09-02 23:59:59").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").alias("sum_base_price"),
-            F.sum(disc_price).cast("decimal(38,6)").alias("sum_disc_price"),
-            F.sum(charge).cast("decimal(38,6)").alias("sum_charge"),
-            _r4(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            _r4(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
-            _r4(F.sum(F.col("l_discount").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            sum_qty_c.alias("sum_qty_c"),
+            sum_price_c.alias("sum_base_price_c"),
+            _scaled_sum(disc_price, 1000000.0).alias("sum_disc_price_u"),
+            _scaled_sum(charge, 1000000.0).alias("sum_charge_u"),
+            _r4t(sum_qty_c.cast("double") / F.lit(100.0) / cnt).alias("avg_qty"),
+            _r4t(sum_price_c.cast("double") / F.lit(100.0) / cnt).alias("avg_price"),
+            _r4t(sum_disc_u.cast("double") / F.lit(1000000.0) / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
         )
     )
 
@@ -939,20 +978,21 @@ def knn_join_ivf_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-           ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
-                 / COUNT(*), 4) AS avg_k
+           FLOOR(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
+                 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_k
     FROM events GROUP BY event_type
     """,
 )
 def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semi-structured JSON props column: extract + aggregate (integer
-    sums are exact on both engines)."""
+    """Semi-structured JSON props column: extract + aggregate.  Integer sums
+    are exact on both engines; the average uses the tie-free _r4t formula
+    (ROUND(double) is not engine-portable near decimal ties)."""
     df = _events(spark, sf_dir)
     k = F.get_json_object("props", "$.k").cast("long")
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).alias("sum_k"),
-        _r4(F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        _r4t(F.sum(k).cast("double") / F.count(F.lit(1))).alias("avg_k"),
     )
 
 
