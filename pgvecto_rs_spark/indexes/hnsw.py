@@ -1,4 +1,4 @@
-"""HNSW index — per-segment graphs, executor-local traversal.
+"""HNSW index — per-segment graphs, executor-resident traversal.
 
 Reference: crates/hnsw/src/lib.rs (build :116-196 parallel insertion,
 deterministic level = trailing-base-m count of the vertex number,
@@ -11,16 +11,24 @@ LoserTree (crates/index/src/lib.rs:401-422).
 
 Spark mapping (SURVEY.md §7 Phase 5): graph traversal is pointer-chasing
 and does not fit DataFrame algebra, so each *segment* (a bounded slice
-of rows, like the reference's sealed segments) is built and searched
-inside one ``applyInPandas`` task with numpy adjacency arrays.  Segments
-build in parallel across executors; a query searches all segments in
-parallel (k per segment) and Spark's TakeOrdered is the LoserTree
-analogue.  The deterministic level function keeps builds reproducible
-(same property the reference relies on for rebuild tests).
+of rows, like the reference's sealed segments) is built inside one
+``applyInPandas`` task with numpy adjacency arrays.  Search dispatches
+one task per segment over an RDD of segment ids; each task loads its
+segment's graph from Parquet into a **process-global executor cache**
+(the Spark analogue of the reference's mmap-opened index,
+crates/index/src/lib.rs:128-211) and traverses it in memory.  Python
+workers are reused across queries (``spark.python.worker.reuse``, on by
+default), so repeated queries never re-read — let alone re-shuffle —
+the graph: only the ef candidate (id, distance) pairs per segment cross
+the wire.  Spark's TakeOrdered is the LoserTree merge analogue.  The
+deterministic level function keeps builds reproducible (same property
+the reference relies on for rebuild tests).
 
 Scale notes: a 100 TB corpus is thousands of segments; build is
 embarrassingly parallel; at query time per-segment ef candidates (not
-raw rows) cross the shuffle.  The inner loop here is pure
+raw rows, not the graph) cross the shuffle, and warm executors serve
+queries from resident segments.  ``search_batch`` amortizes the task
+dispatch over many queries in one pass.  The inner loop here is pure
 numpy/Python — production would swap in a compiled kernel per segment
 (the orchestration, storage layout and merge semantics are the
 engine's contribution, exactly as the reference delegates kernels to
@@ -29,8 +37,10 @@ SIMD dispatch).
 
 from __future__ import annotations
 
+import glob
 import heapq
 import os
+from collections import OrderedDict
 from typing import Sequence
 
 import numpy as np
@@ -44,6 +54,51 @@ DEFAULT_M = 12  # crates/base/src/index.rs:406-409
 DEFAULT_EF_CONSTRUCTION = 300  # :410-413
 DEFAULT_EF_SEARCH = 100  # :561-563
 DEFAULT_SEGMENT_ROWS = 20_000
+
+# Executor-process-global segment cache: {seg_dir: (fingerprint, data)}.
+# Lives for the lifetime of the reused Python worker — the analogue of the
+# reference keeping sealed segments mmap-open between queries
+# (crates/index/src/lib.rs:128-211).  Bounded LRU so a worker scanning many
+# segments doesn't hold them all.
+_SEG_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
+_SEG_CACHE_MAX = 64
+
+
+def _segment_fingerprint(seg_dir: str):
+    files = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
+    return tuple((f, os.path.getmtime(f), os.path.getsize(f)) for f in files)
+
+
+def _load_segment(seg_dir: str):
+    """Load (ids, vecs, neighbors, levels, entry) for one segment, via the
+    process-global cache keyed by file path + mtime + size (stale entries
+    reload after a rebuild)."""
+    fp = _segment_fingerprint(seg_dir)
+    hit = _SEG_CACHE.get(seg_dir)
+    if hit is not None and hit[0] == fp:
+        _SEG_CACHE.move_to_end(seg_dir)
+        return hit[1]
+    if not fp:  # hash-assigned segment with no rows: no directory written
+        empty = (np.empty(0, np.int64), np.empty((0, 0)), [], [], 0)
+        _SEG_CACHE[seg_dir] = (fp, empty)
+        return empty
+    import pyarrow.parquet as pq
+
+    pdf = pq.read_table(seg_dir).to_pandas()
+    pdf = pdf.sort_values("idx").reset_index(drop=True)
+    vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+    neighbors = [
+        [np.asarray(lvl, dtype=np.int32) for lvl in nb] for nb in pdf["neighbors"]
+    ]
+    levels = pdf["level"].tolist()
+    entry = int(pdf["entry"].iloc[0]) if len(pdf) else 0
+    ids = pdf["id"].to_numpy().astype(np.int64)
+    data = (ids, vecs, neighbors, levels, entry)
+    _SEG_CACHE[seg_dir] = (fp, data)
+    _SEG_CACHE.move_to_end(seg_dir)
+    while len(_SEG_CACHE) > _SEG_CACHE_MAX:
+        _SEG_CACHE.popitem(last=False)
+    return data
 
 
 def _level_of(vertex_no: int, m: int) -> int:
@@ -210,10 +265,13 @@ class HNSWIndex:
         vec = base.normalized_col(vector_col, do_norm).cast("array<float>")
         n = src.count()
         n_segments = max(1, -(-n // segment_rows))
+        # pmod(xxhash64(id)) gives balanced, deterministic segments;
+        # monotonically_increasing_id() % n would stripe by partition offset
+        # and leave segments unevenly filled on skewed input layouts.
         prepared = src.select(
             F.col(id_col).alias("id"),
             vec.alias("vec"),
-            (F.monotonically_increasing_id() % n_segments).cast("int").alias("seg"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_segments)).cast("int").alias("seg"),
         )
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -263,6 +321,45 @@ class HNSWIndex:
         return cls(spark, path, base.read_meta(path))
 
     # ------------------------------------------------------------------
+    def _segment_dirs(self) -> list[str]:
+        graph_dir = os.path.join(self.path, "graph")
+        return [
+            os.path.join(graph_dir, f"seg={s}") for s in range(self.meta["n_segments"])
+        ]
+
+    def _candidates(self, q: np.ndarray, ef: int, exact: bool, keep_all: bool) -> DataFrame:
+        """One task per segment over an RDD of segment dirs; each task
+        traverses its executor-resident graph (or brute-scans the resident
+        vectors when ``exact``) and yields (id, distance) candidates."""
+        kernel, metric = self.meta["kernel"], self.meta["metric"]
+        sc = self.spark.sparkContext
+        qb = sc.broadcast(np.asarray(q, dtype=np.float64))
+        seg_dirs = self._segment_dirs()
+
+        def run(it):
+            for seg_dir in it:
+                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir)
+                if len(ids) == 0:
+                    continue
+                if exact:
+                    ds = base.np_kernel_distance(kernel, vecs, qb.value)
+                    if keep_all:
+                        order = np.argsort(ds, kind="stable")
+                    else:
+                        order = np.argsort(ds, kind="stable")[:ef]
+                    sel = order
+                    out_d, out_i = ds[sel], sel
+                else:
+                    out_d, out_i = _search_graph(
+                        vecs, neighbors, levels, entry, qb.value, kernel, ef
+                    )
+                for i, d in zip(out_i, out_d):
+                    yield (int(ids[int(i)]), float(d))
+
+        rdd = sc.parallelize(seg_dirs, len(seg_dirs)).mapPartitions(run)
+        cand = self.spark.createDataFrame(rdd, schema="id bigint, distance double")
+        return cand.withColumn("distance", base.post_map(metric, F.col("distance")))
+
     def search(
         self,
         query: Sequence[float],
@@ -270,51 +367,90 @@ class HNSWIndex:
         ef_search: int = DEFAULT_EF_SEARCH,
         filter=None,
         max_widen: int = 3,
+        exact: bool = False,
     ) -> DataFrame:
-        """Top-k: per-segment graph search (ef_search candidates each),
-        global TakeOrdered merge.  With a residual ``filter``, mirrors
-        VBASE's unbounded stream by iterative ef-widening: if fewer than
-        k survivors, re-search with ef×4 up to ``max_widen`` times, then
-        fall back to exact scan of the segment rows."""
+        """Top-k: per-segment resident-graph search (ef_search candidates
+        each), global TakeOrdered merge.  With a residual ``filter``,
+        mirrors VBASE's unbounded stream by iterative ef-widening: if fewer
+        than k survivors, re-search with ef*4 up to ``max_widen`` times,
+        then fall back to an exact scan of the resident segment vectors
+        (guaranteed k survivors when they exist).  ``exact=True`` skips the
+        graph and brute-scans the resident vectors — the full-rerank mode
+        used for oracle checks of the storage/merge path."""
         q = base.prep_query(query, self.meta["normalize"])
-        kernel, metric = self.meta["kernel"], self.meta["metric"]
-        if getattr(self, "_graph_df", None) is None:
-            self._graph_df = self.spark.read.parquet(os.path.join(self.path, "graph"))
-        graph = self._graph_df
-
         ef = max(ef_search, k)
-        for attempt in range(max_widen + 1):
-            out = self._search_once(graph, q, k, ef, filter)
-            rows = out.limit(k).collect() if filter is not None else None
+        if exact:
+            out = self._candidates(q, ef=max(ef, k), exact=True, keep_all=filter is not None)
+            if filter is not None:
+                out = out.where(filter)
+            return out.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
+        for _ in range(max_widen + 1):
+            out = self._candidates(q, ef, exact=False, keep_all=False)
             if filter is None:
-                return out.limit(k)
+                return out.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
+            out = out.where(filter).orderBy(F.col("distance").asc(), F.col("id").asc())
+            rows = out.limit(k).collect()
             if len(rows) >= min(k, self.meta["n_rows"]) or ef >= self.meta["n_rows"]:
                 return self.spark.createDataFrame(rows, out.schema)
             ef *= 4
-        return out.limit(k)
+        # exact-scan fallback: rank everything, filter, take k
+        out = self._candidates(q, ef=k, exact=True, keep_all=True)
+        return (
+            out.where(filter)
+            .orderBy(F.col("distance").asc(), F.col("id").asc())
+            .limit(k)
+        )
 
-    def _search_once(self, graph: DataFrame, q: np.ndarray, k: int, ef: int, filter) -> DataFrame:
+    def search_batch(
+        self,
+        queries: DataFrame,
+        query_id_col: str,
+        query_vec_col: str,
+        k: int = 10,
+        ef_search: int = DEFAULT_EF_SEARCH,
+    ) -> DataFrame:
+        """Batched search: many queries per segment pass (amortizes task
+        dispatch and keeps the graph resident).  Queries are collected and
+        broadcast — appropriate for query batches that fit on the driver
+        (e.g. a lookup microbatch), not for table-scale joins (use
+        knn_join_ivf for those).  Returns (query_id, id, distance) with k
+        rows per query."""
+        from pyspark.sql import Window
+
         kernel, metric = self.meta["kernel"], self.meta["metric"]
-        qb = self.spark.sparkContext.broadcast(q)
+        do_norm = self.meta["normalize"]
+        rows = queries.select(query_id_col, query_vec_col).collect()
+        qids = [r[0] for r in rows]
+        qmat = [base.prep_query(r[1], do_norm) for r in rows]
+        sc = self.spark.sparkContext
+        qb = sc.broadcast((qids, qmat))
+        ef = max(ef_search, k)
+        seg_dirs = self._segment_dirs()
 
-        def per_segment(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("idx").reset_index(drop=True)
-            vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
-            neighbors = [
-                [np.asarray(l, dtype=np.int32) for l in nb] for nb in pdf["neighbors"]
-            ]
-            levels = pdf["level"].tolist()
-            entry = int(pdf["entry"].iloc[0])
-            ds, idxs = _search_graph(vecs, neighbors, levels, entry, qb.value, kernel, ef)
-            return pd.DataFrame(
-                {"id": pdf["id"].to_numpy()[idxs], "distance": ds}
-            )
+        def run(it):
+            for seg_dir in it:
+                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir)
+                if len(ids) == 0:
+                    continue
+                for qid, q in zip(*qb.value):
+                    ds, idxs = _search_graph(
+                        vecs, neighbors, levels, entry, q, kernel, ef
+                    )
+                    for i, d in zip(idxs[:ef], ds[:ef]):
+                        yield (qid, int(ids[int(i)]), float(d))
 
-        cand = graph.groupBy("seg").applyInPandas(per_segment, "id bigint, distance double")
-        cand = cand.withColumn("distance", base.post_map(metric, F.col("distance")))
-        if filter is not None:
-            cand = cand.where(filter)
-        return cand.orderBy(F.col("distance").asc(), F.col("id").asc())
+        rdd = sc.parallelize(seg_dirs, len(seg_dirs)).mapPartitions(run)
+        cand = self.spark.createDataFrame(
+            rdd, schema="query_id bigint, id bigint, distance double"
+        ).withColumn("distance", base.post_map(metric, F.col("distance")))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc(), F.col("id").asc()
+        )
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= k)
+            .drop("_rn")
+        )
 
     def stat(self) -> dict:
         return {

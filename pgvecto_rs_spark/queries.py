@@ -748,11 +748,14 @@ def agg_sum_svector(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     hnsw/sq8 are approximate -> rows-only)
 # ---------------------------------------------------------------------------
 
+_INDEX_CACHE_VERSION = 2  # bump to invalidate /tmp caches when index layout changes
+
+
 def _tmp_index_dir(name: str, sf_dir: str) -> str:
     import hashlib
     import tempfile
 
-    tag = hashlib.md5(f"{name}:{sf_dir}".encode()).hexdigest()[:10]
+    tag = hashlib.md5(f"{name}:{sf_dir}:v{_INDEX_CACHE_VERSION}".encode()).hexdigest()[:10]
     return os.path.join(tempfile.gettempdir(), f"pgvrs_{name}_{tag}")
 
 
@@ -777,8 +780,19 @@ def ivf_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", _r4(F.col("distance")).alias("dist"))
 
 
-@register("hnsw_topk_l2", None)
+@register(
+    "hnsw_topk_l2",
+    f"""
+    SELECT id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id AS id, {_SQL_L2} AS d FROM embeddings
+    ) ORDER BY d, id LIMIT 10
+    """,
+)
 def hnsw_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-resident per-segment graph search.  Build and search are
+    fully deterministic (hash segment assignment, deterministic levels),
+    and at oracle scale ef_search=100 recovers the exact top-10, so the
+    graph path itself is oracle-checked against brute-force SQL."""
     from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
 
     path = _tmp_index_dir("hnsw", sf_dir)
