@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "ivf_topk_l2",
     "hnsw_topk_l2",
     "flat_sq8_topk_l2",
+    "fresh_topk_l2",
     "doc_token_count",
     "doc_dedup_exact",
     "doc_minhash_pairs",

@@ -76,6 +76,23 @@ def prep_query(q: Sequence[float], normalize: bool) -> np.ndarray:
     return arr
 
 
+def apply_residual(df: DataFrame, filter=None, exclude: DataFrame | None = None) -> DataFrame:
+    """Apply the residual predicate and/or the exclusion set to a candidate
+    DataFrame that has an ``id`` column.
+
+    ``exclude`` is a DataFrame with an ``id`` column (e.g. tombstones) and
+    is applied as a broadcast LEFT ANTI join — never collected to the
+    driver, never turned into an IN-list.  At 100 TB the tombstone set can
+    be millions of ids; an anti-join shuffles nothing on the big side and
+    ships only the id set to executors (compaction bounds its size via the
+    delete threshold)."""
+    if filter is not None:
+        df = df.where(filter)
+    if exclude is not None:
+        df = df.join(F.broadcast(exclude.select("id")), "id", "left_anti")
+    return df
+
+
 def normalized_col(col, do_normalize: bool):
     """Optionally L2-normalize an array<float> column (cos preprocessing,
     am_options.rs:231-243), as a native expression."""

@@ -156,15 +156,15 @@ class FlatIndex:
         k: int = 10,
         rerank_size: int = 0,
         filter=None,
+        exclude: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k; for sq8, two-phase scan with a rerank window of
         ``max(k, rerank_size)`` (GUC sq_rerank_size semantics,
-        src/gucs/executing.rs:4-14)."""
+        src/gucs/executing.rs:4-14).  ``exclude`` is an id-set DataFrame
+        removed via broadcast anti-join (tombstones) before ranking."""
         q = base.prep_query(query, self.meta["normalize"])
         qlist = [float(v) for v in q]
-        df = self._rows()
-        if filter is not None:
-            df = df.where(filter)
+        df = base.apply_residual(self._rows(), filter, exclude)
 
         quant = self.meta.get("quantization")
         if quant in ("sq8", "pq", "rabitq"):

@@ -368,35 +368,39 @@ class HNSWIndex:
         filter=None,
         max_widen: int = 3,
         exact: bool = False,
+        exclude: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k: per-segment resident-graph search (ef_search candidates
-        each), global TakeOrdered merge.  With a residual ``filter``,
-        mirrors VBASE's unbounded stream by iterative ef-widening: if fewer
-        than k survivors, re-search with ef*4 up to ``max_widen`` times,
-        then fall back to an exact scan of the resident segment vectors
-        (guaranteed k survivors when they exist).  ``exact=True`` skips the
-        graph and brute-scans the resident vectors — the full-rerank mode
-        used for oracle checks of the storage/merge path."""
+        each), global TakeOrdered merge.  With a residual ``filter`` or an
+        ``exclude`` id-set (tombstones, broadcast anti-join), mirrors
+        VBASE's unbounded stream by iterative ef-widening: if fewer than k
+        survivors, re-search with ef*4 up to ``max_widen`` times, then fall
+        back to an exact scan of the resident segment vectors (guaranteed k
+        survivors when they exist).  ``exact=True`` skips the graph and
+        brute-scans the resident vectors — the full-rerank mode used for
+        oracle checks of the storage/merge path."""
         q = base.prep_query(query, self.meta["normalize"])
         ef = max(ef_search, k)
+        residual = filter is not None or exclude is not None
         if exact:
-            out = self._candidates(q, ef=max(ef, k), exact=True, keep_all=filter is not None)
-            if filter is not None:
-                out = out.where(filter)
+            out = self._candidates(q, ef=max(ef, k), exact=True, keep_all=residual)
+            out = base.apply_residual(out, filter, exclude)
             return out.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
         for _ in range(max_widen + 1):
             out = self._candidates(q, ef, exact=False, keep_all=False)
-            if filter is None:
+            if not residual:
                 return out.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
-            out = out.where(filter).orderBy(F.col("distance").asc(), F.col("id").asc())
+            out = base.apply_residual(out, filter, exclude).orderBy(
+                F.col("distance").asc(), F.col("id").asc()
+            )
             rows = out.limit(k).collect()
             if len(rows) >= min(k, self.meta["n_rows"]) or ef >= self.meta["n_rows"]:
                 return self.spark.createDataFrame(rows, out.schema)
             ef *= 4
-        # exact-scan fallback: rank everything, filter, take k
+        # exact-scan fallback: rank everything, apply residuals, take k
         out = self._candidates(q, ef=k, exact=True, keep_all=True)
         return (
-            out.where(filter)
+            base.apply_residual(out, filter, exclude)
             .orderBy(F.col("distance").asc(), F.col("id").asc())
             .limit(k)
         )

@@ -250,6 +250,7 @@ class IVFIndex:
         filter=None,
         rerank_size: int = 0,
         max_widen: int = 3,
+        exclude: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k by metric distance.  Returns DataFrame(id, distance).
 
@@ -262,12 +263,12 @@ class IVFIndex:
         the first pass scores decoded ``centroid + residual̂`` codes and
         a rerank window gets exact distances (two-phase).
         """
-        if filter is not None and max_widen > 0:
+        if (filter is not None or exclude is not None) and max_widen > 0:
             np_eff = nprobe
             for _ in range(max_widen + 1):
                 out = self.search(
                     query, k=k, nprobe=np_eff, filter=filter,
-                    rerank_size=rerank_size, max_widen=0,
+                    rerank_size=rerank_size, max_widen=0, exclude=exclude,
                 )
                 rows = out.limit(k).collect()
                 if len(rows) >= min(k, self.meta["n_rows"]) or np_eff >= self.meta["nlist"]:
@@ -278,8 +279,7 @@ class IVFIndex:
         q = base.prep_query(query, self.meta["normalize"])
         lists = self.probe_lists(q, nprobe)
         df = self._lists().where(F.col("list_id").isin(lists))
-        if filter is not None:
-            df = df.where(filter)
+        df = base.apply_residual(df, filter, exclude)
         from pgvecto_rs_spark.operators.search import arrow_distance
 
         qlist = [float(v) for v in q]

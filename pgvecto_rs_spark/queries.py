@@ -805,6 +805,35 @@ def hnsw_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", _r4(F.col("distance")).alias("dist"))
 
 
+@register(
+    "fresh_topk_l2",
+    f"""
+    SELECT id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id AS id, {_SQL_L2} AS d FROM embeddings
+    ) WHERE (id % 7 <> 0) OR (id % 14 = 0)
+    ORDER BY d, id LIMIT 10
+    """,
+)
+def fresh_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness layer end-to-end with MVCC visibility: seal all rows,
+    tombstone every id % 7 == 0, then re-insert id % 14 == 0 at a later
+    version (re-insert after delete is visible again, delete.rs:52-65).
+    The oracle is the equivalent predicate over the base table."""
+    from pgvecto_rs_spark.streaming.freshness import FreshVectorIndex
+
+    path = _tmp_index_dir("fresh", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        emb = _emb(spark, sf_dir)
+        FreshVectorIndex.create(spark, emb, path, metric="l2", sealed_kind="flat")
+        idx = FreshVectorIndex.open(spark, path)
+        idx.delete_df(emb.where(F.col("vec_id") % 7 == 0), id_col="vec_id")
+        idx.insert(emb.where(F.col("vec_id") % 14 == 0))
+    else:
+        idx = FreshVectorIndex.open(spark, path)
+    out = idx.search(Q64, k=10)
+    return out.select("id", _r4(F.col("distance")).alias("dist"))
+
+
 @register("flat_sq8_topk_l2", None)
 def flat_sq8_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvecto_rs_spark.indexes import FlatIndex

@@ -127,6 +127,19 @@ class FreshVectorIndex:
             [(int(i), v) for i in ids], "id long, version int"
         ).write.mode("append").parquet(os.path.join(self.path, "tombstones", "rows"))
 
+    def delete_df(self, ids_df: DataFrame, id_col: str = "id") -> None:
+        """Distributed bulk delete: tombstone every id in ``ids_df``
+        (the ambulkdelete path) without materializing ids on the driver —
+        at scale a delete predicate selects millions of rows."""
+        v = self._bump()
+        (
+            ids_df.select(
+                F.col(id_col).cast("long").alias("id"), F.lit(v).alias("version")
+            )
+            .write.mode("append")
+            .parquet(os.path.join(self.path, "tombstones", "rows"))
+        )
+
     def foreach_batch_sink(self, auto_compact_rows: int | None = None):
         """For ``stream.writeStream.foreachBatch(idx.foreach_batch_sink())``.
 
@@ -165,16 +178,23 @@ class FreshVectorIndex:
             return None
         return self.spark.read.parquet(p)
 
+    def _tomb_agg(self) -> DataFrame | None:
+        """Per-id max tombstone version, as a DataFrame — never collected
+        to the driver (at scale the tombstone set is millions of ids; it
+        flows into searches as a broadcast anti-/left-join only)."""
+        tomb = self._tombstones()
+        if tomb is None:
+            return None
+        return tomb.groupBy("id").agg(F.max("version").alias("tv"))
+
     def search(self, query: Sequence[float], k: int = 10, **search_opts) -> DataFrame:
         """Top-k over sealed ∪ growing, minus tombstoned rows — the
         vbase union + delete filter (crates/index/src/lib.rs:387-423)."""
-        tomb = self._tombstones()
-        tomb_rows = tomb.groupBy("id").agg(F.max("version").alias("tv")).collect() if tomb is not None else []
-        dead = {r["id"]: r["tv"] for r in tomb_rows}
+        tomb_agg = self._tomb_agg()
 
         # sealed side: rows predate all tombstones -> any tombstone kills
-        sealed_filter = ~F.col("id").isin(list(dead)) if dead else None
-        sealed = self.sealed.search(query, k=k, filter=sealed_filter, **search_opts)
+        # (broadcast anti-join inside the index's widening loop)
+        sealed = self.sealed.search(query, k=k, exclude=tomb_agg, **search_opts)
 
         delta = self._delta()
         if delta is None:
@@ -185,12 +205,9 @@ class FreshVectorIndex:
         q = base.prep_query(query, do_norm)
         d = dist_expr(F.col("vec"), [float(x) for x in q], kernel)
         live = delta
-        if dead:
-            tomb_df = self.spark.createDataFrame(
-                [(i, v) for i, v in dead.items()], "id long, tv int"
-            )
+        if tomb_agg is not None:
             live = (
-                delta.join(F.broadcast(tomb_df), "id", "left")
+                delta.join(F.broadcast(tomb_agg), "id", "left")
                 .where(F.col("tv").isNull() | (F.col("version") > F.col("tv")))
                 .drop("tv")
             )
@@ -208,12 +225,7 @@ class FreshVectorIndex:
     def compact(self) -> None:
         """The optimizer pass (optimizing/mod.rs:58-105): fold delta into
         the sealed index, apply deletes, clear delta + tombstones."""
-        tomb = self._tombstones()
-        dead = (
-            {r["id"]: r["tv"] for r in tomb.groupBy("id").agg(F.max("version").alias("tv")).collect()}
-            if tomb is not None
-            else {}
-        )
+        tomb_agg = self._tomb_agg()
         sealed_rows = self.spark.read.parquet(
             os.path.join(self.sealed.path, "rows" if self.meta["sealed_kind"] == "flat" else "")
         ) if self.meta["sealed_kind"] == "flat" else None
@@ -223,22 +235,43 @@ class FreshVectorIndex:
             sealed_rows = self.spark.read.parquet(os.path.join(self.sealed.path, sub)).select("id", "vec")
         else:
             sealed_rows = sealed_rows.select("id", "vec")
-        if dead:
-            sealed_rows = sealed_rows.where(~F.col("id").isin(list(dead)))
+        # IVF multi-assignment (replicas>1) stores each id in several
+        # lists; dedup before rebuilding or every compaction multiplies
+        # rows and storage by the replica factor.
+        sealed_rows = sealed_rows.dropDuplicates(["id"])
+        if tomb_agg is not None:
+            # any tombstone kills a sealed row (all sealed inserts predate
+            # all tombstones) — broadcast anti-join, never an IN-list
+            sealed_rows = sealed_rows.join(
+                F.broadcast(tomb_agg.select("id")), "id", "left_anti"
+            )
         live = sealed_rows
         delta = self._delta()
         if delta is not None:
             d_live = delta
-            if dead:
-                tomb_df = self.spark.createDataFrame(
-                    [(i, v) for i, v in dead.items()], "id long, tv int"
-                )
+            if tomb_agg is not None:
                 d_live = (
-                    delta.join(F.broadcast(tomb_df), "id", "left")
+                    delta.join(F.broadcast(tomb_agg), "id", "left")
                     .where(F.col("tv").isNull() | (F.col("version") > F.col("tv")))
                     .drop("tv")
                 )
-            live = live.unionByName(d_live.select("id", "vec"))
+            # an id can live on both sides (re-insert) or twice in the
+            # delta; keep the newest version per id (sealed rows rank as
+            # version 0 — they predate every delta append)
+            from pyspark.sql import Window
+
+            live = (
+                sealed_rows.withColumn("version", F.lit(0))
+                .unionByName(d_live.select("id", "vec", "version"))
+                .withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("id").orderBy(F.col("version").desc())
+                    ),
+                )
+                .where(F.col("_rn") == 1)
+                .select("id", "vec")
+            )
 
         idx_cls = _KINDS[self.meta["sealed_kind"]]
         new_path = os.path.join(self.path, "sealed_new")

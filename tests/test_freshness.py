@@ -92,6 +92,42 @@ def test_structured_streaming_sink(spark, emb, tmp_path):
         assert idx.stat()["idx_growing"][0] == late.count()
 
 
+def test_bulk_tombstones_100k_no_driver_collect(spark):
+    """Scale guard: 100k+ tombstones flow through searches and compaction
+    as broadcast anti-joins (the delete.rs bulkdelete path) — never as a
+    driver-side dict or IN-list.  Search and compaction stay correct with
+    a tombstone set far larger than k."""
+    import numpy as np
+
+    n = 120_000
+    with tempfile.TemporaryDirectory() as d:
+        rows = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                (F.col("id") % 1000).cast("float"),
+                ((F.col("id") * 7) % 1000).cast("float"),
+            ).alias("embedding"),
+        )
+        idx = FreshVectorIndex.create(spark, rows, d, sealed_kind="flat")
+        # tombstone every id not divisible by 6 -> 100k dead ids
+        idx.delete_df(rows.where(F.col("vec_id") % 6 != 0), id_col="vec_id")
+        assert idx.stat()["idx_tombstones"] == n - n // 6
+
+        got = [(r["id"], r["distance"]) for r in idx.search([0.0, 0.0], k=5).collect()]
+        # survivors are multiples of 6; embedding = (id%1000, id*7%1000)
+        ids = np.arange(0, n, 6)
+        d2 = (ids % 1000).astype(float) ** 2 + ((ids * 7) % 1000).astype(float) ** 2
+        order = np.lexsort((ids, d2))[:5]
+        expect = [(int(ids[i]), float(d2[i])) for i in order]
+        assert got == expect
+
+        idx.compact()
+        st = idx.stat()
+        assert st["idx_tombstones"] == 0 and st["idx_sealed"][0] == n // 6
+        got2 = [(r["id"], r["distance"]) for r in idx.search([0.0, 0.0], k=5).collect()]
+        assert got2 == expect, "compaction must not change results"
+
+
 def test_auto_seal_on_size(spark, emb):
     """seal-on-size: foreachBatch sink compacts once the growing segment
     crosses the threshold (max_growing_segment_size analogue)."""
