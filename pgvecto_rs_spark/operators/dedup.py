@@ -32,6 +32,7 @@ __all__ = [
     "shingles",
     "simhash",
     "simhash_candidate_pairs",
+    "verify_pairs_jaccard",
 ]
 
 # Mersenne prime 2^61 - 1: multiply of two < 2^61 values overflows i64,
@@ -324,6 +325,35 @@ def ngram_jaccard_pairs(
     return pairs.select("id_a", "id_b", j.alias("jaccard")).where(F.col("jaccard") >= threshold)
 
 
+def verify_pairs_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact-verify candidate pairs by true k-shingle Jaccard — the
+    standard LSH -> verify pipeline stage (candidates come from
+    :func:`lsh_candidate_pairs` or :func:`simhash_candidate_pairs`).
+
+    Scale shape: candidates are a tiny fraction of n²; the join is
+    candidates × two id-keyed shingle lookups (equi-joins that shuffle
+    linearly on id — never all-pairs).  Returns (id_a, id_b, jaccard)
+    with jaccard >= threshold.
+    """
+    sh = df.select(F.col(id_col).alias("__vid"), shingles(text_col, k).alias("__sh"))
+    out = (
+        pairs.select("id_a", "id_b")
+        .join(sh.select(F.col("__vid").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__vid").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+    )
+    j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    ).cast("double")
+    return out.select("id_a", "id_b", j.alias("jaccard")).where(F.col("jaccard") >= threshold)
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vector_col: str = "embedding",
@@ -405,11 +435,20 @@ def simhash_candidate_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     k: int = 5,
+    max_bucket: int = 1000,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: block on 16-bit bands of the signature
-    (pigeonhole: hamming<=3 over 4 bands guarantees >=1 exact band
-    match), verify exact Hamming <= max_hamming."""
+    """Near-dup pairs by SimHash: block on ``max_hamming + 1`` bit-bands
+    of the signature (pigeonhole: two signatures within max_hamming
+    Hamming distance must agree exactly on at least one band), verify
+    exact Hamming <= max_hamming inside the bucket.  Buckets larger than
+    ``max_bucket`` are dropped — one degenerate band bucket
+    (empty/boilerplate docs) would otherwise make the in-array pair
+    expansion quadratic (same skew guard as the MinHash path)."""
     sig = simhash_signatures_df(df, text_col, id_col, k)
+    n_bands = min(max_hamming + 1, 16)
+    base, rem = divmod(64, n_bands)
+    widths = [base + 1] * rem + [base] * (n_bands - rem)
+    offsets = [sum(widths[:i]) for i in range(n_bands)]
     bands = sig.select(
         "__id",
         "__sig",
@@ -418,9 +457,11 @@ def simhash_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftrightunsigned("__sig", 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                        F.shiftrightunsigned("__sig", offsets[i])
+                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        .alias("key"),
                     )
-                    for i in range(4)
+                    for i in range(n_bands)
                 ]
             )
         ).alias("bb"),
@@ -430,7 +471,7 @@ def simhash_candidate_pairs(
     groups = (
         bands.groupBy("band", "key")
         .agg(F.collect_list(F.struct("__id", "__sig")).alias("members"))
-        .where(F.size("members") >= 2)
+        .where((F.size("members") >= 2) & (F.size("members") <= max_bucket))
     )
     ms = F.array_sort(F.array_distinct(F.col("members")))
     n = F.size(ms)

@@ -614,14 +614,49 @@ def emb_neardup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r4(F.col("cos_dist")).alias("cos_dist"))
 
 
-@register("doc_minhash_pairs", None)
+# Exact k=5-shingle Jaccard >= 0.9 over ALL document pairs — the ground
+# truth both LSH pipelines must recover.  The Spark side only *verifies*
+# candidates (linear-ish LSH); equality with this brute-force oracle
+# proves the candidate generator has full recall at the threshold.
+_NEARDUP_TRUTH_SQL = r"""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN length(t) < 5 THEN [t]
+                  ELSE list_distinct(list_transform(range(1, length(t) - 3),
+                                                    i -> substr(t, i, 5))) END AS sh
+      FROM (
+        SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        FROM documents
+      )
+    )
+    SELECT id_a, id_b, FLOOR(j * 10000.0 + 0.5) / 10000.0 AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / len(list_distinct(a.sh || b.sh)) AS j
+      FROM g a JOIN g b ON a.doc_id < b.doc_id
+    ) WHERE j >= 0.9
+"""
+
+
+@register("doc_minhash_pairs", _NEARDUP_TRUTH_SQL)
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.lsh_candidate_pairs(_docs(spark, sf_dir), num_perm=32, bands=8)
+    """MinHash LSH candidates -> exact-Jaccard verify (the production
+    near-dup pipeline shape).  Oracle-equality against brute-force
+    all-pairs Jaccard proves LSH recall = 1.0 at the threshold."""
+    docs = _docs(spark, sf_dir)
+    cand = DD.lsh_candidate_pairs(docs, num_perm=32, bands=8)
+    out = DD.verify_pairs_jaccard(docs, cand, k=5, threshold=0.9)
+    return out.select("id_a", "id_b", _r4t(F.col("jaccard")).alias("jaccard"))
 
 
-@register("doc_simhash_pairs", None)
+@register("doc_simhash_pairs", _NEARDUP_TRUTH_SQL)
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return DD.simhash_candidate_pairs(_docs(spark, sf_dir), max_hamming=3)
+    """SimHash banded candidates (pigeonhole-complete for hamming <= 7)
+    -> exact-Jaccard verify, same oracle as the MinHash pipeline."""
+    docs = _docs(spark, sf_dir)
+    cand = DD.simhash_candidate_pairs(docs, max_hamming=7)
+    out = DD.verify_pairs_jaccard(docs, cand, k=5, threshold=0.9)
+    return out.select("id_a", "id_b", _r4t(F.col("jaccard")).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -834,15 +869,26 @@ def fresh_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", _r4(F.col("distance")).alias("dist"))
 
 
-@register("flat_sq8_topk_l2", None)
+@register(
+    "flat_sq8_topk_l2",
+    f"""
+    SELECT id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id AS id, {_SQL_L2} AS d FROM embeddings
+    ) ORDER BY d, id LIMIT 10
+    """,
+)
 def flat_sq8_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 two-phase scan with a full rerank window (rerank_size = n):
+    the approximate code ordering feeds an exhaustive exact rerank, so
+    the result is exact and oracle-checkable end-to-end through the
+    code column + decode + rerank machinery."""
     from pgvecto_rs_spark.indexes import FlatIndex
 
     path = _tmp_index_dir("sq8", sf_dir)
     if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
         FlatIndex.create(spark, _emb(spark, sf_dir), path, metric="l2", quantization="sq8")
     idx = FlatIndex.open(spark, path)
-    out = idx.search(Q64, k=10)
+    out = idx.search(Q64, k=10, rerank_size=idx.meta["n_rows"])
     return out.select("id", _r4(F.col("distance")).alias("dist"))
 
 
@@ -925,11 +971,46 @@ def sql_surface_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("vecf16_topk_l2", None)
+# DuckDB has no float16, so the oracle reads a parquet file of
+# f16-grid-snapped embeddings materialized (via numpy, independently of
+# the Spark path) by the query function just before it runs.  Fixed
+# path: the harness always executes the Spark query, then its oracle.
+_VECF16_ORACLE_FILE = "/tmp/pgvrs_vecf16_oracle.parquet"
+
+
+def _materialize_f16_oracle(sf_dir: str) -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_pylist()
+    snapped = [
+        None
+        if e is None
+        else np.asarray(e, dtype=np.float32).astype(np.float16).astype(np.float32).tolist()
+        for e in tbl.column("embedding").to_pylist()
+    ]
+    out = pa.table(
+        {"vec_id": ids, "embedding": pa.array(snapped, type=pa.list_(pa.float32()))}
+    )
+    pq.write_table(out, _VECF16_ORACLE_FILE)
+
+
+@register(
+    "vecf16_topk_l2",
+    f"""
+    SELECT vec_id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id, {_SQL_L2} AS d FROM '{_VECF16_ORACLE_FILE}'
+    ) ORDER BY d, vec_id LIMIT 10
+    """,
+)
 def vecf16_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """vecf16 path: snap embeddings to the IEEE f16 grid (the vecf16
     storage model, crates/base/src/scalar/f16.rs computes via f32),
-    then L2 top-10.  Deterministic; no SQL oracle (DuckDB has no f16)."""
+    then L2 top-10.  The oracle runs the same top-k over an
+    independently materialized f16-snapped copy of the table."""
+    _materialize_f16_oracle(sf_dir)
     df = _emb(spark, sf_dir).withColumn("emb16", VD.to_f16_grid("embedding"))
     d = VD.l2sq_distance(F.col("emb16"), _q_col(), check=False)
     return (
