@@ -21,6 +21,8 @@ fixed constants, so results are reproducible across runs and engines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -360,25 +362,78 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     threshold: float = 0.2,
     method: str = "brute",
+    nlist: int = 64,
+    replicas: int = 2,
+    seed: int = 42,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine distance < threshold:
     (id_a, id_b, cos_dist).
 
-    ``brute`` cross-joins (exact; quadratic — bound the input).  At
-    corpus scale, build an IVFIndex with cos metric and restrict the
-    cross-join to same-list candidates (replicas=2 keeps boundary pairs)
-    — same bucket-bounded shape as the LSH text path.
+    ``brute`` cross-joins (exact; quadratic — bound the input).
+    ``ivf`` is the corpus-scale path: spherical-k-means centroids on a
+    sample, every vector assigned to its ``replicas`` nearest lists,
+    candidates = pairs sharing a list (an equi-join on list_id — the
+    quadratic blowup is confined to lists, same shape as LSH banding
+    and knn_join_ivf), then exact cosine verify.  ``replicas = nlist``
+    degenerates to exact (every pair co-occurs) — the full-probe mode
+    used to validate recall in tests.
     """
     from pgvecto_rs_spark.functions.dense import cosine_distance
 
-    e = df.select(F.col(id_col).alias("__id"), F.col(vector_col).alias("__v"))
-    if method != "brute":
-        raise NotImplementedError("use IVF bucketing for the at-scale path")
-    a = e.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
-    b = e.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
-    pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    e = df.where(F.col(vector_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(vector_col).alias("__v")
+    )
+    if method == "brute":
+        a = e.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
+        b = e.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
+        pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        d = cosine_distance(F.col("v_a"), F.col("v_b"), check=False)
+        return pairs.select("id_a", "id_b", d.alias("cos_dist")).where(
+            F.col("cos_dist") < threshold
+        )
+    if method != "ivf":
+        raise ValueError(f"unknown method {method!r} (brute | ivf)")
+
+    from pgvecto_rs_spark.indexes.ivf import SAMPLE_CAP, _lloyd
+
+    spark = df.sparkSession
+    n = e.count()
+    fraction = min(1.0, SAMPLE_CAP / max(n, 1))
+    sample = e.select("__v").sample(fraction=fraction, seed=seed).limit(SAMPLE_CAP).collect()
+    x = np.asarray([r["__v"] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    nlist_eff = max(1, min(nlist, len(x)))
+    r = max(1, min(replicas, nlist_eff))
+    centroids = _lloyd(x, nlist_eff, spherical=True, seed=seed).astype(np.float64)
+    bc = spark.sparkContext.broadcast(centroids)
+
+    @F.pandas_udf("array<int>")
+    def assign(v: pd.Series) -> pd.Series:
+        cent = bc.value
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        nm = np.linalg.norm(mat, axis=1, keepdims=True)
+        nm[nm == 0] = 1.0
+        sim = (mat / nm) @ cent.T
+        if r >= cent.shape[0]:
+            top = np.tile(np.arange(cent.shape[0], dtype=np.int64), (len(mat), 1))
+        elif r == 1:
+            top = np.argmax(sim, axis=1)[:, None]
+        else:
+            top = np.argpartition(-sim, r - 1, axis=1)[:, :r]
+        return pd.Series([row.astype("int32").tolist() for row in top])
+
+    assigned = e.withColumn("__list", F.explode(assign("__v")))
+    a = assigned.select("__list", F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
+    b = assigned.select("__list", F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
+    cand = a.join(b, "__list").where(F.col("id_a") < F.col("id_b"))
     d = cosine_distance(F.col("v_a"), F.col("v_b"), check=False)
-    return pairs.select("id_a", "id_b", d.alias("cos_dist")).where(F.col("cos_dist") < threshold)
+    scored = cand.select("id_a", "id_b", d.alias("cos_dist")).where(
+        F.col("cos_dist") < threshold
+    )
+    # the same pair can co-occur in several lists; keep one
+    return scored.groupBy("id_a", "id_b").agg(F.min("cos_dist").alias("cos_dist"))
 
 
 def simhash(text: Column | str, bits: int = 64, k: int = 5) -> Column:

@@ -1,0 +1,124 @@
+"""Dedup operator semantics: embedding near-dup scale path (IVF
+bucketing) vs brute truth, SimHash bucket skew guard, LSH determinism,
+and the exact-verify stage."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.operators import dedup as DD
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where(F.col("vec_id") < 150)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df.cache().count()
+    return df
+
+
+def _pairset(df):
+    return {(r["id_a"], r["id_b"]) for r in df.collect()}
+
+
+class TestEmbeddingNearDup:
+    def test_ivf_full_probe_equals_brute(self, emb):
+        """replicas = nlist puts every vector in every list -> candidate
+        set is all pairs -> the ivf path must equal brute exactly."""
+        brute = _pairset(DD.embedding_neardup_pairs(emb, threshold=0.7))
+        full = _pairset(
+            DD.embedding_neardup_pairs(
+                emb, threshold=0.7, method="ivf", nlist=4, replicas=4
+            )
+        )
+        assert full == brute
+
+    def test_ivf_bucketed_recall_on_planted_neardups(self, spark, emb):
+        """Near-dup semantics: plant jittered copies of 30 vectors and
+        require the bucketed path (replicas=2) to recover >=0.95 of the
+        true near-dup pairs — near-identical vectors share their nearest
+        lists, which is the regime this operator is built for."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        base = [r["embedding"] for r in emb.limit(30).collect()]
+        rows = []
+        for i, v in enumerate(base):
+            arr = np.asarray(v, dtype=np.float64)
+            rows.append((1000 + i, arr.tolist()))
+            rows.append((2000 + i, (arr + rng.normal(0, 0.01, arr.shape)).tolist()))
+        planted = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        brute = _pairset(DD.embedding_neardup_pairs(planted, threshold=0.05))
+        assert len(brute) >= 30, "planted copies must be near-dups"
+        ivf = _pairset(
+            DD.embedding_neardup_pairs(
+                planted, threshold=0.05, method="ivf", nlist=8, replicas=2
+            )
+        )
+        assert ivf <= brute, "ivf path must never invent pairs"
+        assert len(ivf) >= 0.95 * len(brute)
+
+    def test_unknown_method_rejected(self, emb):
+        with pytest.raises(ValueError):
+            DD.embedding_neardup_pairs(emb, method="annoy")
+
+
+class TestSimhashBucketCap:
+    def test_degenerate_bucket_dropped(self, spark):
+        """Many identical docs land in one band bucket per band; with
+        max_bucket below the group size the quadratic expansion is
+        skipped entirely instead of emitting C(n,2) pairs."""
+        n = 40
+        df = spark.createDataFrame(
+            [(i, "the same boilerplate text repeated verbatim") for i in range(n)],
+            "doc_id long, text string",
+        )
+        uncapped = DD.simhash_candidate_pairs(df, max_hamming=3, max_bucket=1000)
+        assert uncapped.count() == n * (n - 1) // 2
+        capped = DD.simhash_candidate_pairs(df, max_hamming=3, max_bucket=10)
+        assert capped.count() == 0
+
+    def test_pigeonhole_bands_cover_radius(self, spark):
+        """Docs within the hamming radius are always candidates: verify
+        banding finds pairs the old fixed-4-band scheme would miss
+        (hamming in (3, 7])."""
+        rows = [
+            (1, "a quick brown fox jumps over the lazy dog near the river bank today"),
+            (2, "a quick brown fox jumped over the lazy dogs near the river bank today"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        sig = {r["__id"]: r["__sig"] for r in DD.simhash_signatures_df(df).collect()}
+        ham = bin((sig[1] ^ sig[2]) & ((1 << 64) - 1)).count("1")
+        got = _pairset(DD.simhash_candidate_pairs(df, max_hamming=max(ham, 1)))
+        assert (1, 2) in got
+
+
+class TestVerifyStage:
+    def test_verify_filters_false_positives(self, spark):
+        df = spark.createDataFrame(
+            [
+                (1, "identical text body for the pair one two three four five"),
+                (2, "identical text body for the pair one two three four five"),
+                (3, "completely different content with other words entirely here"),
+            ],
+            "doc_id long, text string",
+        )
+        cand = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3)], "id_a long, id_b long"
+        )
+        out = DD.verify_pairs_jaccard(df, cand, threshold=0.9)
+        assert _pairset(out) == {(1, 2)}
+        row = out.collect()[0]
+        assert row["jaccard"] == 1.0
+
+    def test_minhash_signature_deterministic(self, docs):
+        a = DD.minhash_signatures_df(docs.limit(20)).collect()
+        b = DD.minhash_signatures_df(docs.limit(20)).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
