@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "sparse_topk_dot",
     "bin_hamming_topk",
     "ivf_topk_l2",
+    "ivf_pq_topk_l2",
     "hnsw_topk_l2",
     "flat_sq8_topk_l2",
     "fresh_topk_l2",

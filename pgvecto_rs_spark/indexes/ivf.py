@@ -124,13 +124,25 @@ class IVFIndex:
         payload_cols: Sequence[str] = (),
         replicas: int = 1,
         where=None,  # partial index predicate (partition.slt 'partial index')
-        residual_quantization: bool = False,  # ivf/src/lib.rs:172-188
+        residual_quantization: bool = False,  # back-compat alias for "sq8"
+        quantization: str | None = None,  # None | "sq8" | "pq" | "rabitq"
+        pq_ratio: int = 1,  # dims per subspace (base/src/index.rs:475-496)
     ) -> "IVFIndex":
         """``replicas`` > 1 stores each vector in its ``replicas``
         nearest lists (multi-assignment).  A deliberate extension over
         the reference: trades replicas× storage for markedly better
         recall-per-probe (at 100 TB, storage is cheaper than scan I/O).
-        Query-side results are deduped by id."""
+        Query-side results are deduped by id.
+
+        ``quantization`` composes a quantizer into the IVF cells over
+        *residuals* (vec − centroid[list]), mirroring the reference's
+        quantizer-generic IVF (crates/ivf/src/lib.rs:68-119 scores via
+        its Quantizer; options crates/base/src/index.rs:354-388):
+        "sq8" = per-dim scalar codes (native decode), "pq" = product
+        codes + per-query LUT, "rabitq" = sign-bit codes + estimator.
+        At 100 TB, IVF+PQ is the standard memory/I/O operating point —
+        the first-pass scan reads codes (n_sub bytes/row) instead of
+        4·dims bytes/row."""
         kernel, do_norm = base.resolve_metric(metric)
         src = df.where(F.col(vector_col).isNotNull())
         if where is not None:
@@ -170,10 +182,14 @@ class IVFIndex:
 
         indexed = prepared.withColumn("list_id", F.explode(assign_lists("vec")))
 
-        if residual_quantization:
-            # SQ8 over residuals (vec − centroid[list]): the residual
-            # range is much tighter than the raw range, so 8-bit codes
-            # lose less — the reference's residual_quantization option.
+        if residual_quantization and quantization is None:
+            quantization = "sq8"
+        lo = width = None
+        if quantization is not None:
+            # All quantizers code *residuals* (vec − centroid[list]): the
+            # residual range is much tighter than the raw range, so the
+            # codes lose less — the reference's residual_quantization
+            # option, applied to whichever quantizer is composed in.
             @F.pandas_udf("array<float>")
             def residual(v: pd.Series, lid: pd.Series) -> pd.Series:
                 cent = bc.value
@@ -182,6 +198,8 @@ class IVFIndex:
                 return pd.Series([row.astype("float32").tolist() for row in res])
 
             indexed = indexed.withColumn("res", residual("vec", "list_id"))
+
+        if quantization == "sq8":
             mm = (
                 indexed.select(F.posexplode("res").alias("pos", "x"))
                 .groupBy("pos")
@@ -203,6 +221,32 @@ class IVFIndex:
                 ).cast("smallint"),
             )
             indexed = indexed.withColumn("codes", codes).drop("res")
+        elif quantization in ("pq", "rabitq"):
+            from pgvecto_rs_spark.indexes import quantization as Qz
+
+            os.makedirs(path, exist_ok=True)
+            dims = int(centroids.shape[1])
+            res_sample = (
+                indexed.select("res").sample(fraction=fraction, seed=seed)
+                .limit(SAMPLE_CAP)
+                .collect()
+            )
+            rx = np.asarray([r["res"] for r in res_sample], dtype=np.float64)
+            if quantization == "pq":
+                n_sub = dims // pq_ratio
+                books = Qz.pq_train(rx, n_sub, seed=seed)
+                np.save(os.path.join(path, "pq_codebooks.npy"), books, allow_pickle=False)
+                indexed = indexed.withColumn(
+                    "codes", Qz.pq_encode_udf(books, spark)("res")
+                ).drop("res")
+            else:
+                proj = Qz.rabitq_projection(dims, seed)
+                np.save(os.path.join(path, "rabitq_proj.npy"), proj, allow_pickle=False)
+                indexed = indexed.withColumn(
+                    "rq", Qz.rabitq_encode_udf(proj, spark)("res")
+                ).drop("res")
+        elif quantization is not None:
+            raise ValueError(f"unknown quantization {quantization!r}")
 
         (
             indexed.repartition("list_id")
@@ -223,11 +267,14 @@ class IVFIndex:
             "spherical": spherical,
             "payload_cols": list(payload_cols),
             "replicas": int(r),
-            "residual_quantization": bool(residual_quantization),
+            "quantization": quantization,
+            "residual_quantization": quantization == "sq8",  # back-compat
         }
-        if residual_quantization:
+        if quantization == "sq8":
             meta["sq_lo"] = lo.tolist()
             meta["sq_width"] = width.tolist()
+        if quantization == "pq":
+            meta["pq_subspaces"] = int(centroids.shape[1]) // pq_ratio
         base.write_meta(path, meta)
         return cls(spark, path, meta, centroids)
 
@@ -285,7 +332,10 @@ class IVFIndex:
         qlist = [float(v) for v in q]
         scorer = arrow_distance(qlist, self.meta["kernel"])
 
-        if self.meta.get("residual_quantization"):
+        quant = self.meta.get("quantization") or (
+            "sq8" if self.meta.get("residual_quantization") else None
+        )
+        if quant == "sq8":
             # decode: centroid[list] + lo + code/255·width, then approx
             # score, rerank window by exact vec distance
             cent_rows = [(int(l), self.centroids[l].astype(float).tolist()) for l in lists]
@@ -310,6 +360,30 @@ class IVFIndex:
             out = cand.withColumn(
                 "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
             )
+        elif quant == "pq":
+            window = max(k, rerank_size, k * 4)
+            approx = self._pq_scorer(q, lists)(F.col("list_id"), F.col("codes"))
+            cand = (
+                df.withColumn("adist", approx)
+                .orderBy(F.col("adist").asc(), F.col("id").asc())
+                .limit(window)
+            )
+            out = cand.withColumn(
+                "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
+            )
+        elif quant == "rabitq":
+            window = max(k, rerank_size, k * 4)
+            approx = self._rabitq_scorer(q, lists)(
+                F.col("list_id"), F.col("rq.norm"), F.col("rq.words")
+            )
+            cand = (
+                df.withColumn("adist", approx)
+                .orderBy(F.col("adist").asc(), F.col("id").asc())
+                .limit(window)
+            )
+            out = cand.withColumn(
+                "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
+            )
         else:
             out = df.withColumn(
                 "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
@@ -321,8 +395,84 @@ class IVFIndex:
         return (
             out.orderBy(F.col("distance").asc(), F.col("id").asc())
             .limit(k)
-            .drop("vec", "codes", "adist", "__cent")
+            .drop("vec", "codes", "adist", "__cent", "rq")
         )
+
+    # -- quantized first-pass scorers (asymmetric, per-probed-list) -----
+    def _pq_scorer(self, q: np.ndarray, lists: list[int]):
+        """ADC over residual PQ codes: per probed list the query residual
+        (q − centroid) gets its own LUT (n_sub × 2^bits, driver-side,
+        broadcast); scoring is one LUT gather per Arrow batch.  The scan
+        reads ONLY (list_id, codes) — n_sub bytes of information per row
+        instead of 4·dims."""
+        from pgvecto_rs_spark.indexes import quantization as Qz
+
+        books = np.load(os.path.join(self.path, "pq_codebooks.npy"))
+        kernel = self.meta["kernel"]
+        cents = self.centroids.astype(np.float64)
+        luts, consts = {}, {}
+        for l in lists:
+            if kernel == "l2":
+                luts[int(l)] = Qz.pq_lut(books, q - cents[l], "l2")
+                consts[int(l)] = 0.0
+            else:  # dot: −q·(c+res) = −q·c + Σ_s −q_s·book_s[code]
+                luts[int(l)] = Qz.pq_lut(books, q, "dot")
+                consts[int(l)] = -float(q @ cents[l])
+        bc = self.spark.sparkContext.broadcast((luts, consts))
+
+        @F.pandas_udf("double")
+        def adist(lid: pd.Series, codes: pd.Series) -> pd.Series:
+            tbl, cst = bc.value
+            lids = lid.to_numpy()
+            cmat = np.asarray(codes.tolist(), dtype=np.int64)
+            sub_idx = np.arange(cmat.shape[1])[None, :]
+            out = np.empty(len(lids), dtype=np.float64)
+            for l in np.unique(lids):
+                m = lids == l
+                out[m] = tbl[int(l)][sub_idx, cmat[m]].sum(axis=1) + cst[int(l)]
+            return pd.Series(out)
+
+        return adist
+
+    def _rabitq_scorer(self, q: np.ndarray, lists: list[int]):
+        """RaBitQ estimator over residual sign codes: per probed list the
+        rotated query residual z_l = P·(q − centroid_l) is precomputed on
+        the driver; per batch one unpack + matvec."""
+        proj = np.load(os.path.join(self.path, "rabitq_proj.npy"))
+        kernel = self.meta["kernel"]
+        cents = self.centroids.astype(np.float64)
+        dims = proj.shape[0]
+        zs, consts = {}, {}
+        for l in lists:
+            if kernel == "l2":
+                d = q - cents[l]
+                zs[int(l)] = proj @ d
+                consts[int(l)] = float(d @ d)
+            else:  # dot: −q·(c+res) = −q·c − q·reŝ
+                zs[int(l)] = proj @ q
+                consts[int(l)] = -float(q @ cents[l])
+        bc = self.spark.sparkContext.broadcast((zs, consts, kernel, dims))
+
+        @F.pandas_udf("double")
+        def adist(lid: pd.Series, norm: pd.Series, words: pd.Series) -> pd.Series:
+            tbl, cst, kern, d = bc.value
+            n_words = (d + 31) // 32
+            lids = lid.to_numpy()
+            w = np.asarray(words.tolist(), dtype=np.int64).astype(np.uint32)
+            bits = ((w[:, :, None] >> np.arange(32, dtype=np.uint32)[None, None, :]) & 1).astype(np.float64)
+            sgn = 2.0 * bits.reshape(len(w), n_words * 32)[:, :d] - 1.0
+            nm = norm.to_numpy(dtype=np.float64)
+            out = np.empty(len(lids), dtype=np.float64)
+            for l in np.unique(lids):
+                m = lids == l
+                est = (nm[m] / np.sqrt(d)) * (sgn[m] @ tbl[int(l)])
+                if kern == "l2":
+                    out[m] = cst[int(l)] + nm[m] ** 2 - 2.0 * est
+                else:
+                    out[m] = cst[int(l)] - est
+            return pd.Series(out)
+
+        return adist
 
     def stat(self) -> dict:
         """vector_index_stat analogue (src/index/views.rs:17-80)."""

@@ -841,6 +841,33 @@ def hnsw_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_pq_topk_l2",
+    f"""
+    SELECT id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id AS id, {_SQL_L2} AS d FROM embeddings
+    ) ORDER BY d, id LIMIT 10
+    """,
+)
+def ivf_pq_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ composition (crates/ivf/src/lib.rs:68-119 scoring via its
+    Quantizer): residual product codes scanned first, exact rerank.  At
+    full probe + full rerank the result is exact, oracle-checking the
+    whole code/LUT/rerank pipeline; recall floors at tighter operating
+    points live in TestAlgoQuantMatrix."""
+    from pgvecto_rs_spark.indexes import IVFIndex
+
+    path = _tmp_index_dir("ivfpq", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        IVFIndex.create(
+            spark, _emb(spark, sf_dir), path, metric="l2",
+            nlist=8, quantization="pq", pq_ratio=4,
+        )
+    idx = IVFIndex.open(spark, path)
+    out = idx.search(Q64, k=10, nprobe=8, rerank_size=idx.meta["n_rows"])
+    return out.select("id", _r4(F.col("distance")).alias("dist"))
+
+
+@register(
     "fresh_topk_l2",
     f"""
     SELECT id, ROUND(d, 4) AS dist FROM (

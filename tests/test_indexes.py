@@ -234,6 +234,8 @@ class TestAlgoQuantMatrix:
             cells.append(("flat/rabitq", FlatIndex.create(spark, emb, f"{d}/d", metric="l2", quantization="rabitq").search(Q64, k=10, rerank_size=60)))
             cells.append(("ivf/none", IVFIndex.create(spark, emb, f"{d}/e", metric="l2", nlist=8).search(Q64, k=10, nprobe=8)))
             cells.append(("ivf/residual-sq8", IVFIndex.create(spark, emb, f"{d}/f", metric="l2", nlist=8, residual_quantization=True).search(Q64, k=10, nprobe=8, rerank_size=40)))
+            cells.append(("ivf/pq", IVFIndex.create(spark, emb, f"{d}/h", metric="l2", nlist=8, quantization="pq", pq_ratio=4).search(Q64, k=10, nprobe=8, rerank_size=40)))
+            cells.append(("ivf/rabitq", IVFIndex.create(spark, emb, f"{d}/i", metric="l2", nlist=8, quantization="rabitq").search(Q64, k=10, nprobe=8, rerank_size=60)))
             cells.append(("hnsw/none", HNSWIndex.create(spark, emb, f"{d}/g", metric="l2", segment_rows=300).search(Q64, k=10)))
             for name, out in cells:
                 rows = out.collect()
@@ -248,6 +250,32 @@ class TestAlgoQuantMatrix:
             )
             got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8, rerank_size=40).collect()]
             assert recall(got, exact_ids(emb, "l2")) >= 0.95
+
+    def test_ivf_pq_recall(self, spark, emb):
+        """IVF x PQ — the 100 TB memory/I/O operating point (reference
+        composes any quantizer into IVF, crates/ivf/src/lib.rs:68-119)."""
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(
+                spark, emb, d, metric="l2", nlist=8, quantization="pq", pq_ratio=4
+            )
+            got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8, rerank_size=40).collect()]
+            assert recall(got, exact_ids(emb, "l2")) >= 0.9
+
+    def test_ivf_pq_dot_metric(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(
+                spark, emb, d, metric="dot", nlist=8, quantization="pq", pq_ratio=4
+            )
+            got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8, rerank_size=40).collect()]
+            assert recall(got, exact_ids(emb, "dot")) >= 0.9
+
+    def test_ivf_rabitq_recall(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(
+                spark, emb, d, metric="l2", nlist=8, quantization="rabitq"
+            )
+            got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8, rerank_size=60).collect()]
+            assert recall(got, exact_ids(emb, "l2")) >= 0.8
 
 
 class TestIVFWidening:
