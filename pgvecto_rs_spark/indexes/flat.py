@@ -3,23 +3,32 @@
 Reference: crates/flat/src/lib.rs (vbase :42-64 = scan all codes, keep a
 rerank window, rerank by exact distance; build :83-107), scalar
 quantization crates/quantization/src/scalar.rs:32-120 (per-dim min/max,
-k-bit codes, default 8 bits — crates/base/src/index.rs:447-462), window
-reranker crates/quantization/src/reranker/flat.rs.
+k-bit codes; bits ∈ {1,2,4,8} — crates/base/src/index.rs:447-462),
+window reranker crates/quantization/src/reranker/flat.rs, error-bound
+reranker crates/quantization/src/reranker/error.rs.
 
 Spark design:
 
 - exact path: the scan IS the index — Parquet columnar + TakeOrdered.
-- SQ path: store ``codes array<smallint>`` (one byte of information per
-  dim) next to the exact vectors.  First pass scans only the code
-  column (4× less I/O than f32 at 8 bits), computes approximate
-  distances natively (decode = min + code·Δ inside zip_with), keeps a
-  rerank window of ``max(k, rerank_size)`` candidates, then recomputes
-  exact distances for the window only — the reference's two-phase
-  quantized scan, expressed as one DataFrame plan.
+- SQ path: store ``codes array<smallint>`` next to the exact vectors
+  (``sq{1,2,4,8}``; Parquet dictionary/RLE encoding compresses the
+  low-cardinality codes, so 1/2/4-bit cells shrink on disk without an
+  explicit bit-packing pass).  First pass scans only the code column,
+  computes approximate distances natively (decode = min + code·Δ inside
+  zip_with), then reranks by exact distance.  Two rerank policies:
+
+  * **error-bound** (default, reranker/error.rs analogue): the per-dim
+    rounding error ε_j = width_j / (2·levels) gives sound bounds on the
+    true distance per candidate; the rerank set = every candidate whose
+    lower bound beats the k-th smallest upper bound.  Adaptive — no
+    fixed window guess — and provably exact.
+  * **window** (reranker/flat.rs): fixed ``max(k, rerank_size)`` window
+    when the caller passes ``rerank_size``.
 """
 
 from __future__ import annotations
 
+import math
 import os
 from typing import Sequence
 
@@ -31,6 +40,7 @@ from pgvecto_rs_spark.indexes import base
 from pgvecto_rs_spark.operators.search import distance as dist_expr
 
 SQ_BITS = 8  # default (crates/base/src/index.rs:447-462)
+_SQ_KINDS = {"sq1": 1, "sq2": 2, "sq4": 4, "sq8": 8}
 
 
 class FlatIndex:
@@ -48,7 +58,7 @@ class FlatIndex:
         vector_col: str = "embedding",
         id_col: str = "vec_id",
         metric: str = "l2",
-        quantization: str | None = None,  # None | "sq8" | "pq" | "rabitq"
+        quantization: str | None = None,  # None | "sq{1,2,4,8}" | "pq" | "rabitq"
         where=None,  # partial index predicate (partition.slt 'partial index')
         pq_ratio: int = 1,  # dims per subspace (base/src/index.rs:475-496)
         seed: int = 42,
@@ -74,8 +84,16 @@ class FlatIndex:
 
             dims = len(prepared.select("vec").first()["vec"])
             meta["dims"] = dims
+            # uniform sample, not limit(): limit takes the first
+            # partitions only, which trains codebooks on a biased slice
+            # when the input is sorted or partition-skewed
+            n_total = prepared.count()
+            fraction = min(1.0, Qz.TRAIN_CAP / max(n_total, 1))
             sample = (
-                prepared.select("vec").limit(Qz.TRAIN_CAP).collect()
+                prepared.select("vec")
+                .sample(fraction=fraction, seed=seed)
+                .limit(Qz.TRAIN_CAP)
+                .collect()
             )
             x = np.asarray([r["vec"] for r in sample], dtype=np.float64)
             if quantization == "pq":
@@ -90,9 +108,10 @@ class FlatIndex:
                 enc = Qz.rabitq_encode_udf(proj, spark)("vec")
                 prepared = prepared.withColumn("rq", enc)
 
-        if quantization == "sq8":
+        if quantization in _SQ_KINDS:
             # per-dim min/max over the dataset (scalar.rs:32-60 trains
             # the same bounds); one aggregation pass.
+            bits = _SQ_KINDS[quantization]
             dims = len(prepared.select("vec").first()["vec"])
             exploded = prepared.select(F.posexplode("vec").alias("pos", "x"))
             mm = (
@@ -106,7 +125,7 @@ class FlatIndex:
             width = np.where(hi > lo, hi - lo, 1.0)
             lo_c = F.array(*[F.lit(float(v)) for v in lo])
             w_c = F.array(*[F.lit(float(v)) for v in width])
-            levels = (1 << SQ_BITS) - 1
+            levels = (1 << bits) - 1
             codes = F.zip_with(
                 F.col("vec").cast("array<double>"),
                 F.zip_with(lo_c, w_c, lambda a, b: F.struct(a.alias("lo"), b.alias("w"))),
@@ -120,6 +139,7 @@ class FlatIndex:
             prepared = prepared.withColumn("codes", codes)
             meta["sq_lo"] = lo.tolist()
             meta["sq_width"] = width.tolist()
+            meta["sq_bits"] = bits
             meta["dims"] = dims
 
         prepared.write.mode("overwrite").parquet(os.path.join(path, "rows"))
@@ -141,7 +161,7 @@ class FlatIndex:
     # ------------------------------------------------------------------
     def _decoded_codes(self) -> F.Column:
         """Approximate vector from codes: lo + code/levels * width."""
-        levels = float((1 << SQ_BITS) - 1)
+        levels = float((1 << self.meta.get("sq_bits", SQ_BITS)) - 1)
         lo_c = F.array(*[F.lit(float(v)) for v in self.meta["sq_lo"]])
         w_c = F.array(*[F.lit(float(v)) for v in self.meta["sq_width"]])
         return F.zip_with(
@@ -149,6 +169,42 @@ class FlatIndex:
             F.zip_with(lo_c, w_c, lambda a, b: F.struct(a.alias("lo"), b.alias("w"))),
             lambda c, p: (p["lo"] + c.cast("double") / levels * p["w"]).cast("float"),
         )
+
+    def _sq_error_rerank(self, df: DataFrame, qlist: list[float], k: int) -> DataFrame:
+        """Error-bound reranker (reranker/error.rs analogue, exact by
+        construction): decode error per dim is at most
+        ε_j = width_j / (2·levels), giving sound per-candidate bounds on
+        the true distance.  Rerank set = candidates whose lower bound
+        beats the k-th smallest upper bound — adaptive (no window guess)
+        and provably contains the exact top-k.  Costs one tiny threshold
+        job over the code column, then reranks only the qualifying rows."""
+        bits = self.meta.get("sq_bits", SQ_BITS)
+        levels = (1 << bits) - 1
+        eps = np.asarray(self.meta["sq_width"], dtype=np.float64) / (2.0 * levels)
+        kernel = self.meta["kernel"]
+        adist = dist_expr(self._decoded_codes(), qlist, kernel)
+        if kernel == "l2":
+            # |√d_exact − √d_approx| ≤ ||ε||₂  (adist is squared L2)
+            e = float(np.sqrt((eps**2).sum()))
+            rt = F.sqrt(F.greatest(adist, F.lit(0.0)))
+            upper = (rt + F.lit(e)) * (rt + F.lit(e))
+            lower_expr = F.greatest(rt - F.lit(e), F.lit(0.0))
+            lower = lower_expr * lower_expr
+        else:  # dot: |Δ| ≤ Σ |q_j|·ε_j, bounds are linear
+            e = float(np.abs(np.asarray(qlist)) @ eps)
+            upper = adist + F.lit(e)
+            lower = adist - F.lit(e)
+        scored = df.withColumn("__adist", adist).withColumn("__ub", upper).withColumn("__lb", lower)
+        thresh_row = (
+            scored.orderBy(F.col("__ub").asc(), F.col("id").asc())
+            .limit(k)
+            .agg(F.max("__ub").alias("t"))
+            .collect()
+        )
+        if not thresh_row or thresh_row[0]["t"] is None:
+            return scored.where(F.lit(False))  # empty input, keep schema
+        t = float(thresh_row[0]["t"])
+        return scored.where(F.col("__lb") <= t)
 
     def search(
         self,
@@ -158,18 +214,30 @@ class FlatIndex:
         filter=None,
         exclude: DataFrame | None = None,
     ) -> DataFrame:
-        """Top-k; for sq8, two-phase scan with a rerank window of
-        ``max(k, rerank_size)`` (GUC sq_rerank_size semantics,
-        src/gucs/executing.rs:4-14).  ``exclude`` is an id-set DataFrame
-        removed via broadcast anti-join (tombstones) before ranking."""
+        """Top-k; for scalar quantization the default rerank policy is the
+        error-bound reranker (exact by construction); passing
+        ``rerank_size`` > 0 selects the fixed window instead (GUC
+        sq_rerank_size semantics, src/gucs/executing.rs:4-14).  pq and
+        rabitq estimators carry no sound error bound and always use the
+        window.  ``exclude`` is an id-set DataFrame removed via broadcast
+        anti-join (tombstones) before ranking."""
         q = base.prep_query(query, self.meta["normalize"])
         qlist = [float(v) for v in q]
         df = base.apply_residual(self._rows(), filter, exclude)
 
         quant = self.meta.get("quantization")
-        if quant in ("sq8", "pq", "rabitq"):
+        if quant in _SQ_KINDS and rerank_size == 0:
+            cand = self._sq_error_rerank(df, qlist, k)
+            exact = dist_expr(F.col("vec"), qlist, self.meta["kernel"])
+            out = cand.withColumn("distance", base.post_map(self.meta["metric"], exact))
+            return (
+                out.orderBy(F.col("distance").asc(), F.col("id").asc())
+                .limit(k)
+                .select("id", "distance")
+            )
+        if quant in _SQ_KINDS or quant in ("pq", "rabitq"):
             window = max(k, rerank_size, k * 4)
-            if quant == "sq8":
+            if quant in _SQ_KINDS:
                 approx = dist_expr(self._decoded_codes(), qlist, self.meta["kernel"])
             elif quant == "pq":
                 from pgvecto_rs_spark.indexes import quantization as Qz

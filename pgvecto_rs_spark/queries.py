@@ -905,17 +905,17 @@ def fresh_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def flat_sq8_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQ8 two-phase scan with a full rerank window (rerank_size = n):
-    the approximate code ordering feeds an exhaustive exact rerank, so
-    the result is exact and oracle-checkable end-to-end through the
-    code column + decode + rerank machinery."""
+    """SQ8 two-phase scan with the error-bound reranker (the default):
+    sound per-candidate bounds make the adaptive rerank set provably
+    contain the exact top-k, so the result is exact and oracle-checkable
+    end-to-end through the code column + decode + bound + rerank path."""
     from pgvecto_rs_spark.indexes import FlatIndex
 
     path = _tmp_index_dir("sq8", sf_dir)
     if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
         FlatIndex.create(spark, _emb(spark, sf_dir), path, metric="l2", quantization="sq8")
     idx = FlatIndex.open(spark, path)
-    out = idx.search(Q64, k=10, rerank_size=idx.meta["n_rows"])
+    out = idx.search(Q64, k=10)
     return out.select("id", _r4(F.col("distance")).alias("dist"))
 
 

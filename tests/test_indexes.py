@@ -251,6 +251,43 @@ class TestAlgoQuantMatrix:
             got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8, rerank_size=40).collect()]
             assert recall(got, exact_ids(emb, "l2")) >= 0.95
 
+    def test_sq_bits_error_rerank_exact(self, spark, emb):
+        """SQ at bits 1/2/4/8 (base/src/index.rs:447-462) with the
+        error-bound reranker (reranker/error.rs) must return the EXACT
+        top-k: the bounds are sound, so the rerank set provably contains
+        the true answer at any code precision."""
+        truth = exact_ids(emb, "l2")[:10]
+        with tempfile.TemporaryDirectory() as d:
+            for quant in ("sq1", "sq2", "sq4", "sq8"):
+                idx = FlatIndex.create(
+                    spark, emb, f"{d}/{quant}", metric="l2", quantization=quant
+                )
+                got = [r["id"] for r in idx.search(Q64, k=10).collect()]
+                assert got == truth, quant
+
+    def test_sq_bits_error_rerank_exact_dot(self, spark, emb):
+        truth = exact_ids(emb, "dot")[:10]
+        with tempfile.TemporaryDirectory() as d:
+            for quant in ("sq1", "sq4"):
+                idx = FlatIndex.create(
+                    spark, emb, f"{d}/{quant}", metric="dot", quantization=quant
+                )
+                got = [r["id"] for r in idx.search(Q64, k=10).collect()]
+                assert got == truth, quant
+
+    def test_pq_codebook_unbiased_on_sorted_input(self, spark, emb):
+        """Training samples come from sample(), not limit(): a
+        label-sorted input must train codebooks of the same quality as
+        the natural order (limit() would see only the first partitions'
+        labels)."""
+        sorted_emb = emb.orderBy("label", "vec_id").repartition(8, "label")
+        with tempfile.TemporaryDirectory() as d:
+            idx = FlatIndex.create(
+                spark, sorted_emb, d, metric="l2", quantization="pq", pq_ratio=4
+            )
+            got = [r["id"] for r in idx.search(Q64, k=10, rerank_size=40).collect()]
+            assert recall(got, exact_ids(emb, "l2")) >= 0.9
+
     def test_ivf_pq_recall(self, spark, emb):
         """IVF x PQ — the 100 TB memory/I/O operating point (reference
         composes any quantizer into IVF, crates/ivf/src/lib.rs:68-119)."""
