@@ -37,6 +37,7 @@ class _Entry:
     index: object  # FlatIndex | IVFIndex | HNSWIndex | FreshVectorIndex
     column: str
     metric: str
+    id_col: str = "vec_id"
 
 
 @dataclass
@@ -55,8 +56,8 @@ class IndexCatalog:
     def __init__(self) -> None:
         self._by_key: dict[tuple[str, str, str], _Entry] = {}
 
-    def register(self, table: str, column: str, metric: str, index) -> None:
-        self._by_key[(table, column, metric.lower())] = _Entry(index, column, metric.lower())
+    def register(self, table: str, column: str, metric: str, index, id_col: str = "vec_id") -> None:
+        self._by_key[(table, column, metric.lower())] = _Entry(index, column, metric.lower(), id_col)
 
     def lookup(self, table: str, column: str, metric: str) -> _Entry | None:
         return self._by_key.get((table, column, metric.lower()))
@@ -81,9 +82,18 @@ class Planner:
         metric: str = "l2",
         spheres: Sequence[Sphere] = (),
         filter=None,
+        extra_queries: Sequence[Sequence[float]] = (),
         **index_opts,
     ) -> DataFrame:
-        """``SELECT ... [WHERE spheres...] ORDER BY dist LIMIT k``."""
+        """``SELECT ... [WHERE spheres...] ORDER BY dist LIMIT k``.
+
+        ``extra_queries`` carries additional ORDER BY vector expressions:
+        duplicates of ``query`` collapse (the reference tolerates a
+        repeated identical orderby), but a *different* vector is rejected
+        exactly like scan_build (src/index/am_scan.rs:34-39)."""
+        for eq in extra_queries:
+            if not _close(eq, query):
+                raise ValueError("vector search with multiple vectors is not supported")
         entry = self.catalog.lookup(table, column, metric) if self.enable_index else None
 
         # threshold merge: spheres on the ORDER BY column with the same
@@ -100,7 +110,29 @@ class Planner:
                 residual = pred if residual is None else (residual & pred)
 
         if entry is not None:
-            out = entry.index.search(query, k=k, filter=residual, **index_opts)
+            if residual is None:
+                out = entry.index.search(query, k=k, **index_opts)
+            else:
+                # recheck = heap fetch: the residual may reference base
+                # columns the index does not store, so candidates join
+                # back to the table by id (the reference rechecks on the
+                # fetched heap tuple) — with bounded VBASE-style widening
+                # until k survivors.
+                heap = df.withColumnRenamed(entry.id_col, "id") if entry.id_col != "id" else df
+                n_rows = getattr(entry.index, "meta", {}).get("n_rows", 1 << 30)
+                kk = k
+                for _ in range(4):
+                    cand = entry.index.search(query, k=kk, **index_opts)
+                    out = (
+                        cand.join(heap, "id")
+                        .where(residual)
+                        .orderBy(F.col("distance").asc(), F.col("id").asc())
+                        .select("id", "distance")
+                    )
+                    if kk >= n_rows or len(out.limit(k).collect()) >= min(k, n_rows):
+                        break
+                    kk = min(n_rows, kk * 4)
+                out = out.limit(k)
             if threshold is not None:
                 out = out.where(F.col("distance") < threshold)
             self.last_decision = {

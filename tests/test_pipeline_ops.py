@@ -108,6 +108,68 @@ class TestPlanner:
         assert p.last_decision["threshold"] == RANGE_RADIUS  # min-merge
         assert all(r["distance"] < RANGE_RADIUS for r in out)
 
+    def test_multi_vector_order_by_rejected(self, spark, sf_dir):
+        """scan_build (am_scan.rs:34-39): a second, *different* ORDER BY
+        vector errors; a repeated identical one is tolerated."""
+        from pgvecto_rs_spark.plans import IndexCatalog, Planner
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        p = Planner(IndexCatalog())
+        # identical duplicate collapses
+        out = p.top_k(
+            "embeddings", emb, "embedding", Q64, 3, "l2", extra_queries=[Q64]
+        )
+        assert out.count() == 3
+        other = [v + 1.0 for v in Q64]
+        with pytest.raises(ValueError, match="multiple vectors"):
+            p.top_k(
+                "embeddings", emb, "embedding", Q64, 3, "l2", extra_queries=[other]
+            )
+
+    def test_decision_goldens(self, spark, sf_dir, tmp_path):
+        """pushdown_plan.slt:24-134 decision-table goldens over
+        last_decision + the physical plan: sphere on a different column
+        becomes a recheck; the IVF index path's scan is partition-pruned
+        to the probed lists (the EXPLAIN-visible pushdown)."""
+        from pgvecto_rs_spark.indexes import IVFIndex
+        from pgvecto_rs_spark.plans import IndexCatalog, Planner
+        from pgvecto_rs_spark.plans.rewrite import Sphere
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cat = IndexCatalog()
+        idx = IVFIndex.create(spark, emb, str(tmp_path / "ivf"), metric="l2", nlist=8)
+        cat.register("embeddings", "embedding", "l2", idx)
+        p = Planner(cat)
+
+        # different-column sphere -> recheck residual, index still wins
+        p.top_k(
+            "embeddings", emb.withColumn("other", F.col("embedding")), "embedding",
+            Q64, 3, "l2", spheres=[Sphere("other", Q64, 1e9, "l2")],
+        )
+        assert p.last_decision == {
+            "path": "index", "index_kind": "ivf", "threshold": None, "recheck": True,
+        }
+
+        # same-column sphere -> threshold rides the index, no recheck
+        p.top_k(
+            "embeddings", emb, "embedding", Q64, 3, "l2",
+            spheres=[Sphere("embedding", Q64, 123.0, "l2")], nprobe=8,
+        )
+        assert p.last_decision == {
+            "path": "index", "index_kind": "ivf", "threshold": 123.0, "recheck": False,
+        }
+
+        # EXPLAIN golden: the probed scan is partition-pruned on list_id
+        plan = idx.search(Q64, k=3, nprobe=2)._jdf.queryExecution().executedPlan().toString()
+        assert "list_id" in plan and ("PartitionFilters" in plan or "partition_filters" in plan)
+
+        # range search through the index
+        p.range_search("embeddings", emb, Sphere("embedding", Q64, RANGE_RADIUS, "l2"), k=50)
+        assert p.last_decision == {"path": "index-range"}
+        p.enable_index = False
+        p.range_search("embeddings", emb, Sphere("embedding", Q64, RANGE_RADIUS, "l2"), k=50)
+        assert p.last_decision == {"path": "seqscan-range"}
+
 
 class TestVecsFiles:
     def test_fvecs_round_trip(self, spark, tmp_path):
