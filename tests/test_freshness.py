@@ -128,6 +128,73 @@ def test_bulk_tombstones_100k_no_driver_collect(spark):
         assert got2 == expect, "compaction must not change results"
 
 
+def test_crash_mid_append_leaves_index_consistent(spark, emb):
+    """Crash recovery (reference tests/crash/): Parquet's task-commit
+    protocol is the WAL — a writer killed mid-append leaves its output
+    under _temporary/ (plus stray hidden files), never as committed
+    part files.  Reopening must see exactly the pre-crash state, and
+    subsequent appends/compactions must succeed."""
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)
+        idx.insert(emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)))
+        expect = [(r["id"], r["distance"]) for r in idx.search(Q64, k=10).collect()]
+
+        # forge the exact debris a SIGKILLed Spark writer leaves: an
+        # uncommitted task attempt under _temporary and a torn hidden file
+        rows_dir = os.path.join(d, "delta", "rows")
+        attempt = os.path.join(
+            rows_dir, "_temporary", "0", "_temporary", "attempt_20260101_0001_m_000000_1"
+        )
+        os.makedirs(attempt)
+        with open(os.path.join(attempt, "part-00000-dead.snappy.parquet"), "wb") as f:
+            f.write(b"PAR1\x00\x00partial-write-no-footer")
+        with open(os.path.join(rows_dir, ".part-00001-dead.snappy.parquet.crc"), "wb") as f:
+            f.write(b"\x00" * 12)
+
+        # reopen from disk: the uncommitted debris must be invisible
+        reopened = FreshVectorIndex.open(spark, d)
+        got = [(r["id"], r["distance"]) for r in reopened.search(Q64, k=10).collect()]
+        assert got == expect
+
+        # the index must remain fully writable after the crash
+        reopened.insert(emb.where(F.col("vec_id") >= 450))
+        reopened.compact()
+        assert reopened.stat()["idx_sealed"][0] == emb.count()
+        assert reopened.search(Q64, k=10).count() == 10
+
+
+def test_crash_mid_compact_keeps_old_sealed(spark, emb):
+    """compact() builds sealed_new and swaps via rename; a crash before
+    the swap leaves sealed_new debris that reopen must ignore, and a
+    retried compact() must complete."""
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)
+        idx.insert(emb.where(F.col("vec_id") >= 400))
+        # compare on (id, distance rounded): the delta-side SQL kernel and
+        # the post-compact numpy kernel associate float sums differently
+        # at the 1e-8 level
+        expect = [(r["id"], round(r["distance"], 6)) for r in idx.search(Q64, k=10).collect()]
+
+        # a dead half-built replacement index
+        new_path = os.path.join(d, "sealed_new")
+        os.makedirs(os.path.join(new_path, "rows"))
+        with open(os.path.join(new_path, "rows", "part-00000-dead.parquet"), "wb") as f:
+            f.write(b"PAR1 torn")
+
+        reopened = FreshVectorIndex.open(spark, d)
+        got = [(r["id"], round(r["distance"], 6)) for r in reopened.search(Q64, k=10).collect()]
+        assert got == expect, "old sealed index must still serve"
+
+        reopened.compact()
+        assert not os.path.exists(new_path), "retry must complete the swap"
+        got2 = [(r["id"], round(r["distance"], 6)) for r in reopened.search(Q64, k=10).collect()]
+        assert got2 == expect
+
+
 def test_auto_seal_on_size(spark, emb):
     """seal-on-size: foreachBatch sink compacts once the growing segment
     crosses the threshold (max_growing_segment_size analogue)."""
