@@ -170,20 +170,23 @@ def vector_eq(a: Column | str, b: Column | str) -> Column:
 
 
 def _lex_cmp(a: Column, b: Column) -> Column:
-    """-1/0/1 lexicographic comparison (vect.rs:200-215 PartialOrd:
-    elementwise first difference, then length)."""
+    """-1/0/1 lexicographic comparison (elementwise first difference).
+
+    Differently-dimensioned operands ERROR, matching the SQL comparison
+    operators' check_matched_dims (src/datatype/operators_vecf32.rs:37-44)
+    — the in-memory PartialOrd (vect.rs) returns None on mismatch but the
+    SQL surface rejects it, and the SQL surface is what this mirrors."""
     diffs = F.filter(
         F.zip_with(a, b, lambda x, y: F.struct(x.alias("x"), y.alias("y"))),
         lambda p: p["x"] != p["y"],
     )
     first = F.try_element_at(diffs, F.lit(1))  # NULL when no difference (ANSI-safe)
-    return (
+    cmp = (
         F.when(first.isNotNull() & (first["x"] < first["y"]), F.lit(-1))
         .when(first.isNotNull(), F.lit(1))
-        .when(F.size(a) < F.size(b), F.lit(-1))
-        .when(F.size(a) > F.size(b), F.lit(1))
         .otherwise(F.lit(0))
     )
+    return _checked(a, b, cmp)
 
 
 def vector_lt(a: Column | str, b: Column | str) -> Column:

@@ -36,8 +36,14 @@ def _col(c: Column | str) -> Column:
 
 
 def _fmt_f32(x: Column) -> Column:
-    """Float -> string without trailing .0 for integral values."""
-    as_long = x.cast("double").cast("long")
+    """Float -> string without trailing .0 for integral values.
+
+    try_cast, not cast: under ANSI mode (Spark 4 default) casting NaN,
+    ±Inf, or |x| >= 2^63 to long throws CAST_OVERFLOW; the reference
+    happily prints such values (cast.slt prints [NaN]), so they must
+    fall through to the float-string branch (try_cast -> NULL -> the
+    WHEN condition is not true)."""
+    as_long = x.cast("double").try_cast("long")
     return F.when(
         (x.cast("double") == as_long.cast("double")) & (F.abs(x) < 1e15),
         as_long.cast("string"),

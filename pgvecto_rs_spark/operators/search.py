@@ -173,20 +173,31 @@ def knn_join(
     — then per-query top-k via window rank.  At scale, the corpus-side
     scan dominates and parallelizes across its partitions; use the IVF
     index path for large query sides.
+
+    ``partition_keys`` identifies a query row for the window.  When not
+    given, a synthetic row id is derived — windowing on the float vector
+    column itself would make group identity hinge on float/NaN equality
+    and silently merge duplicate query rows.
     """
     from pyspark.sql import Window
 
+    synthetic_qid = partition_keys is None
+    if synthetic_qid:
+        left = left.withColumn("__qid", F.monotonically_increasing_id())
+        qkeys = ["__qid"]
+    else:
+        qkeys = list(partition_keys)
     lhs = F.broadcast(left) if broadcast_left else left
     joined = lhs.crossJoin(right).where(F.col(right_col).isNotNull())
     d = distance(F.col(right_col), F.col(left_col), metric)
     joined = joined.withColumn(dist_col, d)
-    qkeys = list(partition_keys) if partition_keys else [c for c in left.columns]
     order = [F.col(dist_col).asc()]
     if tiebreaker:
         order.append(F.col(tiebreaker).asc())
     w = Window.partitionBy(*qkeys).orderBy(*order)
-    return (
+    out = (
         joined.withColumn("__rank", F.row_number().over(w))
         .where(F.col("__rank") <= k)
         .drop("__rank")
     )
+    return out.drop("__qid") if synthetic_qid else out

@@ -96,7 +96,9 @@ class TestF16Grid:
 
 
 class TestLexicographic:
-    """operator.slt comparison goldens: elementwise-first, then length."""
+    """operator.slt comparison goldens: elementwise-first; the SQL
+    comparison operators reject differing dimensions
+    (operators_vecf32.rs:37-44 check_matched_dims)."""
 
     def test_compare(self, spark):
         from pgvecto_rs_spark.functions.dense import vector_ge, vector_gt, vector_le, vector_lt
@@ -106,5 +108,9 @@ class TestLexicographic:
         assert _one(spark, vector_gt(_vec(2, 1), _vec(1, 9)))
         assert _one(spark, vector_le(_vec(1, 2), _vec(1, 2)))
         assert _one(spark, vector_ge(_vec(1, 2), _vec(1, 2)))
-        # prefix ordering: shorter is smaller when equal so far
-        assert _one(spark, vector_lt(_vec(1, 2), _vec(1, 2, 0)))
+
+    def test_dim_mismatch_errors(self, spark):
+        from pgvecto_rs_spark.functions.dense import vector_lt
+
+        with pytest.raises(Exception, match="dimension"):
+            _one(spark, vector_lt(_vec(1, 2), _vec(1, 2, 0)))

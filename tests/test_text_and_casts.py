@@ -34,6 +34,19 @@ class TestDenseText:
             with pytest.raises(Exception):
                 _one(spark, TF.parse_vector(F.lit(bad)))
 
+    def test_format_nan_inf_no_ansi_crash(self, spark):
+        """cast.slt: '{NULL}'::real[]::vector prints [NaN]; formatting
+        NaN/±Inf must not hit ANSI CAST_OVERFLOW (try_cast in _fmt_f32)."""
+        arr = F.array(F.lit(None).cast("float"), F.lit(1.0)).cast("array<float>")
+        got = _one(spark, TF.format_vector(C.array_to_vector(arr)))
+        assert got == "[NaN, 1]"
+        inf = F.array(
+            F.lit(float("inf")).cast("float"),
+            F.lit(float("-inf")).cast("float"),
+            F.lit(2.0).cast("float"),
+        )
+        assert _one(spark, TF.format_vector(inf)) == "[Infinity, -Infinity, 2]"
+
 
 class TestSparseText:
     def test_parse_sorts_and_drops_zeros(self, spark):
