@@ -114,24 +114,38 @@ def minhash_signatures_df(
     k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """(__id, __sig array<long>) via explode + groupBy-min — the
-    scale formulation.  Shingle hashing happens once per (doc, shingle)
-    row; the num_perm mins are plain aggregate columns with map-side
-    combine, so the shuffle carries only num_perm longs per doc and
-    codegen stays narrow (the single-Column fold version compiles a
-    huge method that chokes Janino when duplicated across join plans).
+    """(__id, __sig array<long>) — the scale formulation.
+
+    Shingle hashing stays JVM-side (xxhash64 folded to 31 bits,
+    deterministic); the num_perm running minimums are computed per row
+    in one vectorized Arrow batch ((a·x + b) mod p is exact in uint64
+    for 31-bit x and constants).  NO shuffle — signatures are a per-row
+    map; the earlier explode + groupBy-min shuffled ~200x the row count
+    and dominated the pipeline cost (and the single-Column fold variant
+    before it compiled Janino-choking megamethods).
     """
-    ex = _spread(df).select(
-        F.col(id_col).alias("__id"), F.explode(_shingle_hashes(text_col, k)).alias("__h")
+    consts = _perm_constants(num_perm, seed)
+    a_vec = np.asarray([a for a, _ in consts], dtype=np.uint64)
+    b_vec = np.asarray([b for _, b in consts], dtype=np.uint64)
+
+    hashed = _spread(df).select(
+        F.col(id_col).alias("__id"), _shingle_hashes(text_col, k).alias("__hs")
     )
-    aggs = [
-        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(_P)).alias(f"__m{i}")
-        for i, (a, b) in enumerate(_perm_constants(num_perm, seed))
-    ]
-    votes = ex.groupBy("__id").agg(*aggs)
-    return votes.select(
-        "__id", F.array(*[F.col(f"__m{i}") for i in range(num_perm)]).alias("__sig")
-    )
+
+    @F.pandas_udf("array<long>")
+    def perm_mins(hs: pd.Series) -> pd.Series:
+        p = np.uint64(_P)
+        out = []
+        for arr in hs:
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            if len(h) == 0:
+                out.append([int(_P)] * len(a_vec))
+                continue
+            vals = (a_vec[:, None] * h[None, :] + b_vec[:, None]) % p
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return hashed.select("__id", perm_mins("__hs").alias("__sig"))
 
 
 def simhash_signatures_df(
@@ -140,35 +154,35 @@ def simhash_signatures_df(
     id_col: str = "doc_id",
     k: int = 5,
 ) -> DataFrame:
-    """(__id, __sig long) — 64-bit SimHash via explode + groupBy of 64
-    bit-vote sums (same scale reasoning as minhash_signatures_df)."""
-    ex = _spread(df).select(
+    """(__id, __sig long) — 64-bit SimHash.
+
+    Shingle hashing stays JVM-side (xxhash64, deterministic); the 64-way
+    bit-majority runs as a vectorized Arrow batch over each row's hash
+    array.  This needs NO shuffle at all — signatures are a per-row map
+    (the earlier explode + 64-sum groupBy formulation shuffled 200x the
+    rows and was the dominant cost of the whole pipeline at sf0.1).
+    """
+    hashed = _spread(df).select(
         F.col(id_col).alias("__id"),
-        F.explode(F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))).alias("__h"),
+        F.transform(shingles(text_col, k), lambda s: F.xxhash64(s)).alias("__hs"),
     )
-    bit_aggs = [
-        F.sum(
-            F.when(F.col("__h").bitwiseAND(F.lit(1 << j)) != 0, 1).otherwise(0)
-            if j < 63
-            else F.when(F.col("__h") < 0, 1).otherwise(0)
-        ).alias(f"__b{j}")
-        for j in range(64)
-    ]
-    votes = ex.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"), *bit_aggs)
-    n = F.col("__n")
-    low = sum(
-        (
-            F.when(F.col(f"__b{j}") * 2 > n, F.lit(1 << j).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            for j in range(63)
-        ),
-        start=F.lit(0).cast("long"),
-    )
-    top = F.when(F.col("__b63") * 2 > n, F.lit(-(1 << 63)).cast("long")).otherwise(
-        F.lit(0).cast("long")
-    )
-    return votes.select("__id", (low + top).alias("__sig"))
+
+    @F.pandas_udf("long")
+    def majority(hs: pd.Series) -> pd.Series:
+        shifts = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << shifts
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, arr in enumerate(hs):
+            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+            if len(h) == 0:
+                out[i] = 0
+                continue
+            votes = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            sig = int((votes * 2 > len(h)).astype(np.uint64) @ weights)
+            out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
+        return pd.Series(out)
+
+    return hashed.select("__id", majority("__hs").alias("__sig"))
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -228,6 +242,7 @@ def lsh_candidate_pairs(
     k: int = 5,
     seed: int = 42,
     max_bucket: int = 1000,
+    est_threshold: float | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded MinHash LSH.
 
@@ -237,11 +252,23 @@ def lsh_candidate_pairs(
     join happens inside buckets only.  Buckets larger than
     ``max_bucket`` are dropped (boilerplate/empty-doc pathologies that
     would otherwise produce quadratic blowup at scale).
+
+    ``est_threshold`` prefilters pairs by full-signature agreement
+    (estimated Jaccard) DURING the in-bucket expansion — on correlated
+    corpora band collisions alone admit orders of magnitude more pairs
+    than the target similarity; the estimate costs num_perm comparisons
+    per expanded pair, before anything is shuffled or verified.  Set it
+    a wide margin below the verify threshold (e.g. 0.6 for a 0.9
+    target: P[Bin(32, 0.9)/32 < 0.6] ~ 1e-9 per pair).
     """
     rows_per_band = num_perm // bands
     sig = minhash_signatures_df(df, text_col, id_col, num_perm, k, seed)
+    member = (
+        F.struct("__id", "__sig") if est_threshold is not None else F.col("__id")
+    )
     banded = sig.select(
         "__id",
+        "__sig",
         F.explode(
             F.array(
                 *[
@@ -257,17 +284,45 @@ def lsh_candidate_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("__id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("__id", "__sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # One aggregation per (band, bucket): collect member ids, bound
+    # One aggregation per (band, bucket): collect members, bound
     # pathological buckets (skew guard), expand pairs inside the array —
     # the signature pipeline runs ONCE and there is no self-join.
     groups = (
         banded.groupBy("band", "bucket")
-        .agg(F.collect_list("__id").alias("ids"))
+        .agg(F.collect_list(member).alias("ids"))
         .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
     )
-    return _pairs_within("ids", groups).distinct()
+    if est_threshold is None:
+        return _pairs_within("ids", groups).distinct()
+
+    ms = F.array_sort(F.array_distinct(F.col("ids")))
+    n = F.size(ms)
+    agree = lambda x, y: F.size(  # noqa: E731
+        F.filter(F.zip_with(x["__sig"], y["__sig"], lambda p, q: p == q), lambda m: m)
+    )
+    pairs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, n),
+                lambda y: F.struct(
+                    x["__id"].alias("id_a"),
+                    y["__id"].alias("id_b"),
+                    (agree(x, y).cast("double") / F.lit(float(num_perm))).alias("est"),
+                ),
+            ),
+        )
+    )
+    exploded = groups.select(F.explode(pairs).alias("p")).select(
+        "p.id_a", "p.id_b", "p.est"
+    )
+    return (
+        exploded.where(F.col("est") >= est_threshold)
+        .select("id_a", "id_b")
+        .distinct()
+    )
 
 
 def minhash_dedup_groups(
@@ -344,11 +399,39 @@ def verify_pairs_jaccard(
     linearly on id — never all-pairs).  Returns (id_a, id_b, jaccard)
     with jaccard >= threshold.
     """
-    sh = df.select(F.col(id_col).alias("__vid"), shingles(text_col, k).alias("__sh"))
+    # _spread: single-file corpora arrive as ONE partition; without it the
+    # shingle computation under both join branches runs on one core
+    # (observed 10x wall-time at sf0.1).  The lookup carries 64-bit
+    # shingle HASHES, not strings: set intersection/union cardinalities
+    # are hash-collision-exact at ~1e-9 over 100k pairs, the broadcast
+    # table shrinks ~10x (string arrays measured as the dominant
+    # broadcast-build cost), and long equality beats string equality in
+    # the intersects.  Broadcasting keeps both joins hash-probes — a
+    # sort-merge plan would drag the sh_a arrays through the id_b
+    # shuffle.  At corpus scale where even the hash table outgrows
+    # broadcast, drop the hint: Catalyst falls back to shuffled joins
+    # that stay linear in candidates.
+    sh = F.broadcast(
+        _spread(df).select(
+            F.col(id_col).alias("__vid"),
+            F.array_distinct(
+                F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
+            ).alias("__sh"),
+        )
+    )
+    # identical broadcast subtree on both sides -> Spark's ReuseExchange
+    # builds it once (aliasing after the broadcast, not before)
+    a, b = sh.alias("__sha"), sh.alias("__shb")
     out = (
         pairs.select("id_a", "id_b")
-        .join(sh.select(F.col("__vid").alias("id_a"), F.col("__sh").alias("sh_a")), "id_a")
-        .join(sh.select(F.col("__vid").alias("id_b"), F.col("__sh").alias("sh_b")), "id_b")
+        .join(a, F.col("id_a") == F.col("__sha.__vid"))
+        .join(b, F.col("id_b") == F.col("__shb.__vid"))
+        .select(
+            "id_a",
+            "id_b",
+            F.col("__sha.__sh").alias("sh_a"),
+            F.col("__shb.__sh").alias("sh_b"),
+        )
     )
     j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")

