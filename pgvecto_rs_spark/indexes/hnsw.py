@@ -321,6 +321,113 @@ class HNSWIndex:
         return cls(spark, path, base.read_meta(path))
 
     # ------------------------------------------------------------------
+    def apply_updates(
+        self,
+        delete_ids: DataFrame | None = None,
+        insert_rows: DataFrame | None = None,
+        id_col: str = "id",
+        vector_col: str = "vec",
+    ) -> list[int]:
+        """Incremental maintenance: rebuild ONLY the segments whose
+        membership changed (the Spark analogue of the reference's HNSW
+        delete-patching, crates/hnsw/src/lib.rs:359-390 — it repairs
+        neighborhoods around deleted nodes instead of rebuilding the
+        world).  Segment membership is pmod(xxhash64(id), n_segments),
+        so deletes and inserts pin exactly which segment graphs must be
+        re-derived; untouched segments keep their files byte-for-byte.
+        Rebuilding a segment from its live rows yields the same graph a
+        full rebuild would (the build is deterministic on the sorted
+        member set).  Returns the rebuilt segment ids.
+        """
+        n_seg = self.meta["n_segments"]
+        kernel, m, ef_c = self.meta["kernel"], self.meta["m"], self.meta["ef_construction"]
+        seg_of = lambda c: F.pmod(F.xxhash64(c), F.lit(n_seg)).cast("int")  # noqa: E731
+
+        affected: set[int] = set()
+        if delete_ids is not None:
+            affected |= {
+                r["seg"]
+                for r in delete_ids.select(seg_of(F.col(id_col)).alias("seg")).distinct().collect()
+            }
+        if insert_rows is not None:
+            affected |= {
+                r["seg"]
+                for r in insert_rows.select(seg_of(F.col(id_col)).alias("seg")).distinct().collect()
+            }
+        if not affected:
+            return []
+
+        graph_dir = os.path.join(self.path, "graph")
+        segs = sorted(affected)
+        old = self.spark.read.parquet(graph_dir).where(F.col("seg").isin(segs))
+        live = old.select("seg", "id", "vec")
+        if delete_ids is not None:
+            live = live.join(
+                F.broadcast(delete_ids.select(F.col(id_col).alias("id"))), "id", "left_anti"
+            )
+        if insert_rows is not None:
+            add = insert_rows.select(
+                F.col(id_col).cast("long").alias("id"),
+                F.col(vector_col).cast("array<float>").alias("vec"),
+            ).withColumn("seg", seg_of(F.col("id")))
+            # replace-on-id: a re-inserted id supersedes the stored row
+            live = live.join(F.broadcast(add.select("id")), "id", "left_anti").unionByName(
+                add.select("seg", "id", "vec")
+            )
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("id").reset_index(drop=True)
+            vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            neighbors, levels = _build_graph(vecs, kernel, m, ef_c)
+            entry = int(np.argmax(levels)) if levels else 0
+            return pd.DataFrame(
+                {
+                    "seg": pdf["seg"],
+                    "idx": np.arange(len(pdf), dtype=np.int64),
+                    "id": pdf["id"].astype("int64"),
+                    "vec": pdf["vec"],
+                    "level": np.asarray(levels, dtype=np.int32),
+                    "neighbors": [[lvl.tolist() for lvl in nb] for nb in neighbors],
+                    "entry": np.full(len(pdf), entry, dtype=np.int64),
+                }
+            )
+
+        schema = (
+            "seg int, idx bigint, id bigint, vec array<float>, level int, "
+            "neighbors array<array<int>>, entry bigint"
+        )
+        # checkpoint severs lineage from the graph files we are about to
+        # overwrite (Spark refuses to overwrite a path it is reading)
+        live = live.localCheckpoint(eager=True)
+        rebuilt = (
+            live.repartition(len(segs), "seg").groupBy("seg").applyInPandas(build, schema)
+        )
+        # dynamic overwrite: only the affected seg=N directories are
+        # replaced; the cache fingerprint (mtime/size) invalidates them
+        # on next read while untouched segments stay resident
+        (
+            rebuilt.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg")
+            .parquet(graph_dir)
+        )
+        # a segment can become empty: remove its stale directory so the
+        # loader's fingerprint sees it as empty (computed from the
+        # checkpointed live rows — re-deriving it from `rebuilt` would
+        # re-run the graph builds)
+        import shutil
+
+        present = {r["seg"] for r in live.select("seg").distinct().collect()}
+        for s in segs:
+            if s not in present:
+                shutil.rmtree(os.path.join(graph_dir, f"seg={s}"), ignore_errors=True)
+
+        total = self.spark.read.parquet(graph_dir).count()
+        self.meta["n_rows"] = int(total)
+        base.write_meta(self.path, self.meta)
+        return segs
+
+    # ------------------------------------------------------------------
     def _segment_dirs(self) -> list[str]:
         graph_dir = os.path.join(self.path, "graph")
         return [

@@ -222,9 +222,25 @@ class FreshVectorIndex:
         return merged.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
 
     # ------------------------------------------------------------------
-    def compact(self) -> None:
+    def compact(self, incremental: bool | None = None) -> None:
         """The optimizer pass (optimizing/mod.rs:58-105): fold delta into
-        the sealed index, apply deletes, clear delta + tombstones."""
+        the sealed index, apply deletes, clear delta + tombstones.
+
+        For an HNSW sealed index the default is *incremental*: only the
+        segments whose membership changed are rebuilt (the reference's
+        delete-patching, hnsw/src/lib.rs:359-390) — at 100x scale a full
+        graph rebuild per compaction is the dominant cost.  Falls back to
+        a full rebuild when the delta outgrows half the sealed capacity
+        (segment count is fixed at create time)."""
+        if incremental is None:
+            incremental = self.meta["sealed_kind"] == "hnsw"
+        if incremental and self.meta["sealed_kind"] == "hnsw":
+            delta = self._delta()
+            cap = self.sealed.meta["n_segments"] * 20_000
+            if delta is None or delta.count() <= cap // 2:
+                self._compact_hnsw_incremental()
+                return
+
         tomb_agg = self._tomb_agg()
         sealed_rows = self.spark.read.parquet(
             os.path.join(self.sealed.path, "rows" if self.meta["sealed_kind"] == "flat" else "")
@@ -291,6 +307,40 @@ class FreshVectorIndex:
             shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
             os.makedirs(os.path.join(self.path, sub), exist_ok=True)
         self.sealed = idx_cls.open(self.spark, old)
+        self._bump()
+
+    def _compact_hnsw_incremental(self) -> None:
+        """Fold delta + tombstones into the sealed HNSW by rebuilding
+        only the affected segments (delete-patching analogue)."""
+        from pyspark.sql import Window
+
+        tomb_agg = self._tomb_agg()
+        delta = self._delta()
+        d_live = None
+        if delta is not None:
+            d_live = delta
+            if tomb_agg is not None:
+                d_live = (
+                    delta.join(F.broadcast(tomb_agg), "id", "left")
+                    .where(F.col("tv").isNull() | (F.col("version") > F.col("tv")))
+                    .drop("tv")
+                )
+            # newest version per id wins within the delta
+            d_live = (
+                d_live.withColumn(
+                    "_rn",
+                    F.row_number().over(
+                        Window.partitionBy("id").orderBy(F.col("version").desc())
+                    ),
+                )
+                .where(F.col("_rn") == 1)
+                .select("id", "vec")
+            )
+        self.sealed.apply_updates(delete_ids=tomb_agg, insert_rows=d_live)
+        for sub in ("delta", "tombstones"):
+            shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
+            os.makedirs(os.path.join(self.path, sub), exist_ok=True)
+        self.sealed = _KINDS["hnsw"].open(self.spark, os.path.join(self.path, "sealed"))
         self._bump()
 
     def stat(self) -> dict:

@@ -128,6 +128,59 @@ def test_bulk_tombstones_100k_no_driver_collect(spark):
         assert got2 == expect, "compaction must not change results"
 
 
+def test_hnsw_incremental_compact(spark, emb):
+    """HNSW compaction is incremental (delete-patching analogue,
+    hnsw/src/lib.rs:359-390): only segments whose membership changed are
+    rebuilt; untouched segment files stay byte-identical, and search
+    results equal the freshness view from before compaction."""
+    import glob
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = FreshVectorIndex.create(
+            spark,
+            emb.where(F.col("vec_id") < 400),
+            d,
+            sealed_kind="hnsw",
+            segment_rows=50,  # 8 segments; a small update set (2 deletes
+            # + 3 inserts) can touch at most 5, so some must survive
+        )
+        top = [r["id"] for r in idx.search(Q64, k=5).collect()]
+        idx.delete([top[0], top[1]])
+        idx.insert(emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 403)))
+        # ef_search >= any segment size -> per-segment search is
+        # exhaustive, so pre/post-compaction results are exactly equal
+        expect = [
+            (r["id"], round(r["distance"], 6))
+            for r in idx.search(Q64, k=10, ef_search=200).collect()
+        ]
+
+        graph = os.path.join(d, "sealed", "graph")
+        before = {
+            f: (os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(os.path.join(graph, "seg=*", "*.parquet"))
+        }
+        idx.compact()
+        after = {
+            f: (os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(os.path.join(graph, "seg=*", "*.parquet"))
+        }
+        untouched = [f for f in before if f in after and before[f] == after[f]]
+        assert untouched, "some segments must survive compaction untouched"
+        assert any(f not in after or before[f] != after[f] for f in before), (
+            "affected segments must be rewritten"
+        )
+
+        st = idx.stat()
+        assert not st["idx_growing"] and st["idx_tombstones"] == 0
+        assert st["idx_sealed"][0] == 400 - 2 + 3
+        got = [
+            (r["id"], round(r["distance"], 6))
+            for r in idx.search(Q64, k=10, ef_search=200).collect()
+        ]
+        assert got == expect, "incremental compaction must not change results"
+
+
 def test_crash_mid_append_leaves_index_consistent(spark, emb):
     """Crash recovery (reference tests/crash/): Parquet's task-commit
     protocol is the WAL — a writer killed mid-append leaves its output
