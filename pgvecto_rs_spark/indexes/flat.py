@@ -33,6 +33,7 @@ import os
 from typing import Sequence
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -62,6 +63,7 @@ class FlatIndex:
         where=None,  # partial index predicate (partition.slt 'partial index')
         pq_ratio: int = 1,  # dims per subspace (base/src/index.rs:475-496)
         seed: int = 42,
+        storage: str = "f32",  # "f32" | "f16" (vecf16: 2 bytes/dim)
     ) -> "FlatIndex":
         kernel, do_norm = base.resolve_metric(metric)
         os.makedirs(path, exist_ok=True)
@@ -71,12 +73,50 @@ class FlatIndex:
         vec = base.normalized_col(vector_col, do_norm).cast("array<float>")
         prepared = src.select(F.col(id_col).alias("id"), vec.alias("vec"))
 
+        if storage == "f16":
+            # vecf16 storage model (crates/base/src/scalar/f16.rs): values
+            # live on the IEEE binary16 grid, 2 bytes per dim on disk.  A
+            # BINARY column of raw f16 words guarantees the 2-byte layout
+            # (Parquet has no 16-bit physical type); compute decodes to
+            # f32/f64 per Arrow batch, exactly like the reference computes
+            # f16 via f32.
+            if quantization is not None:
+                raise ValueError("f16 storage does not compose with quantization")
+
+            @F.pandas_udf("binary")
+            def to_f16_bytes(v: pd.Series) -> pd.Series:
+                return v.map(
+                    lambda x: None
+                    if x is None
+                    else np.asarray(x, dtype=np.float32).astype(np.float16).tobytes()
+                )
+
+            dims = len(prepared.select("vec").first()["vec"])
+            prepared = prepared.select("id", to_f16_bytes("vec").alias("vec16"))
+            prepared.write.mode("overwrite").parquet(os.path.join(path, "rows"))
+            n = spark.read.parquet(os.path.join(path, "rows")).count()
+            meta = {
+                "kind": "flat",
+                "metric": metric.lower(),
+                "kernel": kernel,
+                "normalize": do_norm,
+                "quantization": None,
+                "storage": "f16",
+                "dims": dims,
+                "n_rows": int(n),
+            }
+            base.write_meta(path, meta)
+            return cls(spark, path, meta)
+        if storage != "f32":
+            raise ValueError(f"unknown storage {storage!r} (f32 | f16)")
+
         meta: dict = {
             "kind": "flat",
             "metric": metric.lower(),
             "kernel": kernel,
             "normalize": do_norm,
             "quantization": quantization,
+            "storage": "f32",
         }
 
         if quantization in ("pq", "rabitq"):
@@ -224,6 +264,26 @@ class FlatIndex:
         q = base.prep_query(query, self.meta["normalize"])
         qlist = [float(v) for v in q]
         df = base.apply_residual(self._rows(), filter, exclude)
+
+        if self.meta.get("storage") == "f16":
+            kernel = self.meta["kernel"]
+            qv = np.asarray(qlist, dtype=np.float64)
+
+            @F.pandas_udf("double")
+            def f16_score(vb: pd.Series) -> pd.Series:
+                mat = np.asarray(
+                    [np.frombuffer(b, dtype=np.float16) for b in vb], dtype=np.float64
+                )
+                return pd.Series(base.np_kernel_distance(kernel, mat, qv))
+
+            out = df.withColumn(
+                "distance", base.post_map(self.meta["metric"], f16_score(F.col("vec16")))
+            )
+            return (
+                out.orderBy(F.col("distance").asc(), F.col("id").asc())
+                .limit(k)
+                .select("id", "distance")
+            )
 
         quant = self.meta.get("quantization")
         if quant in _SQ_KINDS and rerank_size == 0:

@@ -293,13 +293,19 @@ class IVFIndex:
         self,
         query: Sequence[float],
         k: int = 10,
-        nprobe: int = DEFAULT_NPROBE,
+        nprobe: int | None = None,
         filter=None,
         rerank_size: int = 0,
         max_widen: int = 3,
         exclude: DataFrame | None = None,
     ) -> DataFrame:
         """Top-k by metric distance.  Returns DataFrame(id, distance).
+
+        ``nprobe`` defaults to max(10, nlist/50): the reference's flat
+        default of 10 misses the >=0.95 recall@10 target once nlist
+        grows (measured 0.86 at nlist=1000 on 2M rows; 0.95+ needs ~20
+        probes there — BENCHNOTES §1), so the default scales with nlist
+        while keeping the scan fraction ~2%.
 
         The scan touches only the nprobe pruned partitions; residual
         ``filter`` runs before the limit (VBASE exact-k under filters —
@@ -310,6 +316,8 @@ class IVFIndex:
         the first pass scores decoded ``centroid + residual̂`` codes and
         a rerank window gets exact distances (two-phase).
         """
+        if nprobe is None:
+            nprobe = max(DEFAULT_NPROBE, -(-self.meta["nlist"] // 50))
         if (filter is not None or exclude is not None) and max_widen > 0:
             np_eff = nprobe
             for _ in range(max_widen + 1):

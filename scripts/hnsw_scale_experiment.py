@@ -60,31 +60,38 @@ def main() -> None:
             )
             truths.append({r["vec_id"] for r in rows})
 
+        ef_c = int(os.environ.get("HNSW_SCALE_EFC", "200"))
         t0 = time.perf_counter()
         idx = HNSWIndex.create(
             spark, corpus, os.path.join(work, "hnsw"),
-            metric="l2", segment_rows=20_000, ef_construction=100,
+            metric="l2", segment_rows=20_000, ef_construction=ef_c,
         )
         t_build = time.perf_counter() - t0
 
         idx.search(queries[0], k=10).collect()  # warm the segment caches
 
-        recalls, lat = [], []
-        for rep in range(3):
-            for q, truth in zip(queries, truths):
-                t0 = time.perf_counter()
-                got = {r["id"] for r in idx.search(q, k=10, ef_search=100).collect()}
-                lat.append(time.perf_counter() - t0)
-                if rep == 0:
-                    recalls.append(len(got & truth) / 10)
+        curve = {}
+        for ef in (100, 400):
+            recalls, lat = [], []
+            for rep in range(3):
+                for q, truth in zip(queries, truths):
+                    t0 = time.perf_counter()
+                    got = {r["id"] for r in idx.search(q, k=10, ef_search=ef).collect()}
+                    lat.append(time.perf_counter() - t0)
+                    if rep == 0:
+                        recalls.append(len(got & truth) / 10)
+            curve[ef] = {
+                "warm_sec_per_query": round(sum(lat) / len(lat), 4),
+                "warm_sec_min": round(min(lat), 4),
+                "recall_at_10": round(sum(recalls) / len(recalls), 3),
+            }
 
         out = {
             "n_rows": n,
             "n_segments": idx.meta["n_segments"],
+            "ef_construction": ef_c,
             "build_sec": round(t_build, 2),
-            "warm_sec_per_query": round(sum(lat) / len(lat), 4),
-            "warm_sec_min": round(min(lat), 4),
-            "recall_at_10": round(sum(recalls) / len(recalls), 3),
+            "ef_curve": curve,
         }
         print("HNSW_SCALE_RESULT " + json.dumps(out))
     spark.stop()

@@ -275,6 +275,36 @@ class TestAlgoQuantMatrix:
                 got = [r["id"] for r in idx.search(Q64, k=10).collect()]
                 assert got == truth, quant
 
+    def test_f16_storage_exact_and_half_size(self, spark, emb):
+        """vecf16 storage (2 bytes/dim binary words): search results equal
+        the f16-grid-snapped brute force, and the rows parquet is
+        materially smaller than f32 storage."""
+        import glob
+        import os
+
+        import numpy as np
+
+        from pgvecto_rs_spark.functions import dense as VD
+        from pgvecto_rs_spark.operators.search import distance as dist_expr
+
+        with tempfile.TemporaryDirectory() as d:
+            f32 = FlatIndex.create(spark, emb, f"{d}/f32", metric="l2")
+            f16 = FlatIndex.create(spark, emb, f"{d}/f16", metric="l2", storage="f16")
+            got = [(r["id"], round(r["distance"], 4)) for r in f16.search(Q64, k=10).collect()]
+            snapped = emb.withColumn("e16", VD.to_f16_grid("embedding"))
+            dd = dist_expr(F.col("e16"), [float(x) for x in Q64], "l2")
+            expect = [
+                (r["vec_id"], round(r["d"], 4))
+                for r in snapped.select("vec_id", dd.alias("d"))
+                .orderBy("d", "vec_id").limit(10).collect()
+            ]
+            assert got == expect
+
+            size = lambda p: sum(  # noqa: E731
+                os.path.getsize(f) for f in glob.glob(os.path.join(p, "rows", "*.parquet"))
+            )
+            assert size(f"{d}/f16") < 0.7 * size(f"{d}/f32")
+
     def test_pq_codebook_unbiased_on_sorted_input(self, spark, emb):
         """Training samples come from sample(), not limit(): a
         label-sorted input must train codebooks of the same quality as
