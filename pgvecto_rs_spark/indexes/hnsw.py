@@ -112,6 +112,32 @@ def _level_of(vertex_no: int, m: int) -> int:
     return lvl
 
 
+def _prune_diverse(
+    vecs: np.ndarray,
+    kernel: str,
+    cand: list[tuple[float, int]],
+    cap: int,
+) -> list[int]:
+    """Diversity prune (crates/graph/src/prune.rs:3-30): scan candidates
+    by ascending distance, keep c iff dist(c, s) > dist(c, anchor) for
+    every already-kept s.  Nearest-only selection concentrates edges
+    inside dense clusters and disconnects the graph (recall collapses
+    on clustered corpora regardless of ef); the heuristic keeps one
+    edge per 'direction' instead."""
+    kept: list[int] = []
+    kept_d: list[float] = []
+    for d, c in sorted(cand):
+        if len(kept) == cap:
+            break
+        if all(
+            float(base.np_kernel_distance(kernel, vecs[c : c + 1], vecs[s])[0]) > d
+            for s in kept
+        ):
+            kept.append(int(c))
+            kept_d.append(float(d))
+    return kept
+
+
 def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
     """Sequential HNSW insertion over one segment.  Returns
     neighbors[node] = list of int32 arrays, one per level."""
@@ -169,15 +195,22 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
                             if len(result) > ef_construction:
                                 heapq.heappop(result)
             found = sorted((-d, v) for d, v in result)
-            chosen = [v for _, v in found[: caps(l)]]
+            # diversity-pruned neighbor selection (prune.rs), not
+            # nearest-only: keeps cross-cluster edges so the graph stays
+            # connected on clustered data
+            chosen = _prune_diverse(vecs, kernel, found, caps(l))
             neighbors[i][l] = np.asarray(chosen, dtype=np.int32)
-            # bidirectional edges with degree pruning by distance
+            # bidirectional edges; overflow re-pruned with the same
+            # heuristic (reference patches reverse edges via prune too)
             for v in chosen:
                 cur = neighbors[v][l]
                 merged = np.append(cur, np.int32(i))
                 if len(merged) > caps(l):
                     ds = dist_many(merged, vecs[v])
-                    merged = merged[np.argsort(ds, kind="stable")[: caps(l)]]
+                    kept = _prune_diverse(
+                        vecs, kernel, list(zip(ds.tolist(), merged.tolist())), caps(l)
+                    )
+                    merged = np.asarray(kept, dtype=np.int32)
                 neighbors[v][l] = merged
             ep = chosen[0] if chosen else ep
             ep_d = dist(ep, q)
