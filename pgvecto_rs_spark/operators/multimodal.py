@@ -7,16 +7,20 @@ typed metadata struct; every transform is an Arrow-batched
 objects one at a time, and partition sizing (``target_batch_bytes``)
 keeps executor memory bounded at 100 TB.
 
-The *codec* layer (actual JPEG/PNG/audio decode) is stubbed: the
-runtime image here has no imaging libraries, so decoders raise
-``NotImplementedError`` unless a deterministic fake is requested.  The
+Codec layer: formats decodable without external libraries are REAL —
+PPM (P6) images decode and resize in numpy, PCM WAV audio decodes via
+the stdlib ``wave`` module with numpy spectral features.  Compressed
+formats (JPEG/PNG/MP4) need libs absent from this runtime and raise
+``NotImplementedError`` unless a deterministic fake is requested; the
 Spark-side contract — schemas, batching, UDF signatures, partitioning —
-is real and tested; swapping in PIL/ffmpeg later touches only
-``_decode_image_bytes``.
+is identical either way, so swapping in PIL/ffmpeg later touches only
+the ``_decode_*`` functions.
 """
 
 from __future__ import annotations
 
+import io
+import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -29,6 +33,8 @@ __all__ = [
     "MEDIA_SCHEMA",
     "attach_media_metadata",
     "decode_image_features",
+    "decode_audio_features",
+    "resize_images",
     "sample_video_frames",
 ]
 
@@ -55,17 +61,59 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
+def _decode_ppm(payload: bytes) -> np.ndarray:
+    """PPM (P6) decode, pure numpy: 'P6\\n<w> <h>\\n<maxval>\\n<rgb bytes>'.
+    Returns float32 grayscale HxW in [0, 1]."""
+    parts = payload.split(maxsplit=4)
+    if len(parts) < 4 or parts[0] != b"P6":
+        raise ValueError("not a P6 ppm")
+    w, h, maxval = int(parts[1]), int(parts[2]), int(parts[3])
+    raw = payload[-w * h * 3 :]
+    rgb = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.float32)
+    return rgb.mean(axis=2) / float(maxval)
+
+
+def _resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize, pure numpy."""
+    ys = (np.arange(out_h) * img.shape[0] // out_h).clip(0, img.shape[0] - 1)
+    xs = (np.arange(out_w) * img.shape[1] // out_w).clip(0, img.shape[1] - 1)
+    return img[ys[:, None], xs[None, :]]
+
+
 def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
-    """Codec boundary.  Real decode needs PIL/libjpeg — not present in
-    this runtime; ``fake=True`` derives a deterministic 8x8 gray image
-    from the payload bytes so pipelines are testable end-to-end."""
+    """Codec boundary.  PPM (P6) decodes for real (numpy); compressed
+    formats need PIL/libjpeg — absent here — so they raise unless
+    ``fake=True`` derives a deterministic 8x8 gray image from the
+    payload bytes (pipelines stay testable end-to-end)."""
+    if payload[:2] == b"P6":
+        return _resize_nn(_decode_ppm(payload), 8, 8)
     if not fake:
         raise NotImplementedError(
-            "image decode requires an imaging library not present in this runtime; "
-            "use fake=True for deterministic synthetic decode"
+            "compressed image decode requires an imaging library not present in "
+            "this runtime; supply PPM (P6) payloads or use fake=True"
         )
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
     return h.reshape(8, 8) / 255.0
+
+
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV decode via the stdlib wave module: returns (mono float64
+    waveform in [-1, 1], sample_rate)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+        raw = w.readframes(n)
+    if width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise NotImplementedError(f"{8 * width}-bit WAV not supported")
+    if channels > 1:
+        x = x.reshape(-1, channels).mean(axis=1)
+    return x, rate
 
 
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -104,6 +152,80 @@ def decode_image_features(
                 for b in pdf[payload_col]
             ]
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "feature": feats})
+
+    return df.mapInPandas(op, out_schema)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, duration_ms, sample_rate, feature): REAL PCM WAV decode
+    (stdlib wave + numpy) producing a 16-dim spectral feature — rms,
+    zero-crossing rate, and 14 log-energy FFT bands — as a mapInPandas
+    batch operator.  The feature column is array<float>, directly
+    indexable by the ANN layer."""
+    out_schema = f"{id_col} bigint, duration_ms int, sample_rate int, feature array<float>"
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, durs, rates, feats = [], [], [], []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                x, rate = _decode_wav(bytes(b))
+                n = len(x)
+                rms = float(np.sqrt(np.mean(x**2))) if n else 0.0
+                zcr = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) if n > 1 else 0.0
+                spec = np.abs(np.fft.rfft(x, n=max(n, 2)))
+                bands = np.array_split(spec, 14)
+                band_e = [float(np.log1p(np.sum(band**2))) for band in bands]
+                ids.append(int(mid))
+                durs.append(int(1000 * n / rate) if rate else 0)
+                rates.append(int(rate))
+                feats.append([rms, zcr] + band_e)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "duration_ms": pd.Series(durs, dtype="int32"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(op, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    out_h: int,
+    out_w: int,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, height, width, pixels): REAL PPM (P6) decode + nearest-
+    neighbor resize in numpy, emitting the resized grayscale raster as
+    array<float> — the resize stage of a vision-training pipeline."""
+    out_schema = f"{id_col} bigint, height int, width int, pixels array<float>"
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, pix = [], []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                img = _resize_nn(_decode_ppm(bytes(b)), out_h, out_w)
+                ids.append(int(mid))
+                pix.append(img.reshape(-1).astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "height": pd.Series([out_h] * len(ids), dtype="int32"),
+                    "width": pd.Series([out_w] * len(ids), dtype="int32"),
+                    "pixels": pix,
+                }
+            )
 
     return df.mapInPandas(op, out_schema)
 

@@ -43,6 +43,67 @@ class TestMultimodal:
             decode_image_features(self._media(spark), fake=False).collect()
         assert "NotImplementedError" in str(ei.value) or "imaging library" in str(ei.value)
 
+    @staticmethod
+    def _ppm(w, h, value):
+        import numpy as np
+
+        header = f"P6\n{w} {h}\n255\n".encode()
+        rgb = np.full((h, w, 3), value, dtype=np.uint8)
+        return header + rgb.tobytes()
+
+    def test_real_ppm_decode_and_resize(self, spark):
+        """PPM (P6) is a REAL codec path: decode + nearest-neighbor
+        resize in numpy, no fake needed."""
+        from pgvecto_rs_spark.operators.multimodal import (
+            decode_image_features,
+            resize_images,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "image", self._ppm(16, 12, 100)), (2, "image", self._ppm(4, 4, 200))],
+            "media_id long, kind string, payload binary",
+        )
+        feats = {r["media_id"]: r["feature"] for r in decode_image_features(df).collect()}
+        assert len(feats[1]) == 64
+        assert feats[1][0] == pytest.approx(100 / 255.0)
+        assert feats[2][0] == pytest.approx(200 / 255.0)
+
+        out = {r["media_id"]: r for r in resize_images(df, 6, 8).collect()}
+        assert out[1]["height"] == 6 and out[1]["width"] == 8
+        assert len(out[1]["pixels"]) == 48
+        assert out[2]["pixels"][0] == pytest.approx(200 / 255.0)
+
+    def test_real_wav_decode_features(self, spark):
+        """PCM WAV is a REAL codec path (stdlib wave + numpy spectral
+        features): a 440 Hz tone concentrates energy in a low FFT band."""
+        import io
+        import wave as wavemod
+
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import decode_audio_features
+
+        rate, secs = 8000, 1
+        t = np.arange(rate * secs) / rate
+        tone = (np.sin(2 * np.pi * 440 * t) * 20000).astype("<i2")
+        buf = io.BytesIO()
+        with wavemod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(tone.tobytes())
+        df = spark.createDataFrame(
+            [(7, "audio", buf.getvalue())], "media_id long, kind string, payload binary"
+        )
+        row = decode_audio_features(df).collect()[0]
+        assert row["sample_rate"] == rate
+        assert row["duration_ms"] == 1000
+        assert len(row["feature"]) == 16
+        assert row["feature"][0] == pytest.approx(20000 / 32768 / np.sqrt(2), rel=1e-3)
+        bands = row["feature"][2:]
+        # 440 Hz of a 4 kHz band span lands in the second of 14 bands
+        assert max(range(14), key=lambda i: bands[i]) == 1
+
     def test_video_frame_sampling(self, spark):
         from pgvecto_rs_spark.operators.multimodal import sample_video_frames
 
