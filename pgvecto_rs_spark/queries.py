@@ -854,6 +854,35 @@ def hnsw_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sparse_inv_topk_dot",
+    f"""
+    SELECT vec_id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id,
+             -(list_sum(list_transform(range(1, {DIMS + 1}),
+                i -> ({_SQL_SPARSE_E}) * ({_SQL_SPARSE_Q})))) AS d
+      FROM embeddings
+    ) ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def sparse_inv_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sparse SCALE path: posting-list join + groupBy-sum over the
+    inverted index (exact for Dot — only overlapping dims contribute),
+    oracle-checked against the same brute-force SQL as sparse_topk_dot."""
+    from pgvecto_rs_spark.indexes.sparse_inverted import SparseInvertedIndex
+
+    path = _tmp_index_dir("spinv", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        SparseInvertedIndex.create(
+            spark, _sparse_emb(_emb(spark, sf_dir)), path,
+            svector_col="svec", id_col="vec_id",
+        )
+    idx = SparseInvertedIndex.open(spark, path)
+    q = {i: x for i, x in enumerate(Q64) if abs(x) > SPARSE_THRESHOLD}
+    out = idx.search(q, k=10)
+    return out.select(F.col("id").alias("vec_id"), _r4(F.col("distance")).alias("dist"))
+
+
+@register(
     "ivf_pq_topk_l2",
     f"""
     SELECT id, ROUND(d, 4) AS dist FROM (
