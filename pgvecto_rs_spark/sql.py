@@ -79,7 +79,24 @@ _FUNCTIONS: dict[str, str] = {
 
 
 def register_sql_functions(spark: SparkSession) -> list[str]:
-    """Create the temporary SQL functions; returns the function names."""
+    """Create the temporary SQL functions; returns the function names.
+
+    Besides the inlined SQL-UDF kernels, the binary send/recv codecs
+    (pandas UDFs — the reference's `_vectors_*_send/recv` surface,
+    src/datatype/binary_*.rs) register as vec_send/vec_recv,
+    svec_send/svec_recv, bvec_send/bvec_recv."""
     for name, body in _FUNCTIONS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
-    return sorted(_FUNCTIONS)
+    from pgvecto_rs_spark.functions import wire as W
+
+    codecs = {
+        "vec_send": W._make_vector_send,
+        "vec_recv": W._make_vector_recv,
+        "svec_send": W._make_svector_send,
+        "svec_recv": W._make_svector_recv,
+        "bvec_send": W._make_bvector_send,
+        "bvec_recv": W._make_bvector_recv,
+    }
+    for name, maker in codecs.items():
+        spark.udf.register(name, W._udf(name, maker))
+    return sorted(list(_FUNCTIONS) + list(codecs))

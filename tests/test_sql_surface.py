@@ -70,3 +70,16 @@ def test_full_sql_query_shape(spark, sf_dir):
         """
     ).collect()
     assert len(rows) == 5
+
+
+def test_wire_codecs_via_sql(spark):
+    """send/recv registered on the SQL surface (the reference's
+    _vectors_*_send/recv function pairs)."""
+    from pgvecto_rs_spark.sql import register_sql_functions
+
+    names = register_sql_functions(spark)
+    assert {"vec_send", "vec_recv", "svec_send", "bvec_recv"} <= set(names)
+    row = spark.sql(
+        "SELECT vec_recv(vec_send(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)))) AS v"
+    ).collect()[0]
+    assert row["v"] == [1.5, -2.0]
