@@ -125,16 +125,13 @@ def _prune_diverse(
     on clustered corpora regardless of ef); the heuristic keeps one
     edge per 'direction' instead."""
     kept: list[int] = []
-    kept_d: list[float] = []
     for d, c in sorted(cand):
         if len(kept) == cap:
             break
-        if all(
-            float(base.np_kernel_distance(kernel, vecs[c : c + 1], vecs[s])[0]) > d
-            for s in kept
+        if not kept or bool(
+            (base.np_kernel_distance(kernel, vecs[np.asarray(kept)], vecs[c]) > d).all()
         ):
             kept.append(int(c))
-            kept_d.append(float(d))
     return kept
 
 
