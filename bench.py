@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "agg_sum_vector",
     "agg_sum_svector",
     "sparse_topk_dot",
+    "sparse_inv_topk_dot",
     "bin_hamming_topk",
     "ivf_topk_l2",
     "ivf_pq_topk_l2",
