@@ -333,7 +333,8 @@ def agg_sum_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_avg_vector",
     """
     SELECT label, CAST(ord AS BIGINT) AS pos,
-           ROUND(CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 4) AS avg_val
+           FLOOR(CAST(SUM(CAST(FLOOR(val * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_val
     FROM (
       SELECT label, CAST(unnest(embedding) AS DOUBLE) AS val,
              generate_subscripts(embedding, 1) AS ord
@@ -343,16 +344,16 @@ def agg_sum_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_avg_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg(vector) via the tie-free scaled-integer sum (see _scaled_sum)
+    and the tie-free round-4 (_r4t) — DECIMAL sums and ROUND(double)
+    both diverge between engines at exact decimal ties."""
     df = _emb(spark, sf_dir)
+    cnt = F.count(F.lit(1))
+    s = _scaled_sum(F.col("val"), 1000000.0)
     return (
         df.select("label", F.posexplode("embedding").alias("pos", "val"))
         .groupBy("label", "pos")
-        .agg(
-            _r4(
-                F.sum(F.col("val").cast("double").cast("decimal(18,9)")).cast("double")
-                / F.count(F.lit(1))
-            ).alias("avg_val")
-        )
+        .agg(_r4t(s.cast("double") / F.lit(1000000.0) / cnt).alias("avg_val"))
         .select("label", (F.col("pos") + 1).cast("long").alias("pos"), "avg_val")
     )
 
