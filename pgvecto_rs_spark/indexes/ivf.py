@@ -358,13 +358,42 @@ class IVFIndex:
             approx_vec = F.zip_with(
                 F.col("__cent").cast("array<double>"), decoded_res, lambda c, rr: (c + rr).cast("float")
             ).cast("array<float>")
-            window = max(k, rerank_size, k * 4)
-            cand = (
-                df.join(F.broadcast(cent_df), "list_id")
-                .withColumn("adist", scorer(approx_vec))
-                .orderBy(F.col("adist").asc(), F.col("id").asc())
-                .limit(window)
+            scored = df.join(F.broadcast(cent_df), "list_id").withColumn(
+                "adist", scorer(approx_vec)
             )
+            if rerank_size == 0:
+                # error-bound reranker (reranker/error.rs, default like
+                # the flat SQ path): decode error per dim <= eps_j =
+                # width_j/(2*255); sound bounds make the rerank set
+                # provably contain the exact top-k WITHIN the probed
+                # lists — no window guess.
+                eps = np.asarray(self.meta["sq_width"], dtype=np.float64) / (2.0 * 255.0)
+                adist = F.col("adist")
+                if self.meta["kernel"] == "l2":
+                    e = float(np.sqrt((eps**2).sum()))
+                    rt = F.sqrt(F.greatest(adist, F.lit(0.0)))
+                    upper = (rt + F.lit(e)) * (rt + F.lit(e))
+                    lb = F.greatest(rt - F.lit(e), F.lit(0.0))
+                    lower = lb * lb
+                else:  # dot: |Δ| <= Σ |q_j|·eps_j
+                    e = float(np.abs(q) @ eps)
+                    upper = adist + F.lit(e)
+                    lower = adist - F.lit(e)
+                scored = scored.withColumn("__ub", upper).withColumn("__lb", lower)
+                trow = (
+                    scored.orderBy(F.col("__ub").asc(), F.col("id").asc())
+                    .limit(k)
+                    .agg(F.max("__ub").alias("t"))
+                    .collect()
+                )
+                if trow and trow[0]["t"] is not None:
+                    cand = scored.where(F.col("__lb") <= float(trow[0]["t"]))
+                else:
+                    cand = scored.where(F.lit(False))
+                cand = cand.drop("__ub", "__lb")
+            else:
+                window = max(k, rerank_size, k * 4)
+                cand = scored.orderBy(F.col("adist").asc(), F.col("id").asc()).limit(window)
             out = cand.withColumn(
                 "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
             )

@@ -318,6 +318,18 @@ class TestAlgoQuantMatrix:
             got = [r["id"] for r in idx.search(Q64, k=10, rerank_size=40).collect()]
             assert recall(got, exact_ids(emb, "l2")) >= 0.9
 
+    def test_ivf_sq8_error_rerank_exact_at_full_probe(self, spark, emb):
+        """Error-bound rerank on the IVF residual-SQ8 path (the default,
+        like flat SQ): with full probe the result must be EXACT — the
+        bounds provably cover the true top-k within probed lists."""
+        truth = exact_ids(emb, "l2")[:10]
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(
+                spark, emb, d, metric="l2", nlist=8, quantization="sq8"
+            )
+            got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8).collect()]
+            assert got == truth
+
     def test_ivf_pq_recall(self, spark, emb):
         """IVF x PQ — the 100 TB memory/I/O operating point (reference
         composes any quantizer into IVF, crates/ivf/src/lib.rs:68-119)."""
