@@ -125,7 +125,7 @@ class IVFIndex:
         replicas: int = 1,
         where=None,  # partial index predicate (partition.slt 'partial index')
         residual_quantization: bool = False,  # back-compat alias for "sq8"
-        quantization: str | None = None,  # None | "sq8" | "pq" | "rabitq"
+        quantization: str | None = None,  # None | "sq{1,2,4,8}" | "pq" | "rabitq"
         pq_ratio: int = 1,  # dims per subspace (base/src/index.rs:475-496)
     ) -> "IVFIndex":
         """``replicas`` > 1 stores each vector in its ``replicas``
@@ -182,6 +182,8 @@ class IVFIndex:
 
         indexed = prepared.withColumn("list_id", F.explode(assign_lists("vec")))
 
+        from pgvecto_rs_spark.indexes.flat import _SQ_KINDS
+
         if residual_quantization and quantization is None:
             quantization = "sq8"
         lo = width = None
@@ -199,7 +201,8 @@ class IVFIndex:
 
             indexed = indexed.withColumn("res", residual("vec", "list_id"))
 
-        if quantization == "sq8":
+        if quantization in _SQ_KINDS:
+            levels = (1 << _SQ_KINDS[quantization]) - 1
             mm = (
                 indexed.select(F.posexplode("res").alias("pos", "x"))
                 .groupBy("pos")
@@ -216,8 +219,8 @@ class IVFIndex:
                 F.col("res").cast("array<double>"),
                 F.zip_with(lo_c, w_c, lambda a, b: F.struct(a.alias("lo"), b.alias("w"))),
                 lambda x, p: F.least(
-                    F.lit(255),
-                    F.greatest(F.lit(0), F.round((x - p["lo"]) / p["w"] * 255, 0).cast("int")),
+                    F.lit(levels),
+                    F.greatest(F.lit(0), F.round((x - p["lo"]) / p["w"] * levels, 0).cast("int")),
                 ).cast("smallint"),
             )
             indexed = indexed.withColumn("codes", codes).drop("res")
@@ -268,11 +271,12 @@ class IVFIndex:
             "payload_cols": list(payload_cols),
             "replicas": int(r),
             "quantization": quantization,
-            "residual_quantization": quantization == "sq8",  # back-compat
+            "residual_quantization": quantization in _SQ_KINDS,  # back-compat
         }
-        if quantization == "sq8":
+        if quantization in _SQ_KINDS:
             meta["sq_lo"] = lo.tolist()
             meta["sq_width"] = width.tolist()
+            meta["sq_bits"] = _SQ_KINDS[quantization]
         if quantization == "pq":
             meta["pq_subspaces"] = int(centroids.shape[1]) // pq_ratio
         base.write_meta(path, meta)
@@ -340,12 +344,15 @@ class IVFIndex:
         qlist = [float(v) for v in q]
         scorer = arrow_distance(qlist, self.meta["kernel"])
 
+        from pgvecto_rs_spark.indexes.flat import _SQ_KINDS
+
         quant = self.meta.get("quantization") or (
             "sq8" if self.meta.get("residual_quantization") else None
         )
-        if quant == "sq8":
-            # decode: centroid[list] + lo + code/255·width, then approx
-            # score, rerank window by exact vec distance
+        if quant in _SQ_KINDS:
+            levels = float((1 << self.meta.get("sq_bits", 8)) - 1)
+            # decode: centroid[list] + lo + code/levels·width, then
+            # approx score, rerank by exact vec distance
             cent_rows = [(int(l), self.centroids[l].astype(float).tolist()) for l in lists]
             cent_df = self.spark.createDataFrame(cent_rows, "list_id int, __cent array<float>")
             lo_c = F.array(*[F.lit(float(v)) for v in self.meta["sq_lo"]])
@@ -353,7 +360,7 @@ class IVFIndex:
             decoded_res = F.zip_with(
                 F.col("codes"),
                 F.zip_with(lo_c, w_c, lambda a, b: F.struct(a.alias("lo"), b.alias("w"))),
-                lambda c, p: p["lo"] + c.cast("double") / 255.0 * p["w"],
+                lambda c, p: p["lo"] + c.cast("double") / F.lit(levels) * p["w"],
             )
             approx_vec = F.zip_with(
                 F.col("__cent").cast("array<double>"), decoded_res, lambda c, rr: (c + rr).cast("float")
@@ -364,10 +371,10 @@ class IVFIndex:
             if rerank_size == 0:
                 # error-bound reranker (reranker/error.rs, default like
                 # the flat SQ path): decode error per dim <= eps_j =
-                # width_j/(2*255); sound bounds make the rerank set
+                # width_j/(2*levels); sound bounds make the rerank set
                 # provably contain the exact top-k WITHIN the probed
                 # lists — no window guess.
-                eps = np.asarray(self.meta["sq_width"], dtype=np.float64) / (2.0 * 255.0)
+                eps = np.asarray(self.meta["sq_width"], dtype=np.float64) / (2.0 * levels)
                 adist = F.col("adist")
                 if self.meta["kernel"] == "l2":
                     e = float(np.sqrt((eps**2).sum()))

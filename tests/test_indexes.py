@@ -330,6 +330,18 @@ class TestAlgoQuantMatrix:
             got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8).collect()]
             assert got == truth
 
+    def test_ivf_sq_bits_error_rerank_exact(self, spark, emb):
+        """IVF x SQ at 1/4 bits with full probe + error-bound rerank is
+        exact — the quantizer-bit matrix composes into IVF like flat."""
+        truth = exact_ids(emb, "l2")[:10]
+        with tempfile.TemporaryDirectory() as d:
+            for quant in ("sq1", "sq4"):
+                idx = IVFIndex.create(
+                    spark, emb, f"{d}/{quant}", metric="l2", nlist=8, quantization=quant
+                )
+                got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8).collect()]
+                assert got == truth, quant
+
     def test_ivf_pq_recall(self, spark, emb):
         """IVF x PQ — the 100 TB memory/I/O operating point (reference
         composes any quantizer into IVF, crates/ivf/src/lib.rs:68-119)."""
