@@ -182,7 +182,16 @@ class FlatIndex:
             meta["sq_bits"] = bits
             meta["dims"] = dims
 
-        prepared.write.mode("overwrite").parquet(os.path.join(path, "rows"))
+        # range-partitioned + sorted by id: Parquet min/max stats then
+        # skip row groups for the rerank's `id IN (...)` fetch — the
+        # two-phase scan reads the codes column in pass 1 and only the
+        # touched row groups' vectors in pass 2
+        (
+            prepared.repartitionByRange(max(2, spark.sparkContext.defaultParallelism), "id")
+            .sortWithinPartitions("id")
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "rows"))
+        )
         n = spark.read.parquet(os.path.join(path, "rows")).count()
         meta["n_rows"] = int(n)
         base.write_meta(path, meta)
@@ -246,6 +255,31 @@ class FlatIndex:
         t = float(thresh_row[0]["t"])
         return scored.where(F.col("__lb") <= t)
 
+    # candidate sets larger than this rerank in-plan (join) instead of
+    # via a driver id-list fetch
+    RERANK_FETCH_CAP = 8192
+
+    def _fetch_rerank(self, rows: DataFrame, cand: DataFrame, qlist: list[float]) -> DataFrame:
+        """Second phase of the quantized scan: fetch candidates' exact
+        vectors by id and rescore — the reference's by-pointer rerank.
+
+        Candidate ids collect to the driver (the reference materializes
+        candidate pointers the same way) and come back as an `id IN
+        (...)` predicate: against the id-sorted Parquet layout that is a
+        pushed filter with row-group min/max skipping, so pass 2 reads
+        only the touched row groups' vector chunks instead of the whole
+        vector column.  Falls back to a broadcast join when the
+        candidate set exceeds RERANK_FETCH_CAP."""
+        exact = dist_expr(F.col("vec"), qlist, self.meta["kernel"])
+        ids = [
+            r["id"] for r in cand.select("id").limit(self.RERANK_FETCH_CAP + 1).collect()
+        ]
+        if len(ids) <= self.RERANK_FETCH_CAP:
+            fetched = rows.where(F.col("id").isin(ids))
+        else:
+            fetched = rows.join(F.broadcast(cand.select("id")), "id")
+        return fetched.withColumn("distance", base.post_map(self.meta["metric"], exact))
+
     def search(
         self,
         query: Sequence[float],
@@ -287,9 +321,10 @@ class FlatIndex:
 
         quant = self.meta.get("quantization")
         if quant in _SQ_KINDS and rerank_size == 0:
-            cand = self._sq_error_rerank(df, qlist, k)
-            exact = dist_expr(F.col("vec"), qlist, self.meta["kernel"])
-            out = cand.withColumn("distance", base.post_map(self.meta["metric"], exact))
+            # pass 1 reads ONLY (id, codes) — projection pruning keeps
+            # the vector column out of the approximate scan's I/O
+            cand = self._sq_error_rerank(df.select("id", "codes"), qlist, k)
+            out = self._fetch_rerank(df, cand, qlist)
             return (
                 out.orderBy(F.col("distance").asc(), F.col("id").asc())
                 .limit(k)
@@ -299,25 +334,28 @@ class FlatIndex:
             window = max(k, rerank_size, k * 4)
             if quant in _SQ_KINDS:
                 approx = dist_expr(self._decoded_codes(), qlist, self.meta["kernel"])
+                code_cols = ["id", "codes"]
             elif quant == "pq":
                 from pgvecto_rs_spark.indexes import quantization as Qz
 
                 books = np.load(os.path.join(self.path, "pq_codebooks.npy"))
                 lut = Qz.pq_lut(books, np.asarray(qlist), self.meta["kernel"])
                 approx = Qz.pq_approx_distance("codes", lut)
+                code_cols = ["id", "codes"]
             else:
                 from pgvecto_rs_spark.indexes import quantization as Qz
 
                 proj = np.load(os.path.join(self.path, "rabitq_proj.npy"))
                 score = Qz.rabitq_score_udf(proj, np.asarray(qlist), self.meta["kernel"], self.spark)
                 approx = score(F.col("rq.norm"), F.col("rq.words"))
+                code_cols = ["id", "rq"]
             cand = (
-                df.withColumn("adist", approx)
+                df.select(*code_cols)
+                .withColumn("adist", approx)
                 .orderBy(F.col("adist").asc(), F.col("id").asc())
                 .limit(window)
             )
-            exact = dist_expr(F.col("vec"), qlist, self.meta["kernel"])
-            out = cand.withColumn("distance", base.post_map(self.meta["metric"], exact))
+            out = self._fetch_rerank(df, cand, qlist)
             return (
                 out.orderBy(F.col("distance").asc(), F.col("id").asc())
                 .limit(k)

@@ -305,6 +305,18 @@ class TestAlgoQuantMatrix:
             )
             assert size(f"{d}/f16") < 0.7 * size(f"{d}/f32")
 
+    def test_sq_rerank_fetch_is_pushed_filter(self, spark, emb):
+        """Two-phase I/O golden: pass 1 scans (id, codes) only; pass 2
+        fetches candidates by id — the plan must show a pushed id filter
+        against the id-sorted rows layout (row-group skipping)."""
+        with tempfile.TemporaryDirectory() as d:
+            idx = FlatIndex.create(spark, emb, d, metric="l2", quantization="sq8")
+            out = idx.search(Q64, k=5)
+            plan = out._jdf.queryExecution().executedPlan().toString()
+            assert "PushedFilters" in plan and "In(id" in plan, plan[:2000]
+            got = [r["id"] for r in out.collect()]
+            assert got == exact_ids(emb, "l2")[:5]
+
     def test_pq_codebook_unbiased_on_sorted_input(self, spark, emb):
         """Training samples come from sample(), not limit(): a
         label-sorted input must train codebooks of the same quality as
