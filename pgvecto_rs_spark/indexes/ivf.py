@@ -253,6 +253,8 @@ class IVFIndex:
 
         (
             indexed.repartition("list_id")
+            .sortWithinPartitions("id")  # row-group min/max skipping for
+            # the rerank's id IN (...) fetch (two-phase quantized scan)
             .write.mode("overwrite")
             .partitionBy("list_id")
             .parquet(os.path.join(path, "lists"))
@@ -365,8 +367,12 @@ class IVFIndex:
             approx_vec = F.zip_with(
                 F.col("__cent").cast("array<double>"), decoded_res, lambda c, rr: (c + rr).cast("float")
             ).cast("array<float>")
-            scored = df.join(F.broadcast(cent_df), "list_id").withColumn(
-                "adist", scorer(approx_vec)
+            # pass 1 reads ONLY (id, list_id, codes): projection pruning
+            # keeps the vector column out of the approximate scan
+            scored = (
+                df.select("id", "list_id", "codes")
+                .join(F.broadcast(cent_df), "list_id")
+                .withColumn("adist", scorer(approx_vec))
             )
             if rerank_size == 0:
                 # error-bound reranker (reranker/error.rs, default like
@@ -401,33 +407,29 @@ class IVFIndex:
             else:
                 window = max(k, rerank_size, k * 4)
                 cand = scored.orderBy(F.col("adist").asc(), F.col("id").asc()).limit(window)
-            out = cand.withColumn(
-                "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
-            )
+            out = self._fetch_rerank(df, cand, scorer)
         elif quant == "pq":
             window = max(k, rerank_size, k * 4)
             approx = self._pq_scorer(q, lists)(F.col("list_id"), F.col("codes"))
             cand = (
-                df.withColumn("adist", approx)
+                df.select("id", "list_id", "codes")
+                .withColumn("adist", approx)
                 .orderBy(F.col("adist").asc(), F.col("id").asc())
                 .limit(window)
             )
-            out = cand.withColumn(
-                "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
-            )
+            out = self._fetch_rerank(df, cand, scorer)
         elif quant == "rabitq":
             window = max(k, rerank_size, k * 4)
             approx = self._rabitq_scorer(q, lists)(
                 F.col("list_id"), F.col("rq.norm"), F.col("rq.words")
             )
             cand = (
-                df.withColumn("adist", approx)
+                df.select("id", "list_id", "rq")
+                .withColumn("adist", approx)
                 .orderBy(F.col("adist").asc(), F.col("id").asc())
                 .limit(window)
             )
-            out = cand.withColumn(
-                "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
-            )
+            out = self._fetch_rerank(df, cand, scorer)
         else:
             out = df.withColumn(
                 "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
@@ -440,6 +442,26 @@ class IVFIndex:
             out.orderBy(F.col("distance").asc(), F.col("id").asc())
             .limit(k)
             .drop("vec", "codes", "adist", "__cent", "rq")
+        )
+
+    RERANK_FETCH_CAP = 8192
+
+    def _fetch_rerank(self, rows: DataFrame, cand: DataFrame, scorer) -> DataFrame:
+        """Second phase of the quantized scan: fetch candidates' exact
+        vectors by id within the probed (pruned) lists and rescore.  Ids
+        collect to the driver and push down as id IN (...) — against the
+        id-sorted within-list layout this skips row groups, so pass 2
+        reads only the touched vector chunks (see FlatIndex._fetch_rerank
+        for the same design)."""
+        ids = [
+            r["id"] for r in cand.select("id").limit(self.RERANK_FETCH_CAP + 1).collect()
+        ]
+        if len(ids) <= self.RERANK_FETCH_CAP:
+            fetched = rows.where(F.col("id").isin(ids))
+        else:
+            fetched = rows.join(F.broadcast(cand.select("id")), "id")
+        return fetched.withColumn(
+            "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
         )
 
     # -- quantized first-pass scorers (asymmetric, per-probed-list) -----
