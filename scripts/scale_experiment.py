@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    quant = sys.argv[2] if len(sys.argv) > 2 else None  # e.g. "pq"
     from pgvecto_rs_spark.session import get_spark
     from pgvecto_rs_spark.indexes import IVFIndex
     from pgvecto_rs_spark.operators.search import arrow_distance
@@ -76,22 +77,29 @@ def main() -> None:
     # recall extension)
     t0 = time.perf_counter()
     idx = IVFIndex.create(
-        spark, corpus, os.path.join(work, "ivf"), metric="l2", nlist=1000, replicas=2
+        spark, corpus, os.path.join(work, "ivf"), metric="l2", nlist=1000, replicas=2,
+        quantization=quant, pq_ratio=4,
     )
     t_build = time.perf_counter() - t0
 
     # warm the cached file index (one listing job), then measure
     idx.search(queries[0], k=1, nprobe=1).collect()
 
+    points = [(10, 0), (20, 0), (50, 0)]
+    if quant:  # quantized first pass: show the rerank-window knob too
+        points += [(20, 200), (50, 200)]
     curve = {}
-    for nprobe in (10, 20, 50):
+    for nprobe, rr in points:
         recalls, t_search = [], 0.0
         for q, truth in zip(queries, truths):
             t0 = time.perf_counter()
-            got = {r["id"] for r in idx.search(q, k=10, nprobe=nprobe).collect()}
+            got = {
+                r["id"]
+                for r in idx.search(q, k=10, nprobe=nprobe, rerank_size=rr).collect()
+            }
             t_search += time.perf_counter() - t0
             recalls.append(len(got & truth) / 10)
-        curve[nprobe] = {
+        curve[f"nprobe={nprobe},rerank={rr}"] = {
             "recall_at_10": round(sum(recalls) / len(recalls), 3),
             "sec_per_query": round(t_search / len(queries), 3),
             "scan_fraction": round(nprobe / idx.meta["nlist"], 3),
@@ -101,6 +109,7 @@ def main() -> None:
         "n_rows": n,
         "dims": 64,
         "nlist": idx.meta["nlist"],
+        "quantization": quant,
         "replicas": 2,
         "gen_sec": round(t_gen, 2),
         "build_sec": round(t_build, 2),
