@@ -69,24 +69,65 @@ def _segment_fingerprint(seg_dir: str):
     return tuple((f, os.path.getmtime(f), os.path.getsize(f)) for f in files)
 
 
-def _load_segment(seg_dir: str):
+class _CodedVecs:
+    """SQ8-coded vectors with decode-on-access: the resident footprint is
+    1 byte/dim (uint8 codes) instead of 8 (float64); traversal decodes
+    only the rows it touches.  Drop-in for the ndarray the search code
+    indexes (``v[i:j]``, ``v[int_array]``, ``len``)."""
+
+    def __init__(self, codes: np.ndarray, lo: np.ndarray, width: np.ndarray):
+        self.codes = codes  # (n, d) uint8
+        self.lo = lo
+        self.scale = width / 255.0
+
+    def __len__(self) -> int:
+        return len(self.codes)
+
+    def __getitem__(self, key) -> np.ndarray:
+        return self.lo + self.codes[key].astype(np.float64) * self.scale
+
+
+def _read_exact_vecs(seg_dir: str, idxs: np.ndarray) -> np.ndarray:
+    """Transiently fetch exact vectors for the given node indexes from
+    the segment Parquet (vec column only) — the graph reranker's
+    storage access (reranker/graph_2.rs): exact values are read per
+    query, never held resident."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(seg_dir, columns=["idx", "vec"])
+    order = np.argsort(tbl.column("idx").to_numpy())
+    vec_list = tbl.column("vec").to_pylist()
+    return np.asarray([vec_list[order[int(i)]] for i in idxs], dtype=np.float64)
+
+
+def _load_segment(seg_dir: str, quantized: bool = False):
     """Load (ids, vecs, neighbors, levels, entry) for one segment, via the
     process-global cache keyed by file path + mtime + size (stale entries
-    reload after a rebuild)."""
+    reload after a rebuild).  With ``quantized``, ``vecs`` is a
+    :class:`_CodedVecs` built from the stored SQ8 codes and the vector
+    column stays on disk (fetched transiently at rerank)."""
     fp = _segment_fingerprint(seg_dir)
     hit = _SEG_CACHE.get(seg_dir)
-    if hit is not None and hit[0] == fp:
+    if hit is not None and hit[0] == (fp, quantized):
         _SEG_CACHE.move_to_end(seg_dir)
         return hit[1]
     if not fp:  # hash-assigned segment with no rows: no directory written
         empty = (np.empty(0, np.int64), np.empty((0, 0)), [], [], 0)
-        _SEG_CACHE[seg_dir] = (fp, empty)
+        _SEG_CACHE[seg_dir] = ((fp, quantized), empty)
         return empty
     import pyarrow.parquet as pq
 
-    pdf = pq.read_table(seg_dir).to_pandas()
+    cols = ["seg", "idx", "id", "level", "neighbors", "entry"]
+    cols += ["codes", "qlo", "qwidth"] if quantized else ["vec"]
+    pdf = pq.read_table(seg_dir, columns=[c for c in cols if c != "seg"]).to_pandas()
     pdf = pdf.sort_values("idx").reset_index(drop=True)
-    vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+    if quantized:
+        codes = np.asarray(pdf["codes"].tolist(), dtype=np.uint8)
+        lo = np.asarray(pdf["qlo"].iloc[0], dtype=np.float64)
+        width = np.asarray(pdf["qwidth"].iloc[0], dtype=np.float64)
+        vecs = _CodedVecs(codes, lo, width)
+    else:
+        vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
     neighbors = [
         [np.asarray(lvl, dtype=np.int32) for lvl in nb] for nb in pdf["neighbors"]
     ]
@@ -94,7 +135,7 @@ def _load_segment(seg_dir: str):
     entry = int(pdf["entry"].iloc[0]) if len(pdf) else 0
     ids = pdf["id"].to_numpy().astype(np.int64)
     data = (ids, vecs, neighbors, levels, entry)
-    _SEG_CACHE[seg_dir] = (fp, data)
+    _SEG_CACHE[seg_dir] = ((fp, quantized), data)
     _SEG_CACHE.move_to_end(seg_dir)
     while len(_SEG_CACHE) > _SEG_CACHE_MAX:
         _SEG_CACHE.popitem(last=False)
@@ -287,7 +328,18 @@ class HNSWIndex:
         ef_construction: int = DEFAULT_EF_CONSTRUCTION,
         segment_rows: int = DEFAULT_SEGMENT_ROWS,
         where=None,  # partial index predicate (partition.slt 'partial index')
+        quantization: str | None = None,  # None | "sq8"
     ) -> "HNSWIndex":
+        """``quantization="sq8"`` composes scalar codes into the graph:
+        the executor-resident copy holds 1-byte codes (8x smaller than
+        the f64 working set) and traversal decodes on access; exact
+        vectors stay on disk and are fetched transiently to rerank each
+        segment's candidates — the graph reranker
+        (crates/quantization/src/reranker/graph_2.rs) trade of memory
+        for a bounded per-query storage read.  Graphs are built on exact
+        vectors (quality >= the reference's build-on-codes)."""
+        if quantization not in (None, "sq8"):
+            raise ValueError(f"unsupported hnsw quantization {quantization!r}")
         kernel, do_norm = base.resolve_metric(metric)
         src = df.where(F.col(vector_col).isNotNull())
         if where is not None:
@@ -304,27 +356,44 @@ class HNSWIndex:
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_segments)).cast("int").alias("seg"),
         )
 
+        quantized = quantization == "sq8"
+
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("id").reset_index(drop=True)
             vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
             neighbors, levels = _build_graph(vecs, kernel, m, ef_construction)
             entry = int(np.argmax(levels)) if levels else 0
-            return pd.DataFrame(
-                {
-                    "seg": pdf["seg"],
-                    "idx": np.arange(len(pdf), dtype=np.int64),
-                    "id": pdf["id"].astype("int64"),
-                    "vec": pdf["vec"],
-                    "level": np.asarray(levels, dtype=np.int32),
-                    "neighbors": [[lvl.tolist() for lvl in nb] for nb in neighbors],
-                    "entry": np.full(len(pdf), entry, dtype=np.int64),
-                }
-            )
+            out = {
+                "seg": pdf["seg"],
+                "idx": np.arange(len(pdf), dtype=np.int64),
+                "id": pdf["id"].astype("int64"),
+                "vec": pdf["vec"],
+                "level": np.asarray(levels, dtype=np.int32),
+                "neighbors": [[lvl.tolist() for lvl in nb] for nb in neighbors],
+                "entry": np.full(len(pdf), entry, dtype=np.int64),
+            }
+            if quantized:
+                # per-segment SQ8 bounds (scalar.rs trains per dataset;
+                # per segment is strictly tighter)
+                if len(vecs):
+                    lo = vecs.min(axis=0)
+                    width = np.where(vecs.max(axis=0) > lo, vecs.max(axis=0) - lo, 1.0)
+                else:
+                    lo = width = np.zeros(0)
+                codes = np.clip(
+                    np.rint((vecs - lo) / width * 255.0), 0, 255
+                ).astype(np.int16)
+                out["codes"] = [row.tolist() for row in codes]
+                out["qlo"] = [lo.astype(np.float32).tolist()] * len(pdf)
+                out["qwidth"] = [width.astype(np.float32).tolist()] * len(pdf)
+            return pd.DataFrame(out)
 
         schema = (
             "seg int, idx bigint, id bigint, vec array<float>, level int, "
             "neighbors array<array<int>>, entry bigint"
         )
+        if quantized:
+            schema += ", codes array<smallint>, qlo array<float>, qwidth array<float>"
         (
             prepared.repartition(n_segments, "seg")
             .groupBy("seg")
@@ -342,6 +411,7 @@ class HNSWIndex:
             "ef_construction": ef_construction,
             "n_rows": int(n),
             "n_segments": int(n_segments),
+            "quantization": quantization,
         }
         base.write_meta(path, meta)
         return cls(spark, path, meta)
@@ -405,27 +475,40 @@ class HNSWIndex:
                 add.select("seg", "id", "vec")
             )
 
+        quantized = self.meta.get("quantization") == "sq8"
+
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("id").reset_index(drop=True)
             vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
             neighbors, levels = _build_graph(vecs, kernel, m, ef_c)
             entry = int(np.argmax(levels)) if levels else 0
-            return pd.DataFrame(
-                {
-                    "seg": pdf["seg"],
-                    "idx": np.arange(len(pdf), dtype=np.int64),
-                    "id": pdf["id"].astype("int64"),
-                    "vec": pdf["vec"],
-                    "level": np.asarray(levels, dtype=np.int32),
-                    "neighbors": [[lvl.tolist() for lvl in nb] for nb in neighbors],
-                    "entry": np.full(len(pdf), entry, dtype=np.int64),
-                }
-            )
+            out = {
+                "seg": pdf["seg"],
+                "idx": np.arange(len(pdf), dtype=np.int64),
+                "id": pdf["id"].astype("int64"),
+                "vec": pdf["vec"],
+                "level": np.asarray(levels, dtype=np.int32),
+                "neighbors": [[lvl.tolist() for lvl in nb] for nb in neighbors],
+                "entry": np.full(len(pdf), entry, dtype=np.int64),
+            }
+            if quantized:
+                if len(vecs):
+                    lo = vecs.min(axis=0)
+                    width = np.where(vecs.max(axis=0) > lo, vecs.max(axis=0) - lo, 1.0)
+                else:
+                    lo = width = np.zeros(0)
+                codes = np.clip(np.rint((vecs - lo) / width * 255.0), 0, 255).astype(np.int16)
+                out["codes"] = [row.tolist() for row in codes]
+                out["qlo"] = [lo.astype(np.float32).tolist()] * len(pdf)
+                out["qwidth"] = [width.astype(np.float32).tolist()] * len(pdf)
+            return pd.DataFrame(out)
 
         schema = (
             "seg int, idx bigint, id bigint, vec array<float>, level int, "
             "neighbors array<array<int>>, entry bigint"
         )
+        if quantized:
+            schema += ", codes array<smallint>, qlo array<float>, qwidth array<float>"
         # checkpoint severs lineage from the graph files we are about to
         # overwrite (Spark refuses to overwrite a path it is reading)
         live = live.localCheckpoint(eager=True)
@@ -469,17 +552,23 @@ class HNSWIndex:
         traverses its executor-resident graph (or brute-scans the resident
         vectors when ``exact``) and yields (id, distance) candidates."""
         kernel, metric = self.meta["kernel"], self.meta["metric"]
+        quantized = self.meta.get("quantization") == "sq8"
         sc = self.spark.sparkContext
         qb = sc.broadcast(np.asarray(q, dtype=np.float64))
         seg_dirs = self._segment_dirs()
 
         def run(it):
             for seg_dir in it:
-                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir)
+                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir, quantized)
                 if len(ids) == 0:
                     continue
                 if exact:
-                    ds = base.np_kernel_distance(kernel, vecs, qb.value)
+                    mat = (
+                        _read_exact_vecs(seg_dir, np.arange(len(ids)))
+                        if quantized
+                        else vecs
+                    )
+                    ds = base.np_kernel_distance(kernel, mat, qb.value)
                     if keep_all:
                         order = np.argsort(ds, kind="stable")
                     else:
@@ -490,6 +579,12 @@ class HNSWIndex:
                     out_d, out_i = _search_graph(
                         vecs, neighbors, levels, entry, qb.value, kernel, ef
                     )
+                    if quantized and len(out_i):
+                        # graph reranker: candidates were ranked on coded
+                        # distances; fetch their exact vectors from
+                        # storage and rescore before the global merge
+                        exact_mat = _read_exact_vecs(seg_dir, np.asarray(out_i))
+                        out_d = base.np_kernel_distance(kernel, exact_mat, qb.value)
                 for i, d in zip(out_i, out_d):
                     yield (int(ids[int(i)]), float(d))
 
@@ -568,15 +663,20 @@ class HNSWIndex:
         ef = max(ef_search, k)
         seg_dirs = self._segment_dirs()
 
+        quantized = self.meta.get("quantization") == "sq8"
+
         def run(it):
             for seg_dir in it:
-                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir)
+                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir, quantized)
                 if len(ids) == 0:
                     continue
                 for qid, q in zip(*qb.value):
                     ds, idxs = _search_graph(
                         vecs, neighbors, levels, entry, q, kernel, ef
                     )
+                    if quantized and len(idxs):
+                        exact_mat = _read_exact_vecs(seg_dir, np.asarray(idxs))
+                        ds = base.np_kernel_distance(kernel, exact_mat, q)
                     for i, d in zip(idxs[:ef], ds[:ef]):
                         yield (qid, int(ids[int(i)]), float(d))
 

@@ -237,6 +237,7 @@ class TestAlgoQuantMatrix:
             cells.append(("ivf/pq", IVFIndex.create(spark, emb, f"{d}/h", metric="l2", nlist=8, quantization="pq", pq_ratio=4).search(Q64, k=10, nprobe=8, rerank_size=40)))
             cells.append(("ivf/rabitq", IVFIndex.create(spark, emb, f"{d}/i", metric="l2", nlist=8, quantization="rabitq").search(Q64, k=10, nprobe=8, rerank_size=60)))
             cells.append(("hnsw/none", HNSWIndex.create(spark, emb, f"{d}/g", metric="l2", segment_rows=300).search(Q64, k=10)))
+            cells.append(("hnsw/sq8", HNSWIndex.create(spark, emb, f"{d}/j", metric="l2", segment_rows=300, quantization="sq8").search(Q64, k=10)))
             for name, out in cells:
                 rows = out.collect()
                 assert len(rows) == 10, name
@@ -304,6 +305,34 @@ class TestAlgoQuantMatrix:
                 os.path.getsize(f) for f in glob.glob(os.path.join(p, "rows", "*.parquet"))
             )
             assert size(f"{d}/f16") < 0.7 * size(f"{d}/f32")
+
+    def test_hnsw_sq8_coded_traversal_with_exact_rerank(self, spark, emb):
+        """HNSW x SQ8 (graph reranker composition): traversal runs on
+        resident 1-byte codes, candidates rerank against transiently
+        fetched exact vectors — returned distances must be EXACT (equal
+        to the unquantized index's for the same candidates) and recall
+        stays high."""
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        truth = exact_ids(emb, "l2")
+        with tempfile.TemporaryDirectory() as d:
+            idx = HNSWIndex.create(
+                spark, emb, d, metric="l2", segment_rows=300, quantization="sq8"
+            )
+            rows = idx.search(Q64, k=10, ef_search=100).collect()
+            got = [r["id"] for r in rows]
+            assert recall(got, truth) >= 0.9
+            # distances are exact (reranked), not code-approximate
+            import numpy as np
+
+            by_id = {
+                r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+                for r in emb.collect()
+            }
+            q = np.asarray(Q64, dtype=np.float64)
+            for r in rows:
+                expect = float(((by_id[r["id"]] - q) ** 2).sum())
+                assert abs(r["distance"] - expect) < 1e-9
 
     def test_sq_rerank_fetch_is_pushed_filter(self, spark, emb):
         """Two-phase I/O golden: pass 1 scans (id, codes) only; pass 2
