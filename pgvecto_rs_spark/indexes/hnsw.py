@@ -95,9 +95,10 @@ def _read_exact_vecs(seg_dir: str, idxs: np.ndarray) -> np.ndarray:
     import pyarrow.parquet as pq
 
     tbl = pq.read_table(seg_dir, columns=["idx", "vec"])
-    order = np.argsort(tbl.column("idx").to_numpy())
-    vec_list = tbl.column("vec").to_pylist()
-    return np.asarray([vec_list[order[int(i)]] for i in idxs], dtype=np.float64)
+    # map node index -> row position, then Arrow-take ONLY those rows
+    pos_of = np.argsort(tbl.column("idx").to_numpy())
+    picked = tbl.column("vec").take(pos_of[np.asarray(idxs, dtype=np.int64)])
+    return np.asarray(picked.to_pylist(), dtype=np.float64)
 
 
 def _load_segment(seg_dir: str, quantized: bool = False):
