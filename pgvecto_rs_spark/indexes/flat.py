@@ -62,6 +62,7 @@ class FlatIndex:
         quantization: str | None = None,  # None | "sq{1,2,4,8}" | "pq" | "rabitq"
         where=None,  # partial index predicate (partition.slt 'partial index')
         pq_ratio: int = 1,  # dims per subspace (base/src/index.rs:475-496)
+        pq_bits: int = 8,  # codebook size 2^bits (base/src/index.rs:482-496)
         seed: int = 42,
         storage: str = "f32",  # "f32" | "f16" (vecf16: 2 bytes/dim)
     ) -> "FlatIndex":
@@ -138,7 +139,7 @@ class FlatIndex:
             x = np.asarray([r["vec"] for r in sample], dtype=np.float64)
             if quantization == "pq":
                 n_sub = dims // pq_ratio
-                books = Qz.pq_train(x, n_sub, seed=seed)
+                books = Qz.pq_train(x, n_sub, bits=pq_bits, seed=seed)
                 np.save(os.path.join(path, "pq_codebooks.npy"), books, allow_pickle=False)
                 prepared = prepared.withColumn("codes", Qz.pq_encode_udf(books, spark)("vec"))
                 meta["pq_subspaces"] = n_sub

@@ -127,6 +127,7 @@ class IVFIndex:
         residual_quantization: bool = False,  # back-compat alias for "sq8"
         quantization: str | None = None,  # None | "sq{1,2,4,8}" | "pq" | "rabitq"
         pq_ratio: int = 1,  # dims per subspace (base/src/index.rs:475-496)
+        pq_bits: int = 8,  # codebook size 2^bits (base/src/index.rs:482-496)
     ) -> "IVFIndex":
         """``replicas`` > 1 stores each vector in its ``replicas``
         nearest lists (multi-assignment).  A deliberate extension over
@@ -237,7 +238,7 @@ class IVFIndex:
             rx = np.asarray([r["res"] for r in res_sample], dtype=np.float64)
             if quantization == "pq":
                 n_sub = dims // pq_ratio
-                books = Qz.pq_train(rx, n_sub, seed=seed)
+                books = Qz.pq_train(rx, n_sub, bits=pq_bits, seed=seed)
                 np.save(os.path.join(path, "pq_codebooks.npy"), books, allow_pickle=False)
                 indexed = indexed.withColumn(
                     "codes", Qz.pq_encode_udf(books, spark)("res")

@@ -346,6 +346,17 @@ class TestAlgoQuantMatrix:
             got = [r["id"] for r in out.collect()]
             assert got == exact_ids(emb, "l2")[:5]
 
+    def test_pq_bits_4(self, spark, emb):
+        """PQ with 4-bit codebooks (16 centroids per subspace,
+        base/src/index.rs:482-496) still clears the recall floor with a
+        rerank window."""
+        with tempfile.TemporaryDirectory() as d:
+            idx = FlatIndex.create(
+                spark, emb, d, metric="l2", quantization="pq", pq_ratio=4, pq_bits=4
+            )
+            got = [r["id"] for r in idx.search(Q64, k=10, rerank_size=60).collect()]
+            assert recall(got, exact_ids(emb, "l2")) >= 0.85
+
     def test_pq_codebook_unbiased_on_sorted_input(self, spark, emb):
         """Training samples come from sample(), not limit(): a
         label-sorted input must train codebooks of the same quality as
