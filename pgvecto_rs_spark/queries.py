@@ -302,7 +302,7 @@ def slice_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_sum_vector",
     """
     SELECT label, CAST(ord AS BIGINT) AS pos,
-           SUM(CAST(FLOOR(val * 1000000.0 + 0.5) AS BIGINT)) AS sum_val_u
+           CAST(SUM(CAST(FLOOR(val * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_val_u
     FROM (
       SELECT label, CAST(unnest(embedding) AS DOUBLE) AS val,
              generate_subscripts(embedding, 1) AS ord
@@ -682,7 +682,7 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS sum_value_u
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value_u
     FROM events GROUP BY 1, 2
     """,
 )
@@ -708,10 +708,10 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q1",
     """
     SELECT l_returnflag, l_linestatus,
-           SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sum_qty_c,
-           SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS sum_base_price_c,
-           SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS sum_disc_price_u,
-           SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) * 1000000.0 + 0.5) AS BIGINT)) AS sum_charge_u,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+           CAST(SUM(CAST(FLOOR((l_extendedprice * (1 - l_discount)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_disc_price_u,
+           CAST(SUM(CAST(FLOOR(((l_extendedprice * (1 - l_discount)) * (1 + l_tax)) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_charge_u,
            FLOOR(CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
            FLOOR(CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_price,
            FLOOR(CAST(SUM(CAST(FLOOR(l_discount * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_disc,
@@ -1171,7 +1171,7 @@ def knn_join_ivf_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            COUNT(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            FLOOR(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
                  / COUNT(*) * 10000.0 + 0.5) / 10000.0 AS avg_k
     FROM events GROUP BY event_type
