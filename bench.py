@@ -50,6 +50,42 @@ BENCH_QUERIES = [
 ]
 
 
+# ANN queries whose result is an approximate top-10 of the same (query,
+# metric) that the exact scan `topk_l2` answers; recall@10 = overlap of
+# returned ids with the exact ids.
+ANN_RECALL_QUERIES = [
+    "ivf_topk_l2",
+    "ivf_pq_topk_l2",
+    "hnsw_topk_l2",
+    "flat_sq8_topk_l2",
+]
+
+
+def _ann_recall(spark, registry) -> dict[str, float]:
+    """recall@10 of each ANN query vs the exact `topk_l2` ids.
+
+    All four answer the same (Q64, l2) query over embeddings; the id
+    column is the first output column (`vec_id` or `id`).  fresh_topk_l2
+    is excluded — it searches a tombstoned/re-inserted dataset with a
+    different ground truth."""
+    out: dict[str, float] = {}
+    try:
+        truth = {r[0] for r in registry["topk_l2"](spark, SF_DIR).collect()}
+    except Exception:  # noqa: BLE001
+        return out
+    if not truth:
+        return out
+    for n in ANN_RECALL_QUERIES:
+        if n not in registry:
+            continue
+        try:
+            got = {r[0] for r in registry[n](spark, SF_DIR).collect()}
+            out[n] = round(len(got & truth) / len(truth), 4)
+        except Exception:  # noqa: BLE001
+            pass
+    return out
+
+
 def main() -> None:
     from pgvecto_rs_spark.session import get_spark
     from pgvecto_rs_spark import queries as Q
@@ -62,20 +98,31 @@ def main() -> None:
 
     # Warm-up: materialize JVM/codegen paths, index builds and OS page
     # cache, excluded from timing (the reference excludes build/IO too).
+    # Per-query isolation: one sick query must not zero the whole bench,
+    # so failures are recorded as {"err": ...} and timing continues.
+    errors: dict[str, str] = {}
     for n in names:
-        registry[n](spark, SF_DIR).limit(1).collect()
+        try:
+            registry[n](spark, SF_DIR).limit(1).collect()
+        except Exception as e:  # noqa: BLE001 - harness must survive anything
+            errors[n] = f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
 
     # Best-of-2 steady-state per query — the reference CLI averages over
     # `epoch` repeats; min-of-repeats removes GC/compilation jitter that
     # would otherwise dominate run-to-run variance at this scale.
     timings: dict[str, float] = {}
     for n in names:
+        if n in errors:
+            continue
         best = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
-            registry[n](spark, SF_DIR).collect()
-            best = min(best, time.perf_counter() - t0)
-        timings[n] = round(best, 4)
+        try:
+            for _ in range(2):
+                t0 = time.perf_counter()
+                registry[n](spark, SF_DIR).collect()
+                best = min(best, time.perf_counter() - t0)
+            timings[n] = round(best, 4)
+        except Exception as e:  # noqa: BLE001
+            errors[n] = f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     out = {
@@ -85,6 +132,11 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        out["errors"] = errors
+    recall = _ann_recall(spark, registry)
+    if recall:
+        out["recall_at_10"] = recall
     print(json.dumps(out))
     spark.stop()
 

@@ -70,11 +70,36 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS), which Spark's parquet
-    reader rejects unless nanos are surfaced as raw int64."""
+    """Load events.parquet with `ts` canonicalized to int64 epoch
+    nanoseconds, whatever the file's physical type.
+
+    The testdata's `ts` column has shipped as both TIMESTAMP(NANOS)
+    (which Spark surfaces as raw int64 under the nanosAsLong legacy
+    conf) and plain timestamp[us]; downstream arithmetic (hour
+    bucketing, session gaps) assumes int64 nanos, so normalize here
+    based on the *resolved* dtype rather than assuming either layout.
+    Naive (NTZ) timestamps are interpreted as UTC, matching DuckDB's
+    epoch()/epoch_ns() on the same files."""
     _tune(spark)
+    # Harmless for timestamp[us] files; required if testdata reverts
+    # to TIMESTAMP(NANOS), which Spark otherwise refuses to read.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type in ("timestamp", "timestamp_ntz"):
+        # unix_micros only accepts TIMESTAMP; cast NTZ -> TIMESTAMP is a
+        # wall-clock reinterpretation in the session tz, so pin UTC for
+        # the cast to keep epochs tz-independent (DuckDB treats naive
+        # timestamps as UTC).
+        prev_tz = spark.conf.get("spark.sql.session.timeZone")
+        if ts_type == "timestamp_ntz" and prev_tz != "UTC":
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumn(
+            "ts", (F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)).cast("long")
+        )
+    elif ts_type != "long":
+        raise TypeError(f"unsupported events.ts dtype: {ts_type}")
+    return df
 
 
 def _r4(c: Column) -> Column:

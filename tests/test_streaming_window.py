@@ -8,8 +8,11 @@ from pyspark.sql import functions as F
 
 
 def test_watermarked_window_agg_matches_batch(spark, sf_dir, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pgvecto_rs_spark.queries import _events
+
+    # _events canonicalizes ts to int64 epoch nanos whatever the file's
+    # physical type (timestamp[us] or legacy TIMESTAMP(NANOS)).
+    events = _events(spark, sf_dir)
     # nanos long -> timestamp for event-time semantics
     with_ts = events.withColumn("ets", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
 
