@@ -165,21 +165,48 @@ def _prune_diverse(
     every already-kept s.  Nearest-only selection concentrates edges
     inside dense clusters and disconnects the graph (recall collapses
     on clustered corpora regardless of ef); the heuristic keeps one
-    edge per 'direction' instead."""
+    edge per 'direction' instead.
+
+    Vectorized: ONE gemm computes the full candidate-pairwise distance
+    matrix, then the greedy scan reads precomputed rows — no per-kept
+    kernel dispatch (this loop dominated build time when it issued
+    O(|cand| * |kept|) numpy calls)."""
+    cand = sorted(cand)
+    if not cand:
+        return []
+    ids = np.asarray([c for _, c in cand], dtype=np.int64)
+    ds = np.asarray([d for d, _ in cand], dtype=np.float64)
+    g = np.ascontiguousarray(vecs[ids])
+    if kernel == "l2":
+        sq = np.einsum("ij,ij->i", g, g)
+        pd = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (g @ g.T), 0.0)
+    elif kernel == "dot":
+        pd = -(g @ g.T)
+    else:
+        raise ValueError(kernel)
     kept: list[int] = []
-    for d, c in sorted(cand):
+    for ci in range(len(ids)):
         if len(kept) == cap:
             break
-        if not kept or bool(
-            (base.np_kernel_distance(kernel, vecs[np.asarray(kept)], vecs[c]) > d).all()
-        ):
-            kept.append(int(c))
-    return kept
+        if not kept or bool((pd[ci, kept] > ds[ci]).all()):
+            kept.append(ci)
+    return [int(ids[ci]) for ci in kept]
 
 
 def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
     """Sequential HNSW insertion over one segment.  Returns
-    neighbors[node] = list of int32 arrays, one per level."""
+    neighbors[node] = list of int32 arrays, one per level.
+
+    Vectorized inner loop (reference builds with rayon-parallel compiled
+    insertion, crates/hnsw/src/lib.rs:116-196; here the win comes from
+    batching instead): squared norms are precomputed once so every
+    distance batch is a single gather+gemv; the best-first frontier
+    expands up to B nodes per iteration so neighbor distances are
+    evaluated in one numpy call instead of per-node; visited sets are an
+    int64 stamp array (no per-insertion set allocation); diversity
+    pruning evaluates one pairwise gemm per call (see _prune_diverse).
+    Deterministic: no RNG, fixed tie-breaks via (distance, id) heap
+    tuples."""
     n = len(vecs)
     levels = [_level_of(i, m) for i in range(n)]
     caps = lambda lvl: (2 * m) if lvl == 0 else m  # noqa: E731
@@ -189,72 +216,170 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
     if n == 0:
         return neighbors, levels
 
-    def dist(i: int, q: np.ndarray) -> float:
-        return float(base.np_kernel_distance(kernel, vecs[i : i + 1], q)[0])
+    V = np.ascontiguousarray(np.asarray(vecs, dtype=np.float64))
+    if kernel == "l2":
+        sqn = np.einsum("ij,ij->i", V, V)
+    elif kernel != "dot":
+        raise ValueError(kernel)
 
-    def dist_many(idx: np.ndarray, q: np.ndarray) -> np.ndarray:
-        return base.np_kernel_distance(kernel, vecs[idx], q)
+    def dists(idx: np.ndarray, q: np.ndarray, qsq: float) -> np.ndarray:
+        g = V[idx]
+        if kernel == "l2":
+            return np.maximum(sqn[idx] - 2.0 * (g @ q) + qsq, 0.0)
+        return -(g @ q)
+
+    def prune(cand_sorted: list[tuple[float, int]], cap: int) -> list[int]:
+        # Same heuristic as _prune_diverse, reusing the precomputed norms.
+        # Mask formulation: keeping s eliminates every not-yet-kept c with
+        # dist(c, s) <= dist(c, anchor); the next survivor in ascending
+        # order is exactly the next keep of the sequential scan, so this
+        # runs `cap` vector ops instead of |cand| fancy-indexed checks.
+        ids = np.asarray([c for _, c in cand_sorted], dtype=np.int64)
+        ds = np.asarray([d for d, _ in cand_sorted], dtype=np.float64)
+        g = V[ids]
+        if kernel == "l2":
+            sq = sqn[ids]
+            pd = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (g @ g.T), 0.0)
+        else:
+            pd = -(g @ g.T)
+        alive = np.ones(len(ids), dtype=bool)
+        kept: list[int] = []
+        while len(kept) < cap:
+            rest = np.flatnonzero(alive)
+            if not len(rest):
+                break
+            ci = int(rest[0])
+            kept.append(ci)
+            alive[ci] = False
+            alive &= pd[:, ci] > ds
+        return [int(ids[ci]) for ci in kept]
+
+    stamp = np.zeros(n, dtype=np.int64)
+    tok = 0
+    B = 8  # frontier nodes expanded per distance batch
+    cap0 = 2 * m
+    # Level 0 holds every node and absorbs ~all edge traffic: keep it as
+    # one flat (n, 2m) int32 matrix (-1 = empty) so a frontier batch's
+    # neighbors gather in a single fancy index, no per-node list hops.
+    # Upper levels (1/m of nodes each) stay in the list-of-arrays form.
+    adj0 = np.full((n, cap0), -1, dtype=np.int32)
+    deg0 = np.zeros(n, dtype=np.int32)
 
     entry = 0
     for i in range(1, n):
-        q = vecs[i]
+        q = V[i]
+        qsq = float(q @ q) if kernel == "l2" else 0.0
         lvl = levels[i]
-        ep, ep_d = entry, dist(entry, q)
+        ep = entry
+        ep_d = float(dists(np.asarray([ep]), q, qsq)[0])
         # greedy descent through levels above lvl
         for l in range(levels[entry], lvl, -1):
-            changed = True
-            while changed:
-                changed = False
-                nbrs = neighbors[ep][l] if l < len(neighbors[ep]) else np.empty(0, np.int32)
-                if len(nbrs):
-                    ds = dist_many(nbrs, q)
-                    j = int(np.argmin(ds))
-                    if ds[j] < ep_d:
-                        ep, ep_d = int(nbrs[j]), float(ds[j])
-                        changed = True
+            while True:
+                nbrs = neighbors[ep][l] if l < len(neighbors[ep]) else None
+                if nbrs is None or not len(nbrs):
+                    break
+                ds = dists(nbrs, q, qsq)
+                j = int(np.argmin(ds))
+                if ds[j] < ep_d:
+                    ep, ep_d = int(nbrs[j]), float(ds[j])
+                else:
+                    break
         # ef-search + connect at each level from min(lvl, top) down to 0
         for l in range(min(lvl, levels[entry]), -1, -1):
-            # best-first search with ef_construction
-            visited = {ep}
+            tok += 1
+            stamp[ep] = tok
             cand = [(ep_d, ep)]  # min-heap
             result = [(-ep_d, ep)]  # max-heap of size ef
-            while cand:
-                d, u = heapq.heappop(cand)
-                if d > -result[0][0] and len(result) >= ef_construction:
+            done = False
+            while cand and not done:
+                batch: list[int] = []
+                while cand and len(batch) < B:
+                    d, u = heapq.heappop(cand)
+                    if len(result) >= ef_construction and d > -result[0][0]:
+                        # min-heap: everything left is at least this far
+                        done = True
+                        break
+                    batch.append(u)
+                if not batch:
                     break
-                nbrs = neighbors[u][l] if l < len(neighbors[u]) else np.empty(0, np.int32)
-                new = [int(v) for v in nbrs if v not in visited]
-                if new:
-                    visited.update(new)
-                    ds = dist_many(np.asarray(new), q)
-                    for v, dv in zip(new, ds):
-                        if len(result) < ef_construction or dv < -result[0][0]:
-                            heapq.heappush(cand, (float(dv), v))
-                            heapq.heappush(result, (-float(dv), v))
-                            if len(result) > ef_construction:
-                                heapq.heappop(result)
+                if l == 0:
+                    rows = adj0[np.asarray(batch, dtype=np.int64)]
+                    allnb = rows.reshape(-1)
+                    allnb = allnb[allnb >= 0]
+                else:
+                    parts = [
+                        neighbors[u][l]
+                        for u in batch
+                        if l < len(neighbors[u]) and len(neighbors[u][l])
+                    ]
+                    if not parts:
+                        continue
+                    allnb = np.concatenate(parts) if len(parts) > 1 else parts[0]
+                if not len(allnb):
+                    continue
+                fresh = allnb[stamp[allnb] != tok]
+                if not len(fresh):
+                    continue
+                ds = dists(fresh, q, qsq)
+                nres = len(result)
+                if nres >= ef_construction:
+                    # heap full: worst only shrinks, so anything >= the
+                    # current worst can never enter — drop it pre-loop
+                    keep = ds < -result[0][0]
+                    fresh, ds = fresh[keep], ds[keep]
+                worst = -result[0][0]
+                for v, dv in zip(fresh.tolist(), ds.tolist()):
+                    if stamp[v] == tok:  # duplicate within this batch
+                        continue
+                    stamp[v] = tok
+                    if nres < ef_construction or dv < worst:
+                        heapq.heappush(cand, (dv, v))
+                        heapq.heappush(result, (-dv, v))
+                        if nres >= ef_construction:
+                            heapq.heappop(result)
+                        else:
+                            nres += 1
+                        worst = -result[0][0]
             found = sorted((-d, v) for d, v in result)
             # diversity-pruned neighbor selection (prune.rs), not
             # nearest-only: keeps cross-cluster edges so the graph stays
             # connected on clustered data
-            chosen = _prune_diverse(vecs, kernel, found, caps(l))
-            neighbors[i][l] = np.asarray(chosen, dtype=np.int32)
+            chosen = prune(found, caps(l))
+            if l == 0:
+                adj0[i, : len(chosen)] = chosen
+                deg0[i] = len(chosen)
+            else:
+                neighbors[i][l] = np.asarray(chosen, dtype=np.int32)
             # bidirectional edges; overflow re-pruned with the same
             # heuristic (reference patches reverse edges via prune too)
             for v in chosen:
-                cur = neighbors[v][l]
-                merged = np.append(cur, np.int32(i))
-                if len(merged) > caps(l):
-                    ds = dist_many(merged, vecs[v])
-                    kept = _prune_diverse(
-                        vecs, kernel, list(zip(ds.tolist(), merged.tolist())), caps(l)
-                    )
-                    merged = np.asarray(kept, dtype=np.int32)
-                neighbors[v][l] = merged
+                vsq = float(sqn[v]) if kernel == "l2" else 0.0
+                if l == 0:
+                    dv = int(deg0[v])
+                    if dv < cap0:
+                        adj0[v, dv] = i
+                        deg0[v] = dv + 1
+                    else:
+                        merged = np.append(adj0[v], np.int32(i))
+                        ds = dists(merged, V[v], vsq)
+                        kept = prune(sorted(zip(ds.tolist(), merged.tolist())), cap0)
+                        adj0[v, :] = -1
+                        adj0[v, : len(kept)] = kept
+                        deg0[v] = len(kept)
+                else:
+                    cur = neighbors[v][l]
+                    merged = np.append(cur, np.int32(i))
+                    if len(merged) > caps(l):
+                        ds = dists(merged, V[v], vsq)
+                        kept = prune(sorted(zip(ds.tolist(), merged.tolist())), caps(l))
+                        merged = np.asarray(kept, dtype=np.int32)
+                    neighbors[v][l] = merged
             ep = chosen[0] if chosen else ep
-            ep_d = dist(ep, q)
+            ep_d = float(dists(np.asarray([ep]), q, qsq)[0])
         if lvl > levels[entry]:
             entry = i
+    for i in range(n):
+        neighbors[i][0] = adj0[i, : deg0[i]].copy()
     return neighbors, levels
 
 
