@@ -394,8 +394,18 @@ class IVFIndex:
                     upper = adist + F.lit(e)
                     lower = adist - F.lit(e)
                 scored = scored.withColumn("__ub", upper).withColumn("__lb", lower)
+                # Threshold = k-th smallest per-ID upper bound.  With
+                # replicas > 1 the same id sits in several probed lists,
+                # so the k smallest *row* bounds can contain duplicates
+                # and understate the k-th distinct id's bound — a true
+                # top-k id could then fail the __lb <= t test.  Collapse
+                # to per-id min(__ub) first (one extra k-row shuffle,
+                # only when multi-assignment is configured).
+                tsrc = scored
+                if self.meta.get("replicas", 1) > 1:
+                    tsrc = scored.groupBy("id").agg(F.min("__ub").alias("__ub"))
                 trow = (
-                    scored.orderBy(F.col("__ub").asc(), F.col("id").asc())
+                    tsrc.orderBy(F.col("__ub").asc(), F.col("id").asc())
                     .limit(k)
                     .agg(F.max("__ub").alias("t"))
                     .collect()

@@ -382,6 +382,20 @@ class TestAlgoQuantMatrix:
             got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8).collect()]
             assert got == truth
 
+    def test_ivf_sq8_error_rerank_exact_with_replicas(self, spark, emb):
+        """Error-bound rerank must stay exact under multi-assignment
+        (replicas=2): the k-th threshold is taken over per-id min upper
+        bounds, not raw rows — duplicated ids in several probed lists
+        would otherwise shrink the threshold below the k-th distinct
+        id's bound and drop a true top-k id."""
+        truth = exact_ids(emb, "l2")[:10]
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(
+                spark, emb, d, metric="l2", nlist=8, quantization="sq8", replicas=2
+            )
+            got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8, rerank_size=0).collect()]
+            assert got == truth
+
     def test_ivf_sq_bits_error_rerank_exact(self, spark, emb):
         """IVF x SQ at 1/4 bits with full probe + error-bound rerank is
         exact — the quantizer-bit matrix composes into IVF like flat."""
