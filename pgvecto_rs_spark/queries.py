@@ -1116,15 +1116,68 @@ def vecf16_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("doc_embed_hash_topk", None)
+# doc_embed_hash_topk oracle: DuckDB reads an independently materialized
+# (numpy, no Spark) parquet of the deterministic hash embeddings — the
+# vecf16 pattern — then runs the same cosine top-k in SQL.
+_DOC_EMBED_ORACLE_FILE = "/tmp/pgvrs_doc_embed_oracle.parquet"
+_DOC_EMBED_QUERY_TEXT = "table scan query filter join"
+
+
+def _doc_embed_qv() -> list[float]:
+    from pgvecto_rs_spark.sources.embedding import _hash_provider
+
+    return [float(x) for x in _hash_provider(64)([_DOC_EMBED_QUERY_TEXT])[0]]
+
+
+def _materialize_doc_embed_oracle(sf_dir: str) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgvecto_rs_spark.sources.embedding import _hash_provider
+
+    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    texts = [t or "" for t in tbl.column("text").to_pylist()]
+    embs = _hash_provider(64)(texts)
+    out = pa.table(
+        {
+            "doc_id": tbl.column("doc_id"),
+            "emb": pa.array([row.tolist() for row in embs], type=pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(out, _DOC_EMBED_ORACLE_FILE)
+
+
+_QDOC_SQL = "[" + ", ".join(repr(x) for x in _doc_embed_qv()) + "]"
+_SQL_DOC_DOT = (
+    "list_sum(list_transform(range(1, 65), "
+    f"i -> CAST(emb[i] AS DOUBLE) * ({_QDOC_SQL})[i]))"
+)
+_SQL_DOC_NORMSQ = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> CAST(emb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE)))"
+)
+
+
+@register(
+    "doc_embed_hash_topk",
+    f"""
+    SELECT doc_id, ROUND(d, 4) AS dist FROM (
+      SELECT doc_id,
+             1.0 - ({_SQL_DOC_DOT})
+                   / SQRT(({_SQL_DOC_NORMSQ}) * {sum(x * x for x in _doc_embed_qv())!r}) AS d
+      FROM '{_DOC_EMBED_ORACLE_FILE}'
+    ) ORDER BY d, doc_id LIMIT 10
+    """,
+)
 def doc_embed_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> deterministic hash embedding -> cosine top-10 to an
     embedded query string (text2vec analogue, src/embedding/mod.rs)."""
     from pgvecto_rs_spark.operators.search import top_k as tk
-    from pgvecto_rs_spark.sources.embedding import _hash_provider, text2vec_hash
+    from pgvecto_rs_spark.sources.embedding import text2vec_hash
 
+    _materialize_doc_embed_oracle(sf_dir)
     docs = _docs(spark, sf_dir).select("doc_id", text2vec_hash("text", 64).alias("emb"))
-    qv = _hash_provider(64)(["table scan query filter join"])[0].tolist()
+    qv = _doc_embed_qv()
     out = tk(docs, "emb", qv, 10, metric="cos", tiebreaker="doc_id")
     return out.select("doc_id", _r4(F.col("distance")).alias("dist"))
 
