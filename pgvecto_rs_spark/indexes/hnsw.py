@@ -87,6 +87,143 @@ class _CodedVecs:
         return self.lo + self.codes[key].astype(np.float64) * self.scale
 
 
+class _PQCodedVecs:
+    """PQ-coded vectors with decode-on-access (the hnsw x pq cell of the
+    reference's algorithm x quantizer matrix,
+    crates/quantization/src/reranker/graph_2.rs): resident footprint is
+    n_subspaces small ints per row; traversal reconstructs touched rows
+    from the per-segment codebooks."""
+
+    def __init__(self, codes: np.ndarray, books: np.ndarray):
+        self.codes = codes  # (n, n_sub) int
+        self.books = books  # (n_sub, 2^bits, sub) float64
+
+    def __len__(self) -> int:
+        return len(self.codes)
+
+    def __getitem__(self, key) -> np.ndarray:
+        c = self.codes[key]
+        single = c.ndim == 1
+        if single:
+            c = c[None, :]
+        n_sub, _, sub = self.books.shape
+        out = np.empty((len(c), n_sub * sub), dtype=np.float64)
+        for s in range(n_sub):
+            out[:, s * sub : (s + 1) * sub] = self.books[s][c[:, s]]
+        return out[0] if single else out
+
+
+class _RaBitQVecs:
+    """RaBitQ-coded vectors with decode-on-access (hnsw x rabitq cell):
+    1 bit/dim + a norm per row; x_hat = norm * P^T sgn / sqrt(d) (the
+    estimator of crates/quantization/src/rabitq.rs:24-143)."""
+
+    def __init__(self, norms: np.ndarray, words: np.ndarray, proj: np.ndarray):
+        self.norms = norms  # (n,) float64
+        self.words = words  # (n, n_words) uint32
+        self.proj = proj  # (d, d) orthogonal
+        self.dims = proj.shape[0]
+
+    def __len__(self) -> int:
+        return len(self.norms)
+
+    def __getitem__(self, key) -> np.ndarray:
+        w = self.words[key]
+        nm = self.norms[key]
+        single = w.ndim == 1
+        if single:
+            w = w[None, :]
+            nm = np.atleast_1d(nm)
+        n_words = w.shape[1]
+        bits = ((w[:, :, None] >> np.arange(32, dtype=np.uint32)[None, None, :]) & 1)
+        bits = bits.reshape(len(w), n_words * 32)[:, : self.dims].astype(np.float64)
+        sgn = 2.0 * bits - 1.0
+        dec = (nm[:, None] / np.sqrt(self.dims)) * (sgn @ self.proj)
+        return dec[0] if single else dec
+
+
+def _quant_schema(quant: str | None) -> str:
+    if quant in ("sq8",):
+        return ", codes array<smallint>, qlo array<float>, qwidth array<float>"
+    if quant == "pq":
+        return ", codes array<smallint>, codebook array<float>"
+    if quant == "rabitq":
+        return ", rq_norm float, rq_words array<int>"
+    return ""
+
+
+def _quant_columns(
+    vecs: np.ndarray, quant: str | None, pq_ratio: int, pq_bits: int, seed: int
+) -> dict:
+    """Per-segment quantized columns, computed inside the build task
+    (executor-side, numpy).  PQ trains per-segment codebooks (strictly
+    tighter than global, same argument as per-segment SQ bounds);
+    RaBitQ's projection is seeded/deterministic so only codes+norms are
+    stored and the matrix is recomputed at load."""
+    n = len(vecs)
+    out: dict = {}
+    if quant == "sq8":
+        if n:
+            lo = vecs.min(axis=0)
+            width = np.where(vecs.max(axis=0) > lo, vecs.max(axis=0) - lo, 1.0)
+        else:
+            lo = width = np.zeros(0)
+        codes = np.clip(np.rint((vecs - lo) / width * 255.0), 0, 255).astype(np.int16)
+        out["codes"] = [row.tolist() for row in codes]
+        out["qlo"] = [lo.astype(np.float32).tolist()] * n
+        out["qwidth"] = [width.astype(np.float32).tolist()] * n
+    elif quant == "pq":
+        from pgvecto_rs_spark.indexes.quantization import TRAIN_CAP, pq_train
+
+        dims = vecs.shape[1] if n else 0
+        n_sub = max(1, dims // max(1, pq_ratio))
+        if n:
+            books = pq_train(vecs[:TRAIN_CAP], n_sub, bits=pq_bits, seed=seed)
+            sub = dims // n_sub
+            codes = np.empty((n, n_sub), dtype=np.int16)
+            for s in range(n_sub):
+                block = vecs[:, s * sub : (s + 1) * sub]
+                d = (
+                    np.einsum("ij,ij->i", block, block)[:, None]
+                    - 2.0 * block @ books[s].T
+                    + np.einsum("ij,ij->i", books[s], books[s])[None, :]
+                )
+                codes[:, s] = np.argmin(d, axis=1)
+            flat = books.astype(np.float32).ravel().tolist()
+            out["codes"] = [row.tolist() for row in codes]
+            # codebook rides on the first row only (nulls compress away)
+            out["codebook"] = [flat] + [None] * (n - 1)
+        else:
+            out["codes"] = []
+            out["codebook"] = []
+    elif quant == "rabitq":
+        from pgvecto_rs_spark.indexes.quantization import rabitq_projection
+
+        dims = vecs.shape[1] if n else 0
+        if n:
+            proj = rabitq_projection(dims, seed)
+            norms = np.linalg.norm(vecs, axis=1)
+            safe = np.where(norms > 0, norms, 1.0)
+            rotated = (vecs / safe[:, None]) @ proj.T
+            bits = (rotated > 0).astype(np.uint32)
+            n_words = (dims + 31) // 32
+            padded = np.zeros((n, n_words * 32), dtype=np.uint32)
+            padded[:, :dims] = bits
+            w = padded.reshape(n, n_words, 32)
+            packed = (w.astype(np.int64) << np.arange(32, dtype=np.int64)[None, None, :]).sum(
+                axis=2
+            )
+            out["rq_norm"] = norms.astype(np.float32)
+            out["rq_words"] = [
+                (row & 0xFFFFFFFF).astype(np.uint32).view(np.int32).tolist()
+                for row in packed
+            ]
+        else:
+            out["rq_norm"] = np.zeros(0, dtype=np.float32)
+            out["rq_words"] = []
+    return out
+
+
 def _read_exact_vecs(seg_dir: str, idxs: np.ndarray) -> np.ndarray:
     """Transiently fetch exact vectors for the given node indexes from
     the segment Parquet (vec column only) — the graph reranker's
@@ -101,32 +238,56 @@ def _read_exact_vecs(seg_dir: str, idxs: np.ndarray) -> np.ndarray:
     return np.asarray(picked.to_pylist(), dtype=np.float64)
 
 
-def _load_segment(seg_dir: str, quantized: bool = False):
+def _load_segment(seg_dir: str, quant: str | None = None, qparams: tuple = ()):
     """Load (ids, vecs, neighbors, levels, entry) for one segment, via the
     process-global cache keyed by file path + mtime + size (stale entries
-    reload after a rebuild).  With ``quantized``, ``vecs`` is a
-    :class:`_CodedVecs` built from the stored SQ8 codes and the vector
-    column stays on disk (fetched transiently at rerank)."""
+    reload after a rebuild).  With a quantization kind, ``vecs`` is a
+    decode-on-access view (:class:`_CodedVecs` for sq8,
+    :class:`_PQCodedVecs`, :class:`_RaBitQVecs`) and the exact vector
+    column stays on disk (fetched transiently at rerank).
+    ``qparams`` = (pq_ratio, pq_bits, seed) for pq / (dims, seed) for
+    rabitq."""
     fp = _segment_fingerprint(seg_dir)
+    key = (fp, quant, qparams)
     hit = _SEG_CACHE.get(seg_dir)
-    if hit is not None and hit[0] == (fp, quantized):
+    if hit is not None and hit[0] == key:
         _SEG_CACHE.move_to_end(seg_dir)
         return hit[1]
     if not fp:  # hash-assigned segment with no rows: no directory written
         empty = (np.empty(0, np.int64), np.empty((0, 0)), [], [], 0)
-        _SEG_CACHE[seg_dir] = ((fp, quantized), empty)
+        _SEG_CACHE[seg_dir] = (key, empty)
         return empty
     import pyarrow.parquet as pq
 
-    cols = ["seg", "idx", "id", "level", "neighbors", "entry"]
-    cols += ["codes", "qlo", "qwidth"] if quantized else ["vec"]
-    pdf = pq.read_table(seg_dir, columns=[c for c in cols if c != "seg"]).to_pandas()
+    cols = ["idx", "id", "level", "neighbors", "entry"]
+    cols += {
+        None: ["vec"],
+        "sq8": ["codes", "qlo", "qwidth"],
+        "pq": ["codes", "codebook"],
+        "rabitq": ["rq_norm", "rq_words"],
+    }[quant]
+    pdf = pq.read_table(seg_dir, columns=cols).to_pandas()
     pdf = pdf.sort_values("idx").reset_index(drop=True)
-    if quantized:
+    if quant == "sq8":
         codes = np.asarray(pdf["codes"].tolist(), dtype=np.uint8)
         lo = np.asarray(pdf["qlo"].iloc[0], dtype=np.float64)
         width = np.asarray(pdf["qwidth"].iloc[0], dtype=np.float64)
         vecs = _CodedVecs(codes, lo, width)
+    elif quant == "pq":
+        _pq_ratio, pq_bits, _seed = qparams
+        codes = np.asarray(pdf["codes"].tolist(), dtype=np.int32)
+        flat = next(b for b in pdf["codebook"] if b is not None)
+        n_sub, k = codes.shape[1], 1 << pq_bits
+        sub = len(flat) // (n_sub * k)
+        books = np.asarray(flat, dtype=np.float64).reshape(n_sub, k, sub)
+        vecs = _PQCodedVecs(codes, books)
+    elif quant == "rabitq":
+        from pgvecto_rs_spark.indexes.quantization import rabitq_projection
+
+        dims, seed = qparams
+        norms = pdf["rq_norm"].to_numpy(dtype=np.float64)
+        words = np.asarray(pdf["rq_words"].tolist(), dtype=np.int64).astype(np.uint32)
+        vecs = _RaBitQVecs(norms, words, rabitq_projection(dims, seed))
     else:
         vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
     neighbors = [
@@ -136,7 +297,7 @@ def _load_segment(seg_dir: str, quantized: bool = False):
     entry = int(pdf["entry"].iloc[0]) if len(pdf) else 0
     ids = pdf["id"].to_numpy().astype(np.int64)
     data = (ids, vecs, neighbors, levels, entry)
-    _SEG_CACHE[seg_dir] = ((fp, quantized), data)
+    _SEG_CACHE[seg_dir] = (key, data)
     _SEG_CACHE.move_to_end(seg_dir)
     while len(_SEG_CACHE) > _SEG_CACHE_MAX:
         _SEG_CACHE.popitem(last=False)
@@ -454,17 +615,20 @@ class HNSWIndex:
         ef_construction: int = DEFAULT_EF_CONSTRUCTION,
         segment_rows: int = DEFAULT_SEGMENT_ROWS,
         where=None,  # partial index predicate (partition.slt 'partial index')
-        quantization: str | None = None,  # None | "sq8"
+        quantization: str | None = None,  # None | "sq8" | "pq" | "rabitq"
+        pq_ratio: int = 4,  # dims per subspace (base/src/index.rs:475-496)
+        pq_bits: int = 8,
+        seed: int = 42,
     ) -> "HNSWIndex":
-        """``quantization="sq8"`` composes scalar codes into the graph:
-        the executor-resident copy holds 1-byte codes (8x smaller than
-        the f64 working set) and traversal decodes on access; exact
-        vectors stay on disk and are fetched transiently to rerank each
-        segment's candidates — the graph reranker
-        (crates/quantization/src/reranker/graph_2.rs) trade of memory
-        for a bounded per-query storage read.  Graphs are built on exact
-        vectors (quality >= the reference's build-on-codes)."""
-        if quantization not in (None, "sq8"):
+        """Quantization composes codes into the graph: the
+        executor-resident copy holds compact codes (sq8 = 1 byte/dim,
+        pq = 1 code/subspace, rabitq = 1 bit/dim + a norm) and traversal
+        decodes on access; exact vectors stay on disk and are fetched
+        transiently to rerank each segment's candidates — the graph
+        reranker (crates/quantization/src/reranker/graph_2.rs) trade of
+        memory for a bounded per-query storage read.  Graphs are built
+        on exact vectors (quality >= the reference's build-on-codes)."""
+        if quantization not in (None, "sq8", "pq", "rabitq"):
             raise ValueError(f"unsupported hnsw quantization {quantization!r}")
         kernel, do_norm = base.resolve_metric(metric)
         src = df.where(F.col(vector_col).isNotNull())
@@ -482,8 +646,6 @@ class HNSWIndex:
             F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_segments)).cast("int").alias("seg"),
         )
 
-        quantized = quantization == "sq8"
-
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("id").reset_index(drop=True)
             vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
@@ -498,28 +660,15 @@ class HNSWIndex:
                 "neighbors": [[lvl.tolist() for lvl in nb] for nb in neighbors],
                 "entry": np.full(len(pdf), entry, dtype=np.int64),
             }
-            if quantized:
-                # per-segment SQ8 bounds (scalar.rs trains per dataset;
-                # per segment is strictly tighter)
-                if len(vecs):
-                    lo = vecs.min(axis=0)
-                    width = np.where(vecs.max(axis=0) > lo, vecs.max(axis=0) - lo, 1.0)
-                else:
-                    lo = width = np.zeros(0)
-                codes = np.clip(
-                    np.rint((vecs - lo) / width * 255.0), 0, 255
-                ).astype(np.int16)
-                out["codes"] = [row.tolist() for row in codes]
-                out["qlo"] = [lo.astype(np.float32).tolist()] * len(pdf)
-                out["qwidth"] = [width.astype(np.float32).tolist()] * len(pdf)
+            # per-segment quantizer training (scalar.rs trains per
+            # dataset; per segment is strictly tighter)
+            out.update(_quant_columns(vecs, quantization, pq_ratio, pq_bits, seed))
             return pd.DataFrame(out)
 
         schema = (
             "seg int, idx bigint, id bigint, vec array<float>, level int, "
             "neighbors array<array<int>>, entry bigint"
-        )
-        if quantized:
-            schema += ", codes array<smallint>, qlo array<float>, qwidth array<float>"
+        ) + _quant_schema(quantization)
         (
             prepared.repartition(n_segments, "seg")
             .groupBy("seg")
@@ -528,6 +677,10 @@ class HNSWIndex:
             .partitionBy("seg")
             .parquet(os.path.join(path, "graph"))
         )
+        dims = 0
+        if quantization is not None and n:
+            first = src.select(vector_col).first()
+            dims = len(first[0]) if first and first[0] is not None else 0
         meta = {
             "kind": "hnsw",
             "metric": metric.lower(),
@@ -538,6 +691,10 @@ class HNSWIndex:
             "n_rows": int(n),
             "n_segments": int(n_segments),
             "quantization": quantization,
+            "pq_ratio": int(pq_ratio),
+            "pq_bits": int(pq_bits),
+            "seed": int(seed),
+            "dims": int(dims),
         }
         base.write_meta(path, meta)
         return cls(spark, path, meta)
@@ -545,6 +702,19 @@ class HNSWIndex:
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "HNSWIndex":
         return cls(spark, path, base.read_meta(path))
+
+    def _quant(self) -> tuple:
+        """(quant kind, loader params) — what _load_segment needs."""
+        quant = self.meta.get("quantization")
+        if quant == "pq":
+            return quant, (
+                self.meta.get("pq_ratio", 4),
+                self.meta.get("pq_bits", 8),
+                self.meta.get("seed", 42),
+            )
+        if quant == "rabitq":
+            return quant, (self.meta.get("dims", 0), self.meta.get("seed", 42))
+        return quant, ()
 
     # ------------------------------------------------------------------
     def apply_updates(
@@ -601,7 +771,10 @@ class HNSWIndex:
                 add.select("seg", "id", "vec")
             )
 
-        quantized = self.meta.get("quantization") == "sq8"
+        quantization = self.meta.get("quantization")
+        pq_ratio = self.meta.get("pq_ratio", 4)
+        pq_bits = self.meta.get("pq_bits", 8)
+        seed = self.meta.get("seed", 42)
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("id").reset_index(drop=True)
@@ -617,24 +790,13 @@ class HNSWIndex:
                 "neighbors": [[lvl.tolist() for lvl in nb] for nb in neighbors],
                 "entry": np.full(len(pdf), entry, dtype=np.int64),
             }
-            if quantized:
-                if len(vecs):
-                    lo = vecs.min(axis=0)
-                    width = np.where(vecs.max(axis=0) > lo, vecs.max(axis=0) - lo, 1.0)
-                else:
-                    lo = width = np.zeros(0)
-                codes = np.clip(np.rint((vecs - lo) / width * 255.0), 0, 255).astype(np.int16)
-                out["codes"] = [row.tolist() for row in codes]
-                out["qlo"] = [lo.astype(np.float32).tolist()] * len(pdf)
-                out["qwidth"] = [width.astype(np.float32).tolist()] * len(pdf)
+            out.update(_quant_columns(vecs, quantization, pq_ratio, pq_bits, seed))
             return pd.DataFrame(out)
 
         schema = (
             "seg int, idx bigint, id bigint, vec array<float>, level int, "
             "neighbors array<array<int>>, entry bigint"
-        )
-        if quantized:
-            schema += ", codes array<smallint>, qlo array<float>, qwidth array<float>"
+        ) + _quant_schema(quantization)
         # checkpoint severs lineage from the graph files we are about to
         # overwrite (Spark refuses to overwrite a path it is reading)
         live = live.localCheckpoint(eager=True)
@@ -678,20 +840,20 @@ class HNSWIndex:
         traverses its executor-resident graph (or brute-scans the resident
         vectors when ``exact``) and yields (id, distance) candidates."""
         kernel, metric = self.meta["kernel"], self.meta["metric"]
-        quantized = self.meta.get("quantization") == "sq8"
+        quant, qparams = self._quant()
         sc = self.spark.sparkContext
         qb = sc.broadcast(np.asarray(q, dtype=np.float64))
         seg_dirs = self._segment_dirs()
 
         def run(it):
             for seg_dir in it:
-                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir, quantized)
+                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir, quant, qparams)
                 if len(ids) == 0:
                     continue
                 if exact:
                     mat = (
                         _read_exact_vecs(seg_dir, np.arange(len(ids)))
-                        if quantized
+                        if quant
                         else vecs
                     )
                     ds = base.np_kernel_distance(kernel, mat, qb.value)
@@ -705,7 +867,7 @@ class HNSWIndex:
                     out_d, out_i = _search_graph(
                         vecs, neighbors, levels, entry, qb.value, kernel, ef
                     )
-                    if quantized and len(out_i):
+                    if quant and len(out_i):
                         # graph reranker: candidates were ranked on coded
                         # distances; fetch their exact vectors from
                         # storage and rescore before the global merge
@@ -789,18 +951,18 @@ class HNSWIndex:
         ef = max(ef_search, k)
         seg_dirs = self._segment_dirs()
 
-        quantized = self.meta.get("quantization") == "sq8"
+        quant, qparams = self._quant()
 
         def run(it):
             for seg_dir in it:
-                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir, quantized)
+                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir, quant, qparams)
                 if len(ids) == 0:
                     continue
                 for qid, q in zip(*qb.value):
                     ds, idxs = _search_graph(
                         vecs, neighbors, levels, entry, q, kernel, ef
                     )
-                    if quantized and len(idxs):
+                    if quant and len(idxs):
                         exact_mat = _read_exact_vecs(seg_dir, np.asarray(idxs))
                         ds = base.np_kernel_distance(kernel, exact_mat, q)
                     for i, d in zip(idxs[:ef], ds[:ef]):

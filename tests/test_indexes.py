@@ -238,6 +238,8 @@ class TestAlgoQuantMatrix:
             cells.append(("ivf/rabitq", IVFIndex.create(spark, emb, f"{d}/i", metric="l2", nlist=8, quantization="rabitq").search(Q64, k=10, nprobe=8, rerank_size=60)))
             cells.append(("hnsw/none", HNSWIndex.create(spark, emb, f"{d}/g", metric="l2", segment_rows=300).search(Q64, k=10)))
             cells.append(("hnsw/sq8", HNSWIndex.create(spark, emb, f"{d}/j", metric="l2", segment_rows=300, quantization="sq8").search(Q64, k=10)))
+            cells.append(("hnsw/pq", HNSWIndex.create(spark, emb, f"{d}/k", metric="l2", segment_rows=300, quantization="pq", pq_ratio=4).search(Q64, k=10)))
+            cells.append(("hnsw/rabitq", HNSWIndex.create(spark, emb, f"{d}/l", metric="l2", segment_rows=300, quantization="rabitq").search(Q64, k=10, ef_search=200)))
             for name, out in cells:
                 rows = out.collect()
                 assert len(rows) == 10, name
@@ -333,6 +335,57 @@ class TestAlgoQuantMatrix:
             for r in rows:
                 expect = float(((by_id[r["id"]] - q) ** 2).sum())
                 assert abs(r["distance"] - expect) < 1e-9
+
+    def test_hnsw_pq_rabitq_coded_traversal_with_exact_rerank(self, spark, emb):
+        """HNSW x PQ and HNSW x RaBitQ (the remaining graph-reranker
+        cells, crates/quantization/src/reranker/graph_2.rs): traversal
+        runs on decode-on-access codes (PQ codebook reconstruction /
+        RaBitQ sign-bit estimator), candidates rerank against
+        transiently fetched exact vectors — returned distances must be
+        EXACT and recall above each quantizer's floor."""
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        import numpy as np
+
+        truth = exact_ids(emb, "l2")
+        by_id = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in emb.collect()
+        }
+        q = np.asarray(Q64, dtype=np.float64)
+        floors = {"pq": 0.9, "rabitq": 0.8}
+        with tempfile.TemporaryDirectory() as d:
+            for quant, kw in (("pq", {"pq_ratio": 4}), ("rabitq", {})):
+                idx = HNSWIndex.create(
+                    spark, emb, f"{d}/{quant}", metric="l2", segment_rows=300,
+                    quantization=quant, **kw,
+                )
+                rows = idx.search(Q64, k=10, ef_search=200).collect()
+                got = [r["id"] for r in rows]
+                assert recall(got, truth) >= floors[quant], (quant, got)
+                for r in rows:
+                    expect = float(((by_id[r["id"]] - q) ** 2).sum())
+                    assert abs(r["distance"] - expect) < 1e-9, quant
+
+    def test_hnsw_pq_reopen_and_incremental_update(self, spark, emb):
+        """PQ cell survives reopen (codebook rides in the segment files)
+        and apply_updates rebuilds only affected segments with codes."""
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        with tempfile.TemporaryDirectory() as d:
+            HNSWIndex.create(
+                spark, emb, d, metric="l2", segment_rows=300,
+                quantization="pq", pq_ratio=4,
+            )
+            idx = HNSWIndex.open(spark, d)
+            before = idx.search(Q64, k=5).collect()
+            assert len(before) == 5
+            victim = before[0]["id"]
+            dels = spark.createDataFrame([(victim,)], "id bigint")
+            rebuilt = idx.apply_updates(delete_ids=dels)
+            assert rebuilt
+            after = [r["id"] for r in idx.search(Q64, k=5).collect()]
+            assert victim not in after and len(after) == 5
 
     def test_sq_rerank_fetch_is_pushed_filter(self, spark, emb):
         """Two-phase I/O golden: pass 1 scans (id, codes) only; pass 2
