@@ -292,6 +292,154 @@ class IVFIndex:
         return cls(spark, path, meta, centroids)
 
     # ------------------------------------------------------------------
+    def _assign_udf(self):
+        """List assignment against the STORED centroids (no retrain)."""
+        sc = self.spark.sparkContext
+        cent = self.centroids.astype(np.float64)
+        bc = sc.broadcast(cent)
+        c_sq = sc.broadcast(np.einsum("ij,ij->i", cent, cent))
+        r = self.meta.get("replicas", 1)
+
+        @F.pandas_udf("array<int>")
+        def assign_lists(v: pd.Series) -> pd.Series:
+            mat = np.asarray(v.tolist(), dtype=np.float64)
+            d = -2.0 * (mat @ bc.value.T) + c_sq.value[None, :]
+            if r == 1:
+                top = np.argmin(d, axis=1)[:, None]
+            else:
+                top = np.argpartition(d, r - 1, axis=1)[:, :r]
+            return pd.Series([row.astype("int32").tolist() for row in top])
+
+        return assign_lists
+
+    def _encode_delta(self, indexed: DataFrame) -> DataFrame:
+        """Encode (vec, list_id) rows with the STORED quantizer constants
+        (meta SQ bounds / saved PQ codebooks / RaBitQ projection).  The
+        incremental path never retrains — mirroring the reference's merge
+        of affected segments only (optimizing/mod.rs:58-105)."""
+        from pgvecto_rs_spark.indexes.flat import _SQ_KINDS
+
+        quant = self.meta.get("quantization")
+        if quant is None:
+            return indexed
+        bc = self.spark.sparkContext.broadcast(self.centroids.astype(np.float64))
+
+        @F.pandas_udf("array<float>")
+        def residual(v: pd.Series, lid: pd.Series) -> pd.Series:
+            mat = np.asarray(v.tolist(), dtype=np.float64)
+            res = mat - bc.value[lid.to_numpy()]
+            return pd.Series([row.astype("float32").tolist() for row in res])
+
+        indexed = indexed.withColumn("res", residual("vec", "list_id"))
+        if quant in _SQ_KINDS:
+            levels = (1 << _SQ_KINDS[quant]) - 1
+            lo_c = F.array(*[F.lit(float(v)) for v in self.meta["sq_lo"]])
+            w_c = F.array(*[F.lit(float(v)) for v in self.meta["sq_width"]])
+            codes = F.zip_with(
+                F.col("res").cast("array<double>"),
+                F.zip_with(lo_c, w_c, lambda a, b: F.struct(a.alias("lo"), b.alias("w"))),
+                lambda x, p: F.least(
+                    F.lit(levels),
+                    F.greatest(F.lit(0), F.round((x - p["lo"]) / p["w"] * levels, 0).cast("int")),
+                ).cast("smallint"),
+            )
+            return indexed.withColumn("codes", codes).drop("res")
+        from pgvecto_rs_spark.indexes import quantization as Qz
+
+        if quant == "pq":
+            books = np.load(os.path.join(self.path, "pq_codebooks.npy"))
+            return indexed.withColumn(
+                "codes", Qz.pq_encode_udf(books, self.spark)("res")
+            ).drop("res")
+        proj = np.load(os.path.join(self.path, "rabitq_proj.npy"))
+        return indexed.withColumn(
+            "rq", Qz.rabitq_encode_udf(proj, self.spark)("res")
+        ).drop("res")
+
+    def apply_updates(
+        self,
+        delete_ids: DataFrame | None = None,
+        insert_rows: DataFrame | None = None,
+        id_col: str = "id",
+        vector_col: str = "vec",
+    ) -> list[int]:
+        """Incremental maintenance (the reference merges only affected
+        segments, crates/index/src/optimizing/mod.rs:58-105): assign new
+        rows to the EXISTING centroids and rewrite ONLY the touched
+        list_id partitions.  Deletes/re-inserts touch the lists holding
+        their old rows (found by a column-pruned (id, list_id) scan +
+        broadcast semi-join); inserts touch their assigned lists.
+        Untouched list partitions keep their files byte-for-byte;
+        centroids and quantizer constants are never retrained.  Returns
+        the rewritten list ids."""
+        import shutil
+
+        lists_dir = os.path.join(self.path, "lists")
+        spark = self.spark
+        lists = spark.read.parquet(lists_dir)
+
+        # ids whose OLD rows must go: deletes plus re-inserted ids
+        remove = None
+        if delete_ids is not None:
+            remove = delete_ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+        add = None
+        if insert_rows is not None:
+            vec = base.normalized_col(vector_col, self.meta["normalize"]).cast("array<float>")
+            payloads = [
+                c for c in self.meta.get("payload_cols", []) if c in insert_rows.columns
+            ]
+            add = insert_rows.select(
+                F.col(id_col).cast("long").alias("id"),
+                vec.alias("vec"),
+                *[F.col(c) for c in payloads],
+            ).withColumn("list_id", F.explode(self._assign_udf()("vec")))
+            newids = add.select("id").distinct()
+            remove = newids if remove is None else remove.unionByName(newids).distinct()
+
+        affected: set[int] = set()
+        if remove is not None:
+            affected |= {
+                r["list_id"]
+                for r in lists.select("id", "list_id")
+                .join(F.broadcast(remove), "id")
+                .select("list_id")
+                .distinct()
+                .collect()
+            }
+        if add is not None:
+            affected |= {r["list_id"] for r in add.select("list_id").distinct().collect()}
+        if not affected:
+            return []
+        segs = sorted(int(s) for s in affected)
+
+        keep = lists.where(F.col("list_id").isin(segs))
+        if remove is not None:
+            keep = keep.join(F.broadcast(remove), "id", "left_anti")
+        live = keep
+        if add is not None:
+            live = keep.unionByName(self._encode_delta(add), allowMissingColumns=True)
+        # checkpoint severs lineage from the list files we overwrite
+        live = live.localCheckpoint(eager=True)
+        (
+            live.repartition("list_id")
+            .sortWithinPartitions("id")  # keep the row-group id-skipping invariant
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("list_id")
+            .parquet(lists_dir)
+        )
+        # a list can end up empty: dynamic overwrite never writes its
+        # directory, so drop the stale one explicitly
+        present = {r["list_id"] for r in live.select("list_id").distinct().collect()}
+        for s in segs:
+            if s not in present:
+                shutil.rmtree(os.path.join(lists_dir, f"list_id={s}"), ignore_errors=True)
+        self._lists_df = None  # invalidate the cached file index
+        n = spark.read.parquet(lists_dir).select("id").distinct().count()
+        self.meta["n_rows"] = int(n)
+        base.write_meta(self.path, self.meta)
+        return segs
+
     def probe_lists(self, q: np.ndarray, nprobe: int) -> list[int]:
         d = base.np_kernel_distance(self.meta["kernel"], self.centroids.astype(np.float64), q)
         return np.argsort(d, kind="stable")[:nprobe].tolist()

@@ -226,19 +226,27 @@ class FreshVectorIndex:
         """The optimizer pass (optimizing/mod.rs:58-105): fold delta into
         the sealed index, apply deletes, clear delta + tombstones.
 
-        For an HNSW sealed index the default is *incremental*: only the
-        segments whose membership changed are rebuilt (the reference's
-        delete-patching, hnsw/src/lib.rs:359-390) — at 100x scale a full
-        graph rebuild per compaction is the dominant cost.  Falls back to
-        a full rebuild when the delta outgrows half the sealed capacity
-        (segment count is fixed at create time)."""
+        For HNSW and IVF sealed indexes the default is *incremental*:
+        only the segments / list partitions whose membership changed are
+        rebuilt (the reference merges only affected segments,
+        optimizing/mod.rs:58-105; HNSW delete-patching,
+        hnsw/src/lib.rs:359-390) — at 100x scale a full rebuild per
+        compaction is the dominant cost.  Falls back to a full rebuild
+        when the delta outgrows half the sealed capacity (HNSW: segment
+        count is fixed at create time; IVF: centroids would drift too
+        far from the merged distribution)."""
         if incremental is None:
-            incremental = self.meta["sealed_kind"] == "hnsw"
-        if incremental and self.meta["sealed_kind"] == "hnsw":
+            incremental = self.meta["sealed_kind"] in ("hnsw", "ivf")
+        if incremental and self.meta["sealed_kind"] in ("hnsw", "ivf"):
             delta = self._delta()
-            cap = self.sealed.meta["n_segments"] * 20_000
-            if delta is None or delta.count() <= cap // 2:
-                self._compact_hnsw_incremental()
+            if self.meta["sealed_kind"] == "hnsw":
+                cap = self.sealed.meta["n_segments"] * 20_000
+                small = delta is None or delta.count() <= cap // 2
+            else:
+                n_sealed = self.sealed.meta.get("n_rows", 0)
+                small = delta is None or delta.count() <= max(10_000, n_sealed // 2)
+            if small:
+                self._compact_incremental()
                 return
 
         tomb_agg = self._tomb_agg()
@@ -309,9 +317,10 @@ class FreshVectorIndex:
         self.sealed = idx_cls.open(self.spark, old)
         self._bump()
 
-    def _compact_hnsw_incremental(self) -> None:
-        """Fold delta + tombstones into the sealed HNSW by rebuilding
-        only the affected segments (delete-patching analogue)."""
+    def _compact_incremental(self) -> None:
+        """Fold delta + tombstones into the sealed index by rebuilding
+        only the affected segments (HNSW) / list partitions (IVF) via
+        the index's apply_updates."""
         from pyspark.sql import Window
 
         tomb_agg = self._tomb_agg()
@@ -340,7 +349,9 @@ class FreshVectorIndex:
         for sub in ("delta", "tombstones"):
             shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
             os.makedirs(os.path.join(self.path, sub), exist_ok=True)
-        self.sealed = _KINDS["hnsw"].open(self.spark, os.path.join(self.path, "sealed"))
+        self.sealed = _KINDS[self.meta["sealed_kind"]].open(
+            self.spark, os.path.join(self.path, "sealed")
+        )
         self._bump()
 
     def stat(self) -> dict:

@@ -181,6 +181,66 @@ def test_hnsw_incremental_compact(spark, emb):
         assert got == expect, "incremental compaction must not change results"
 
 
+def test_ivf_incremental_compact(spark, emb):
+    """IVF compaction is incremental (reference merges only affected
+    segments, optimizing/mod.rs:58-105): delta rows are assigned to the
+    EXISTING centroids and only touched list_id partitions are
+    rewritten; untouched list partitions stay byte-for-byte identical,
+    and post-compaction full-probe search equals the brute-force truth
+    over the live row set."""
+    import glob
+    import hashlib
+    import os
+
+    def content_hashes(lists_dir):
+        out = {}
+        for f in glob.glob(os.path.join(lists_dir, "list_id=*", "*.parquet")):
+            with open(f, "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = FreshVectorIndex.create(
+            spark,
+            emb.where(F.col("vec_id") < 400),
+            d,
+            sealed_kind="ivf",
+            nlist=8,
+        )
+        top = [r["id"] for r in idx.search(Q64, k=5).collect()]
+        idx.delete([top[0], top[1]])
+        idx.insert(emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 403)))
+
+        lists_dir = os.path.join(d, "sealed", "lists")
+        before = content_hashes(lists_dir)
+        idx.compact()
+        after = content_hashes(lists_dir)
+        untouched = [f for f in before if f in after and before[f] == after[f]]
+        assert untouched, "some list partitions must survive compaction untouched"
+        assert any(f not in after or before[f] != after[f] for f in before), (
+            "affected list partitions must be rewritten"
+        )
+
+        st = idx.stat()
+        assert not st["idx_growing"] and st["idx_tombstones"] == 0
+        assert st["idx_sealed"][0] == 400 - 2 + 3
+
+        # full-probe search over the compacted index == brute force on
+        # the live membership (2 deleted, 3 inserted)
+        live = emb.where(
+            ((F.col("vec_id") < 400) & ~F.col("vec_id").isin([top[0], top[1]]))
+            | ((F.col("vec_id") >= 400) & (F.col("vec_id") < 403))
+        )
+        from pgvecto_rs_spark.operators.search import top_k
+
+        truth = [
+            r["vec_id"]
+            for r in top_k(live, "embedding", Q64, 10, metric="l2", tiebreaker="vec_id").collect()
+        ]
+        got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8).collect()]
+        assert got == truth
+
+
 def test_crash_mid_append_leaves_index_consistent(spark, emb):
     """Crash recovery (reference tests/crash/): Parquet's task-commit
     protocol is the WAL — a writer killed mid-append leaves its output
