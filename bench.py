@@ -86,6 +86,43 @@ def _ann_recall(spark, registry) -> dict[str, float]:
     return out
 
 
+def _batch_speedup(spark) -> dict:
+    """search_batch amortization: 32 queries answered per-query vs one
+    batched pass (flat exact scan + IVF probe-pruned scan)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pgvecto_rs_spark.indexes import FlatIndex, IVFIndex
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    qdf = emb.orderBy("vec_id").limit(32).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    queries = [(int(r["qid"]), list(r["qv"])) for r in qdf.collect()]
+    out = {}
+    with tempfile.TemporaryDirectory() as d:
+        idxs = {
+            "flat": (FlatIndex.create(spark, emb, f"{d}/flat", metric="l2"), {}),
+            "ivf": (
+                IVFIndex.create(spark, emb, f"{d}/ivf", metric="l2", nlist=64),
+                {"nprobe": 8},
+            ),
+        }
+        for name, (idx, kw) in idxs.items():
+            idx.search(queries[0][1], k=10, **kw).collect()  # warm
+            t0 = time.perf_counter()
+            for _, qv in queries:
+                idx.search(qv, k=10, **kw).collect()
+            per_query = time.perf_counter() - t0
+            idx.search_batch(qdf, "qid", "qv", k=10, **kw).collect()  # warm
+            t0 = time.perf_counter()
+            idx.search_batch(qdf, "qid", "qv", k=10, **kw).collect()
+            batched = time.perf_counter() - t0
+            out[name] = round(per_query / batched, 2)
+    return out
+
+
 def main() -> None:
     from pgvecto_rs_spark.session import get_spark
     from pgvecto_rs_spark import queries as Q
@@ -137,6 +174,10 @@ def main() -> None:
     recall = _ann_recall(spark, registry)
     if recall:
         out["recall_at_10"] = recall
+    try:
+        out["batch_speedup_32q"] = _batch_speedup(spark)
+    except Exception as e:  # noqa: BLE001
+        out.setdefault("errors", {})["batch_speedup_32q"] = f"{type(e).__name__}: {e}"
     print(json.dumps(out))
     spark.stop()
 

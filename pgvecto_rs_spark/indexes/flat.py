@@ -369,6 +369,82 @@ class FlatIndex:
         out = df.withColumn("distance", base.post_map(self.meta["metric"], d))
         return out.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k).select("id", "distance")
 
+    def search_batch(
+        self,
+        queries: DataFrame,
+        query_id_col: str,
+        query_vec_col: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """Batched exact search (the hnsw.search_batch analogue): many
+        queries answered in ONE scan — the per-Arrow-batch distance is a
+        single (rows x queries) gemm, and per-batch per-query top-k
+        bounds the shuffle to k rows per (query, input partition).  At
+        warm local scale the per-query path is dispatch-dominated;
+        batching amortizes job setup across the whole query set.
+        Quantized / f16 variants fall back to per-query search (their
+        two-phase rerank is per-query by construction).  Returns
+        (query_id, id, distance), k rows per query."""
+        from pyspark.sql import Window
+
+        if self.meta.get("quantization") is not None or self.meta.get("storage") == "f16":
+            out = None
+            for r in queries.select(query_id_col, query_vec_col).collect():
+                one = (
+                    self.search(list(r[1]), k=k)
+                    .withColumn("query_id", F.lit(r[0]).cast("long"))
+                    .select("query_id", "id", "distance")
+                )
+                out = one if out is None else out.unionByName(one)
+            return out
+
+        kernel, metric = self.meta["kernel"], self.meta["metric"]
+        rows = queries.select(query_id_col, query_vec_col).collect()
+        qids = [int(r[0]) for r in rows]
+        qmat = np.asarray(
+            [base.prep_query(r[1], self.meta["normalize"]) for r in rows], dtype=np.float64
+        )
+        qb = self.spark.sparkContext.broadcast((qids, qmat))
+        kk = int(k)
+
+        def scan(batches):
+            qids_l, qm = qb.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+                ids = pdf["id"].to_numpy()
+                # per-query columns use the exact same arithmetic as the
+                # single-query scan (np_kernel_distance), so batched
+                # results are bit-identical to per-query search
+                d = np.empty((len(mat), len(qm)))
+                for qi in range(len(qm)):
+                    d[:, qi] = base.np_kernel_distance(kernel, mat, qm[qi])
+                top = min(kk, len(ids))
+                part = np.argpartition(d, top - 1, axis=0)[:top]
+                out_qid, out_id, out_d = [], [], []
+                for qi in range(len(qids_l)):
+                    sel = part[:, qi]
+                    out_qid.extend([qids_l[qi]] * len(sel))
+                    out_id.extend(ids[sel].tolist())
+                    out_d.extend(d[sel, qi].tolist())
+                yield pd.DataFrame(
+                    {"query_id": out_qid, "id": out_id, "distance": out_d}
+                )
+
+        cand = (
+            self._rows()
+            .select("id", "vec")
+            .mapInPandas(scan, "query_id bigint, id bigint, distance double")
+            .withColumn("distance", base.post_map(metric, F.col("distance")))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= kk)
+            .drop("_rn")
+        )
+
     def stat(self) -> dict:
         return {
             "idx_status": "NORMAL",

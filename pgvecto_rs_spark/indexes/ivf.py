@@ -699,6 +699,98 @@ class IVFIndex:
 
         return adist
 
+    def search_batch(
+        self,
+        queries: DataFrame,
+        query_id_col: str,
+        query_vec_col: str,
+        k: int = 10,
+        nprobe: int | None = None,
+    ) -> DataFrame:
+        """Batched search (the hnsw.search_batch analogue): the union of
+        all queries' probed lists is scanned in ONE partition-pruned job;
+        each Arrow batch computes distances only for the queries probing
+        that row's list, and per-(query, batch) top-k bounds the shuffle.
+        Per-query warm latency is dispatch-dominated locally — batching
+        amortizes job setup across the query set.  Quantized variants
+        fall back to per-query search (their two-phase rerank is
+        per-query by construction).  Returns (query_id, id, distance),
+        k rows per query; results are bit-identical to per-query search
+        at the same nprobe (same np_kernel_distance arithmetic)."""
+        from pyspark.sql import Window
+
+        if self.meta.get("quantization") is not None:
+            out = None
+            for r in queries.select(query_id_col, query_vec_col).collect():
+                one = (
+                    self.search(list(r[1]), k=k, nprobe=nprobe)
+                    .withColumn("query_id", F.lit(int(r[0])).cast("long"))
+                    .select("query_id", "id", "distance")
+                )
+                out = one if out is None else out.unionByName(one)
+            return out
+
+        if nprobe is None:
+            nprobe = max(DEFAULT_NPROBE, -(-self.meta["nlist"] // 50))
+        kernel, metric = self.meta["kernel"], self.meta["metric"]
+        rows = queries.select(query_id_col, query_vec_col).collect()
+        qids = [int(r[0]) for r in rows]
+        qmat = np.asarray(
+            [base.prep_query(r[1], self.meta["normalize"]) for r in rows], dtype=np.float64
+        )
+        probes: dict[int, list[int]] = {}
+        for qi in range(len(qids)):
+            for lid in self.probe_lists(qmat[qi], nprobe):
+                probes.setdefault(int(lid), []).append(qi)
+        all_lists = sorted(probes)
+        qb = self.spark.sparkContext.broadcast((qids, qmat, probes))
+        kk = int(k)
+
+        def scan(batches):
+            qids_l, qm, pr = qb.value
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                out_qid: list[int] = []
+                out_id: list[int] = []
+                out_d: list[float] = []
+                for lid, grp in pdf.groupby("list_id"):
+                    qis = pr.get(int(lid))
+                    if not qis:
+                        continue
+                    mat = np.asarray(grp["vec"].tolist(), dtype=np.float64)
+                    ids = grp["id"].to_numpy()
+                    top = min(kk, len(ids))
+                    for qi in qis:
+                        d = base.np_kernel_distance(kernel, mat, qm[qi])
+                        sel = np.argpartition(d, top - 1)[:top]
+                        out_qid.extend([qids_l[qi]] * len(sel))
+                        out_id.extend(ids[sel].tolist())
+                        out_d.extend(d[sel].tolist())
+                if out_qid:
+                    yield pd.DataFrame(
+                        {"query_id": out_qid, "id": out_id, "distance": out_d}
+                    )
+
+        src = (
+            self._lists()
+            .where(F.col("list_id").isin(all_lists))
+            .select("id", "vec", "list_id")
+        )
+        cand = src.mapInPandas(
+            scan, "query_id bigint, id bigint, distance double"
+        ).withColumn("distance", base.post_map(metric, F.col("distance")))
+        if self.meta.get("replicas", 1) > 1:
+            # multi-assignment: the same id can reach a query from two
+            # probed lists with identical exact distances
+            cand = cand.dropDuplicates(["query_id", "id"])
+        w = Window.partitionBy("query_id").orderBy(F.col("distance").asc(), F.col("id").asc())
+        return (
+            cand.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= kk)
+            .drop("_rn")
+        )
+
     def stat(self) -> dict:
         """vector_index_stat analogue (src/index/views.rs:17-80)."""
         return {

@@ -217,6 +217,64 @@ class TestQuantization:
             assert recall(got, exact_ids(emb, "dot")) >= 0.9
 
 
+class TestSearchBatch:
+    """search_batch for flat/IVF (mirrors hnsw.search_batch): one scan
+    answers the whole query set; results must equal per-query search."""
+
+    def test_flat_batch_equals_per_query(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = FlatIndex.create(spark, emb, d, metric="l2")
+            qdf = emb.orderBy("vec_id").limit(32).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+            )
+            got = idx.search_batch(qdf, "qid", "qv", k=10).collect()
+            by_q: dict = {}
+            for r in got:
+                by_q.setdefault(r["query_id"], []).append((r["id"], r["distance"]))
+            assert len(by_q) == 32
+            for qr in qdf.collect():
+                expect = [
+                    (r["id"], r["distance"])
+                    for r in idx.search(list(qr["qv"]), k=10).collect()
+                ]
+                assert sorted(by_q[qr["qid"]], key=lambda t: (t[1], t[0])) == expect, qr["qid"]
+
+    def test_ivf_batch_equals_per_query(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=8)
+            qdf = emb.orderBy("vec_id").limit(32).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+            )
+            got = idx.search_batch(qdf, "qid", "qv", k=10, nprobe=4).collect()
+            by_q: dict = {}
+            for r in got:
+                by_q.setdefault(r["query_id"], []).append((r["id"], r["distance"]))
+            assert len(by_q) == 32
+            for qr in qdf.collect():
+                expect = [
+                    (r["id"], r["distance"])
+                    for r in idx.search(list(qr["qv"]), k=10, nprobe=4).collect()
+                ]
+                assert sorted(by_q[qr["qid"]], key=lambda t: (t[1], t[0])) == expect, qr["qid"]
+
+    def test_ivf_batch_replicas_dedups(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=8, replicas=2)
+            qdf = emb.orderBy("vec_id").limit(4).select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+            )
+            got = idx.search_batch(qdf, "qid", "qv", k=10, nprobe=8).collect()
+            seen = set()
+            for r in got:
+                key = (r["query_id"], r["id"])
+                assert key not in seen, "duplicate id for a query"
+                seen.add(key)
+            counts: dict = {}
+            for r in got:
+                counts[r["query_id"]] = counts.get(r["query_id"], 0) + 1
+            assert all(c == 10 for c in counts.values())
+
+
 class TestAlgoQuantMatrix:
     """quantization.slt + vbase.slt mirror: every (algorithm x
     quantization) cell answers top-k with exactly k rows and sane
