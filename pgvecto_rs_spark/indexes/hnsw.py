@@ -643,7 +643,13 @@ class HNSWIndex:
         prepared = src.select(
             F.col(id_col).alias("id"),
             vec.alias("vec"),
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_segments)).cast("int").alias("seg"),
+            # canonical bigint cast before hashing: xxhash64(int) !=
+            # xxhash64(bigint) for the same value, and ids are stored as
+            # bigint — without the cast an int id column would land
+            # updates in the wrong segment later
+            F.pmod(F.xxhash64(F.col(id_col).cast("long")), F.lit(n_segments))
+            .cast("int")
+            .alias("seg"),
         )
 
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -690,6 +696,7 @@ class HNSWIndex:
             "ef_construction": ef_construction,
             "n_rows": int(n),
             "n_segments": int(n_segments),
+            "segment_rows": int(segment_rows),
             "quantization": quantization,
             "pq_ratio": int(pq_ratio),
             "pq_bits": int(pq_bits),
@@ -737,7 +744,7 @@ class HNSWIndex:
         """
         n_seg = self.meta["n_segments"]
         kernel, m, ef_c = self.meta["kernel"], self.meta["m"], self.meta["ef_construction"]
-        seg_of = lambda c: F.pmod(F.xxhash64(c), F.lit(n_seg)).cast("int")  # noqa: E731
+        seg_of = lambda c: F.pmod(F.xxhash64(c.cast("long")), F.lit(n_seg)).cast("int")  # noqa: E731
 
         affected: set[int] = set()
         if delete_ids is not None:

@@ -582,6 +582,14 @@ def simhash_candidate_pairs(
     ``max_bucket`` are dropped — one degenerate band bucket
     (empty/boilerplate docs) would otherwise make the in-array pair
     expansion quadratic (same skew guard as the MinHash path)."""
+    if max_hamming > 15:
+        # the pigeonhole guarantee needs max_hamming+1 bands of >= 4 bits
+        # each over a 64-bit signature; silently clamping the band count
+        # would quietly lose completeness, so refuse instead
+        raise ValueError(
+            f"max_hamming={max_hamming} > 15 cannot keep the pigeonhole "
+            "guarantee over a 64-bit signature (needs max_hamming+1 bands)"
+        )
     sig = simhash_signatures_df(df, text_col, id_col, k)
     n_bands = min(max_hamming + 1, 16)
     base, rem = divmod(64, n_bands)

@@ -130,6 +130,12 @@ def _scaled_sum(c: Column, scale: float) -> Column:
     partial-aggregation ordering.  Oracle side:
     SUM(CAST(FLOOR(x * scale + 0.5) AS BIGINT)).
     """
+    # int64 headroom: Spark's non-ANSI SUM(long) wraps on overflow while
+    # DuckDB's CAST(SUM(...) AS BIGINT) throws, so the two sides diverge
+    # past ~9.2e18.  At micro-scale (1e6) that is ~9.2e12 in summed
+    # value units — far above any gate-scale aggregate, but a 100 TB run
+    # summing >1e12 rows of O(10) values should drop the scale to 1e4 or
+    # enable spark.sql.ansi.enabled so both engines fail loudly.
     return F.sum(F.floor(c.cast("double") * F.lit(scale) + F.lit(0.5)).cast("long"))
 
 

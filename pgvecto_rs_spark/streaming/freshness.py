@@ -240,7 +240,9 @@ class FreshVectorIndex:
         if incremental and self.meta["sealed_kind"] in ("hnsw", "ivf"):
             delta = self._delta()
             if self.meta["sealed_kind"] == "hnsw":
-                cap = self.sealed.meta["n_segments"] * 20_000
+                cap = self.sealed.meta["n_segments"] * self.sealed.meta.get(
+                    "segment_rows", 20_000
+                )
                 small = delta is None or delta.count() <= cap // 2
             else:
                 n_sealed = self.sealed.meta.get("n_rows", 0)
