@@ -1136,12 +1136,28 @@ def _doc_embed_qv() -> list[float]:
 
 
 def _materialize_doc_embed_oracle(sf_dir: str) -> None:
+    import json
+
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     from pgvecto_rs_spark.sources.embedding import _hash_provider
 
-    tbl = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    # Embedding 5k+ docs driver-side costs seconds — skip when the file
+    # was already built from this exact source (sidecar records the
+    # sf_dir + source mtime; a different SF or regenerated testdata
+    # invalidates it).
+    src = f"{sf_dir}/documents.parquet"
+    sidecar = _DOC_EMBED_ORACLE_FILE + ".src.json"
+    key = {"sf_dir": sf_dir, "mtime": os.path.getmtime(src)}
+    try:
+        with open(sidecar) as fh:
+            if json.load(fh) == key and os.path.exists(_DOC_EMBED_ORACLE_FILE):
+                return
+    except (OSError, ValueError):
+        pass
+
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
     texts = [t or "" for t in tbl.column("text").to_pylist()]
     embs = _hash_provider(64)(texts)
     out = pa.table(
@@ -1151,6 +1167,8 @@ def _materialize_doc_embed_oracle(sf_dir: str) -> None:
         }
     )
     pq.write_table(out, _DOC_EMBED_ORACLE_FILE)
+    with open(sidecar, "w") as fh:
+        json.dump(key, fh)
 
 
 _QDOC_SQL = "[" + ", ".join(repr(x) for x in _doc_embed_qv()) + "]"
