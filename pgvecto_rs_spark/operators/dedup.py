@@ -297,30 +297,39 @@ def lsh_candidate_pairs(
     if est_threshold is None:
         return _pairs_within("ids", groups).distinct()
 
-    ms = F.array_sort(F.array_distinct(F.col("ids")))
-    n = F.size(ms)
-    agree = lambda x, y: F.size(  # noqa: E731
-        F.filter(F.zip_with(x["__sig"], y["__sig"], lambda p, q: p == q), lambda m: m)
-    )
-    pairs = F.flatten(
-        F.transform(
-            ms,
-            lambda x, i: F.transform(
-                F.slice(ms, i + 2, n),
-                lambda y: F.struct(
-                    x["__id"].alias("id_a"),
-                    y["__id"].alias("id_b"),
-                    (agree(x, y).cast("double") / F.lit(float(num_perm))).alias("est"),
-                ),
-            ),
-        )
-    )
-    exploded = groups.select(F.explode(pairs).alias("p")).select(
-        "p.id_a", "p.id_b", "p.est"
-    )
+    # Vectorized in-bucket expansion + estimate prefilter: one Arrow
+    # batch UDF computes per-bucket signature agreement in numpy and
+    # emits only pairs whose estimated Jaccard clears the threshold.
+    # (The earlier higher-order-function form built every combination
+    # as a struct and compared signatures element-wise interpreted —
+    # the dominant cost of the candidate stage at sf0.1.)
+    thr = float(est_threshold)
+    npm = float(num_perm)
+
+    @F.pandas_udf("array<struct<id_a: bigint, id_b: bigint>>")
+    def expand(members: pd.Series) -> pd.Series:
+        out = []
+        for arr in members:
+            ids = np.asarray([m["__id"] for m in arr], dtype=np.int64)
+            sigs = np.asarray([m["__sig"] for m in arr], dtype=np.int64)
+            order = np.argsort(ids, kind="stable")
+            ids, sigs = ids[order], sigs[order]
+            keep = np.ones(len(ids), dtype=bool)
+            keep[1:] = ids[1:] != ids[:-1]  # same id => same signature
+            ids, sigs = ids[keep], sigs[keep]
+            pairs = []
+            for i in range(len(ids) - 1):
+                agree = (sigs[i + 1 :] == sigs[i]).sum(axis=1)
+                sel = np.flatnonzero(agree.astype(np.float64) / npm >= thr)
+                pairs.extend(
+                    {"id_a": int(ids[i]), "id_b": int(ids[i + 1 + j])} for j in sel
+                )
+            out.append(pairs)
+        return pd.Series(out)
+
     return (
-        exploded.where(F.col("est") >= est_threshold)
-        .select("id_a", "id_b")
+        groups.select(F.explode(expand("ids")).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
