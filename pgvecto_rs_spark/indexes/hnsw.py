@@ -389,14 +389,12 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
             return np.maximum(sqn[idx] - 2.0 * (g @ q) + qsq, 0.0)
         return -(g @ q)
 
-    def prune(cand_sorted: list[tuple[float, int]], cap: int) -> list[int]:
+    def _prune_arrays(ids: np.ndarray, ds: np.ndarray, cap: int) -> list[int]:
         # Same heuristic as _prune_diverse, reusing the precomputed norms.
         # Mask formulation: keeping s eliminates every not-yet-kept c with
         # dist(c, s) <= dist(c, anchor); the next survivor in ascending
         # order is exactly the next keep of the sequential scan, so this
         # runs `cap` vector ops instead of |cand| fancy-indexed checks.
-        ids = np.asarray([c for _, c in cand_sorted], dtype=np.int64)
-        ds = np.asarray([d for d, _ in cand_sorted], dtype=np.float64)
         g = V[ids]
         if kernel == "l2":
             sq = sqn[ids]
@@ -415,15 +413,40 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
             alive &= pd[:, ci] > ds
         return [int(ids[ci]) for ci in kept]
 
+    def prune(cand_sorted: list[tuple[float, int]], cap: int) -> list[int]:
+        ids = np.asarray([c for _, c in cand_sorted], dtype=np.int64)
+        ds = np.asarray([d for d, _ in cand_sorted], dtype=np.float64)
+        # Two-tier: the greedy scan almost always fills its cap from the
+        # nearest few candidates, so prune the head first (4*cap) and
+        # fall back to the full set only when the head can't fill —
+        # identical result (the head prefix of the scan is unchanged),
+        # ~10x smaller pairwise gemm in the common case.
+        head = 4 * cap
+        if len(ids) > head:
+            kept = _prune_arrays(ids[:head], ds[:head], cap)
+            if len(kept) == cap:
+                return kept
+        return _prune_arrays(ids, ds, cap)
+
     stamp = np.zeros(n, dtype=np.int64)
     tok = 0
-    B = 8  # frontier nodes expanded per distance batch
+    # Frontier nodes expanded per distance batch.  Larger B = fewer,
+    # bigger numpy calls and fewer Python loop iterations at the cost of
+    # some extra expansions past the stopping bound; 32 measured best
+    # (20k rows, efc=300: B=8 250 rows/s, B=16 277, B=32 292).
+    B = 32
     cap0 = 2 * m
     # Level 0 holds every node and absorbs ~all edge traffic: keep it as
-    # one flat (n, 2m) int32 matrix (-1 = empty) so a frontier batch's
-    # neighbors gather in a single fancy index, no per-node list hops.
+    # one flat int32 matrix (-1 = empty) so a frontier batch's neighbors
+    # gather in a single fancy index, no per-node list hops.  The row
+    # width is 2x the final cap: reverse edges accumulate into the slack
+    # and the diversity prune runs once per ~cap0 additions instead of
+    # on every overflow (immediate pruning made saturated-graph
+    # insertion prune-bound — ~24 prunes per insertion at steady state).
+    # A final pass trims every row to cap0 with the same heuristic.
     # Upper levels (1/m of nodes each) stay in the list-of-arrays form.
-    adj0 = np.full((n, cap0), -1, dtype=np.int32)
+    buf0 = 2 * cap0
+    adj0 = np.full((n, buf0), -1, dtype=np.int32)
     deg0 = np.zeros(n, dtype=np.int32)
 
     entry = 0
@@ -481,26 +504,37 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
                 fresh = allnb[stamp[allnb] != tok]
                 if not len(fresh):
                     continue
+                # dedup within the batch, then mark EVERY evaluated node
+                # visited — a rejected node stays rejected forever (its
+                # distance is fixed and the worst bound only shrinks), so
+                # re-gathering it later would be pure waste
+                fresh = np.unique(fresh)
+                stamp[fresh] = tok
                 ds = dists(fresh, q, qsq)
                 nres = len(result)
                 if nres >= ef_construction:
-                    # heap full: worst only shrinks, so anything >= the
-                    # current worst can never enter — drop it pre-loop
+                    # heap full: anything >= the current worst can never
+                    # enter — drop it pre-loop
                     keep = ds < -result[0][0]
                     fresh, ds = fresh[keep], ds[keep]
+                if not len(fresh):
+                    continue
+                # ascending push order: once one candidate fails the
+                # worst test, every later one fails too (worst only
+                # shrinks) — break instead of checking each
+                o = np.argsort(ds, kind="stable")
+                fresh, ds = fresh[o], ds[o]
                 worst = -result[0][0]
                 for v, dv in zip(fresh.tolist(), ds.tolist()):
-                    if stamp[v] == tok:  # duplicate within this batch
-                        continue
-                    stamp[v] = tok
-                    if nres < ef_construction or dv < worst:
-                        heapq.heappush(cand, (dv, v))
+                    if nres >= ef_construction and dv >= worst:
+                        break
+                    heapq.heappush(cand, (dv, v))
+                    if nres >= ef_construction:
+                        heapq.heappushpop(result, (-dv, v))
+                    else:
                         heapq.heappush(result, (-dv, v))
-                        if nres >= ef_construction:
-                            heapq.heappop(result)
-                        else:
-                            nres += 1
-                        worst = -result[0][0]
+                        nres += 1
+                    worst = -result[0][0]
             found = sorted((-d, v) for d, v in result)
             # diversity-pruned neighbor selection (prune.rs), not
             # nearest-only: keeps cross-cluster edges so the graph stays
@@ -517,7 +551,7 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
                 vsq = float(sqn[v]) if kernel == "l2" else 0.0
                 if l == 0:
                     dv = int(deg0[v])
-                    if dv < cap0:
+                    if dv < buf0:
                         adj0[v, dv] = i
                         deg0[v] = dv + 1
                     else:
@@ -539,8 +573,18 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
             ep_d = float(dists(np.asarray([ep]), q, qsq)[0])
         if lvl > levels[entry]:
             entry = i
-    for i in range(n):
-        neighbors[i][0] = adj0[i, : deg0[i]].copy()
+    # final trim: rows that accumulated slack get one diversity prune
+    # down to the reference's level-0 cap (2m)
+    for v in range(n):
+        dv = int(deg0[v])
+        if dv <= cap0:
+            neighbors[v][0] = adj0[v, :dv].copy()
+        else:
+            nbrs = adj0[v, :dv]
+            vsq = float(sqn[v]) if kernel == "l2" else 0.0
+            ds = dists(nbrs, V[v], vsq)
+            kept = prune(sorted(zip(ds.tolist(), nbrs.tolist())), cap0)
+            neighbors[v][0] = np.asarray(kept, dtype=np.int32)
     return neighbors, levels
 
 
