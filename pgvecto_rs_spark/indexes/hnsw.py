@@ -395,38 +395,45 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
         # dist(c, s) <= dist(c, anchor); the next survivor in ascending
         # order is exactly the next keep of the sequential scan, so this
         # runs `cap` vector ops instead of |cand| fancy-indexed checks.
+        # The next-survivor search is a monotone pointer (total O(m) per
+        # prune), not a flatnonzero scan per keep.
         g = V[ids]
         if kernel == "l2":
             sq = sqn[ids]
             pd = np.maximum(sq[:, None] + sq[None, :] - 2.0 * (g @ g.T), 0.0)
         else:
             pd = -(g @ g.T)
-        alive = np.ones(len(ids), dtype=bool)
+        m = len(ids)
+        alive = np.ones(m, dtype=bool)
         kept: list[int] = []
+        ptr = 0
         while len(kept) < cap:
-            rest = np.flatnonzero(alive)
-            if not len(rest):
+            while ptr < m and not alive[ptr]:
+                ptr += 1
+            if ptr >= m:
                 break
-            ci = int(rest[0])
+            ci = ptr
             kept.append(ci)
             alive[ci] = False
             alive &= pd[:, ci] > ds
         return [int(ids[ci]) for ci in kept]
 
-    def prune(cand_sorted: list[tuple[float, int]], cap: int) -> list[int]:
-        ids = np.asarray([c for _, c in cand_sorted], dtype=np.int64)
-        ds = np.asarray([d for d, _ in cand_sorted], dtype=np.float64)
-        # Two-tier: the greedy scan almost always fills its cap from the
-        # nearest few candidates, so prune the head first (4*cap) and
-        # fall back to the full set only when the head can't fill —
-        # identical result (the head prefix of the scan is unchanged),
-        # ~10x smaller pairwise gemm in the common case.
-        head = 4 * cap
+    def prune_arrays_sorted(ids: np.ndarray, ds: np.ndarray, cap: int) -> list[int]:
+        # Two-tier: the greedy scan usually fills its cap from the
+        # nearest candidates, so prune the head first and fall back to
+        # the full set only when the head can't fill — identical result
+        # (the scan is prefix-stable), smaller pairwise gemm typically.
+        head = 6 * cap
         if len(ids) > head:
             kept = _prune_arrays(ids[:head], ds[:head], cap)
             if len(kept) == cap:
                 return kept
         return _prune_arrays(ids, ds, cap)
+
+    def prune(cand_sorted: list[tuple[float, int]], cap: int) -> list[int]:
+        ids = np.asarray([c for _, c in cand_sorted], dtype=np.int64)
+        ds = np.asarray([d for d, _ in cand_sorted], dtype=np.float64)
+        return prune_arrays_sorted(ids, ds, cap)
 
     stamp = np.zeros(n, dtype=np.int64)
     tok = 0
@@ -535,11 +542,13 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
                         heapq.heappush(result, (-dv, v))
                         nres += 1
                     worst = -result[0][0]
-            found = sorted((-d, v) for d, v in result)
+            rd = np.asarray([-d for d, _ in result])
+            rv = np.asarray([v for _, v in result], dtype=np.int64)
+            o = np.lexsort((rv, rd))  # (distance, id) ascending
             # diversity-pruned neighbor selection (prune.rs), not
             # nearest-only: keeps cross-cluster edges so the graph stays
             # connected on clustered data
-            chosen = prune(found, caps(l))
+            chosen = prune_arrays_sorted(rv[o], rd[o], caps(l))
             if l == 0:
                 adj0[i, : len(chosen)] = chosen
                 deg0[i] = len(chosen)
@@ -555,9 +564,10 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
                         adj0[v, dv] = i
                         deg0[v] = dv + 1
                     else:
-                        merged = np.append(adj0[v], np.int32(i))
+                        merged = np.append(adj0[v], np.int32(i)).astype(np.int64)
                         ds = dists(merged, V[v], vsq)
-                        kept = prune(sorted(zip(ds.tolist(), merged.tolist())), cap0)
+                        o = np.lexsort((merged, ds))
+                        kept = prune_arrays_sorted(merged[o], ds[o], cap0)
                         adj0[v, :] = -1
                         adj0[v, : len(kept)] = kept
                         deg0[v] = len(kept)
@@ -565,8 +575,10 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
                     cur = neighbors[v][l]
                     merged = np.append(cur, np.int32(i))
                     if len(merged) > caps(l):
-                        ds = dists(merged, V[v], vsq)
-                        kept = prune(sorted(zip(ds.tolist(), merged.tolist())), caps(l))
+                        m64 = merged.astype(np.int64)
+                        ds = dists(m64, V[v], vsq)
+                        o = np.lexsort((m64, ds))
+                        kept = prune_arrays_sorted(m64[o], ds[o], caps(l))
                         merged = np.asarray(kept, dtype=np.int32)
                     neighbors[v][l] = merged
             ep = chosen[0] if chosen else ep
@@ -580,10 +592,11 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
         if dv <= cap0:
             neighbors[v][0] = adj0[v, :dv].copy()
         else:
-            nbrs = adj0[v, :dv]
+            nbrs = adj0[v, :dv].astype(np.int64)
             vsq = float(sqn[v]) if kernel == "l2" else 0.0
             ds = dists(nbrs, V[v], vsq)
-            kept = prune(sorted(zip(ds.tolist(), nbrs.tolist())), cap0)
+            o = np.lexsort((nbrs, ds))
+            kept = prune_arrays_sorted(nbrs[o], ds[o], cap0)
             neighbors[v][0] = np.asarray(kept, dtype=np.int32)
     return neighbors, levels
 

@@ -839,6 +839,24 @@ def _tmp_index_dir(name: str, sf_dir: str) -> str:
     return os.path.join(tempfile.gettempdir(), f"pgvrs_{name}_{tag}")
 
 
+# Open-index handle cache: re-opening per query invocation re-runs the
+# parallel partition-directory listing (one task per list/segment dir —
+# the dominant warm-query cost, BENCHNOTES §1); the reference keeps
+# indexes open between queries (crates/index/src/lib.rs:128-211) and so
+# do we.  Keyed on the Spark session too: a stale session's handle
+# holds dead JVM references.
+_OPEN_INDEXES: dict = {}
+
+
+def _open_cached(cls, spark: SparkSession, path: str):
+    key = (cls.__name__, path, id(spark))
+    idx = _OPEN_INDEXES.get(key)
+    if idx is None:
+        idx = cls.open(spark, path)
+        _OPEN_INDEXES[key] = idx
+    return idx
+
+
 @register(
     "ivf_topk_l2",
     f"""
@@ -855,7 +873,7 @@ def ivf_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp_index_dir("ivf", sf_dir)
     if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
         IVFIndex.create(spark, _emb(spark, sf_dir), path, metric="l2", nlist=8)
-    idx = IVFIndex.open(spark, path)
+    idx = _open_cached(IVFIndex, spark, path)
     out = idx.search(Q64, k=10, nprobe=8)
     return out.select("id", _r4(F.col("distance")).alias("dist"))
 
@@ -880,7 +898,7 @@ def hnsw_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         # small segments parallelize the per-segment python build and
         # exercise the multi-segment merge path
         HNSWIndex.create(spark, _emb(spark, sf_dir), path, metric="l2", segment_rows=512)
-    idx = HNSWIndex.open(spark, path)
+    idx = _open_cached(HNSWIndex, spark, path)
     out = idx.search(Q64, k=10, ef_search=100)
     return out.select("id", _r4(F.col("distance")).alias("dist"))
 
@@ -908,7 +926,7 @@ def sparse_inv_topk_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, _sparse_emb(_emb(spark, sf_dir)), path,
             svector_col="svec", id_col="vec_id",
         )
-    idx = SparseInvertedIndex.open(spark, path)
+    idx = _open_cached(SparseInvertedIndex, spark, path)
     q = {i: x for i, x in enumerate(Q64) if abs(x) > SPARSE_THRESHOLD}
     out = idx.search(q, k=10)
     return out.select(F.col("id").alias("vec_id"), _r4(F.col("distance")).alias("dist"))
@@ -936,7 +954,7 @@ def ivf_pq_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, _emb(spark, sf_dir), path, metric="l2",
             nlist=8, quantization="pq", pq_ratio=4,
         )
-    idx = IVFIndex.open(spark, path)
+    idx = _open_cached(IVFIndex, spark, path)
     out = idx.search(Q64, k=10, nprobe=8, rerank_size=idx.meta["n_rows"])
     return out.select("id", _r4(F.col("distance")).alias("dist"))
 
@@ -965,7 +983,7 @@ def fresh_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.delete_df(emb.where(F.col("vec_id") % 7 == 0), id_col="vec_id")
         idx.insert(emb.where(F.col("vec_id") % 14 == 0))
     else:
-        idx = FreshVectorIndex.open(spark, path)
+        idx = _open_cached(FreshVectorIndex, spark, path)
     out = idx.search(Q64, k=10)
     return out.select("id", _r4(F.col("distance")).alias("dist"))
 
@@ -988,7 +1006,7 @@ def flat_sq8_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _tmp_index_dir("sq8", sf_dir)
     if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
         FlatIndex.create(spark, _emb(spark, sf_dir), path, metric="l2", quantization="sq8")
-    idx = FlatIndex.open(spark, path)
+    idx = _open_cached(FlatIndex, spark, path)
     out = idx.search(Q64, k=10)
     return out.select("id", _r4(F.col("distance")).alias("dist"))
 
