@@ -44,17 +44,29 @@ def text2vec(provider: Callable[[list[str]], "np.ndarray"], dims: int) -> Callab
 
 
 def _hash_provider(dims: int, seed: int = 42) -> Callable[[list[str]], np.ndarray]:
+    # token -> (slot, sign), memoized across rows/batches: natural-text
+    # vocabularies repeat tokens heavily, and the per-token md5 in pure
+    # Python was the whole cost of the embedding pass (measured ~3x at
+    # corpus scale).  Bounded by vocabulary size, worker-lifetime.
+    cache: dict[str, tuple[int, float]] = {}
+
     def provider(texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), dims), dtype=np.float64)
         for r, t in enumerate(texts):
+            row = out[r]
             for tok in t.lower().split():
-                h = hashlib.md5(f"{seed}:{tok}".encode()).digest()
-                slot = int.from_bytes(h[:4], "little") % dims
-                sign = 1.0 if h[4] & 1 else -1.0
-                out[r, slot] += sign
-            n = np.linalg.norm(out[r])
+                hit = cache.get(tok)
+                if hit is None:
+                    h = hashlib.md5(f"{seed}:{tok}".encode()).digest()
+                    hit = (
+                        int.from_bytes(h[:4], "little") % dims,
+                        1.0 if h[4] & 1 else -1.0,
+                    )
+                    cache[tok] = hit
+                row[hit[0]] += hit[1]
+            n = np.linalg.norm(row)
             if n > 0:
-                out[r] /= n
+                row /= n
         return out.astype(np.float32)
 
     return provider
