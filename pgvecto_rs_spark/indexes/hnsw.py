@@ -241,7 +241,16 @@ def _read_exact_vecs(seg_dir: str, idxs: np.ndarray) -> np.ndarray:
 def _load_segment(seg_dir: str, quant: str | None = None, qparams: tuple = ()):
     """Load (ids, vecs, neighbors, levels, entry) for one segment, via the
     process-global cache keyed by file path + mtime + size (stale entries
-    reload after a rebuild).  With a quantization kind, ``vecs`` is a
+    reload after a rebuild).
+
+    Storage access assumes a filesystem path readable from every
+    executor — trivially true on local[*]; on a real cluster this is a
+    shared FS (NFS/HDFS-fuse) or an object store mounted/fronted by a
+    pyarrow filesystem (pq.read_table accepts fsspec URIs, and the
+    mtime/size fingerprint generalizes to etag/length).  The layout —
+    one self-contained directory per segment, opened lazily and cached
+    worker-resident — is exactly the reference's mmap-open-on-demand
+    model and is the part that matters at 100 TB.  With a quantization kind, ``vecs`` is a
     decode-on-access view (:class:`_CodedVecs` for sq8,
     :class:`_PQCodedVecs`, :class:`_RaBitQVecs`) and the exact vector
     column stays on disk (fetched transiently at rerank).
