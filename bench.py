@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "ivf_pq_topk_l2",
     "hnsw_topk_l2",
     "flat_sq8_topk_l2",
+    "batch_topk_l2",
     "fresh_topk_l2",
     "doc_token_count",
     "doc_dedup_exact",

@@ -1011,6 +1011,49 @@ def flat_sq8_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", _r4(F.col("distance")).alias("dist"))
 
 
+_SQL_BATCH_L2 = (
+    "list_sum(list_transform(range(1, 65), "
+    "i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(q.embedding[i] AS DOUBLE)) ^ 2))"
+)
+
+
+@register(
+    "batch_topk_l2",
+    f"""
+    SELECT query_id, id, ROUND(d, 4) AS dist FROM (
+      SELECT q.vec_id AS query_id, e.vec_id AS id,
+             {_SQL_BATCH_L2} AS d,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {_SQL_BATCH_L2}, e.vec_id
+             ) AS rn
+      FROM embeddings q CROSS JOIN embeddings e
+      WHERE q.vec_id < 32 AND q.embedding IS NOT NULL
+    ) WHERE rn <= 10
+    """,
+)
+def batch_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-query batched exact search through FlatIndex.search_batch: the
+    whole query set is answered in ONE scan (per-Arrow-batch distance is
+    a shared kernel call per query, per-batch top-k bounds the shuffle)
+    — the amortized-dispatch path a lookup microbatch takes at scale.
+    Results are bit-identical to 32 per-query searches."""
+    from pgvecto_rs_spark.indexes import FlatIndex
+
+    path = _tmp_index_dir("flatb", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        FlatIndex.create(spark, _emb(spark, sf_dir), path, metric="l2")
+    idx = _open_cached(FlatIndex, spark, path)
+    qdf = (
+        _emb(spark, sf_dir)
+        .where(F.col("vec_id") < 32)
+        .where(F.col("embedding").isNotNull())
+        .select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    )
+    out = idx.search_batch(qdf, "qid", "qv", k=10)
+    return out.select("query_id", "id", _r4(F.col("distance")).alias("dist"))
+
+
 # ---------------------------------------------------------------------------
 # 14. planner: sphere + ORDER BY + LIMIT (pushdown_plan.slt decisions)
 # ---------------------------------------------------------------------------
