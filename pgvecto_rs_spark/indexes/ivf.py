@@ -706,29 +706,36 @@ class IVFIndex:
         query_vec_col: str,
         k: int = 10,
         nprobe: int | None = None,
+        rerank_size: int = 0,
     ) -> DataFrame:
         """Batched search (the hnsw.search_batch analogue): the union of
         all queries' probed lists is scanned in ONE partition-pruned job;
         each Arrow batch computes distances only for the queries probing
         that row's list, and per-(query, batch) top-k bounds the shuffle.
         Per-query warm latency is dispatch-dominated locally — batching
-        amortizes job setup across the query set.  Quantized variants
-        fall back to per-query search (their two-phase rerank is
-        per-query by construction).  Returns (query_id, id, distance),
-        k rows per query; results are bit-identical to per-query search
-        at the same nprobe (same np_kernel_distance arithmetic)."""
+        amortizes job setup across the query set.
+
+        Quantized variants run the same two-phase shape batched: ONE
+        codes-only approximate scan for all queries (decode-on-access to
+        an approximate vector — algebraically identical to the per-list
+        ADC: cent + decode(res) recomposes before the kernel), a global
+        per-query approx window, then ONE pushed-id fetch reranks every
+        query's candidates with exact distances.  The batch path always
+        uses the fixed rerank window (max(k, rerank_size, 4k)); the
+        per-query sq8 default (error-bound rerank) needs a per-query
+        threshold job and is not batched.
+
+        Returns (query_id, id, distance), k rows per query; unquantized
+        results are bit-identical to per-query search at the same
+        nprobe (same np_kernel_distance arithmetic)."""
         from pyspark.sql import Window
 
-        if self.meta.get("quantization") is not None:
-            out = None
-            for r in queries.select(query_id_col, query_vec_col).collect():
-                one = (
-                    self.search(list(r[1]), k=k, nprobe=nprobe)
-                    .withColumn("query_id", F.lit(int(r[0])).cast("long"))
-                    .select("query_id", "id", "distance")
-                )
-                out = one if out is None else out.unionByName(one)
-            return out
+        if self.meta.get("quantization") is not None or self.meta.get(
+            "residual_quantization"
+        ):
+            return self._search_batch_quantized(
+                queries, query_id_col, query_vec_col, k, nprobe, rerank_size
+            )
 
         if nprobe is None:
             nprobe = max(DEFAULT_NPROBE, -(-self.meta["nlist"] // 50))
@@ -789,6 +796,174 @@ class IVFIndex:
             cand.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= kk)
             .drop("_rn")
+        )
+
+    def _search_batch_quantized(
+        self,
+        queries: DataFrame,
+        query_id_col: str,
+        query_vec_col: str,
+        k: int,
+        nprobe: int | None,
+        rerank_size: int,
+    ) -> DataFrame:
+        """Batched two-phase search for quantized IVF: ONE codes-only
+        scan of the union of probed lists approximates all queries
+        (decode-on-access recomposes cent + decode(res), algebraically
+        the per-list ADC), a global per-query approx window, then ONE
+        pushed-id fetch reranks every query's candidates exactly."""
+        from pyspark.sql import Window
+
+        from pgvecto_rs_spark.indexes.flat import _SQ_KINDS
+
+        meta = self.meta
+        quant = meta.get("quantization") or (
+            "sq8" if meta.get("residual_quantization") else None
+        )
+        if nprobe is None:
+            nprobe = max(DEFAULT_NPROBE, -(-meta["nlist"] // 50))
+        win = int(max(k, rerank_size, k * 4))
+        kk = int(k)
+        kernel, metric = meta["kernel"], meta["metric"]
+        rows = queries.select(query_id_col, query_vec_col).collect()
+        qids = [int(r[0]) for r in rows]
+        qmat = np.asarray(
+            [base.prep_query(r[1], meta["normalize"]) for r in rows], dtype=np.float64
+        )
+        probes: dict[int, list[int]] = {}
+        for i in range(len(qids)):
+            for lid in self.probe_lists(qmat[i], nprobe):
+                probes.setdefault(int(lid), []).append(i)
+        all_lists = sorted(probes)
+        sc = self.spark.sparkContext
+
+        cent = self.centroids.astype(np.float64)
+        if quant in _SQ_KINDS:
+            payload = (
+                "sq",
+                np.asarray(meta["sq_lo"], dtype=np.float64),
+                np.asarray(meta["sq_width"], dtype=np.float64),
+                float((1 << meta.get("sq_bits", 8)) - 1),
+            )
+        elif quant == "pq":
+            payload = ("pq", np.load(os.path.join(self.path, "pq_codebooks.npy")))
+        elif quant == "rabitq":
+            payload = ("rabitq", np.load(os.path.join(self.path, "rabitq_proj.npy")))
+        else:
+            raise ValueError(quant)
+        bc = sc.broadcast((cent, qmat, probes, payload))
+
+        def scan(batches):
+            cent_, qm, pr, pl = bc.value
+            kind = pl[0]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                oq: list[int] = []
+                oi: list[int] = []
+                od: list[float] = []
+                for lid, grp in pdf.groupby("list_id"):
+                    qis = pr.get(int(lid))
+                    if not qis:
+                        continue
+                    ids = grp["id"].to_numpy()
+                    c = cent_[int(lid)]
+                    if kind == "sq":
+                        _, lo_, w_, lv = pl
+                        codes = np.asarray(grp["codes"].tolist(), dtype=np.float64)
+                        approx = c[None, :] + lo_[None, :] + codes / lv * w_[None, :]
+                    elif kind == "pq":
+                        books = pl[1]
+                        codes = np.asarray(grp["codes"].tolist(), dtype=np.int64)
+                        n_sub, _, sub = books.shape
+                        approx = np.empty((len(codes), n_sub * sub))
+                        for s in range(n_sub):
+                            approx[:, s * sub : (s + 1) * sub] = books[s][codes[:, s]]
+                        approx += c[None, :]
+                    else:
+                        proj = pl[1]
+                        d_ = proj.shape[0]
+                        nm = grp["rq_norm"].to_numpy(dtype=np.float64)
+                        w = np.asarray(grp["rq_words"].tolist(), dtype=np.int64).astype(
+                            np.uint32
+                        )
+                        nw = w.shape[1]
+                        bits = (
+                            (w[:, :, None] >> np.arange(32, dtype=np.uint32)[None, None, :])
+                            & 1
+                        )
+                        bits = bits.reshape(len(w), nw * 32)[:, :d_].astype(np.float64)
+                        sgn = 2.0 * bits - 1.0
+                        approx = c[None, :] + (nm[:, None] / np.sqrt(d_)) * (sgn @ proj)
+                    top = min(win, len(ids))
+                    for qi in qis:
+                        dd = base.np_kernel_distance(kernel, approx, qm[qi])
+                        sel = np.argpartition(dd, top - 1)[:top]
+                        oq.extend([qi] * len(sel))
+                        oi.extend(ids[sel].tolist())
+                        od.extend(dd[sel].tolist())
+                if oq:
+                    yield pd.DataFrame({"qi": oq, "id": oi, "adist": od})
+
+        if quant == "rabitq":
+            select_cols = [
+                F.col("id"),
+                F.col("list_id"),
+                F.col("rq.norm").alias("rq_norm"),
+                F.col("rq.words").alias("rq_words"),
+            ]
+        else:
+            select_cols = [F.col("id"), F.col("list_id"), F.col("codes")]
+        src = self._lists().where(F.col("list_id").isin(all_lists)).select(*select_cols)
+        approx_cand = src.mapInPandas(scan, "qi int, id bigint, adist double")
+        if meta.get("replicas", 1) > 1:
+            approx_cand = approx_cand.dropDuplicates(["qi", "id"])
+        w1 = Window.partitionBy("qi").orderBy(F.col("adist").asc(), F.col("id").asc())
+        cand_rows = (
+            approx_cand.withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") <= win)
+            .select("qi", "id")
+            .collect()
+        )
+        pairs_py = [(int(r["qi"]), int(r["id"])) for r in cand_rows]
+        uniq_ids = sorted({i for _, i in pairs_py})
+        rowsrc = (
+            self._lists()
+            .where(F.col("list_id").isin(all_lists))
+            .select("id", "vec")
+            .dropDuplicates(["id"])
+        )
+        if len(uniq_ids) <= self.RERANK_FETCH_CAP:
+            fetched = rowsrc.where(F.col("id").isin(uniq_ids))
+        else:
+            ids_df = self.spark.createDataFrame([(i,) for i in uniq_ids], "id bigint")
+            fetched = rowsrc.join(F.broadcast(ids_df), "id")
+        pairs = self.spark.createDataFrame(pairs_py, "qi int, id bigint")
+        joined = fetched.join(F.broadcast(pairs), "id")
+        bq = sc.broadcast(qmat)
+
+        @F.pandas_udf("double")
+        def exact_d(v: pd.Series, qi: pd.Series) -> pd.Series:
+            qm = bq.value
+            mat = np.asarray(v.tolist(), dtype=np.float64)
+            qa = qi.to_numpy()
+            out = np.empty(len(mat))
+            for qq in np.unique(qa):
+                m = qa == qq
+                out[m] = base.np_kernel_distance(kernel, mat[m], qm[int(qq)])
+            return pd.Series(out)
+
+        qid_arr = F.array(*[F.lit(q) for q in qids])
+        scored = joined.withColumn(
+            "distance", base.post_map(metric, exact_d(F.col("vec"), F.col("qi")))
+        ).withColumn("query_id", F.element_at(qid_arr, F.col("qi") + 1).cast("long"))
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc(), F.col("id").asc()
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w2))
+            .where(F.col("_rn") <= kk)
+            .select("query_id", "id", "distance")
         )
 
     def stat(self) -> dict:
