@@ -20,7 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["streaming_topk"]
+__all__ = ["streaming_topk", "streaming_dedup"]
 
 
 def streaming_topk(
@@ -85,5 +85,64 @@ def streaming_topk(
         )
 
     return stream.groupBy(key_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    hash_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact streaming dedup: emit each content hash's FIRST document,
+    drop every later duplicate — the streaming form of the batch
+    `exact_dedup` operator (a training-data ingest that must not admit
+    a document twice across micro-batches).
+
+    The caller computes the content hash up front (e.g.
+    ``F.md5(normalized_text)``), so the state key IS the hash: state
+    per key is one (keep_id, n_copies) pair — bounded and tiny, safe
+    for billions of distinct documents sharded across executors.
+    Within a first batch, ties break by min id (same canonical-survivor
+    rule as the batch operator).
+
+    Emits (hash, keep_id, n_copies, is_new) per key per touching batch:
+    ``is_new`` marks the batch that admitted the document; n_copies
+    counts every sighting so consumers can audit duplicate pressure.
+
+    Usage::
+
+        hashed = docs_stream.withColumn("h", F.md5(F.col("text")))
+        out = streaming_dedup(hashed, "h", "doc_id")
+        out.where("is_new").writeStream...  # admitted documents only
+    """
+    out_schema = f"{hash_col} string, keep_id bigint, n_copies bigint, is_new boolean"
+    state_schema = "keep_id bigint, n bigint"
+
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        if state.exists:
+            keep_id, n = state.get
+            is_new = False
+        else:
+            keep_id, n = None, 0
+            is_new = True
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            batch_min = int(pdf[id_col].min())
+            if keep_id is None:
+                keep_id = batch_min
+        state.update((keep_id, n))
+        yield pd.DataFrame(
+            {
+                hash_col: [key[0]],
+                "keep_id": [keep_id],
+                "n_copies": [n],
+                "is_new": [is_new],
+            }
+        )
+
+    return stream.groupBy(hash_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
