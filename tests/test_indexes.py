@@ -257,6 +257,32 @@ class TestSearchBatch:
                 ]
                 assert sorted(by_q[qr["qid"]], key=lambda t: (t[1], t[0])) == expect, qr["qid"]
 
+    def test_flat_batch_quantized_matches_per_query(self, spark, emb):
+        """Quantized flat batch search (one codes-only approx scan + one
+        pushed-id exact rerank) must match per-query window-rerank
+        search for every quantizer."""
+        with tempfile.TemporaryDirectory() as d:
+            for quant, kw in (("sq8", {}), ("pq", {"pq_ratio": 4}), ("rabitq", {})):
+                idx = FlatIndex.create(
+                    spark, emb, f"{d}/{quant}", metric="l2", quantization=quant, **kw
+                )
+                qdf = emb.orderBy("vec_id").limit(8).select(
+                    F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+                )
+                got = idx.search_batch(qdf, "qid", "qv", k=10)
+                by_q: dict = {}
+                for r in got.collect():
+                    by_q.setdefault(r["query_id"], []).append((r["id"], round(r["distance"], 9)))
+                assert len(by_q) == 8, (quant, sorted(by_q))
+                for qr in qdf.collect():
+                    expect = [
+                        (r["id"], round(r["distance"], 9))
+                        for r in idx.search(list(qr["qv"]), k=10, rerank_size=40).collect()
+                    ]
+                    assert (
+                        sorted(by_q[qr["qid"]], key=lambda t: (t[1], t[0])) == expect
+                    ), (quant, qr["qid"])
+
     def test_ivf_batch_quantized_matches_per_query(self, spark, emb):
         """Quantized batch search = batched two-phase (one codes-only
         approx scan for all queries, one pushed-id exact rerank).  At
