@@ -640,24 +640,59 @@ def _search_graph(
                 if ds[j] < ep_d:
                     ep, ep_d = int(nbrs[j]), float(ds[j])
                     changed = True
-    visited = {ep}
+    # layer-0 best-first with a batched frontier (same scheme as the
+    # build loop): up to B nodes expand per distance batch, visited is a
+    # bool array, rejected nodes are marked (their distance is fixed and
+    # the worst bound only shrinks), accepted pushes happen in ascending
+    # order with an early break.
+    n = len(vecs)
+    visited = np.zeros(n, dtype=bool)
+    visited[ep] = True
     cand = [(ep_d, ep)]
     result = [(-ep_d, ep)]
-    while cand:
-        d, u = heapq.heappop(cand)
-        if d > -result[0][0] and len(result) >= ef:
+    B = 8
+    done = False
+    while cand and not done:
+        batch: list[int] = []
+        while cand and len(batch) < B:
+            d, u = heapq.heappop(cand)
+            if len(result) >= ef and d > -result[0][0]:
+                done = True
+                break
+            batch.append(u)
+        if not batch:
             break
-        nbrs = neighbors[u][0]
-        new = [int(v) for v in nbrs if v not in visited]
-        if new:
-            visited.update(new)
-            ds = dist_many(np.asarray(new))
-            for v, dv in zip(new, ds):
-                if len(result) < ef or dv < -result[0][0]:
-                    heapq.heappush(cand, (float(dv), v))
-                    heapq.heappush(result, (-float(dv), v))
-                    if len(result) > ef:
-                        heapq.heappop(result)
+        parts = [neighbors[u][0] for u in batch if len(neighbors[u][0])]
+        if not parts:
+            continue
+        allnb = (np.concatenate(parts) if len(parts) > 1 else parts[0]).astype(
+            np.int64, copy=False
+        )
+        fresh = allnb[~visited[allnb]]
+        if not len(fresh):
+            continue
+        fresh = np.unique(fresh)
+        visited[fresh] = True
+        ds = dist_many(fresh)
+        nres = len(result)
+        if nres >= ef:
+            keep = ds < -result[0][0]
+            fresh, ds = fresh[keep], ds[keep]
+        if not len(fresh):
+            continue
+        o = np.argsort(ds, kind="stable")
+        fresh, ds = fresh[o], ds[o]
+        worst = -result[0][0]
+        for v, dv in zip(fresh.tolist(), ds.tolist()):
+            if nres >= ef and dv >= worst:
+                break
+            heapq.heappush(cand, (dv, v))
+            if nres >= ef:
+                heapq.heappushpop(result, (-dv, v))
+            else:
+                heapq.heappush(result, (-dv, v))
+                nres += 1
+            worst = -result[0][0]
     out = sorted((-d, v) for d, v in result)
     return np.asarray([d for d, _ in out]), np.asarray([v for _, v in out])
 
