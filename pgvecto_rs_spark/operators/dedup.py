@@ -420,8 +420,18 @@ def verify_pairs_jaccard(
     # shuffle.  At corpus scale where even the hash table outgrows
     # broadcast, drop the hint: Catalyst falls back to shuffled joins
     # that stay linear in candidates.
+    # Shingle ONLY the documents that appear in a candidate pair: the
+    # broadcast semi-join filters rows before the shingle fan-out, so
+    # lookup construction is O(candidate ids), not O(corpus) — at 100 TB
+    # the candidates are a vanishing fraction of the table.
+    cand_ids = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    src = _spread(df.join(F.broadcast(cand_ids), id_col, "left_semi"))
     sh = F.broadcast(
-        _spread(df).select(
+        src.select(
             F.col(id_col).alias("__vid"),
             F.array_distinct(
                 F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
