@@ -104,21 +104,32 @@ def _batch_speedup(spark) -> dict:
     out = {}
     with tempfile.TemporaryDirectory() as d:
         idxs = {
-            "flat": (FlatIndex.create(spark, emb, f"{d}/flat", metric="l2"), {}),
+            "flat": (FlatIndex.create(spark, emb, f"{d}/flat", metric="l2"), {}, {}),
             "ivf": (
                 IVFIndex.create(spark, emb, f"{d}/ivf", metric="l2", nlist=64),
                 {"nprobe": 8},
+                {"nprobe": 8},
+            ),
+            # the quantized two-phase batch path (one codes-only approx
+            # scan + one pushed-id exact rerank for the whole query set)
+            "ivf_pq": (
+                IVFIndex.create(
+                    spark, emb, f"{d}/ivfpq", metric="l2", nlist=64,
+                    quantization="pq", pq_ratio=4,
+                ),
+                {"nprobe": 8, "rerank_size": 40},
+                {"nprobe": 8, "rerank_size": 40},
             ),
         }
-        for name, (idx, kw) in idxs.items():
-            idx.search(queries[0][1], k=10, **kw).collect()  # warm
+        for name, (idx, skw, bkw) in idxs.items():
+            idx.search(queries[0][1], k=10, **skw).collect()  # warm
             t0 = time.perf_counter()
             for _, qv in queries:
-                idx.search(qv, k=10, **kw).collect()
+                idx.search(qv, k=10, **skw).collect()
             per_query = time.perf_counter() - t0
-            idx.search_batch(qdf, "qid", "qv", k=10, **kw).collect()  # warm
+            idx.search_batch(qdf, "qid", "qv", k=10, **bkw).collect()  # warm
             t0 = time.perf_counter()
-            idx.search_batch(qdf, "qid", "qv", k=10, **kw).collect()
+            idx.search_batch(qdf, "qid", "qv", k=10, **bkw).collect()
             batched = time.perf_counter() - t0
             out[name] = round(per_query / batched, 2)
     return out
