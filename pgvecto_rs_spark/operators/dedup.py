@@ -31,6 +31,7 @@ __all__ = [
     "minhash_signature",
     "lsh_candidate_pairs",
     "minhash_dedup_groups",
+    "neardup_components",
     "shingles",
     "simhash",
     "simhash_candidate_pairs",
@@ -366,6 +367,57 @@ def minhash_dedup_groups(
         .where(F.col("est_jaccard") >= threshold)
         .select("id_a", "id_b", "est_jaccard")
     )
+
+
+def neardup_components(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph -> canonical
+    survivor per cluster: returns (id, comp) for every id appearing in
+    a pair, where ``comp`` is the minimum id in its component (the
+    keep-one rule a training-data dedup applies after pair discovery —
+    pairs alone over-delete when clusters chain: A~B, B~C must keep ONE
+    of {A,B,C}, not drop both B and C's partners independently).
+
+    Spark shape: min-label propagation — each round joins the (small)
+    label table to the bidirectional edge list, takes the min neighbor
+    label, and stops when no label changes.  Rounds needed = component
+    diameter; near-dup clusters are tiny and shallow so this is 2-3
+    rounds in practice, each a linear equi-join shuffle (never a
+    transitive-closure blowup).  Lineage is truncated per round
+    (localCheckpoint) so the plan does not grow with iterations."""
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("src"), F.col("comp").alias("src_comp")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("src_comp").alias("nbr_comp"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
 
 
 def ngram_jaccard_pairs(

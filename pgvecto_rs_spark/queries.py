@@ -687,6 +687,45 @@ def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", _r4t(F.col("jaccard")).alias("jaccard"))
 
 
+# Components over the brute-force pair graph: DuckDB recursive CTE
+# computing min-reachable-id per vertex (bidirectional closure; the
+# UNION dedups so it terminates).  Fine at oracle scale — the Spark
+# side is the scalable min-label-propagation loop.
+_NEARDUP_COMPONENTS_SQL = (
+    "WITH RECURSIVE pairs AS (" + _NEARDUP_TRUTH_SQL + "), "
+    + r"""
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.a, e.dst FROM walk w JOIN edges e ON w.b = e.src
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp
+    FROM walk GROUP BY a
+    """
+)
+
+
+@register("doc_neardup_groups", _NEARDUP_COMPONENTS_SQL)
+def doc_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup GROUP assignment — the keep-one-per-cluster step after
+    pair discovery: connected components over the verified near-dup
+    pair graph, component label = min doc_id (the canonical survivor).
+    Pairs alone over-delete when clusters chain (A~B, B~C); components
+    keep exactly one document per cluster."""
+    docs = _docs(spark, sf_dir)
+    cand = DD.lsh_candidate_pairs(
+        docs, num_perm=32, bands=8, est_threshold=0.6
+    ).localCheckpoint(eager=True)
+    pairs = DD.verify_pairs_jaccard(docs, cand, k=5, threshold=0.9)
+    comp = DD.neardup_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "comp")
+
+
 @register("doc_simhash_pairs", _NEARDUP_TRUTH_SQL)
 def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash banded candidates (pigeonhole-complete for hamming <= 7)

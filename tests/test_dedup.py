@@ -122,3 +122,23 @@ class TestVerifyStage:
         a = DD.minhash_signatures_df(docs.limit(20)).collect()
         b = DD.minhash_signatures_df(docs.limit(20)).collect()
         assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+class TestNeardupComponents:
+    def test_chain_and_islands(self, spark):
+        """A~B, B~C chain collapses into one component labeled min id;
+        a separate pair and an isolated pair each get their own."""
+        pairs = spark.createDataFrame(
+            [(2, 7), (7, 9), (11, 12), (20, 15)], "id_a long, id_b long"
+        )
+        got = {r["id"]: r["comp"] for r in DD.neardup_components(pairs).collect()}
+        assert got == {2: 2, 7: 2, 9: 2, 11: 11, 12: 11, 15: 15, 20: 15}
+
+    def test_long_chain_converges(self, spark):
+        """A 12-node path needs multiple propagation rounds; all nodes
+        must end in the min-id component."""
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(30, 42)], "id_a long, id_b long"
+        )
+        got = {r["id"]: r["comp"] for r in DD.neardup_components(pairs).collect()}
+        assert set(got.values()) == {30} and len(got) == 13
