@@ -1,0 +1,603 @@
+"""Baseline JPEG codec in pure numpy + stdlib — no imaging library.
+
+Closes the last stubbed codec surface in ``operators.multimodal``: the
+reference treats media as opaque bytes plus typed metadata; here the
+decode step itself is real for baseline (SOF0) 8-bit JPEG, grayscale or
+YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, with restart-marker support.
+Progressive (SOF2) and arithmetic coding raise ``NotImplementedError``.
+
+The encoder exists so tests and pipelines can produce valid JPEG
+fixtures without PIL: standard Annex-K quantization + Huffman tables,
+4:4:4 color or single-component grayscale.
+
+Huffman bit IO is sequential by definition; DCT/IDCT, dequantization,
+level shift and color conversion are vectorized numpy.  At 100 TB-scale
+image pipelines the module boundary (`decode_jpeg` / `encode_jpeg`) is
+exactly where a compiled codec would be swapped in — the Spark-side
+contract in ``multimodal.py`` is unchanged.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_jpeg", "encode_jpeg"]
+
+# ---------------------------------------------------------------------------
+# shared tables
+
+# zigzag order: _ZIGZAG[i] = raster index of the i-th coefficient in scan order
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# ITU-T T.81 Annex K.1 example quantization tables (quality 50)
+_QUANT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+_QUANT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+# Annex K.3 typical Huffman tables: (bits[1..16] counts, values)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# 8-point DCT-II basis matrix: _DCT[u, x] = c(u)/2 * cos((2x+1)u*pi/16)
+_DCT = np.zeros((8, 8))
+for _u in range(8):
+    _c = np.sqrt(0.125) if _u == 0 else 0.5
+    for _x in range(8):
+        _DCT[_u, _x] = _c * np.cos((2 * _x + 1) * _u * np.pi / 16)
+
+
+def _dct2(blocks: np.ndarray) -> np.ndarray:
+    """Forward 2-D DCT over a stack of 8x8 blocks (n, 8, 8)."""
+    return _DCT @ blocks @ _DCT.T
+
+
+def _idct2(blocks: np.ndarray) -> np.ndarray:
+    """Inverse 2-D DCT over a stack of 8x8 blocks (n, 8, 8)."""
+    return _DCT.T @ blocks @ _DCT
+
+
+# ---------------------------------------------------------------------------
+# Huffman code construction (T.81 Annex C)
+
+
+def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """value -> (code, length) for the canonical code defined by BITS."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> value lookup for sequential decoding."""
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+# ---------------------------------------------------------------------------
+# bit IO
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._nbits += length
+        while self._nbits >= 8:
+            byte = (self._acc >> (self._nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self._nbits -= 8
+        self._acc &= (1 << self._nbits) - 1
+
+    def flush(self) -> None:
+        if self._nbits:
+            pad = 8 - self._nbits
+            self.write((1 << pad) - 1, pad)
+
+
+class _BitReader:
+    """Reads the entropy-coded segment with 0xFF00 unstuffing; stops at
+    any non-RST marker.  Restart markers reset the bit position and are
+    consumed by ``restart()``."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        while self._nbits <= 24:
+            if self.pos >= len(d):
+                self._acc = (self._acc << 8) | 0
+                self._nbits += 8
+                continue
+            byte = d[self.pos]
+            if byte == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    break  # restart marker: leave for restart()
+                else:
+                    break  # EOI or other marker: pad with zeros
+                self._acc = (self._acc << 8) | byte
+                self._nbits += 8
+                continue
+            self.pos += 1
+            self._acc = (self._acc << 8) | byte
+            self._nbits += 8
+
+    def read_bit(self) -> int:
+        if self._nbits == 0:
+            self._fill()
+            if self._nbits == 0:
+                self._acc = 0
+                self._nbits = 8
+        self._nbits -= 1
+        return (self._acc >> self._nbits) & 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def restart(self) -> None:
+        """Align to byte boundary and consume an RSTn marker."""
+        self._acc = 0
+        self._nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _extend(v: int, n: int) -> int:
+    """T.81 F.2.2.1 sign extension of an n-bit magnitude."""
+    if n == 0:
+        return 0
+    return v if v >= (1 << (n - 1)) else v - (1 << n) + 1
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, raw bits) for encoding a signed coefficient."""
+    n = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    if v < 0:
+        v = v + (1 << n) - 1
+    return n, v
+
+
+# ---------------------------------------------------------------------------
+# decoder
+
+
+def _decode_huffman_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.read_bit()
+        v = table.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("jpeg: invalid huffman code")
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to float32 grayscale HxW in [0, 1].
+
+    Color images are converted YCbCr -> luma (the multimodal feature
+    path is grayscale); sampling factors 4:4:4 / 4:2:2 / 4:2:0 and
+    restart intervals are honored.  Progressive / arithmetic coding
+    raise NotImplementedError.
+    """
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a jpeg")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict[tuple[int, int], int]] = {}
+    huff_ac: dict[int, dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, components) where component = (cid, hs, vs, tq)
+    restart_interval = 0
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        seg = payload[pos + 2 : pos + seglen]
+        if marker == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                tc_th = seg[p]
+                bits = list(seg[p + 1 : p + 17])
+                nvals = sum(bits)
+                values = list(seg[p + 17 : p + 17 + nvals])
+                table = _build_decode_table(bits, values)
+                if tc_th >> 4 == 0:
+                    huff_dc[tc_th & 0xF] = table
+                else:
+                    huff_ac[tc_th & 0xF] = table
+                p += 17 + nvals
+        elif marker == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                pq_tq = seg[p]
+                if pq_tq >> 4 != 0:
+                    raise NotImplementedError("jpeg: 16-bit quant tables")
+                zz = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8).astype(np.int32)
+                tab = np.zeros(64, dtype=np.int32)
+                tab[_ZIGZAG] = zz
+                qt[pq_tq & 0xF] = tab.reshape(8, 8)
+                p += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("jpeg: only baseline (SOF0/SOF1) supported")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            scan_sel = {}
+            for i in range(ns):
+                cs, td_ta = seg[1 + 2 * i : 3 + 2 * i]
+                scan_sel[cs] = (td_ta >> 4, td_ta & 0xF)
+            return _decode_scan(
+                payload, pos + seglen, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval
+            )
+        pos += seglen
+    raise ValueError("jpeg: no scan found")
+
+
+def _decode_scan(payload, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    r = _BitReader(payload, pos)
+    # per-component coefficient planes (block grids)
+    planes = []
+    for _cid, hs, vs, _tq in comps:
+        planes.append(np.zeros((mcuy * vs, mcux * hs, 8, 8), dtype=np.int32))
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                r.restart()
+                pred = [0] * len(comps)
+            for ci, (cid, hs, vs, _tq) in enumerate(comps):
+                td, ta = scan_sel[cid]
+                dct = huff_dc[td]
+                act = huff_ac[ta]
+                for by in range(vs):
+                    for bx in range(hs):
+                        blk = planes[ci][my * vs + by, mx * hs + bx]
+                        # DC
+                        t = _decode_huffman_symbol(r, dct)
+                        diff = _extend(r.receive(t), t)
+                        pred[ci] += diff
+                        blk.flat[0] = pred[ci]
+                        # AC
+                        k = 1
+                        while k < 64:
+                            rs = _decode_huffman_symbol(r, act)
+                            rlen, size = rs >> 4, rs & 0xF
+                            if size == 0:
+                                if rlen == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += rlen
+                            if k > 63:
+                                raise ValueError("jpeg: AC index overflow")
+                            blk.flat[_ZIGZAG[k]] = _extend(r.receive(size), size)
+                            k += 1
+            mcu_count += 1
+    # dequantize + IDCT + assemble each component plane
+    out_planes = []
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        coefs = planes[ci].reshape(-1, 8, 8) * qt[tq][None, :, :]
+        px = _idct2(coefs.astype(np.float64)) + 128.0
+        grid = px.reshape(mcuy * vs, mcux * hs, 8, 8)
+        plane = grid.transpose(0, 2, 1, 3).reshape(mcuy * vs * 8, mcux * hs * 8)
+        # upsample to full resolution then crop
+        plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+        out_planes.append(plane[:h, :w])
+    if len(out_planes) == 1:
+        y = out_planes[0]
+    else:
+        y = out_planes[0]  # luma is Y directly in YCbCr
+    return np.clip(y, 0.0, 255.0).astype(np.float32) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# encoder
+
+
+def _encode_block(
+    w: _BitWriter,
+    blk: np.ndarray,
+    quant: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    coefs = np.round(_dct2(blk[None, :, :].astype(np.float64) - 128.0)[0] / quant).astype(np.int64)
+    zz = coefs.flat[_ZIGZAG]
+    dc = int(zz[0])
+    diff = dc - pred
+    n, bitsv = _magnitude(diff) if diff else (0, 0)
+    code, length = dc_codes[n]
+    w.write(code, length)
+    if n:
+        w.write(bitsv, n)
+    run = 0
+    last_nz = 0
+    for k in range(1, 64):
+        if zz[k]:
+            last_nz = k
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]
+            w.write(code, length)
+            run -= 16
+        n, bitsv = _magnitude(v)
+        code, length = ac_codes[(run << 4) | n]
+        w.write(code, length)
+        w.write(bitsv, n)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_codes[0x00]  # EOB
+        w.write(code, length)
+    return dc
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+
+def _dht_body(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
+    bits, values = table
+    return bytes([tc << 4 | th]) + bytes(bits) + bytes(values)
+
+
+def _block_mean_downsample(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
+    """Downsample a plane by integer factors with block averaging."""
+    if fy == 1 and fx == 1:
+        return p
+    h, w = p.shape
+    hpad = (fy - h % fy) % fy
+    wpad = (fx - w % fx) % fx
+    p = np.pad(p, ((0, hpad), (0, wpad)), mode="edge")
+    return p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(axis=(1, 3))
+
+
+def encode_jpeg(
+    img: np.ndarray, subsample: str = "444", restart_interval: int = 0
+) -> bytes:
+    """Encode to baseline JPEG.  ``img`` is uint8 HxW (grayscale) or
+    HxWx3 (RGB, converted to YCbCr).  Annex-K tables (quality ~50).
+
+    ``subsample``: "444", "422", or "420" chroma sampling (color only).
+    ``restart_interval``: emit DRI + RSTn markers every N MCUs (0 = off).
+    """
+    img = np.asarray(img)
+    gray = img.ndim == 2
+    h, wd = img.shape[:2]
+    factors = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+    if subsample not in factors:
+        raise ValueError(f"unsupported subsample {subsample!r}")
+    lh, lv = (1, 1) if gray else factors[subsample]
+    if gray:
+        planes = [img.astype(np.float64)]
+        quants = [_QUANT_LUMA]
+        samps = [(1, 1)]
+    else:
+        rgb = img.astype(np.float64)
+        rr, gg, bb = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * rr + 0.587 * gg + 0.114 * bb
+        cb = -0.168736 * rr - 0.331264 * gg + 0.5 * bb + 128.0
+        cr = 0.5 * rr - 0.418688 * gg - 0.081312 * bb + 128.0
+        planes = [y, _block_mean_downsample(cb, lv, lh), _block_mean_downsample(cr, lv, lh)]
+        quants = [_QUANT_LUMA, _QUANT_CHROMA, _QUANT_CHROMA]
+        samps = [(lh, lv), (1, 1), (1, 1)]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_l = _QUANT_LUMA.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+    out += _seg(0xDB, b"\x00" + zz_l)
+    if not gray:
+        zz_c = _QUANT_CHROMA.reshape(-1)[_ZIGZAG].astype(np.uint8).tobytes()
+        out += _seg(0xDB, b"\x01" + zz_c)
+    nc = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, wd, nc)
+    for i in range(nc):
+        hs, vs = samps[i]
+        sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_body(0, 0, _HUFF_DC_LUMA))
+    out += _seg(0xC4, _dht_body(1, 0, _HUFF_AC_LUMA))
+    if not gray:
+        out += _seg(0xC4, _dht_body(0, 1, _HUFF_DC_CHROMA))
+        out += _seg(0xC4, _dht_body(1, 1, _HUFF_AC_CHROMA))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
+
+    dc_luma = _build_codes(*_HUFF_DC_LUMA)
+    ac_luma = _build_codes(*_HUFF_AC_LUMA)
+    dc_chroma = _build_codes(*_HUFF_DC_CHROMA)
+    ac_chroma = _build_codes(*_HUFF_AC_CHROMA)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (wd + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # pad each component plane to its MCU-grid size with edge replication
+    padded = []
+    for p, (hs, vs) in zip(planes, samps):
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"))
+    bw = _BitWriter()
+    preds = [0] * nc
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                bw.flush()
+                bw.out += bytes([0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8])
+                preds = [0] * nc
+            for ci in range(nc):
+                hs, vs = samps[ci]
+                dc_c = dc_luma if ci == 0 else dc_chroma
+                ac_c = ac_luma if ci == 0 else ac_chroma
+                for by in range(vs):
+                    for bx in range(hs):
+                        r0 = (my * vs + by) * 8
+                        c0 = (mx * hs + bx) * 8
+                        blk = padded[ci][r0 : r0 + 8, c0 : c0 + 8]
+                        preds[ci] = _encode_block(bw, blk, quants[ci], preds[ci], dc_c, ac_c)
+            mcu_count += 1
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -9,13 +9,15 @@ keeps executor memory bounded at 100 TB.
 
 Codec layer: formats decodable without external libraries are REAL —
 PPM (P6) images decode and resize in numpy, PNG decodes via stdlib
-zlib + numpy scanline unfiltering (8-bit gray/RGB/palette/alpha), PCM
-WAV audio decodes via the stdlib ``wave`` module with numpy spectral
-features.  JPEG/MP4 need libs absent from this runtime and raise
+zlib + numpy scanline unfiltering (8-bit gray/RGB/palette/alpha),
+baseline JPEG decodes via ``operators.jpeg`` (pure numpy Huffman +
+IDCT, 4:4:4/4:2:2/4:2:0, restart markers), and PCM WAV audio decodes
+via the stdlib ``wave`` module with numpy spectral features.  Video
+(MP4) needs ffmpeg — absent from this runtime — and raises
 ``NotImplementedError`` unless a deterministic fake is requested; the
 Spark-side contract — schemas, batching, UDF signatures, partitioning —
-is identical either way, so swapping in PIL/ffmpeg later touches only
-the ``_decode_*`` functions.
+is identical either way, so swapping in a compiled codec later touches
+only the ``_decode_*`` functions.
 """
 
 from __future__ import annotations
@@ -164,19 +166,28 @@ def _resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
-    """Codec boundary.  PPM (P6) and PNG decode for real (numpy + stdlib
-    zlib); JPEG needs libjpeg — absent here — so it raises unless
-    ``fake=True`` derives a deterministic 8x8 gray image from the
+    """Codec boundary.  PPM (P6), PNG, and baseline JPEG decode for real
+    (numpy + stdlib — see ``operators.jpeg``); anything else raises
+    unless ``fake=True`` derives a deterministic 8x8 gray image from the
     payload bytes (pipelines stay testable end-to-end)."""
-    if payload[:2] == b"P6":
-        return _resize_nn(_decode_ppm(payload), 8, 8)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        return _resize_nn(_decode_png(payload), 8, 8)
-    if not fake:
-        raise NotImplementedError(
-            "JPEG decode requires an imaging library not present in this "
-            "runtime; supply PPM (P6) or PNG payloads, or use fake=True"
-        )
+    try:
+        if payload[:2] == b"P6":
+            return _resize_nn(_decode_ppm(payload), 8, 8)
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return _resize_nn(_decode_png(payload), 8, 8)
+        if payload[:2] == b"\xff\xd8":
+            from .jpeg import decode_jpeg
+
+            return _resize_nn(decode_jpeg(payload), 8, 8)
+    except Exception:
+        if not fake:
+            raise
+    else:
+        if not fake:
+            raise NotImplementedError(
+                "unrecognized image format: supply PPM (P6), PNG, or baseline "
+                "JPEG payloads, or use fake=True"
+            )
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
     return h.reshape(8, 8) / 255.0
 
@@ -289,20 +300,27 @@ def resize_images(
     payload_col: str = "payload",
     id_col: str = "media_id",
 ) -> DataFrame:
-    """(id, height, width, pixels): REAL PPM (P6) / PNG decode +
-    nearest-neighbor resize in numpy, emitting the resized grayscale
-    raster as array<float> — the resize stage of a vision-training
-    pipeline."""
+    """(id, height, width, pixels): REAL PPM (P6) / PNG / baseline-JPEG
+    decode + nearest-neighbor resize in numpy, emitting the resized
+    grayscale raster as array<float> — the resize stage of a
+    vision-training pipeline."""
     out_schema = f"{id_col} bigint, height int, width int, pixels array<float>"
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .jpeg import decode_jpeg
+
         for pdf in it:
             ids, pix = [], []
             for mid, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
                 raw = bytes(b)
-                dec = _decode_png(raw) if raw[:8] == b"\x89PNG\r\n\x1a\n" else _decode_ppm(raw)
+                if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                    dec = _decode_png(raw)
+                elif raw[:2] == b"\xff\xd8":
+                    dec = decode_jpeg(raw)
+                else:
+                    dec = _decode_ppm(raw)
                 img = _resize_nn(dec, out_h, out_w)
                 ids.append(int(mid))
                 pix.append(img.reshape(-1).astype(np.float32).tolist())
