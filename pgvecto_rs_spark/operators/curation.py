@@ -1,0 +1,179 @@
+"""Dataset-curation operators for LLM training pipelines.
+
+Four operators a 100 TB text-curation run needs beyond dedup/quality
+(all native Catalyst expressions — no Python in the hot path):
+
+- ``decontaminate``: flag documents whose token n-grams overlap a
+  held-out benchmark set (the standard train-set decontamination step).
+  The benchmark side is tiny (benchmarks are MBs even when the corpus
+  is TBs) → its distinct n-grams broadcast; the corpus side explodes
+  n-grams and aggregates per doc_id, so the only shuffle is the final
+  per-doc count at corpus-row cardinality.
+- ``pii_redact``: regex-based PII scrubbing (emails / phone numbers /
+  IPv4) with per-doc match counts — pure per-row expressions, zero
+  shuffle, whole-stage codegen.
+- ``train_split``: deterministic, seedable train/val/test assignment
+  from a content- or id-hash — reproducible across runs and engines
+  (md5, not engine-specific hash functions), no shuffle.
+- ``top_terms``: corpus vocabulary frequencies (explode → groupBy with
+  map-side partial aggregation → top-k). The classic word-count shape:
+  one shuffle keyed by term; skewed head terms are exactly what
+  partial aggregation absorbs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["decontaminate", "pii_redact", "train_split", "top_terms"]
+
+
+def _norm_tokens(text: Column) -> Column:
+    """Whitespace-normalized lowercase token array (empty for blank text)."""
+    cleaned = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.when(F.length(cleaned) == 0, F.array().cast("array<string>")).otherwise(
+        F.split(cleaned, " ")
+    )
+
+
+def ngram_strings(text: Column, n: int) -> Column:
+    """Array of space-joined token n-grams of ``text`` (shorter docs → [])."""
+    toks = _norm_tokens(text)
+    # positions 1 .. len-n+1 (1-based slice); sequence(1, 0) would error,
+    # so clamp the upper bound and return [] for short docs
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Per-document benchmark-overlap counts: (id, n_hit, contaminated).
+
+    ``n_hit`` = number of DISTINCT token n-grams of the document that
+    also occur in the benchmark corpus; ``contaminated`` = n_hit > 0.
+    Documents shorter than ``n`` tokens have n_hit = 0.
+
+    Scale shape: the benchmark's distinct n-grams are broadcast (LEFT
+    SEMI-joinable set, MBs at any realistic benchmark size); the corpus
+    explodes its n-grams once and aggregates per id.  With
+    ``hash_grams`` the join key is a 64-bit xxhash instead of the gram
+    string — 8x smaller broadcast and shuffle rows at a ~1e-9 collision
+    false-positive probability over 1e5 benchmark grams.
+
+    Reference analogue: none (the reference is a vector engine); this is
+    the standard decontamination operator of LLM data pipelines.
+    """
+    gram = ngram_strings(F.col(text_col), n)
+    if hash_grams:
+        gram = F.transform(gram, lambda g: F.xxhash64(g))
+    doc_grams = docs.select(
+        F.col(id_col), F.explode_outer(F.array_distinct(gram)).alias("__gram")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(gram).alias("__gram")).distinct()
+    )
+    hits = (
+        doc_grams.join(F.broadcast(bench_grams), "__gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+    return (
+        docs.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (F.coalesce(F.col("n_hit"), F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB/Go) — no backreferences, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_redact(
+    df: DataFrame, text_col: str = "text", patterns: dict[str, str] | None = None
+) -> DataFrame:
+    """Adds ``<name>_count`` per PII pattern and a ``redacted`` text
+    column with every match replaced by ``[<NAME>]``.
+
+    Pure per-row regexp expressions — whole-stage codegen, no shuffle,
+    no Python.  Patterns are replaced in dict order on a single rolling
+    column, so an email is counted once even if its host part would
+    later match another pattern.
+    """
+    pats = patterns or PII_PATTERNS
+    # each count is computed on the rolling text its replacement saw, so
+    # overlapping patterns never double-count
+    rolling = F.col(text_col)
+    cols = [F.col(c) for c in df.columns]
+    for name, pat in pats.items():
+        cols.append(F.regexp_count(rolling, F.lit(pat)).cast("long").alias(f"{name}_count"))
+        rolling = F.regexp_replace(rolling, pat, f"[{name.upper()}]")
+    cols.append(rolling.alias("redacted"))
+    return df.select(*cols)
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, int] | None = None,
+    seed: str = "",
+) -> DataFrame:
+    """Adds a deterministic ``split`` column ("train"/"val"/"test" by
+    default) from md5(seed || id) — reproducible across engines, runs,
+    and partitionings (md5 is bit-identical everywhere, unlike
+    engine-native hash functions).  ``weights`` maps split name →
+    integer share out of their sum (default 90/5/5).  No shuffle: the
+    assignment is a per-row projection.
+    """
+    w = weights or {"train": 90, "val": 5, "test": 5}
+    total = sum(w.values())
+    # first 8 hex chars of md5 → uniform 32-bit integer → bucket
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long")
+        % total
+    )
+    expr = None
+    acc = 0
+    for name, share in w.items():
+        acc += share
+        cond = bucket < acc
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split", expr)
+
+
+def top_terms(
+    df: DataFrame, text_col: str = "text", k: int = 20, min_len: int = 1
+) -> DataFrame:
+    """Top-k corpus terms by frequency: (term, n) with deterministic
+    (-n, term) ordering.  explode → groupBy(term) with map-side partial
+    aggregation (Catalyst's hash aggregate absorbs head-term skew
+    before the single term-keyed shuffle) → TakeOrdered(k).
+    """
+    return (
+        df.select(F.explode(_norm_tokens(F.col(text_col))).alias("term"))
+        .where(F.length("term") >= min_len)
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(k)
+    )

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pgvecto_rs_spark.functions import binary as VB
 from pgvecto_rs_spark.functions import dense as VD
 from pgvecto_rs_spark.functions import sparse as VS
+from pgvecto_rs_spark.operators import curation as CU
 from pgvecto_rs_spark.operators import dedup as DD
 from pgvecto_rs_spark.operators import search as SR
 from pgvecto_rs_spark.operators import textanalysis as TA
@@ -591,6 +592,139 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", TA.doc_fingerprint("text").alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# 8b. dataset curation (operators/curation.py): decontamination, PII
+# redaction, deterministic splits, vocabulary stats
+# ---------------------------------------------------------------------------
+
+# docs with doc_id % 97 == 0 stand in for the held-out benchmark set
+_DECON_N = 8
+
+@register(
+    "doc_decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')
+             END AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(range(1, len(t) - 6),
+                                   i -> array_to_string(list_slice(t, i, i + 7), ' '))
+             END) AS gs
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT unnest(gs) AS g FROM grams WHERE doc_id % 7 = 0
+    ), hits AS (
+      SELECT dg.doc_id, COUNT(*) AS n_hit
+      FROM (SELECT doc_id, unnest(gs) AS g FROM grams WHERE doc_id % 7 <> 0) dg
+      JOIN bench ON dg.g = bench.g
+      GROUP BY dg.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           COALESCE(h.n_hit, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 7 <> 0
+    """,
+)
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: distinct 8-gram overlap between each
+    corpus doc and a (broadcast) benchmark set."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    return CU.decontaminate(corpus, bench, n=_DECON_N)
+
+
+# deterministic synthetic PII appended on BOTH sides so the redaction
+# provably fires (the corpus text itself carries none)
+@register(
+    "doc_pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             concat(text, ' reach user', CAST(doc_id AS VARCHAR),
+                    '@mail.example.com or 555-123-4567 at 10.0.0.',
+                    CAST(doc_id % 256 AS VARCHAR)) AS t
+      FROM documents
+    ), s1 AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS email_count,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g') AS t
+      FROM aug
+    ), s2 AS (
+      SELECT doc_id, email_count,
+             CAST(len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS phone_count,
+             regexp_replace(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS t
+      FROM s1
+    )
+    SELECT doc_id, email_count, phone_count,
+           CAST(len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS ipv4_count,
+           md5(regexp_replace(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g')) AS red_fp
+    FROM s2
+    """,
+)
+def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over text with synthetic PII appended (emails, phones,
+    IPv4); emits per-pattern counts + md5 of the redacted text."""
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com or 555-123-4567 at 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = CU.pii_redact(aug)
+    return out.select(
+        "doc_id", "email_count", "phone_count", "ipv4_count",
+        F.md5(F.col("redacted")).alias("red_fp"),
+    )
+
+
+@register(
+    "doc_train_split",
+    r"""
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars FROM (
+      SELECT CASE
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+               ELSE 'test'
+             END AS split, n_chars
+      FROM documents
+    ) GROUP BY split
+    """,
+)
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 split from md5(doc_id): reproducible across
+    engines and partitionings; summarized per split."""
+    df = CU.train_split(_docs(spark, sf_dir))
+    return df.groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
+@register(
+    "doc_top_terms",
+    r"""
+    SELECT term, COUNT(*) AS n FROM (
+      SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ) GROUP BY term ORDER BY n DESC, term LIMIT 20
+    """,
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-20 terms by frequency (map-side partial
+    agg absorbs head-term skew before the term-keyed shuffle)."""
+    return CU.top_terms(_docs(spark, sf_dir), k=20)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,137 @@
+"""Dataset-curation operators: decontamination, PII redaction,
+deterministic splits, vocabulary stats (operators/curation.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.operators.curation import (
+    decontaminate,
+    ngram_strings,
+    pii_redact,
+    top_terms,
+    train_split,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestDecontaminate:
+    def test_known_overlap_counts(self, spark):
+        # benchmark holds "a b c d e"; doc 1 contains that exact window
+        # twice (still ONE distinct 3-gram set hit per gram), doc 2 has
+        # no overlap, doc 3 is too short for 3-grams
+        bench = _docs(spark, [(100, "a b c d e")])
+        docs = _docs(
+            spark,
+            [
+                (1, "x a b c d e y a b c d e"),
+                (2, "p q r s t u v"),
+                (3, "a b"),
+            ],
+        )
+        got = {r["doc_id"]: r for r in decontaminate(docs, bench, n=3).collect()}
+        # benchmark 3-grams: {a b c, b c d, c d e} — doc 1 hits all 3
+        assert got[1]["n_hit"] == 3 and got[1]["contaminated"]
+        assert got[2]["n_hit"] == 0 and not got[2]["contaminated"]
+        assert got[3]["n_hit"] == 0
+
+    def test_hashed_equals_string_join(self, spark):
+        bench = _docs(spark, [(100, "the quick brown fox jumps over the lazy dog")])
+        docs = _docs(
+            spark,
+            [
+                (1, "see the quick brown fox jumps away"),
+                (2, "entirely different words here today friends"),
+                (3, ""),
+            ],
+        )
+        a = sorted(
+            tuple(r) for r in decontaminate(docs, bench, n=4, hash_grams=True).collect()
+        )
+        b = sorted(
+            tuple(r) for r in decontaminate(docs, bench, n=4, hash_grams=False).collect()
+        )
+        assert a == b
+        assert dict((r[0], r[1]) for r in a)[1] == 2  # two overlapping 4-grams
+
+    def test_ngram_strings_short_and_empty(self, spark):
+        df = _docs(spark, [(1, "a b"), (2, ""), (3, "  "), (4, "a b c")])
+        got = {
+            r["doc_id"]: r["g"]
+            for r in df.select("doc_id", ngram_strings(F.col("text"), 3).alias("g")).collect()
+        }
+        assert got[1] == [] and got[2] == [] and got[3] == []
+        assert got[4] == ["a b c"]
+
+
+class TestPiiRedact:
+    def test_counts_and_redaction(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "mail me at jane.doe+x@corp.example.org thanks"),
+                (2, "call 555-123-4567 or 555.987.6543 now"),
+                (3, "server at 192.168.10.1 is down"),
+                (4, "clean text with no pii at all"),
+            ],
+        )
+        got = {r["doc_id"]: r for r in pii_redact(df).collect()}
+        assert got[1]["email_count"] == 1 and "[EMAIL]" in got[1]["redacted"]
+        assert "jane" not in got[1]["redacted"]
+        assert got[2]["phone_count"] == 2 and got[2]["redacted"].count("[PHONE]") == 2
+        assert got[3]["ipv4_count"] == 1 and "[IPV4]" in got[3]["redacted"]
+        assert got[4]["email_count"] == got[4]["phone_count"] == got[4]["ipv4_count"] == 0
+        assert got[4]["redacted"] == "clean text with no pii at all"
+
+    def test_email_not_double_counted_as_phone(self, spark):
+        # phone-like digits inside an already-redacted email local part
+        # must not count again — counts run on the rolling redacted text
+        df = _docs(spark, [(1, "a555-123-4567@x.co and separately 555-000-1111")])
+        r = pii_redact(df).collect()[0]
+        assert r["email_count"] == 1
+        assert r["phone_count"] == 1  # only the standalone phone
+        assert r["redacted"] == "[EMAIL] and separately [PHONE]"
+
+
+class TestTrainSplit:
+    def test_deterministic_and_proportional(self, spark):
+        df = spark.range(2000).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"] for r in train_split(df).collect()}
+        b = {r["doc_id"]: r["split"] for r in train_split(df).collect()}
+        assert a == b  # reproducible
+        n = len(a)
+        frac_train = sum(1 for v in a.values() if v == "train") / n
+        assert 0.85 < frac_train < 0.95
+        assert set(a.values()) == {"train", "val", "test"}
+
+    def test_seed_changes_assignment(self, spark):
+        df = spark.range(500).withColumnRenamed("id", "doc_id")
+        a = {r["doc_id"]: r["split"] for r in train_split(df, seed="s1").collect()}
+        b = {r["doc_id"]: r["split"] for r in train_split(df, seed="s2").collect()}
+        assert a != b
+
+    def test_custom_weights(self, spark):
+        df = spark.range(1000).withColumnRenamed("id", "doc_id")
+        got = train_split(df, weights={"a": 1, "b": 1}).groupBy("split").count().collect()
+        counts = {r["split"]: r["count"] for r in got}
+        assert set(counts) == {"a", "b"}
+        assert abs(counts["a"] - counts["b"]) < 200
+
+
+class TestTopTerms:
+    def test_counts_and_tiebreak(self, spark):
+        df = _docs(
+            spark,
+            [(1, "b a b c"), (2, "  A  b\tc "), (3, "")],
+        )
+        got = [(r["term"], r["n"]) for r in top_terms(df, k=10).collect()]
+        # b:3, a:2, c:2 — ties broken by term asc
+        assert got == [("b", 3), ("a", 2), ("c", 2)]
+
+    def test_limit_applies(self, spark):
+        df = _docs(spark, [(1, "w1 w2 w3 w4 w5 w6")])
+        assert len(top_terms(df, k=3).collect()) == 3
