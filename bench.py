@@ -45,6 +45,8 @@ BENCH_QUERIES = [
     "doc_minhash_pairs",
     "doc_simhash_pairs",
     "doc_embed_hash_topk",
+    "doc_decontaminate",
+    "doc_top_terms",
     "events_hourly",
     "events_sessions",
     "tpch_q1",

@@ -74,14 +74,19 @@ def decontaminate(
     Reference analogue: none (the reference is a vector engine); this is
     the standard decontamination operator of LLM data pipelines.
     """
+    from .dedup import _spread
+
     gram = ngram_strings(F.col(text_col), n)
     if hash_grams:
         gram = F.transform(gram, lambda g: F.xxhash64(g))
-    doc_grams = docs.select(
+    # the n-gram build fans each row out ~token_count times; single-file
+    # inputs arrive as 1 partition, so spread before the fan-out (no-op
+    # on real multi-file inputs)
+    doc_grams = _spread(docs).select(
         F.col(id_col), F.explode_outer(F.array_distinct(gram)).alias("__gram")
     )
     bench_grams = (
-        benchmark.select(F.explode(gram).alias("__gram")).distinct()
+        _spread(benchmark).select(F.explode(gram).alias("__gram")).distinct()
     )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "__gram", "left_semi")
