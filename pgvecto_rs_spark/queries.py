@@ -727,6 +727,100 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.top_terms(_docs(spark, sf_dir), k=20)
 
 
+@register(
+    "doc_curation_pipeline",
+    rf"""
+    WITH q AS (
+      SELECT * FROM documents
+      WHERE doc_id % 7 <> 0
+        AND (CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END) >= 20
+        AND ((CASE WHEN length(trim(lower(text))) = 0 THEN 0.0 ELSE
+               CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         w -> list_contains({STOPWORDS_SQL}, w))) AS DOUBLE)
+               / len(string_split_regex(trim(lower(text)), '\s+')) END)
+             * (1.0 - CASE WHEN length(text) > 0
+                 THEN CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS DOUBLE) / length(text)
+                 ELSE 0.0 END)) > 0.02
+    ), keep AS (
+      SELECT MIN(doc_id) AS doc_id FROM q
+      GROUP BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+    ), kept AS (
+      SELECT q.* FROM q JOIN keep USING (doc_id)
+    ), ktoks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')
+             END AS t
+      FROM kept
+    ), kgrams AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(range(1, len(t) - 6),
+                                   i -> array_to_string(list_slice(t, i, i + 7), ' '))
+             END) AS gs
+      FROM ktoks
+    ), btoks AS (
+      SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')
+             END AS t
+      FROM documents WHERE doc_id % 7 = 0
+    ), bench AS (
+      SELECT DISTINCT unnest(
+        CASE WHEN len(t) < 8 THEN CAST([] AS VARCHAR[])
+          ELSE list_transform(range(1, len(t) - 6),
+                              i -> array_to_string(list_slice(t, i, i + 7), ' '))
+        END) AS g
+      FROM btoks
+    ), cont AS (
+      SELECT DISTINCT dg.doc_id
+      FROM (SELECT doc_id, unnest(gs) AS g FROM kgrams) dg
+      JOIN bench USING (g)
+    ), clean AS (
+      SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM cont)
+    )
+    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars FROM (
+      SELECT CASE
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
+               WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
+               ELSE 'test'
+             END AS split, n_chars
+      FROM clean
+    ) GROUP BY split
+    """,
+)
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation composition — the operators chained the way a
+    training-data run chains them: quality filter (token count +
+    language score) → exact-dedup keep-one → benchmark decontamination
+    (drop contaminated) → deterministic split → per-split stats.
+
+    Each stage is one of the registry's individually-verified operators;
+    this query proves they compose (stage boundaries are plain
+    DataFrames, so Catalyst plans the whole chain as one job)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    quality = corpus.where(
+        (TA.token_count("text") >= 20) & (TA.language_score("text") > 0.02)
+    )
+    keep = (
+        quality.groupBy(TA.doc_fingerprint("text").alias("__fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = quality.join(keep, "doc_id", "left_semi")
+    clean_ids = (
+        CU.decontaminate(kept, bench, n=_DECON_N)
+        .where(~F.col("contaminated"))
+        .select("doc_id")
+    )
+    clean = kept.join(clean_ids, "doc_id", "left_semi")
+    return CU.train_split(clean).groupBy("split").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 9. near-dedup (no SQL oracle — rows-only check; validated in tests)
 # ---------------------------------------------------------------------------
