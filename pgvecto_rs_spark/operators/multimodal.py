@@ -11,10 +11,12 @@ Codec layer: formats decodable without external libraries are REAL —
 PPM (P6) images decode and resize in numpy, PNG decodes via stdlib
 zlib + numpy scanline unfiltering (8-bit gray/RGB/palette/alpha),
 baseline JPEG decodes via ``operators.jpeg`` (pure numpy Huffman +
-IDCT, 4:4:4/4:2:2/4:2:0, restart markers), and PCM WAV audio decodes
-via the stdlib ``wave`` module with numpy spectral features.  Video
-(MP4) needs ffmpeg — absent from this runtime — and raises
-``NotImplementedError`` unless a deterministic fake is requested; the
+IDCT, 4:4:4/4:2:2/4:2:0, restart markers), PCM WAV audio decodes via
+the stdlib ``wave`` module with numpy spectral features, and MJPEG AVI
+video frame-samples via a stdlib RIFF walk (``operators.video``).
+Inter-frame codecs (H.264/MP4) need ffmpeg — absent from this
+runtime — and raise ``NotImplementedError`` unless a deterministic
+fake is requested; the
 Spark-side contract — schemas, batching, UDF signatures, partitioning —
 is identical either way, so swapping in a compiled codec later touches
 only the ``_decode_*`` functions.
@@ -343,24 +345,37 @@ def sample_video_frames(
     every_n: int = 10,
     fake: bool = False,
 ) -> DataFrame:
-    """(id, frame_no, frame_payload): frame sampling contract.  The
-    fake codec treats the payload as a concatenation of 64-byte
-    'frames' — the real implementation would call ffmpeg per batch.
-    One input row fans out to n_frames/every_n rows; mapInPandas keeps
-    the fan-out inside Arrow batches."""
+    """(id, frame_no, frame_payload): frame sampling.  MJPEG AVI
+    payloads decode for REAL (stdlib RIFF walk, ``operators.video``) —
+    each emitted frame_payload is an independent baseline JPEG that
+    ``decode_image_features`` can consume downstream.  Other containers
+    (H.264/MP4) need ffmpeg and raise unless ``fake=True`` treats the
+    payload as concatenated 64-byte 'frames'.  One input row fans out
+    to n_frames/every_n rows; mapInPandas keeps the fan-out inside
+    Arrow batches."""
     out_schema = f"{id_col} bigint, frame_no int, frame_payload binary"
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .video import decode_avi_frames, is_avi
+
         for pdf in it:
             ids, frames, payloads = [], [], []
             for mid, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
+                raw = bytes(b)
+                if is_avi(raw):
+                    for fno, jpeg in enumerate(decode_avi_frames(raw)):
+                        if fno % every_n == 0:
+                            ids.append(int(mid))
+                            frames.append(fno)
+                            payloads.append(jpeg)
+                    continue
                 if not fake:
                     raise NotImplementedError(
-                        "video decode requires ffmpeg, absent in this runtime; use fake=True"
+                        "only MJPEG AVI decodes without ffmpeg; use fake=True "
+                        "for other containers"
                     )
-                raw = bytes(b)
                 n_frames = max(1, len(raw) // 64)
                 for fno in range(0, n_frames, every_n):
                     ids.append(int(mid))

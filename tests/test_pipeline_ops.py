@@ -255,6 +255,53 @@ class TestMultimodal:
         out = {r["media_id"]: r for r in resize_images(df, 6, 8).collect()}
         assert out[2]["height"] == 6 and len(out[2]["pixels"]) == 48
 
+    def test_real_mjpeg_avi_video_pipeline(self, spark):
+        """MJPEG AVI is a REAL video path: RIFF walk -> per-frame JPEG
+        payloads -> downstream image decode.  The full
+        video -> sampled frames -> features pipeline runs with no fake."""
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import (
+            decode_image_features,
+            sample_video_frames,
+        )
+        from pgvecto_rs_spark.operators.video import (
+            decode_avi_frame_arrays,
+            encode_mjpeg_avi,
+        )
+
+        frames = []
+        for i in range(6):
+            yy, xx = np.mgrid[0:24, 0:32]
+            frames.append(((xx * 4 + i * 30) % 256).astype(np.uint8))
+        avi = encode_mjpeg_avi(frames, fps=5)
+        # codec-level round trip
+        arrs = decode_avi_frame_arrays(avi)
+        assert len(arrs) == 6 and arrs[0].shape == (24, 32)
+        assert np.abs(arrs[3] * 255 - frames[3]).mean() < 3.0
+
+        df = spark.createDataFrame(
+            [(7, "video", bytearray(avi))],
+            "media_id long, kind string, payload binary",
+        )
+        sampled = sample_video_frames(df, every_n=2).collect()
+        assert [r["frame_no"] for r in sampled] == [0, 2, 4]
+        # sampled payloads are valid JPEGs the image stage can decode
+        fdf = spark.createDataFrame(
+            [(r["frame_no"], "image", r["frame_payload"]) for r in sampled],
+            "media_id long, kind string, payload binary",
+        )
+        feats = decode_image_features(fdf).collect()
+        assert len(feats) == 3 and all(len(r["feature"]) == 64 for r in feats)
+
+        # non-AVI payloads still raise honestly without fake
+        bad = spark.createDataFrame(
+            [(1, "video", b"\x00" * 256)], "media_id long, kind string, payload binary"
+        )
+        with pytest.raises(Exception) as ei:
+            sample_video_frames(bad).collect()
+        assert "ffmpeg" in str(ei.value) or "NotImplementedError" in str(ei.value)
+
     def test_real_wav_decode_features(self, spark):
         """PCM WAV is a REAL codec path (stdlib wave + numpy spectral
         features): a 440 Hz tone concentrates energy in a low FFT band."""
