@@ -1,0 +1,303 @@
+"""Property-based tests (hypothesis) over the codec and function
+surfaces — the Spark analogue of the reference's fuzz/sqllogictest
+sweeps: random vectors through wire/text round-trips, comparison
+operators vs a Python model, slices vs the documented NULL rules,
+sparse arithmetic vs dense float32 ground truth.
+
+Each hypothesis example batches its vectors into ONE small Spark job
+(max_examples is capped so the suite stays fast); pure-numpy helpers
+are fuzzed directly.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.functions import dense as VD
+from pgvecto_rs_spark.functions import sparse as VS
+from pgvecto_rs_spark.functions import text_format as TF
+from pgvecto_rs_spark.functions import wire as W
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite_f32 = st.floats(allow_nan=False, allow_infinity=False, width=32)
+any_f32 = st.one_of(
+    finite_f32,
+    st.sampled_from([float("nan"), float("inf"), float("-inf"), 0.0, -0.0]),
+)
+
+
+def _f32bits(x: float) -> bytes:
+    return struct.pack("<f", np.float32(x))
+
+
+def _rows(spark, vecs, schema="id long, v array<float>"):
+    return spark.createDataFrame(
+        [(i, [float(np.float32(x)) for x in v]) for i, v in enumerate(vecs)], schema
+    )
+
+
+class TestWireRoundtrip:
+    @settings(**_SETTINGS)
+    @given(st.lists(st.lists(any_f32, min_size=1, max_size=24), min_size=1, max_size=8))
+    def test_dense(self, spark, vecs):
+        df = _rows(spark, vecs)
+        out = df.select("id", W.vector_recv(W.vector_send("v")).alias("r")).collect()
+        got = {r["id"]: r["r"] for r in out}
+        for i, v in enumerate(vecs):
+            assert [_f32bits(x) for x in got[i]] == [_f32bits(x) for x in v]
+
+    @settings(**_SETTINGS)
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=1, max_value=64),
+                st.data(),
+            ),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_sparse(self, spark, specs):
+        rows = []
+        for rid, (dims, data) in enumerate(specs):
+            nnz = data.draw(st.integers(0, dims))
+            idxs = sorted(
+                data.draw(
+                    st.sets(st.integers(0, dims - 1), min_size=nnz, max_size=nnz)
+                )
+            )
+            vals = [
+                data.draw(finite_f32.filter(lambda x: np.float32(x) != 0))
+                for _ in idxs
+            ]
+            rows.append((rid, dims, idxs, [float(np.float32(v)) for v in vals]))
+        df = spark.createDataFrame(
+            rows, "id long, dims int, idx array<int>, val array<float>"
+        )
+        sv = VS.to_svector(F.col("dims"), "idx", "val")
+        out = df.select("id", W.svector_recv(W.svector_send(sv)).alias("r")).collect()
+        got = {r["id"]: r["r"] for r in out}
+        for rid, dims, idxs, vals in rows:
+            r = got[rid]
+            assert r["dims"] == dims
+            assert list(r["indexes"]) == idxs
+            assert [_f32bits(x) for x in r["values"]] == [_f32bits(x) for x in vals]
+
+    @settings(**_SETTINGS)
+    @given(
+        st.lists(
+            st.lists(st.integers(0, 1), min_size=1, max_size=200),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    def test_bvector(self, spark, bitlists):
+        from pgvecto_rs_spark.functions.binary import BITS_PER_WORD, from_bits
+
+        df = spark.createDataFrame(
+            [(i, bits) for i, bits in enumerate(bitlists)], "id long, bits array<int>"
+        )
+        bv = df.select("id", from_bits(F.col("bits")).alias("bv"))
+        out = bv.withColumn("back", W.bvector_recv(W.bvector_send("bv"))).collect()
+        for r in out:
+            bits = bitlists[r["id"]]
+            back = r["back"]
+            assert back == r["bv"]
+            assert back["dims"] == len(bits)
+            # independent Python model of the word packing
+            words = [0] * ((len(bits) + BITS_PER_WORD - 1) // BITS_PER_WORD)
+            for pos, b in enumerate(bits):
+                words[pos // BITS_PER_WORD] |= b << (pos % BITS_PER_WORD)
+            assert list(back["data"]) == words
+
+
+class TestTextRoundtrip:
+    @settings(**_SETTINGS)
+    @given(st.lists(st.lists(any_f32, min_size=1, max_size=16), min_size=1, max_size=8))
+    def test_dense_format_parse_format(self, spark, vecs):
+        """format -> parse -> format is a fixpoint, and parse(format(v))
+        reproduces v bit-for-bit for finite values (Java Float.toString
+        round-trip guarantee)."""
+        df = _rows(spark, vecs)
+        f1 = TF.format_vector("v")
+        out = df.select(
+            "id",
+            f1.alias("s1"),
+            TF.format_vector(TF.parse_vector(f1)).alias("s2"),
+            TF.parse_vector(f1).alias("rt"),
+        ).collect()
+        for r in out:
+            assert r["s1"] == r["s2"]
+            v = vecs[r["id"]]
+            for got, want in zip(r["rt"], v):
+                if math.isnan(want):
+                    assert math.isnan(got)
+                elif want == 0.0:
+                    # the integral branch of _fmt_f32 normalizes zero
+                    # sign: -0.0 prints as "0" (reference cast.slt
+                    # prints integral floats the same way)
+                    assert got == 0.0
+                else:
+                    assert _f32bits(got) == _f32bits(want)
+
+
+class TestLexicographic:
+    @settings(**_SETTINGS)
+    @given(
+        st.integers(1, 8).flatmap(
+            lambda d: st.lists(
+                st.tuples(
+                    st.lists(st.integers(-2, 2), min_size=d, max_size=d),
+                    st.lists(st.integers(-2, 2), min_size=d, max_size=d),
+                ),
+                min_size=1,
+                max_size=10,
+            )
+        )
+    )
+    def test_matches_tuple_compare(self, spark, pairs):
+        # small-integer grids force frequent ties and shared prefixes —
+        # the cases where a broken first-difference scan would misorder
+        rows = [
+            (i, [float(x) for x in a], [float(y) for y in b])
+            for i, (a, b) in enumerate(pairs)
+        ]
+        df = spark.createDataFrame(rows, "id long, a array<float>, b array<float>")
+        out = df.select(
+            "id",
+            VD.vector_lt("a", "b").alias("lt"),
+            VD.vector_le("a", "b").alias("le"),
+            VD.vector_gt("a", "b").alias("gt"),
+            VD.vector_ge("a", "b").alias("ge"),
+        ).collect()
+        got = {r["id"]: r for r in out}
+        for i, (a, b) in enumerate(pairs):
+            r = got[i]
+            assert r["lt"] == (a < b)
+            assert r["le"] == (a <= b)
+            assert r["gt"] == (a > b)
+            assert r["ge"] == (a >= b)
+
+
+class TestSlice:
+    @settings(**_SETTINGS)
+    @given(
+        st.lists(
+            st.tuples(
+                st.lists(finite_f32, min_size=1, max_size=10),
+                st.integers(-2, 12),
+                st.integers(-2, 12),
+            ),
+            min_size=1,
+            max_size=10,
+        )
+    )
+    def test_matches_documented_null_rules(self, spark, cases):
+        rows = [
+            (i, [float(np.float32(x)) for x in v], a, b)
+            for i, (v, a, b) in enumerate(cases)
+        ]
+        df = spark.createDataFrame(rows, "id long, v array<float>, a int, b int")
+        out = df.select(
+            "id", VD.vector_slice("v", F.col("a"), F.col("b")).alias("s")
+        ).collect()
+        got = {r["id"]: r["s"] for r in out}
+        for i, (v, a, b) in enumerate(cases):
+            n = len(v)
+            if a < 0 or b < 0 or a > n or b > n or a >= b:
+                assert got[i] is None, (v, a, b, got[i])
+            else:
+                assert [_f32bits(x) for x in got[i]] == [
+                    _f32bits(x) for x in v[a:b]
+                ], (v, a, b)
+
+
+class TestSparseArithmetic:
+    @settings(**_SETTINGS)
+    @given(
+        st.integers(1, 16).flatmap(
+            lambda d: st.tuples(
+                st.just(d),
+                st.lists(
+                    st.tuples(
+                        st.lists(finite_f32, min_size=d, max_size=d),
+                        st.lists(finite_f32, min_size=d, max_size=d),
+                    ),
+                    min_size=1,
+                    max_size=6,
+                ),
+            )
+        )
+    )
+    def test_add_sub_match_dense_f32(self, spark, spec):
+        """svector add/sub over sparsified operands == dense float32
+        arithmetic with exact zeros dropped (the reference's zero-drop
+        invariant, svect.rs:228-302)."""
+        dims, pairs = spec
+        rows = []
+        for i, (a, b) in enumerate(pairs):
+            a32 = np.asarray(a, dtype=np.float32)
+            b32 = np.asarray(b, dtype=np.float32)
+            rows.append((i, dims, a32.tolist(), b32.tolist()))
+        df = spark.createDataFrame(rows, "id long, dims int, a array<float>, b array<float>")
+
+        def sparsify(col):
+            # dense -> svector: indexes of nonzero entries
+            idx = F.filter(
+                F.sequence(F.lit(0), F.col("dims") - 1),
+                lambda i: F.element_at(F.col(col), i + 1) != 0,
+            )
+            val = F.transform(idx, lambda i: F.element_at(F.col(col), i + 1))
+            return VS.to_svector(F.col("dims"), idx, val)
+
+        out = df.select(
+            "id",
+            VS.svector_add(sparsify("a"), sparsify("b")).alias("s"),
+            VS.svector_sub(sparsify("a"), sparsify("b")).alias("d"),
+        ).collect()
+        got = {r["id"]: r for r in out}
+        for i, (a, b) in enumerate(pairs):
+            a32 = np.asarray(a, dtype=np.float32)
+            b32 = np.asarray(b, dtype=np.float32)
+            for field, expect in (("s", a32 + b32), ("d", a32 - b32)):
+                r = got[i][field]
+                dense = np.zeros(dims, dtype=np.float32)
+                if r["indexes"]:
+                    dense[np.asarray(r["indexes"])] = np.asarray(
+                        r["values"], dtype=np.float32
+                    )
+                # stored entries are exactly the nonzero results
+                assert all(np.float32(v) != 0 for v in r["values"])
+                assert np.array_equal(dense, expect, equal_nan=True), (
+                    a, b, field, dense, expect,
+                )
+
+
+class TestRepackPure:
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.integers(0, 1), min_size=1, max_size=300))
+    def test_bit_repack_roundtrip(self, bits):
+        """64<->32-bit word repack of the bvector wire layout is a
+        lossless involution for any dims (pure numpy, no Spark)."""
+        dims = len(bits)
+        padded = bits + [0] * (-dims % 64)
+        words64 = np.zeros(len(padded) // 64, dtype=np.uint64)
+        for w in range(len(words64)):
+            acc = 0
+            for j in range(64):
+                acc |= padded[w * 64 + j] << j
+            words64[w] = acc
+        w32 = W._repack_64_to_32(words64.view(np.int64), dims)
+        back = W._repack_32_to_64(np.asarray(w32, dtype=np.uint32), dims)
+        assert np.array_equal(back.view(np.uint64), words64)
