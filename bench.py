@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "events_hourly",
     "events_sessions",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
 ]
 
 

@@ -1047,6 +1047,97 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q6",
+    """
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_u,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change), dates shifted into the
+    testdata's 1995-2001 range.  Pure scan + filter + scalar aggregate:
+    every predicate reaches the parquet scan (PushedFilters) and the sum
+    is a map-side partial — the shape that reads minimal bytes at 100 TB."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        df.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _scaled_sum(F.col("l_extendedprice") * F.col("l_discount"), 1000000.0).alias("revenue_u"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT o_orderkey, o_date, o_orderpriority, revenue_u FROM (
+      SELECT l_orderkey AS o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+             o_orderpriority,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_u
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1997-06-01'
+        AND l_shipdate > TIMESTAMP '1997-06-01'
+      GROUP BY 1, 2, 3
+    ) ORDER BY revenue_u DESC, o_orderkey LIMIT 10
+    """,
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority), adapted to the testdata schema
+    (o_orderpriority for the absent o_shippriority; dates shifted).
+
+    Scale shape: customer (filtered small dim) BROADCASTS into orders;
+    orders⋈lineitem is the one big shuffle, keyed on orderkey; revenue
+    aggregates partially before its shuffle; top-10 is TakeOrdered,
+    not a global sort."""
+    _tune(spark)
+    cust = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp"))
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .agg(
+            _scaled_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 1000000.0
+            ).alias("revenue_u")
+        )
+        .orderBy(F.desc("revenue_u"), "o_orderkey")
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # 12. sparse aggregate (svector.slt:22-80 semantics at table scale)
 # ---------------------------------------------------------------------------

@@ -99,3 +99,69 @@ def test_flat_sq8_rerank_fetch_prunes_code_column(spark, sf_dir):
         fetch = scan_lines[0]
         assert "PushedFilters: [In(id" in fetch, fetch[:300]
         assert "codes" not in fetch.split("Format:")[0], fetch[:300]
+
+
+def test_decontaminate_broadcasts_benchmark_no_cartesian(spark, sf_dir):
+    """The benchmark-gram join must be a broadcast LEFT SEMI (the
+    benchmark side is MBs at any scale) — never a cartesian product or
+    a sort-merge shuffle of the exploded corpus grams — and the per-doc
+    hit count must partially aggregate before its shuffle."""
+    docs = Q._docs(spark, sf_dir)
+    from pgvecto_rs_spark.operators.curation import decontaminate
+
+    bench = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    plan = _plan(decontaminate(corpus, bench, n=8))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+    assert "partial_count" in plan or "partial_" in plan
+
+
+def test_pii_redact_is_pure_projection(spark, sf_dir):
+    """PII redaction is per-row regexp work: the plan must contain NO
+    Exchange (shuffle) at all and stay inside whole-stage codegen."""
+    from pgvecto_rs_spark.operators.curation import pii_redact
+
+    plan = _plan(pii_redact(Q._docs(spark, sf_dir)))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "*(" in plan  # WholeStageCodegen stage marker in toString()
+
+
+def test_top_terms_partial_agg_take_ordered(spark, sf_dir):
+    """Word count must combine map-side before the single term-keyed
+    shuffle and take the top-k without a global sort."""
+    from pgvecto_rs_spark.operators.curation import top_terms
+
+    plan = _plan(top_terms(Q._docs(spark, sf_dir), k=20))
+    assert "partial_" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange") <= 2, plan[:2000]
+
+
+def test_train_split_no_shuffle(spark, sf_dir):
+    """Split assignment is a per-row projection — no Exchange."""
+    from pgvecto_rs_spark.operators.curation import train_split
+
+    plan = _plan(train_split(Q._docs(spark, sf_dir)))
+    assert "Exchange" not in plan, plan[:2000]
+
+
+def test_tpch_q6_filters_pushed_partial_agg(spark, sf_dir):
+    """Q6 is the minimal-bytes shape: shipdate/discount/quantity
+    predicates reach the scan and the scalar sum is partial before one
+    exchange."""
+    plan = _plan(Q.tpch_q6(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan, plan[:2000]
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan parquet" in ln]
+    assert scan_lines and "l_returnflag" not in scan_lines[0]  # column pruning
+    assert "partial_" in plan
+
+
+def test_tpch_q3_broadcasts_customer_takeordered(spark, sf_dir):
+    """Q3's filtered customer dim must broadcast (no shuffle of the big
+    fact side for that join); the top-10 must be TakeOrdered, not a
+    global sort."""
+    plan = _plan(Q.tpch_q3(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
