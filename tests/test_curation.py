@@ -135,3 +135,38 @@ class TestTopTerms:
     def test_limit_applies(self, spark):
         df = _docs(spark, [(1, "w1 w2 w3 w4 w5 w6")])
         assert len(top_terms(df, k=3).collect()) == 3
+
+
+class TestStreamingComposition:
+    def test_pii_redact_and_split_stream_stateless(self, spark, sf_dir, tmp_path):
+        """Stateless curation ops compose with Structured Streaming for
+        free: pii_redact + train_split over a file stream (append mode,
+        no state store) produce exactly the batch-mode result."""
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+        stage = str(tmp_path / "stage")
+        docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+        def transform(df):
+            return train_split(pii_redact(df)).select(
+                "doc_id", "email_count", "split", F.md5("redacted").alias("fp")
+            )
+
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        q = (
+            transform(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("cur_stream")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+        got = sorted(tuple(r) for r in spark.sql("SELECT * FROM cur_stream").collect())
+        want = sorted(tuple(r) for r in transform(docs).collect())
+        assert got == want and len(got) > 0
