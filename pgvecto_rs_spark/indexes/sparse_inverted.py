@@ -100,6 +100,59 @@ class SparseInvertedIndex:
             out = out.where(filter)
         return out.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
 
+    def search_batch(
+        self,
+        queries: DataFrame,
+        query_id_col: str,
+        query_svec_col: str,
+        k: int = 10,
+    ) -> DataFrame:
+        """Batched sparse top-k: the whole query set answered in ONE
+        postings scan (the flat/IVF/HNSW ``search_batch`` analogue),
+        fully native — no Python kernel.
+
+        Shape: queries explode to (query_id, term, qw) and broadcast;
+        postings join on term (the scan still prunes to the UNION of
+        query terms via min/max stats); one (query_id, id)-keyed
+        aggregation with map-side combine; per-query top-k by window
+        row_number — k rows per query cross the final shuffle.
+        Returns (query_id, id, distance)."""
+        from pyspark.sql import Window
+
+        qexp = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(
+                F.arrays_zip(
+                    F.col(query_svec_col)["indexes"].alias("term"),
+                    F.col(query_svec_col)["values"].alias("qw"),
+                )
+            ).alias("p"),
+        ).select(
+            "query_id", F.col("p.term").alias("term"), F.col("p.qw").alias("qw")
+        ).where(F.col("qw") != 0.0)
+
+        terms = sorted(
+            {int(r["term"]) for r in qexp.select("term").distinct().collect()}
+        )
+        postings = self.spark.read.parquet(os.path.join(self.path, "postings"))
+        postings = postings.where(F.col("term").isin(terms))
+        scored = (
+            postings.join(F.broadcast(qexp), "term")
+            .groupBy("query_id", "id")
+            .agg(
+                F.sum(F.col("val").cast("double") * F.col("qw").cast("double")).alias("score")
+            )
+            .select("query_id", "id", (-F.col("score")).alias("distance"))
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("distance").asc(), F.col("id").asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+
     def stat(self) -> dict:
         return {
             "idx_status": "NORMAL",

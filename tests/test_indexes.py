@@ -145,6 +145,46 @@ class TestSparseInverted:
         for g, b in zip(got, brute):
             assert g["distance"] == pytest.approx(b["d"], rel=1e-9)
 
+    def test_search_batch_equals_per_query(self, spark, emb):
+        """search_batch answers the whole query set in one postings
+        scan; per-query ranking must match search() for every query."""
+        from pgvecto_rs_spark.functions import sparse as VS
+
+        sdf = self._sparse_df(emb)
+        qrows = emb.orderBy("vec_id").limit(8).collect()
+        with tempfile.TemporaryDirectory() as d:
+            idx = SparseInvertedIndex.create(spark, sdf, d)
+            thr = F.transform(
+                F.col("embedding"),
+                lambda x: F.when(F.abs(x) > SPARSE_THRESHOLD, x)
+                .otherwise(F.lit(0.0))
+                .cast("float"),
+            )
+            queries = emb.orderBy("vec_id").limit(8).select(
+                F.col("vec_id").alias("qid"), VS.dense_to_svector(thr).alias("qsv")
+            )
+            batched = idx.search_batch(queries, "qid", "qsv", k=5).collect()
+            by_q: dict = {}
+            for r in batched:
+                by_q.setdefault(r["query_id"], []).append(r)
+            assert set(by_q) <= {int(r["vec_id"]) for r in qrows}
+            for qr in qrows:
+                q = {
+                    i: float(x)
+                    for i, x in enumerate(qr["embedding"])
+                    if abs(x) > SPARSE_THRESHOLD
+                }
+                if not q:
+                    continue
+                want = idx.search(q, k=5).collect()
+                got = sorted(
+                    by_q.get(int(qr["vec_id"]), []),
+                    key=lambda r: (r["distance"], r["id"]),
+                )
+                assert [g["id"] for g in got] == [w["id"] for w in want]
+                for g, w in zip(got, want):
+                    assert g["distance"] == pytest.approx(w["distance"], rel=1e-9)
+
 
 class TestHNSW:
     def test_recall_and_merge(self, spark, emb):
