@@ -163,18 +163,27 @@ class IVFIndex:
         nlist_eff = min(nlist, len(x))
         centroids = _lloyd(x, nlist_eff, spherical=spherical, seed=seed)
 
-        # --- assign list ids with one broadcast matmul per Arrow batch
+        # --- assign list ids with one broadcast matmul per Arrow batch.
+        # Assignment runs in float32 (the input dtype): the (rows x
+        # nlist) gemm is bandwidth-bound and list membership is a
+        # routing decision — a boundary flip lands the vector in its
+        # second-nearest list, which search handles identically (and
+        # f32 is deterministic, so builds stay reproducible).  Residual
+        # and quantization-bound math below stays f64.
         sc = spark.sparkContext
         bc = sc.broadcast(centroids.astype(np.float64))
-        c_sq = sc.broadcast(np.einsum("ij,ij->i", centroids.astype(np.float64), centroids.astype(np.float64)))
+        bc32 = sc.broadcast(centroids.astype(np.float32))
+        c_sq32 = sc.broadcast(
+            np.einsum("ij,ij->i", centroids.astype(np.float32), centroids.astype(np.float32))
+        )
 
         r = max(1, min(replicas, nlist_eff))
 
         @F.pandas_udf("array<int>")
         def assign_lists(v: pd.Series) -> pd.Series:
-            mat = np.asarray(v.tolist(), dtype=np.float64)
-            cent = bc.value
-            d = -2.0 * (mat @ cent.T) + c_sq.value[None, :]
+            mat = np.asarray(v.tolist(), dtype=np.float32)
+            cent = bc32.value
+            d = np.float32(-2.0) * (mat @ cent.T) + c_sq32.value[None, :]
             if r == 1:
                 top = np.argmin(d, axis=1)[:, None]
             else:
@@ -293,17 +302,19 @@ class IVFIndex:
 
     # ------------------------------------------------------------------
     def _assign_udf(self):
-        """List assignment against the STORED centroids (no retrain)."""
+        """List assignment against the STORED centroids (no retrain).
+        Same f32 routing kernel as create() so delta rows assign exactly
+        as build-time rows would."""
         sc = self.spark.sparkContext
-        cent = self.centroids.astype(np.float64)
+        cent = self.centroids.astype(np.float32)
         bc = sc.broadcast(cent)
         c_sq = sc.broadcast(np.einsum("ij,ij->i", cent, cent))
         r = self.meta.get("replicas", 1)
 
         @F.pandas_udf("array<int>")
         def assign_lists(v: pd.Series) -> pd.Series:
-            mat = np.asarray(v.tolist(), dtype=np.float64)
-            d = -2.0 * (mat @ bc.value.T) + c_sq.value[None, :]
+            mat = np.asarray(v.tolist(), dtype=np.float32)
+            d = np.float32(-2.0) * (mat @ bc.value.T) + c_sq.value[None, :]
             if r == 1:
                 top = np.argmin(d, axis=1)[:, None]
             else:
