@@ -26,7 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["decontaminate", "pii_redact", "train_split", "top_terms"]
+__all__ = [
+    "decontaminate",
+    "pii_redact",
+    "top_terms",
+    "train_split",
+    "unigram_lm_score",
+]
 
 
 def _norm_tokens(text: Column) -> Column:
@@ -164,6 +170,61 @@ def train_split(
         cond = bucket < acc
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return df.withColumn("split", expr)
+
+
+def unigram_lm_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-unigram language-model quality score per document:
+    (id, n_tokens, lm_score) with lm_score = mean over tokens of
+    ln(corpus_freq(token) / corpus_total) — the CCNet-style LM filter
+    shape with the corpus itself as the LM.  Higher (less negative) =
+    more typical text; rare-garbage-token documents score low.
+
+    Scale shape: one explode + term-keyed count (map-side combine), the
+    frequency table joins back to the exploded tokens on term (both
+    sides already term-partitioned from the agg), one final per-doc
+    aggregation.  The corpus total rides along via a broadcast scalar.
+    Determinism: per-token log-probs are scaled to integers
+    (floor(ln·1e6 + 0.5)) before summation, so partial-aggregation
+    order can never change the result (see queries._scaled_sum for the
+    rationale); the mean divides the exact integer sum.
+    """
+    toks = _spread_tokens(df, text_col, id_col)
+    freq = toks.groupBy("term").agg(F.count("*").alias("__tf"))
+    total = freq.agg(F.sum("__tf").alias("__total"))
+    scored = (
+        toks.join(freq, "term")
+        .join(F.broadcast(total))
+        .select(
+            id_col,
+            F.floor(
+                F.log(F.col("__tf").cast("double") / F.col("__total").cast("double"))
+                * F.lit(1000000.0)
+                + F.lit(0.5)
+            ).cast("long").alias("__lp_u"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("__lp_u").alias("__s_u"), F.count("*").alias("n_tokens"))
+    )
+    return scored.select(
+        id_col,
+        "n_tokens",
+        (
+            F.col("__s_u").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n_tokens").cast("double")
+        ).alias("lm_score"),
+    )
+
+
+def _spread_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, term) exploded tokens, partition-spread before the fan-out."""
+    from .dedup import _spread
+
+    return _spread(df).select(
+        F.col(id_col), F.explode(_norm_tokens(F.col(text_col))).alias("term")
+    )
 
 
 def top_terms(

@@ -728,6 +728,37 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_lm_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ), freq AS (
+      SELECT term, COUNT(*) AS tf FROM toks GROUP BY term
+    ), tot AS (
+      SELECT SUM(tf) AS total FROM freq
+    ), scored AS (
+      SELECT t.doc_id,
+             SUM(CAST(FLOOR(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS s_u,
+             COUNT(*) AS n_tokens
+      FROM toks t JOIN freq USING (term) CROSS JOIN tot
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           FLOOR(CAST(s_u AS DOUBLE) / 1000000.0 / n_tokens * 10000.0 + 0.5) / 10000.0 AS lm_score
+    FROM scored
+    """,
+)
+def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality score (CCNet-style filter shape):
+    mean token log-probability under the corpus's own unigram model,
+    with scaled-integer summation for engine-exact determinism."""
+    out = CU.unigram_lm_score(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_tokens", _r4t(F.col("lm_score")).alias("lm_score"))
+
+
+@register(
     "doc_curation_pipeline",
     rf"""
     WITH q AS (

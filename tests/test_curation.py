@@ -170,3 +170,35 @@ class TestStreamingComposition:
         got = sorted(tuple(r) for r in spark.sql("SELECT * FROM cur_stream").collect())
         want = sorted(tuple(r) for r in transform(docs).collect())
         assert got == want and len(got) > 0
+
+
+class TestUnigramLmScore:
+    def test_rare_tokens_score_lower(self, spark):
+        from pgvecto_rs_spark.operators.curation import unigram_lm_score
+
+        # "common" appears 8x in the corpus, "rareword" once: the doc of
+        # rare tokens must score strictly below the all-common doc, and
+        # a uniform corpus gives exactly ln(tf/total)
+        df = _docs(
+            spark,
+            [
+                (1, "common common common common"),
+                (2, "common common common common"),
+                (3, "rareword common unusualterm oddity"),
+            ],
+        )
+        got = {r["doc_id"]: r for r in unigram_lm_score(df).collect()}
+        import math
+
+        assert got[1]["n_tokens"] == 4
+        assert got[3]["lm_score"] < got[1]["lm_score"]
+        # doc 1: every token has tf=9, total=12 -> mean ln(9/12)
+        want = math.floor(math.log(9 / 12) * 1e6 + 0.5) / 1e6
+        assert got[1]["lm_score"] == pytest.approx(want, abs=1e-9)
+
+    def test_empty_docs_excluded(self, spark):
+        from pgvecto_rs_spark.operators.curation import unigram_lm_score
+
+        df = _docs(spark, [(1, "a b"), (2, ""), (3, "   ")])
+        ids = {r["doc_id"] for r in unigram_lm_score(df).collect()}
+        assert ids == {1}
