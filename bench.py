@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "doc_embed_hash_topk",
     "doc_decontaminate",
     "doc_top_terms",
+    "doc_lm_score",
     "events_hourly",
     "events_sessions",
     "tpch_q1",

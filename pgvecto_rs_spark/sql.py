@@ -77,6 +77,35 @@ _FUNCTIONS: dict[str, str] = {
         sqrt(aggregate(CAST(a.values AS ARRAY<DOUBLE>), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x*x))""",
 }
 
+# Text-analysis scalar surface (operators/textanalysis.py as SQL — the
+# north-star LLM ops callable from plain SQL, Catalyst-inlined like the
+# vector kernels).  Bodies are maintained together with the Column API.
+def _text_functions() -> dict[str, str]:
+    from pgvecto_rs_spark.operators.textanalysis import EN_STOPWORDS
+
+    sw = "array(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+    return {
+        "doc_token_count": r"""(t STRING) RETURNS BIGINT RETURN
+            CASE WHEN length(trim(t)) = 0 THEN 0L
+                 ELSE CAST(size(split(trim(t), '\\s+')) AS BIGINT) END""",
+        "doc_punct_ratio": r"""(t STRING) RETURNS DOUBLE RETURN
+            CASE WHEN length(t) > 0
+                 THEN CAST(length(regexp_replace(t, '[A-Za-z0-9\\s]', '')) AS DOUBLE) / length(t)
+                 ELSE 0.0 END""",
+        "doc_upper_ratio": r"""(t STRING) RETURNS DOUBLE RETURN
+            CASE WHEN length(t) > 0
+                 THEN CAST(length(regexp_replace(t, '[^A-Z]', '')) AS DOUBLE) / length(t)
+                 ELSE 0.0 END""",
+        "doc_stop_ratio": rf"""(t STRING) RETURNS DOUBLE RETURN
+            CASE WHEN length(trim(t)) = 0 THEN 0.0 ELSE
+              CAST(size(filter(split(trim(lower(t)), '\\s+'), w -> array_contains({sw}, w))) AS DOUBLE)
+              / size(split(trim(lower(t)), '\\s+')) END""",
+        "doc_lang_score": """(t STRING) RETURNS DOUBLE RETURN
+            doc_stop_ratio(t) * (1.0 - doc_punct_ratio(t))""",
+        "doc_fingerprint": r"""(t STRING) RETURNS STRING RETURN
+            md5(regexp_replace(lower(trim(t)), '\\s+', ' '))""",
+    }
+
 
 def register_sql_functions(spark: SparkSession) -> list[str]:
     """Create the temporary SQL functions; returns the function names.
@@ -85,7 +114,9 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
     (pandas UDFs — the reference's `_vectors_*_send/recv` surface,
     src/datatype/binary_*.rs) register as vec_send/vec_recv,
     svec_send/svec_recv, bvec_send/bvec_recv."""
-    for name, body in _FUNCTIONS.items():
+    text_fns = _text_functions()
+    # dependency order: doc_lang_score's body calls the ratio functions
+    for name, body in {**_FUNCTIONS, **text_fns}.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{body}")
     from pgvecto_rs_spark.functions import wire as W
 
@@ -99,4 +130,4 @@ def register_sql_functions(spark: SparkSession) -> list[str]:
     }
     for name, maker in codecs.items():
         spark.udf.register(name, W._udf(name, maker))
-    return sorted(list(_FUNCTIONS) + list(codecs))
+    return sorted(list(_FUNCTIONS) + list(text_fns) + list(codecs))

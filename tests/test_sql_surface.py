@@ -83,3 +83,43 @@ def test_wire_codecs_via_sql(spark):
         "SELECT vec_recv(vec_send(array(CAST(1.5 AS FLOAT), CAST(-2.0 AS FLOAT)))) AS v"
     ).collect()[0]
     assert row["v"] == [1.5, -2.0]
+
+
+def test_text_analysis_sql_matches_column_api(spark, sf_dir):
+    """The text-analysis scalars are SQL-callable (finalize.sql-style
+    surface for the north-star ops) and agree exactly with the Column
+    API over the documents table."""
+    from pgvecto_rs_spark.operators import textanalysis as TA
+    from pgvecto_rs_spark.sql import register_sql_functions
+
+    names = register_sql_functions(spark)
+    for fn in ["doc_token_count", "doc_stop_ratio", "doc_lang_score", "doc_fingerprint"]:
+        assert fn in names
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("docs_sql_ta")
+    got = spark.sql(
+        """
+        SELECT doc_id, doc_token_count(text) AS n, doc_punct_ratio(text) AS pr,
+               doc_upper_ratio(text) AS ur, doc_stop_ratio(text) AS sr,
+               doc_lang_score(text) AS ls, doc_fingerprint(text) AS fp
+        FROM docs_sql_ta
+        """
+    ).collect()
+    want = {
+        r["doc_id"]: r
+        for r in docs.select(
+            "doc_id",
+            TA.token_count("text").alias("n"),
+            TA.punct_ratio("text").alias("pr"),
+            TA.uppercase_ratio("text").alias("ur"),
+            TA.stopword_ratio("text").alias("sr"),
+            TA.language_score("text").alias("ls"),
+            TA.doc_fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    assert len(got) == len(want) > 0
+    for g in got:
+        w = want[g["doc_id"]]
+        assert g["n"] == w["n"] and g["fp"] == w["fp"]
+        for f in ("pr", "ur", "sr", "ls"):
+            assert g[f] == w[f], (g["doc_id"], f, g[f], w[f])
