@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "chunk_documents",
     "decontaminate",
     "pii_redact",
     "top_terms",
@@ -216,6 +217,54 @@ def unigram_lm_score(
             / F.col("n_tokens").cast("double")
         ).alias("lm_score"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token windows:
+    (id, chunk_no, chunk_text, n_chunk_tokens) — the context-window
+    chunking stage that feeds text into embedding + ANN indexing.
+
+    Windows start every ``chunk_tokens - overlap`` tokens; the last
+    window is shorter when the doc doesn't divide evenly, every token
+    is covered, and docs shorter than one window yield one chunk.
+    Empty/blank docs yield no rows.  Pure per-row expressions (the
+    fan-out is ~n_tokens/stride rows per doc) — no shuffle, no Python;
+    chunk counts use integer arithmetic only, so any engine reproduces
+    the boundaries exactly.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = _norm_tokens(F.col(text_col))
+    n = F.size(toks)
+    extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
+    # ceil(extra/step) + 1 in pure integer math
+    n_chunks = (extra + F.lit(step - 1)).cast("long") / F.lit(step)
+    n_chunks = F.floor(n_chunks).cast("int") + F.lit(1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda c: F.struct(
+            c.cast("int").alias("chunk_no"),
+            F.slice(toks, c * step + 1, chunk_tokens).alias("ct"),
+        ),
+    )
+    out = (
+        df.where(n > 0)
+        .select(F.col(id_col), F.explode(chunks).alias("__c"))
+        .select(
+            id_col,
+            F.col("__c.chunk_no").alias("chunk_no"),
+            F.concat_ws(" ", F.col("__c.ct")).alias("chunk_text"),
+            F.size(F.col("__c.ct")).cast("long").alias("n_chunk_tokens"),
+        )
+    )
+    return out
 
 
 def _spread_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

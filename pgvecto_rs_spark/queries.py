@@ -728,6 +728,28 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunks",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ), counted AS (
+      SELECT doc_id, t, 1 + CAST((GREATEST(len(t) - 32, 0) + 23) // 24 AS INT) AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id, CAST(u.c AS INT) AS chunk_no,
+           array_to_string(list_slice(t, u.c*24 + 1, u.c*24 + 32), ' ') AS chunk_text,
+           CAST(len(list_slice(t, u.c*24 + 1, u.c*24 + 32)) AS BIGINT) AS n_chunk_tokens
+    FROM counted, unnest(range(0, n_chunks)) AS u(c)
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking (32-token windows, 8-token overlap) —
+    the doc -> chunks stage that feeds embedding + ANN indexing."""
+    return CU.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+@register(
     "doc_lm_score",
     r"""
     WITH toks AS (

@@ -202,3 +202,39 @@ class TestUnigramLmScore:
         df = _docs(spark, [(1, "a b"), (2, ""), (3, "   ")])
         ids = {r["doc_id"] for r in unigram_lm_score(df).collect()}
         assert ids == {1}
+
+
+class TestChunkDocuments:
+    def test_boundaries_overlap_and_coverage(self, spark):
+        from pgvecto_rs_spark.operators.curation import chunk_documents
+
+        words = " ".join(f"t{i}" for i in range(57))
+        df = _docs(spark, [(1, words), (2, "a b c"), (3, ""), (4, " ".join(f"x{i}" for i in range(40)))])
+        got = {}
+        for r in chunk_documents(df, chunk_tokens=32, overlap=8).collect():
+            got.setdefault(r["doc_id"], []).append(r)
+        for rows in got.values():
+            rows.sort(key=lambda r: r["chunk_no"])
+
+        # 57 tokens, step 24: chunks at 0,24,48 -> 3 chunks; last has 9
+        assert [r["chunk_no"] for r in got[1]] == [0, 1, 2]
+        assert [r["n_chunk_tokens"] for r in got[1]] == [32, 32, 9]
+        assert got[1][1]["chunk_text"].split()[0] == "t24"  # overlap start
+        # every token covered in order
+        covered = got[1][0]["chunk_text"].split() + [
+            t for r in got[1][1:] for t in r["chunk_text"].split()[8:]
+        ]
+        assert covered == [f"t{i}" for i in range(57)]
+
+        # short doc -> one chunk, full text
+        assert len(got[2]) == 1 and got[2][0]["chunk_text"] == "a b c"
+        # blank doc -> no rows
+        assert 3 not in got
+        # 40 tokens -> chunks at 0 and 24 (last 16 tokens)
+        assert [r["n_chunk_tokens"] for r in got[4]] == [32, 16]
+
+    def test_overlap_validation(self, spark):
+        from pgvecto_rs_spark.operators.curation import chunk_documents
+
+        with pytest.raises(ValueError):
+            chunk_documents(_docs(spark, [(1, "a")]), chunk_tokens=8, overlap=8)
