@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "chunk_documents",
     "decontaminate",
+    "pack_sequences",
     "pii_redact",
     "top_terms",
     "train_split",
@@ -265,6 +266,46 @@ def chunk_documents(
         )
     )
     return out
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    budget: int = 256,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing accounting:
+    (id, bin_id, n_tokens_in_bin) — which fixed-size training sequences
+    each document's tokens land in when the corpus is concatenated in
+    ``id`` order and cut every ``budget`` tokens (the packing most LLM
+    data loaders use; documents may straddle a boundary, yielding one
+    row per (doc, bin) they touch).
+
+    All integer window arithmetic over an exclusive cumulative token
+    sum — deterministic, engine-reproducible, and expressible as one
+    window + a bounded per-row fan-out (a doc touches
+    ceil(len/budget)+1 bins at most).  The cumsum window runs over a
+    single global ordering; at 100 TB you'd run it per shard/split key
+    (pass a pre-partitioned df) — the arithmetic is unchanged.
+    """
+    from pyspark.sql import Window
+
+    n = F.size(_norm_tokens(F.col(text_col))).cast("long")
+    w = Window.orderBy(id_col).rowsBetween(Window.unboundedPreceding, -1)
+    toks = df.select(F.col(id_col), n.alias("__n")).where(F.col("__n") > 0)
+    offs = toks.withColumn("__off", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+    first_bin = (F.col("__off") / budget).cast("long")
+    last_bin = ((F.col("__off") + F.col("__n") - 1) / budget).cast("long")
+    bins = F.sequence(first_bin, last_bin)
+    out = offs.select(
+        id_col, "__n", "__off", F.explode(bins).alias("bin_id")
+    )
+    in_bin = F.least(
+        (F.col("bin_id") + 1) * budget, F.col("__off") + F.col("__n")
+    ) - F.greatest(F.col("bin_id") * budget, F.col("__off"))
+    return out.select(
+        id_col, "bin_id", in_bin.cast("long").alias("n_tokens_in_bin")
+    )
 
 
 def _spread_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -750,6 +750,30 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_pack",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) END AS BIGINT) AS n
+      FROM documents
+    ), offs AS (
+      SELECT doc_id, n,
+             CAST(COALESCE(SUM(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      FROM toks WHERE n > 0
+    )
+    SELECT doc_id, u.b AS bin_id,
+           LEAST((u.b + 1) * 256, off + n) - GREATEST(u.b * 256, off) AS n_tokens_in_bin
+    FROM offs, unnest(range(off // 256, (off + n - 1) // 256 + 1)) AS u(b)
+    """,
+)
+def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing accounting (budget 256):
+    which fixed-size training sequences each doc's tokens land in."""
+    return CU.pack_sequences(_docs(spark, sf_dir), budget=256)
+
+
+@register(
     "doc_lm_score",
     r"""
     WITH toks AS (

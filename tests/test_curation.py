@@ -238,3 +238,39 @@ class TestChunkDocuments:
 
         with pytest.raises(ValueError):
             chunk_documents(_docs(spark, [(1, "a")]), chunk_tokens=8, overlap=8)
+
+
+class TestPackSequences:
+    def test_conservation_and_straddling(self, spark):
+        from pgvecto_rs_spark.operators.curation import pack_sequences
+
+        # budget 10; docs of 4, 8, 3, 10 tokens -> offsets 0, 4, 12, 15
+        docs = _docs(
+            spark,
+            [
+                (1, " ".join("a" * 1 for _ in range(4))),
+                (2, " ".join("b" for _ in range(8))),
+                (3, "c c c"),
+                (4, " ".join("d" for _ in range(10))),
+                (5, ""),
+            ],
+        )
+        rows = pack_sequences(docs, budget=10).collect()
+        got = {}
+        for r in rows:
+            got.setdefault(r["doc_id"], []).append((r["bin_id"], r["n_tokens_in_bin"]))
+        for v in got.values():
+            v.sort()
+        assert got[1] == [(0, 4)]
+        assert got[2] == [(0, 6), (1, 2)]  # straddles the first boundary
+        assert got[3] == [(1, 3)]
+        assert got[4] == [(1, 5), (2, 5)]
+        assert 5 not in got  # empty doc
+        # token conservation: every token lands in exactly one bin
+        assert sum(n for v in got.values() for _, n in v) == 4 + 8 + 3 + 10
+        # bins fill to the budget except the last
+        per_bin = {}
+        for v in got.values():
+            for b, n in v:
+                per_bin[b] = per_bin.get(b, 0) + n
+        assert per_bin == {0: 10, 1: 10, 2: 5}
