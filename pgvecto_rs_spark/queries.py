@@ -1702,6 +1702,94 @@ def doc_embed_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", _r4(F.col("distance")).alias("dist"))
 
 
+# chunk_embed_topk oracle: independently materialized chunk embeddings
+# (pure python/numpy chunking + the same deterministic hash provider) —
+# proves the whole docs -> chunks -> embed -> top-k loop end-to-end.
+_CHUNK_EMBED_ORACLE_FILE = "/tmp/pgvrs_chunk_embed_oracle.parquet"
+
+
+def _materialize_chunk_embed_oracle(sf_dir: str) -> None:
+    import json
+    import re
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pgvecto_rs_spark.sources.embedding import _hash_provider
+
+    src = f"{sf_dir}/documents.parquet"
+    sidecar = _CHUNK_EMBED_ORACLE_FILE + ".src.json"
+    key = {"sf_dir": sf_dir, "mtime": os.path.getmtime(src)}
+    try:
+        with open(sidecar) as fh:
+            if json.load(fh) == key and os.path.exists(_CHUNK_EMBED_ORACLE_FILE):
+                return
+    except (OSError, ValueError):
+        pass
+
+    tbl = pq.read_table(src, columns=["doc_id", "text"])
+    ids, chunk_nos, texts = [], [], []
+    for did, text in zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()):
+        # independent reimplementation of curation.chunk_documents
+        # (32-token windows, stride 24) — ASCII regex to match Java \s
+        toks = re.sub(r"\s+", " ", (text or "").strip().lower(), flags=re.ASCII).split(" ")
+        if toks == [""]:
+            continue
+        extra = max(len(toks) - 32, 0)
+        n_chunks = 1 + -(-extra // 24)  # 1 + ceil(extra/stride)
+        for c in range(n_chunks):
+            ids.append(did)
+            chunk_nos.append(c)
+            texts.append(" ".join(toks[c * 24 : c * 24 + 32]))
+    embs = _hash_provider(64)(texts)
+    out = pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "chunk_no": pa.array(chunk_nos, type=pa.int32()),
+            "emb": pa.array([row.tolist() for row in embs], type=pa.list_(pa.float32())),
+        }
+    )
+    pq.write_table(out, _CHUNK_EMBED_ORACLE_FILE)
+    with open(sidecar, "w") as fh:
+        json.dump(key, fh)
+
+
+@register(
+    "chunk_embed_topk",
+    f"""
+    SELECT doc_id, chunk_no, ROUND(d, 4) AS dist FROM (
+      SELECT doc_id, chunk_no,
+             1.0 - ({_SQL_DOC_DOT})
+                   / SQRT(({_SQL_DOC_NORMSQ}) * {sum(x * x for x in _doc_embed_qv())!r}) AS d
+      FROM '{_CHUNK_EMBED_ORACLE_FILE}'
+    ) ORDER BY d, doc_id, chunk_no LIMIT 10
+    """,
+)
+def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full retrieval loop in one query: documents -> overlapping
+    context-window chunks (curation.chunk_documents) -> deterministic
+    hash embeddings (text2vec analogue) -> cosine top-10 chunks for an
+    embedded query string.  Oracle side re-derives the chunk table and
+    its embeddings independently (pure python/numpy) and runs the same
+    top-k in SQL."""
+    from pgvecto_rs_spark.sources.embedding import text2vec_hash
+
+    _materialize_chunk_embed_oracle(sf_dir)
+    chunks = CU.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+    embedded = chunks.select(
+        "doc_id", "chunk_no", text2vec_hash("chunk_text", 64).alias("emb")
+    )
+    qv = _doc_embed_qv()
+    q = F.array(*[F.lit(float(x)) for x in qv]).cast("array<float>")
+    d = VD.cosine_distance(F.col("emb"), q, check=False)
+    return (
+        embedded.select("doc_id", "chunk_no", d.alias("d"))
+        .orderBy("d", "doc_id", "chunk_no")
+        .limit(10)
+        .select("doc_id", "chunk_no", _r4(F.col("d")).alias("dist"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # 17. sessionization (streaming-shaped; windowed gap analysis)
 # ---------------------------------------------------------------------------
