@@ -1775,7 +1775,12 @@ def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pgvecto_rs_spark.sources.embedding import text2vec_hash
 
     _materialize_chunk_embed_oracle(sf_dir)
-    chunks = CU.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+    # single-file input -> 1 partition; spread the docs so chunking AND
+    # the embedding UDF parallelize (chunk_documents itself stays
+    # shuffle-free)
+    chunks = CU.chunk_documents(
+        DD._spread(_docs(spark, sf_dir)), chunk_tokens=32, overlap=8
+    )
     embedded = chunks.select(
         "doc_id", "chunk_no", text2vec_hash("chunk_text", 64).alias("emb")
     )
