@@ -1881,6 +1881,68 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_funnel",
+    """
+    WITH s1 AS (
+      SELECT user_id, MIN(epoch_ns(ts)) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+      SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND epoch_ns(e.ts) > s1.t AND epoch_ns(e.ts) <= s1.t + 259200000000000
+      GROUP BY e.user_id
+    ), s3 AS (
+      SELECT e.user_id, MIN(epoch_ns(e.ts)) AS t
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND epoch_ns(e.ts) > s2.t AND epoch_ns(e.ts) <= s2.t + 259200000000000
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS step, COUNT(*) AS n_users FROM s1
+    UNION ALL SELECT 'click', COUNT(*) FROM s2
+    UNION ALL SELECT 'purchase', COUNT(*) FROM s3
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel analysis (view -> click -> purchase): per step,
+    how many users completed the sequence IN ORDER within a 3-day
+    conversion window per step (each step strictly after the user's earliest qualifying previous step).
+
+    Shape: three user_id-keyed min-aggregations, each joined to the
+    previous step's (tiny) per-user frontier — the joins are
+    user-cardinality, never event-cardinality, and every aggregation
+    partially combines map-side."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    s1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .where((F.col("ts") > F.col("t1")) & (F.col("ts") <= F.col("t1") + F.lit(259200000000000)))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .where((F.col("ts") > F.col("t2")) & (F.col("ts") <= F.col("t2") + F.lit(259200000000000)))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("view").alias("step"), "n_users")
+        .unionByName(
+            s2.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("click").alias("step"), "n_users")
+        )
+        .unionByName(
+            s3.agg(F.count(F.lit(1)).alias("n_users")).select(F.lit("purchase").alias("step"), "n_users")
+        )
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the README quick-start query shape on sf0.001."""
     return topk_l2(spark, "/root/testdata/sf0.001")
