@@ -24,9 +24,13 @@ from pgvecto_rs_spark.functions import sparse as VS
 from pgvecto_rs_spark.functions import text_format as TF
 from pgvecto_rs_spark.functions import wire as W
 
+# derandomize: the gate must be reproducible — a fresh random seed
+# discovering a new falsifying example mid-CI is a flake, not a catch;
+# widen coverage by bumping max_examples deliberately instead.
 _SETTINGS = dict(
     max_examples=10,
     deadline=None,
+    derandomize=True,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 
@@ -285,7 +289,7 @@ class TestSparseArithmetic:
 
 
 class TestRepackPure:
-    @settings(max_examples=50, deadline=None)
+    @settings(max_examples=50, deadline=None, derandomize=True)
     @given(st.lists(st.integers(0, 1), min_size=1, max_size=300))
     def test_bit_repack_roundtrip(self, bits):
         """64<->32-bit word repack of the bvector wire layout is a
