@@ -1943,6 +1943,40 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)) AS cohort_d
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_d,
+             CAST(FLOOR(epoch(e.ts) / 86400) AS BIGINT) - f.cohort_d AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_d, day_offset, COUNT(*) AS n_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention cohorts: users grouped by the day of their
+    first event; n_users active at each day offset since.  The firsts
+    table is user-cardinality (joined back broadcast-small), activity
+    dedups (user, week) before the final count — the standard cohort
+    matrix at one shuffle per aggregation."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    day = F.expr("ts div 86400000000000").cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min(day).alias("cohort_d"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select("user_id", "cohort_d", (day - F.col("cohort_d")).alias("day_offset"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_d", "day_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the README quick-start query shape on sf0.001."""
     return topk_l2(spark, "/root/testdata/sf0.001")
