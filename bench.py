@@ -48,6 +48,7 @@ BENCH_QUERIES = [
     "doc_decontaminate",
     "doc_top_terms",
     "doc_lm_score",
+    "doc_repetition",
     "chunk_embed_topk",
     "events_hourly",
     "events_sessions",

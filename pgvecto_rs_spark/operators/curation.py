@@ -31,6 +31,7 @@ __all__ = [
     "decontaminate",
     "pack_sequences",
     "pii_redact",
+    "repetition_signals",
     "top_terms",
     "train_split",
     "unigram_lm_score",
@@ -333,3 +334,125 @@ def top_terms(
         .orderBy(F.desc("n"), "term")
         .limit(k)
     )
+
+
+def repetition_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_ns: tuple[int, ...] = (2, 3),
+    dup_ns: tuple[int, ...] = (5,),
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document.
+
+    The Gopher data-curation rules (Rae et al. 2021, table A1) filter
+    documents by how internally repetitive they are.  This computes the
+    word-n-gram family of those signals over the whitespace-normalized
+    lowercase text:
+
+    - ``top_word_frac``: occurrences of the most frequent token /
+      total tokens (ties -> lexicographically smallest token).
+    - ``top{n}_char_frac`` for n in ``top_ns``: characters covered by
+      all occurrences of the single most frequent word n-gram /
+      normalized characters (occurrences may overlap, so the ratio can
+      exceed 1 on degenerate inputs — same as Gopher's definition).
+    - ``dup{n}_char_frac`` for n in ``dup_ns``: characters covered by
+      all occurrences of *duplicated* n-grams (count >= 2) /
+      normalized characters.
+
+    Scale shape: one tagged-n-gram explode (fan-out ~ token_count x
+    len(ns)), a (doc, n, gram)-keyed count with map-side partial
+    aggregation, a doc-keyed reduce, and a doc-keyed left join back to
+    the input — the word-count shape twice.  No Python in the loop,
+    nothing driver-side; per-gram state never exceeds one count, so the
+    plan survives arbitrarily long documents (no per-doc array is ever
+    re-materialized after the explode).
+
+    Reference analogue: none (the reference is a vector engine); this
+    is a standard LLM-pipeline quality filter.
+    """
+    from .dedup import _spread
+
+    all_ns = (1, *top_ns, *dup_ns)
+    text = F.col(text_col)
+
+    # NB: a two-arg lambda in F.transform is interpreted as (element,
+    # index), so binding n via a default argument silently tags every
+    # gram with its array position — bind through a closure instead.
+    def _tagger(n: int):
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    tagged = F.concat(
+        *[F.transform(ngram_strings(text, n), _tagger(n)) for n in all_ns]
+    )
+    counts = (
+        _spread(df)
+        .select(F.col(id_col), F.explode(tagged).alias("g"))
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+    )
+    # argmin of (-count, gram) == (count DESC, gram ASC) — Spark struct
+    # ordering is field-lexicographic, so one MIN per n replaces a
+    # window/rank pass.
+    top_aggs = [
+        F.min(
+            F.when(
+                F.col("g.n") == n,
+                F.struct((-F.col("c")).alias("nc"), F.col("g.gram").alias("gram")),
+            )
+        ).alias(f"__top{n}")
+        for n in (1, *top_ns)
+    ]
+    dup_aggs = [
+        F.sum(
+            F.when(
+                (F.col("g.n") == n) & (F.col("c") >= 2),
+                F.col("c") * F.length("g.gram"),
+            ).otherwise(F.lit(0))
+        ).alias(f"__dup{n}")
+        for n in dup_ns
+    ]
+    per_doc = counts.groupBy(id_col).agg(*top_aggs, *dup_aggs)
+
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    base = df.select(
+        F.col(id_col),
+        F.size(_norm_tokens(text)).cast("long").alias("n_tokens"),
+        F.when(F.length(F.trim(text)) == 0, F.lit(0))
+        .otherwise(F.length(norm))
+        .cast("long")
+        .alias("n_chars"),
+    )
+    joined = base.join(per_doc, id_col, "left")
+
+    def _char_frac(n: int) -> Column:
+        t = F.col(f"__top{n}")
+        num = (-t["nc"]) * F.length(t["gram"])
+        return F.when(
+            t.isNotNull() & (F.col("n_chars") > 0),
+            num.cast("double") / F.col("n_chars").cast("double"),
+        ).otherwise(F.lit(0.0))
+
+    out_cols = [
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("n_chars"),
+        F.when(
+            F.col("__top1").isNotNull() & (F.col("n_tokens") > 0),
+            (-F.col("__top1")["nc"]).cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_word_frac"),
+    ]
+    out_cols += [_char_frac(n).alias(f"top{n}_char_frac") for n in top_ns]
+    out_cols += [
+        F.when(
+            F.col("n_chars") > 0,
+            F.coalesce(F.col(f"__dup{n}"), F.lit(0)).cast("double")
+            / F.col("n_chars").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias(f"dup{n}_char_frac")
+        for n in dup_ns
+    ]
+    return joined.select(*out_cols)

@@ -805,6 +805,84 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition",
+    r"""
+    WITH docs2 AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') END AS t,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE length(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) END AS n_chars
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, 1 AS n, unnest(t) AS gram FROM docs2
+      UNION ALL
+      SELECT doc_id, 2 AS n,
+             unnest(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(range(1, len(t)), i -> array_to_string(list_slice(t, i, i + 1), ' ')) END)
+      FROM docs2
+      UNION ALL
+      SELECT doc_id, 3 AS n,
+             unnest(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(range(1, len(t) - 1), i -> array_to_string(list_slice(t, i, i + 2), ' ')) END)
+      FROM docs2
+      UNION ALL
+      SELECT doc_id, 5 AS n,
+             unnest(CASE WHEN len(t) < 5 THEN CAST([] AS VARCHAR[])
+               ELSE list_transform(range(1, len(t) - 3), i -> array_to_string(list_slice(t, i, i + 4), ' ')) END)
+      FROM docs2
+    ), counts AS (
+      SELECT doc_id, n, gram, COUNT(*) AS c FROM grams GROUP BY doc_id, n, gram
+    ), ranked AS (
+      SELECT doc_id, n, c, length(gram) AS glen,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, n ORDER BY c DESC, gram) AS rn
+      FROM counts
+    ), dup5 AS (
+      SELECT doc_id, SUM(c * length(gram)) AS dchars
+      FROM counts WHERE n = 5 AND c >= 2 GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           len(d.t) AS n_tokens,
+           d.n_chars,
+           FLOOR((CASE WHEN len(d.t) > 0 AND t1.c IS NOT NULL
+                       THEN CAST(t1.c AS DOUBLE) / CAST(len(d.t) AS DOUBLE) ELSE 0.0 END)
+                 * 10000.0 + 0.5) / 10000.0 AS top_word_frac,
+           FLOOR((CASE WHEN d.n_chars > 0 AND t2.c IS NOT NULL
+                       THEN CAST(t2.c * t2.glen AS DOUBLE) / CAST(d.n_chars AS DOUBLE) ELSE 0.0 END)
+                 * 10000.0 + 0.5) / 10000.0 AS top2_char_frac,
+           FLOOR((CASE WHEN d.n_chars > 0 AND t3.c IS NOT NULL
+                       THEN CAST(t3.c * t3.glen AS DOUBLE) / CAST(d.n_chars AS DOUBLE) ELSE 0.0 END)
+                 * 10000.0 + 0.5) / 10000.0 AS top3_char_frac,
+           FLOOR((CASE WHEN d.n_chars > 0
+                       THEN CAST(COALESCE(dup5.dchars, 0) AS DOUBLE) / CAST(d.n_chars AS DOUBLE) ELSE 0.0 END)
+                 * 10000.0 + 0.5) / 10000.0 AS dup5_char_frac
+    FROM docs2 d
+    LEFT JOIN ranked t1 ON t1.doc_id = d.doc_id AND t1.n = 1 AND t1.rn = 1
+    LEFT JOIN ranked t2 ON t2.doc_id = d.doc_id AND t2.n = 2 AND t2.rn = 1
+    LEFT JOIN ranked t3 ON t3.doc_id = d.doc_id AND t3.n = 3 AND t3.rn = 1
+    LEFT JOIN dup5 ON dup5.doc_id = d.doc_id
+    """,
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, A1):
+    most-frequent-token fraction, top-2/3-gram character coverage, and
+    duplicated-5-gram character coverage per document — the standard
+    repetitive-document filters of an LLM curation run.  Plan shape is
+    word-count twice (tagged n-gram explode → (doc, n, gram) count →
+    per-doc reduce) plus one doc-keyed join; no Python in the loop."""
+    out = CU.repetition_signals(_docs(spark, sf_dir))
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_chars",
+        _r4t(F.col("top_word_frac")).alias("top_word_frac"),
+        _r4t(F.col("top2_char_frac")).alias("top2_char_frac"),
+        _r4t(F.col("top3_char_frac")).alias("top3_char_frac"),
+        _r4t(F.col("dup5_char_frac")).alias("dup5_char_frac"),
+    )
+
+
+@register(
     "doc_curation_pipeline",
     rf"""
     WITH q AS (

@@ -274,3 +274,50 @@ class TestPackSequences:
             for b, n in v:
                 per_bin[b] = per_bin.get(b, 0) + n
         assert per_bin == {0: 10, 1: 10, 2: 5}
+
+
+class TestRepetitionSignals:
+    def test_hand_computed_doc(self, spark):
+        from pgvecto_rs_spark.operators.curation import repetition_signals
+
+        # "a b a b a c" (norm chars = 11, tokens = 6)
+        #   top word: 'a' x3           -> top_word_frac = 3/6
+        #   top bigram: 'a b' x2 (len 3) -> 2*3/11
+        #   top trigram: 'a b a' x2 (len 5) -> 2*5/11
+        #   dup 5-grams: none (both 5-grams distinct) -> 0
+        docs = _docs(spark, [(1, "a b a b a c")])
+        r = repetition_signals(docs).collect()[0]
+        assert r["n_tokens"] == 6 and r["n_chars"] == 11
+        assert r["top_word_frac"] == pytest.approx(3 / 6)
+        assert r["top2_char_frac"] == pytest.approx(6 / 11)
+        assert r["top3_char_frac"] == pytest.approx(10 / 11)
+        assert r["dup5_char_frac"] == 0.0
+
+    def test_duplicated_5gram_and_ties(self, spark):
+        from pgvecto_rs_spark.operators.curation import repetition_signals
+
+        # doc 1: "x y z w v" repeated 3 times -> the 5-gram
+        # "x y z w v" occurs 3 times (overlapping windows also repeat);
+        # every 5-gram that occurs >= 2 times contributes count*len.
+        text = "x y z w v x y z w v x y z w v"
+        docs = _docs(spark, [(1, text), (2, "q")])
+        got = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+        r = got[1]
+        n_chars = len(text)
+        # 11 windows of 5 over 15 tokens; each of the 5 rotations of
+        # (x y z w v) occurs >= 2 times; lengths are all 9 chars.
+        # occurrences: "x y z w v" x3, the other 4 rotations x2 each
+        assert r["dup5_char_frac"] == pytest.approx((3 * 9 + 4 * 2 * 9) / n_chars)
+        # single-token doc: no bigrams -> 0.0, top word is itself
+        q = got[2]
+        assert q["top_word_frac"] == 1.0
+        assert q["top2_char_frac"] == 0.0 and q["dup5_char_frac"] == 0.0
+
+    def test_tie_breaks_lexicographic(self, spark):
+        from pgvecto_rs_spark.operators.curation import repetition_signals
+
+        # 'b' and 'a' both occur twice -> the reported top word must be
+        # the lexicographically smallest ('a'); fractions equal either way
+        docs = _docs(spark, [(1, "b a b a")])
+        r = repetition_signals(docs).collect()[0]
+        assert r["top_word_frac"] == pytest.approx(0.5)
