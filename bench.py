@@ -49,9 +49,11 @@ BENCH_QUERIES = [
     "doc_top_terms",
     "doc_lm_score",
     "doc_repetition",
+    "doc_bm25_topk",
     "chunk_embed_topk",
     "events_hourly",
     "events_sessions",
+    "events_asof",
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",

@@ -25,8 +25,10 @@ from pyspark.sql import functions as F
 from pgvecto_rs_spark.functions import binary as VB
 from pgvecto_rs_spark.functions import dense as VD
 from pgvecto_rs_spark.functions import sparse as VS
+from pgvecto_rs_spark.operators import asof as OA
 from pgvecto_rs_spark.operators import curation as CU
 from pgvecto_rs_spark.operators import dedup as DD
+from pgvecto_rs_spark.operators import retrieval as RT
 from pgvecto_rs_spark.operators import search as SR
 from pgvecto_rs_spark.operators import textanalysis as TA
 
@@ -2052,6 +2054,106 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return activity.groupBy("cohort_d", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
+    )
+
+
+_BM25_TERMS = ["spark", "merge", "window", "scan"]
+
+_BM25_TF_SQL = ",\n         ".join(
+    f"len(list_filter(t, x -> x = '{t}')) AS tf{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_DF_SQL = ",\n         ".join(
+    f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+    for i in range(len(_BM25_TERMS))
+)
+# spelled to match operators/retrieval.py expression-for-expression so
+# both engines walk the identical double-precision tree before the
+# scaled-integer floor
+_BM25_SCORE_SQL = "\n      + ".join(
+    f"CAST(FLOOR((ln((CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+    f" / (CAST(df{i} AS DOUBLE) + 0.5) + 1.0)"
+    f" * ((CAST(tf{i} AS DOUBLE) * (1.2 + 1.0))"
+    f" / (CAST(tf{i} AS DOUBLE) + 1.2 * ((1.0 - 0.75) + 0.75"
+    f" * (CAST(dl AS DOUBLE) / (sum_dl / n_docs))))))"
+    f" * 1000000.0 + 0.5) AS BIGINT)"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@register(
+    "doc_bm25_topk",
+    rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') END AS t
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, len(t) AS dl,
+         {_BM25_TF_SQL}
+      FROM toks
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+         {_BM25_DF_SQL}
+      FROM tf
+    )
+    SELECT doc_id, dl, score_u FROM (
+      SELECT doc_id, dl,
+        {_BM25_SCORE_SQL} AS score_u
+      FROM tf CROSS JOIN stats
+    ) ORDER BY score_u DESC, doc_id LIMIT 10
+    """,
+)
+def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 for a literal query — the lexical retriever
+    beside the ANN operators (hybrid first-stage retrieval).  Per-term
+    tf/dl are shuffle-free array projections; corpus stats collapse to
+    one broadcast scalar row; per-term contributions are 1e-6-scaled
+    integers so both engines rank identically (see
+    operators/retrieval.py)."""
+    return RT.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+@register(
+    "events_asof",
+    """
+    SELECT p.event_id, p.user_id, epoch_ns(p.ts) AS ts,
+           MAX(epoch_ns(c.ts)) AS last_click_ts,
+           epoch_ns(p.ts) - MAX(epoch_ns(c.ts)) AS gap_ns
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.ts
+    """,
+)
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every purchase annotated with the user's most recent
+    strictly-prior click (NULL when none) and the gap in nanoseconds —
+    the event-enrichment / feature-as-of-time operator.
+
+    The Spark plan is operators/asof.py's union+window formulation (one
+    user-keyed shuffle + sort, linear); the oracle spells the same
+    semantics as the naive non-equi join + MAX aggregation, which is
+    what the operator exists to avoid at scale."""
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("ts").alias("click_ts")
+    )
+    out = OA.asof_join(
+        purchases, clicks, on="user_id", ts_col="ts",
+        value_cols=["click_ts"], strict=True,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("click_ts").alias("last_click_ts"),
+        (F.col("ts") - F.col("click_ts")).alias("gap_ns"),
     )
 
 
