@@ -1,0 +1,197 @@
+"""Deterministic fixed-point k-means over an embedding column.
+
+Semantic clustering is the backbone of several 100 TB-pipeline steps:
+SemDeDup-style semantic dedup (cluster, then prune near-identical
+vectors inside each cluster), corpus sharding by topic, and IVF-list
+style partitioning of downstream work.  A float k-means is
+NON-reproducible at scale — float centroid sums depend on partition
+order, so two runs (or two engines) assign boundary points differently.
+This implementation is exactly reproducible by construction:
+
+- inputs are quantized once to 1e-6 fixed-point int64
+  (``floor(x*1e6 + 0.5)``);
+- distances are integer sums of squared int diffs (exact — no float
+  summation order anywhere);
+- centroid updates are ``floor(sum/n)`` in integers, so centroids stay
+  int64 and every engine/run/partitioning produces bit-identical
+  assignments;
+- init is the k vectors with the smallest ids; ties in assignment break
+  to the smallest cluster index.
+
+Quantization error (≤5e-7 per coordinate) is orders below any
+clustering decision boundary that matters; determinism is worth far
+more than the 6th decimal at pipeline scale.
+
+Scale shape per iteration: one full pass for assignment (native
+Catalyst expressions — k zip_with/aggregate folds per row, no Python,
+no shuffle) and one (cluster, dim)-keyed partial aggregation whose
+result is k·dims rows — collected to the driver (bounded: 8·64 longs
+here, ≤ a few MB for any real k·dims) and re-broadcast as literals in
+the next pass's expression tree.  Compare crates/k_means in the
+reference (rayon-parallel Lloyd over one node): same algorithm, with
+Spark's map-side partial aggregation playing rayon's reduce role.
+
+Overflow bounds: |x|≤B ⇒ per-dim diff² ≤ (2B·1e6)², distance ≤
+dims·(2B·1e6)² — for B≈1, dims≤1024 that is ≤4e18 < int64 max.  The
+per-cluster inertia SUM can overflow int64 beyond ~1e9 rows·cluster;
+report at DECIMAL/double precision there (documented, like
+queries._scaled_sum's headroom note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_assign", "kmeans_fit", "semdedup"]
+
+_SCALE = 1000000.0
+
+
+def _quantized(vec_col: str) -> Column:
+    return F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(_SCALE) + F.lit(0.5)).cast("long"),
+    )
+
+
+def _dist_to(c: list[int]) -> Column:
+    """Exact int64 squared L2 between the quantized row vector and a
+    literal quantized centroid."""
+    lit = F.array(*[F.lit(int(v)).cast("long") for v in c])
+    return F.aggregate(
+        F.zip_with(F.col("__xu"), lit, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Adds cluster (argmin, ties -> smallest index) and dist_u columns.
+    Pure projection: k integer fold expressions + one array_min."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(_dist_to(c).alias("d"), F.lit(j).alias("j"))
+                for j, c in enumerate(centroids)
+            ]
+        )
+    )
+    return qdf.select(
+        "*", best["j"].alias("cluster"), best["d"].alias("dist_u")
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 2,
+) -> list[list[int]]:
+    """Runs ``iters`` Lloyd updates from the deterministic init and
+    returns the final quantized centroids (k lists of int64)."""
+    dims = len(df.select(vec_col).first()[0])
+    qdf = df.select(F.col(id_col).alias("__id"), _quantized(vec_col).alias("__xu"))
+    centroids = [
+        list(r["__xu"]) for r in qdf.orderBy("__id").limit(k).collect()
+    ]
+    for _ in range(iters):
+        assigned = _assign(qdf, centroids)
+        sums = (
+            assigned.select("cluster", F.posexplode("__xu").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cluster: dict[int, list[int]] = {}
+        counts: dict[int, int] = {}
+        for r in sums:
+            by_cluster.setdefault(r["cluster"], [0] * dims)[r["i"]] = r["s"]
+            counts[r["cluster"]] = r["n"]
+        centroids = [
+            [s // counts[j] for s in by_cluster[j]] if j in by_cluster else c
+            for j, c in enumerate(centroids)
+        ]
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(id, cluster, dist_u) for every row against fixed quantized
+    centroids — one shuffle-free pass."""
+    qdf = df.select(F.col(id_col), _quantized(vec_col).alias("__xu"))
+    return _assign(qdf, centroids).select(
+        id_col, "cluster", "dist_u"
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    centroids: list[list[int]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) semantic dedup: assign every vector
+    to its cluster, then inside each cluster drop any vector that has a
+    LOWER-id neighbor with cosine similarity >= ``threshold`` (one
+    deterministic representative per near-duplicate neighborhood).
+    Returns (id, cluster, kept).
+
+    The pairwise check is an equi-join on cluster — never an all-pairs
+    cross join; that is the entire point of clustering first.  Work is
+    sum of cluster sizes squared; choose k so clusters stay bounded
+    (SemDeDup uses tens of thousands of clusters at corpus scale — k
+    here is per-call).  Determinism: dot products and norms are exact
+    int64 on the quantized vectors; IEEE sqrt/division are correctly
+    rounded, so the similarity threshold compares bit-identical doubles
+    in any engine.
+    """
+    qdf = df.select(F.col(id_col), _quantized(vec_col).alias("__xu"))
+    assigned = _assign(qdf, centroids).select(
+        id_col,
+        "cluster",
+        "__xu",
+        F.aggregate(
+            F.transform(F.col("__xu"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("__nsq"),
+    )
+    a = assigned.select(
+        F.col(id_col).alias("__ida"), "cluster",
+        F.col("__xu").alias("__xa"), F.col("__nsq").alias("__na"),
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"), "cluster",
+        F.col("__xu").alias("__xb"), F.col("__nsq").alias("__nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__xa"), F.col("__xb"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = dot.cast("double") / (
+        F.sqrt(F.col("__na").cast("double")) * F.sqrt(F.col("__nb").cast("double"))
+    )
+    dropped = (
+        a.join(b, "cluster")
+        .where(
+            (F.col("__ida") < F.col("__idb"))
+            & (F.col("__na") > 0)
+            & (F.col("__nb") > 0)
+        )
+        .where(sim >= F.lit(threshold))
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(
+        dropped.withColumn("__drop", F.lit(True)), id_col, "left"
+    ).select(
+        id_col, "cluster", F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept")
+    )

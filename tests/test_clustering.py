@@ -1,0 +1,72 @@
+"""Deterministic fixed-point k-means + SemDeDup (operators/clustering.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    semdedup,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+class TestKMeans:
+    def test_two_obvious_clusters(self, spark):
+        left = [[0.1, 0.0], [0.11, 0.01], [0.09, -0.01]]
+        right = [[0.9, 1.0], [0.91, 0.99], [0.89, 1.01]]
+        df = _vecs(spark, [(i, v) for i, v in enumerate(left + right)])
+        cents = kmeans_fit(df, k=2, iters=3)
+        got = {r["vec_id"]: r["cluster"] for r in kmeans_assign(df, cents).collect()}
+        assert got[0] == got[1] == got[2]
+        assert got[3] == got[4] == got[5]
+        assert got[0] != got[3]
+
+    def test_partitioning_invariance(self, spark):
+        """The fixed-point protocol must give bit-identical centroids for
+        any partitioning — the property float k-means lacks."""
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(120)
+        ]
+        df1 = _vecs(spark, rows).repartition(1)
+        df2 = _vecs(spark, rows).repartition(13, "vec_id")
+        assert kmeans_fit(df1, k=4, iters=2) == kmeans_fit(df2, k=4, iters=2)
+
+    def test_assignment_tie_breaks_to_lowest_index(self, spark):
+        # a point equidistant from both centroids must land in cluster 0
+        df = _vecs(spark, [(0, [0.5, 0.5])])
+        cents = [[0, 0], [1000000, 1000000]]
+        got = kmeans_assign(df, cents).collect()[0]
+        assert got["cluster"] == 0
+
+    def test_empty_cluster_keeps_old_centroid(self, spark):
+        # k=3 over 2 distinct points: one centroid gets no members and
+        # must survive the update untouched
+        df = _vecs(spark, [(0, [0.0, 0.0]), (1, [0.0, 0.0]), (2, [1.0, 1.0])])
+        cents = kmeans_fit(df, k=3, iters=2)
+        assert len(cents) == 3
+
+
+class TestSemDedup:
+    def test_drops_planted_near_duplicate(self, spark):
+        base = [0.3, -0.2, 0.5, 0.1]
+        dup = [0.3001, -0.2001, 0.5001, 0.1001]  # cosine ~ 1.0
+        far = [-0.5, 0.4, -0.1, 0.3]
+        df = _vecs(spark, [(10, base), (20, dup), (30, far)])
+        cents = kmeans_fit(df, k=2, iters=2)
+        got = {r["vec_id"]: r["kept"] for r in semdedup(df, cents, threshold=0.99).collect()}
+        assert got[10] is True  # lowest id of the dup pair is the keeper
+        assert got[20] is False
+        assert got[30] is True
+
+    def test_row_count_preserved(self, spark):
+        df = _vecs(spark, [(i, [float(i) / 10, 0.1]) for i in range(20)])
+        cents = kmeans_fit(df, k=2, iters=1)
+        assert semdedup(df, cents).count() == 20
