@@ -50,6 +50,8 @@ BENCH_QUERIES = [
     "doc_lm_score",
     "doc_repetition",
     "doc_bm25_topk",
+    "emb_kmeans",
+    "emb_semdedup",
     "chunk_embed_topk",
     "events_hourly",
     "events_sessions",
@@ -57,6 +59,9 @@ BENCH_QUERIES = [
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q14",
 ]
 
 

@@ -26,6 +26,7 @@ from pgvecto_rs_spark.functions import binary as VB
 from pgvecto_rs_spark.functions import dense as VD
 from pgvecto_rs_spark.functions import sparse as VS
 from pgvecto_rs_spark.operators import asof as OA
+from pgvecto_rs_spark.operators import clustering as CL
 from pgvecto_rs_spark.operators import curation as CU
 from pgvecto_rs_spark.operators import dedup as DD
 from pgvecto_rs_spark.operators import retrieval as RT
@@ -1295,6 +1296,198 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q5",
+    """
+    SELECT n_name,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_u
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue_u DESC, n_name
+    """,
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table star join.
+
+    Scale shape: region→nation→supplier and customer are all dimension
+    tables — each BROADCASTS into the fact-side pipeline, so the only
+    big shuffles are orders⋈lineitem on orderkey and the final n_name
+    aggregation (25 groups, map-side partial).  The c_nationkey =
+    s_nationkey correlation rides the row, not a join."""
+    _tune(spark)
+    region = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    nat = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(
+            _scaled_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 1000000.0
+            ).alias("revenue_u")
+        )
+        .orderBy(F.desc("revenue_u"), "n_name")
+    )
+
+
+@register(
+    "tpch_q10",
+    """
+    SELECT c_custkey, c_name, revenue_u, acctbal, n_name FROM (
+      SELECT c_custkey, c_name,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_u,
+             FLOOR(CAST(c_acctbal AS DOUBLE) * 10000.0 + 0.5) / 10000.0 AS acctbal,
+             n_name
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate < TIMESTAMP '1996-04-01'
+        AND l_returnflag = 'R'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ) ORDER BY revenue_u DESC, c_custkey LIMIT 20
+    """,
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns in a quarter.
+
+    Scale shape: nation broadcasts; customer joins the aggregated
+    order-revenue stream on custkey; the one big shuffle is
+    orders⋈lineitem; top-20 is TakeOrdered."""
+    _tune(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(
+            _scaled_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 1000000.0
+            ).alias("revenue_u")
+        )
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue_u",
+            _r4t(F.col("c_acctbal").cast("double")).alias("acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue_u"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q14",
+    """
+    SELECT FLOOR((100.0 * CAST(promo_u AS DOUBLE) / CAST(total_u AS DOUBLE)) * 10000.0 + 0.5) / 10000.0
+             AS promo_revenue_pct
+    FROM (
+      SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS promo_u,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_u
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+    )
+    """,
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): % of monthly revenue from PROMO
+    parts.  part broadcasts into the date-pruned lineitem scan; both
+    sums are scaled-int (order-free), the final percentage is one
+    double division on identical integers in either engine."""
+    _tune(spark)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_type"
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    rev_u = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    agg = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev_u).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("promo_u"),
+            F.sum(rev_u).cast("long").alias("total_u"),
+        )
+    )
+    pct = F.lit(100.0) * F.col("promo_u").cast("double") / F.col("total_u").cast("double")
+    return agg.select(_r4t(pct).alias("promo_revenue_pct"))
+
+
 # ---------------------------------------------------------------------------
 # 12. sparse aggregate (svector.slt:22-80 semantics at table scale)
 # ---------------------------------------------------------------------------
@@ -2055,6 +2248,122 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_d", "day_offset").agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dims: int = DIMS) -> str:
+    """Unrolled fixed-point Lloyd iterations (see operators/clustering.py:
+    all arithmetic is int64, so both engines are bit-identical).  The
+    oracle unrolls `iters` update steps + a final assignment as chained
+    CTEs; the Spark side runs the same protocol iteratively."""
+    d2 = (
+        f"list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> (v.xu[i] - cc.c[i]) * (v.xu[i] - cc.c[i])))"
+    )
+
+    def assign(a: str, c: str) -> str:
+        return f"""{a} AS (
+      SELECT vec_id, xu, j, d FROM (
+        SELECT vec_id, xu, j, d,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+        FROM (
+          SELECT v.vec_id, v.xu, cc.j, {d2} AS d
+          FROM v, {c} cc
+        )
+      ) WHERE rn = 1
+    )"""
+
+    def update(cnew: str, cold: str, a: str) -> str:
+        return f"""{cnew} AS (
+      SELECT {cold}.j, COALESCE(u.c, {cold}.c) AS c
+      FROM {cold} LEFT JOIN (
+        SELECT j, list(CAST(FLOOR(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS c
+        FROM (
+          SELECT {a}.j, r.i, SUM({a}.xu[r.i]) AS s, COUNT(*) AS n
+          FROM {a}, (SELECT unnest(range(1, {dims + 1})) AS i) r
+          GROUP BY {a}.j, r.i
+        ) GROUP BY j
+      ) u ON u.j = {cold}.j
+    )"""
+
+    parts = [
+        f"""v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xu
+      FROM embeddings
+    )""",
+        f"""c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, xu AS c
+      FROM (SELECT vec_id, xu FROM v ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for it in range(iters):
+        parts.append(assign(f"a{it}", f"c{it}"))
+        parts.append(update(f"c{it + 1}", f"c{it}", f"a{it}"))
+    parts.append(assign(f"a{iters}", f"c{iters}"))
+    return "WITH " + ",\n    ".join(parts), f"a{iters}"
+
+
+def _kmeans_full_sql(k: int = 8, iters: int = 2, dims: int = DIMS) -> str:
+    ctes, final = _kmeans_oracle_sql(k, iters, dims)
+    return (
+        ctes
+        + f"""
+    SELECT j AS cluster_id, COUNT(*) AS n_vecs, SUM(d) AS inertia_u
+    FROM {final} GROUP BY j
+    """
+    )
+
+
+def _semdedup_sql(k: int = 8, iters: int = 2, dims: int = DIMS, tau: float = 0.9) -> str:
+    ctes, final = _kmeans_oracle_sql(k, iters, dims)
+    return (
+        ctes
+        + f""",
+    nrm AS (
+      SELECT vec_id, j, xu,
+             list_sum(list_transform(range(1, {dims + 1}), i -> xu[i] * xu[i])) AS nsq
+      FROM {final}
+    ),
+    dropped AS (
+      SELECT DISTINCT b.vec_id
+      FROM nrm a JOIN nrm b ON a.j = b.j AND a.vec_id < b.vec_id
+      WHERE a.nsq > 0 AND b.nsq > 0
+        AND CAST(list_sum(list_transform(range(1, {dims + 1}), i -> a.xu[i] * b.xu[i])) AS DOUBLE)
+            / (SQRT(CAST(a.nsq AS DOUBLE)) * SQRT(CAST(b.nsq AS DOUBLE))) >= {tau!r}
+    )
+    SELECT n.vec_id, n.j AS cluster,
+           n.vec_id NOT IN (SELECT vec_id FROM dropped) AS kept
+    FROM nrm n
+    """
+    )
+
+
+@register("emb_kmeans", _kmeans_full_sql())
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-point k-means (k=8, 2 Lloyd updates) over the
+    embeddings table: per-cluster sizes and exact integer inertia.
+    Reproducible by construction — int64 distances and floor-div
+    centroid updates make every engine/run/partitioning bit-identical
+    (operators/clustering.py)."""
+    emb = _emb(spark, sf_dir)
+    cents = CL.kmeans_fit(emb, k=8, iters=2)
+    out = CL.kmeans_assign(emb, cents)
+    return out.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"), F.sum("dist_u").alias("inertia_u")
+    ).select(F.col("cluster").alias("cluster_id"), "n_vecs", "inertia_u")
+
+
+@register("emb_semdedup", _semdedup_sql(tau=0.4))
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup: fixed-point k-means clusters, then each
+    cluster prunes vectors with a lower-id cosine-neighbor (tau=0.4 —
+    this synthetic corpus has no >=0.9 pairs; max pairwise sim is 0.51).  The
+    pairwise check is cluster-blocked (equi-join), never an all-pairs
+    cross join; arithmetic is exact int64 + IEEE sqrt, so both engines
+    agree bit-for-bit (operators/clustering.py)."""
+    emb = _emb(spark, sf_dir)
+    cents = CL.kmeans_fit(emb, k=8, iters=2)
+    return CL.semdedup(emb, cents, threshold=0.4)
 
 
 _BM25_TERMS = ["spark", "merge", "window", "scan"]
