@@ -25,6 +25,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # relational).
 BENCH_QUERIES = [
     "topk_l2",
+    "topk_l2_by_label",
     "topk_cos",
     "topk_dot",
     "range_l2",
@@ -50,12 +51,14 @@ BENCH_QUERIES = [
     "doc_lm_score",
     "doc_repetition",
     "doc_bm25_topk",
+    "doc_hybrid_rrf",
     "emb_kmeans",
     "emb_semdedup",
     "chunk_embed_topk",
     "events_hourly",
     "events_sessions",
     "events_asof",
+    "events_rolling",
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",

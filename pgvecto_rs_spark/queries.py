@@ -2250,6 +2250,76 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_rolling",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS day,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS v_u
+      FROM events
+      GROUP BY 1, 2
+    )
+    SELECT user_id, day, n, v_u,
+           SUM(n) OVER w AS roll_n,
+           SUM(v_u) OVER w AS roll_v_u
+    FROM daily
+    WINDOW w AS (PARTITION BY user_id ORDER BY day
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def events_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day rolling aggregates per user: daily event count and
+    micro-scaled value sum, plus their 7-day RANGE-window sums — the
+    standard feature-engineering rollup.  One (user, day) aggregation
+    (map-side partial) then one user-keyed range window; all sums are
+    exact integers."""
+    ev = _events(spark, sf_dir).select("user_id", "ts", "value")
+    day = F.expr("ts div 86400000000000").cast("long")
+    daily = ev.groupBy(F.col("user_id"), day.alias("day")).agg(
+        F.count(F.lit(1)).alias("n"),
+        _scaled_sum(F.col("value"), 1000000.0).alias("v_u"),
+    )
+    w = Window.partitionBy("user_id").orderBy("day").rangeBetween(-6, 0)
+    return daily.select(
+        "user_id",
+        "day",
+        "n",
+        "v_u",
+        F.sum("n").over(w).alias("roll_n"),
+        F.sum("v_u").over(w).alias("roll_v_u"),
+    )
+
+
+@register(
+    "topk_l2_by_label",
+    f"""
+    SELECT label, vec_id, ROUND(d, 4) AS dist, rank FROM (
+      SELECT label, vec_id, d,
+             ROW_NUMBER() OVER (PARTITION BY label ORDER BY d, vec_id) AS rank
+      FROM (SELECT label, vec_id, {_SQL_L2} AS d FROM embeddings)
+    ) WHERE rank <= 3
+    """,
+)
+def topk_l2_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector search: the 3 nearest vectors to the query PER
+    label — 'top-k per partition', the per-tenant / per-shard flavor of
+    the flagship query.  One label-keyed shuffle + in-partition rank;
+    no global sort (each group's candidates never leave their
+    partition)."""
+    emb = _emb(spark, sf_dir)
+    d = VD.l2sq_distance(F.col("embedding"), _q_col(), check=False)
+    scored = emb.select("label", "vec_id", d.alias("d"))
+    w = Window.partitionBy("label").orderBy("d", "vec_id")
+    return (
+        scored.select(
+            "label", "vec_id", "d", F.row_number().over(w).alias("rank")
+        )
+        .where(F.col("rank") <= 3)
+        .select("label", "vec_id", _r4(F.col("d")).alias("dist"), "rank")
+    )
+
+
 def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dims: int = DIMS) -> str:
     """Unrolled fixed-point Lloyd iterations (see operators/clustering.py:
     all arithmetic is int64, so both engines are bit-identical).  The
@@ -2390,10 +2460,7 @@ _BM25_SCORE_SQL = "\n      + ".join(
 )
 
 
-@register(
-    "doc_bm25_topk",
-    rf"""
-    WITH toks AS (
+_BM25_CTES = rf"""toks AS (
       SELECT doc_id,
              CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
                   ELSE string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') END AS t
@@ -2406,12 +2473,19 @@ _BM25_SCORE_SQL = "\n      + ".join(
       SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
          {_BM25_DF_SQL}
       FROM tf
-    )
-    SELECT doc_id, dl, score_u FROM (
+    ), bm25_scored AS (
       SELECT doc_id, dl,
         {_BM25_SCORE_SQL} AS score_u
       FROM tf CROSS JOIN stats
-    ) ORDER BY score_u DESC, doc_id LIMIT 10
+    )"""
+
+
+@register(
+    "doc_bm25_topk",
+    f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, dl, score_u FROM bm25_scored
+    ORDER BY score_u DESC, doc_id LIMIT 10
     """,
 )
 def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2422,6 +2496,108 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers so both engines rank identically (see
     operators/retrieval.py)."""
     return RT.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+
+
+@register(
+    "doc_hybrid_rrf",
+    f"""
+    WITH {_BM25_CTES},
+    lexcand AS (
+      SELECT doc_id, score_u FROM bm25_scored ORDER BY score_u DESC, doc_id LIMIT 100
+    ),
+    lex AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank_lex
+      FROM lexcand
+    ),
+    semall AS (
+      SELECT doc_id,
+             CAST(FLOOR((1.0 - ({_SQL_DOC_DOT})
+                         / SQRT(({_SQL_DOC_NORMSQ}) * {sum(x * x for x in _doc_embed_qv())!r}))
+                        * 1000000.0 + 0.5) AS BIGINT) AS d_u
+      FROM '{_DOC_EMBED_ORACLE_FILE}'
+    ),
+    semcand AS (SELECT doc_id, d_u FROM semall ORDER BY d_u, doc_id LIMIT 100),
+    sem AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY d_u, doc_id) AS BIGINT) AS rank_sem
+      FROM semcand
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.rank_lex, s.rank_sem,
+             COALESCE(1.0 / (60 + l.rank_lex), 0.0)
+               + COALESCE(1.0 / (60 + s.rank_sem), 0.0) AS rrf
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, rank_lex, rank_sem,
+           FLOOR(rrf * 10000.0 + 0.5) / 10000.0 AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 and embedding-cosine top-100 candidate
+    lists fused by reciprocal-rank fusion (RRF, Cormack et al. 2009,
+    k=60) — the standard lexical+semantic first-stage retriever.
+
+    Scale shape: each retriever is already scale-safe (BM25: shuffle-
+    free projections + TakeOrdered; cosine: one projection pass +
+    TakeOrdered); ranking windows run over the 100-row candidate lists
+    only, and the fuse is a 100x100 full-outer join on doc_id.
+    Determinism: candidates and ranks are selected on integer keys
+    (scaled BM25 score / 1e-6-quantized distance), and RRF scores are
+    two exact int divisions + one add — identical doubles either
+    engine."""
+    from pgvecto_rs_spark.sources.embedding import text2vec_hash
+
+    _materialize_doc_embed_oracle(sf_dir)
+    docs = _docs(spark, sf_dir)
+
+    lexc = (
+        RT.bm25_score(docs, _BM25_TERMS)
+        .orderBy(F.desc("score_u"), "doc_id")
+        .limit(100)
+    )
+    lex = lexc.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("score_u"), "doc_id"))
+        .cast("long")
+        .alias("rank_lex"),
+    )
+
+    qv = _doc_embed_qv()
+    qcol = F.array(*[F.lit(x) for x in qv]).cast("array<float>")
+    d = VD.cosine_distance(
+        text2vec_hash("text", 64), qcol, check=False
+    )
+    semc = (
+        docs.select(
+            "doc_id",
+            F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("d_u"),
+        )
+        .orderBy("d_u", "doc_id")
+        .limit(100)
+    )
+    sem = semc.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy("d_u", "doc_id"))
+        .cast("long")
+        .alias("rank_sem"),
+    )
+
+    fused = lex.join(sem, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("rank_lex")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rank_sem")), F.lit(0.0))
+    return (
+        fused.select("doc_id", "rank_lex", "rank_sem", rrf.alias("__rrf"))
+        .orderBy(F.desc("__rrf"), "doc_id")
+        .limit(10)
+        .select(
+            "doc_id", "rank_lex", "rank_sem", _r4t(F.col("__rrf")).alias("rrf")
+        )
+    )
 
 
 @register(
