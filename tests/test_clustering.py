@@ -70,3 +70,54 @@ class TestSemDedup:
         df = _vecs(spark, [(i, [float(i) / 10, 0.1]) for i in range(20)])
         cents = kmeans_fit(df, k=2, iters=1)
         assert semdedup(df, cents).count() == 20
+
+
+class TestNumpyAssignParity:
+    def test_numpy_path_bit_identical_to_expr(self, spark):
+        """The BLAS assignment path must produce byte-identical
+        (cluster, dist_u) to the Catalyst fold path — exactness argument
+        in _assign_numpy's docstring."""
+        import random
+
+        rng = random.Random(11)
+        rows = [
+            (i, [rng.uniform(-0.6, 0.6) for _ in range(16)]) for i in range(300)
+        ]
+        df = _vecs(spark, rows)
+        cents = kmeans_fit(df, k=5, iters=2, impl="expr")
+        a = sorted(
+            tuple(r) for r in kmeans_assign(df, cents, impl="expr").collect()
+        )
+        b = sorted(
+            tuple(r) for r in kmeans_assign(df, cents, impl="numpy").collect()
+        )
+        assert a == b
+
+    def test_fit_same_centroids_both_impls(self, spark):
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (i, [rng.uniform(-0.5, 0.5) for _ in range(8)]) for i in range(200)
+        ]
+        df = _vecs(spark, rows)
+        assert kmeans_fit(df, k=4, iters=2, impl="expr") == kmeans_fit(
+            df, k=4, iters=2, impl="numpy"
+        )
+
+    def test_semdedup_numpy_matches_expr(self, spark):
+        import random
+
+        rng = random.Random(23)
+        rows = []
+        for i in range(200):
+            v = [rng.uniform(-0.5, 0.5) for _ in range(8)]
+            rows.append((2 * i, v))
+            if i % 10 == 0:  # planted near-dup with a higher id
+                rows.append((2 * i + 1, [x + 1e-5 for x in v]))
+        df = _vecs(spark, rows)
+        cents = kmeans_fit(df, k=4, iters=2, impl="expr")
+        a = sorted(tuple(r) for r in semdedup(df, cents, threshold=0.98, impl="expr").collect())
+        b = sorted(tuple(r) for r in semdedup(df, cents, threshold=0.98, impl="numpy").collect())
+        assert a == b
+        assert any(not r[2] for r in a)  # the planted dups actually drop
