@@ -55,10 +55,12 @@ BENCH_QUERIES = [
     "emb_kmeans",
     "emb_semdedup",
     "chunk_embed_topk",
+    "doc_maxsim_topk",
     "events_hourly",
     "events_sessions",
     "events_asof",
     "events_rolling",
+    "events_quantiles",
     "tpch_q1",
     "tpch_q3",
     "tpch_q6",

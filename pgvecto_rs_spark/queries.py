@@ -2068,6 +2068,139 @@ def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "events_quantiles",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           quantile_cont(v, 0.5) AS p50,
+           quantile_cont(v, 0.9) AS p90,
+           quantile_cont(v, 0.99) AS p99
+    FROM (SELECT event_type, CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS v
+          FROM events)
+    GROUP BY event_type
+    """,
+)
+def events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-type value quantiles (p50/p90/p99) over micro-scaled
+    integers.  Spark's `percentile` and DuckDB's `quantile_cont` share
+    the (n-1)·q linear-interpolation definition, and on integer inputs
+    the interpolation arithmetic is bit-identical (verified — including
+    the float artifacts of 0.9·k).  Exact percentile sorts per group —
+    right for bounded-cardinality groups like these; an unbounded-
+    cardinality rollup would use approx_percentile (t-digest) instead,
+    which no ANSI oracle can mirror."""
+    ev = _events(spark, sf_dir)
+    vu = F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        ev.select("event_type", vu.alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(v, 0.5)").alias("p50"),
+            F.expr("percentile(v, 0.9)").alias("p90"),
+            F.expr("percentile(v, 0.99)").alias("p99"),
+        )
+    )
+
+
+_MAXSIM_QUERY_TERMS = ["table scan filter", "merge sort window", "hash join spark"]
+
+
+def _maxsim_qvs() -> list[list[float]]:
+    from pgvecto_rs_spark.sources.embedding import _hash_provider
+
+    prov = _hash_provider(64)
+    return [[float(x) for x in prov([t])[0]] for t in _MAXSIM_QUERY_TERMS]
+
+
+def _sql_chunk_cos(qv: list[float]) -> str:
+    """DuckDB cosine-distance expression against a literal query vector,
+    spelled exactly like functions/dense.cosine_distance."""
+    q_sql = "[" + ", ".join(repr(x) for x in qv) + "]"
+    dot = (
+        "list_sum(list_transform(range(1, 65), "
+        f"i -> CAST(emb[i] AS DOUBLE) * ({q_sql})[i]))"
+    )
+    nsq = (
+        "list_sum(list_transform(range(1, 65), "
+        "i -> CAST(emb[i] AS DOUBLE) * CAST(emb[i] AS DOUBLE)))"
+    )
+    return f"1.0 - ({dot}) / SQRT(({nsq}) * {sum(x * x for x in qv)!r})"
+
+
+def _maxsim_sql() -> str:
+    qvs = _maxsim_qvs()
+    d_cols = ",\n             ".join(
+        f"{_sql_chunk_cos(qv)} AS d{i}" for i, qv in enumerate(qvs)
+    )
+    mins = ", ".join(f"MIN(d{i}) AS m{i}" for i in range(len(qvs)))
+    # score spelled left-associatively: ((s0 + s1) + s2)
+    score = "(1.0 - m0)"
+    for i in range(1, len(qvs)):
+        score = f"({score} + (1.0 - m{i}))"
+    return f"""
+    WITH sims AS (
+      SELECT doc_id,
+             {d_cols}
+      FROM '{_CHUNK_EMBED_ORACLE_FILE}'
+    ), agg AS (
+      SELECT doc_id, {mins} FROM sims GROUP BY doc_id
+    )
+    SELECT doc_id, FLOOR({score} * 10000.0 + 0.5) / 10000.0 AS maxsim
+    FROM agg ORDER BY {score} DESC, doc_id LIMIT 10
+    """
+
+
+@register("doc_maxsim_topk", _maxsim_sql())
+def doc_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style MaxSim) retrieval: each query
+    token-vector takes its best-matching chunk per document; the doc
+    score is the sum of those maxima — the multi-vector retrieval model
+    over the chunked+embedded corpus.
+
+    Scale shape: chunking and embedding are the shuffle-free
+    chunk_embed pipeline; the per-(doc, query-vector) max is ONE
+    doc-keyed aggregation with map-side partial MIN; top-10 is
+    TakeOrdered.  Determinism: distances are the same IEEE expression
+    tree both engines; MIN/MAX of identical doubles is order-free
+    (unlike SUM, no rounding accumulates)."""
+    from pgvecto_rs_spark.sources.embedding import text2vec_hash
+
+    _materialize_chunk_embed_oracle(sf_dir)
+    chunks = CU.chunk_documents(
+        DD._spread(_docs(spark, sf_dir)), chunk_tokens=32, overlap=8
+    )
+    embedded = chunks.select(
+        "doc_id", text2vec_hash("chunk_text", 64).alias("emb")
+    )
+    qvs = _maxsim_qvs()
+    d_cols = [
+        VD.cosine_distance(
+            F.col("emb"),
+            F.array(*[F.lit(x) for x in qv]).cast("array<float>"),
+            check=False,
+        ).alias(f"d{i}")
+        for i, qv in enumerate(qvs)
+    ]
+    agg = (
+        embedded.select("doc_id", *d_cols)
+        .groupBy("doc_id")
+        .agg(*[F.min(f"d{i}").alias(f"m{i}") for i in range(len(qvs))])
+    )
+    score = F.lit(1.0) - F.col("m0")
+    for i in range(1, len(qvs)):
+        score = score + (F.lit(1.0) - F.col(f"m{i}"))
+    return (
+        agg.select("doc_id", score.alias("__s"))
+        .orderBy(F.desc("__s"), "doc_id")
+        .limit(10)
+        .select("doc_id", _r4t(F.col("__s")).alias("maxsim"))
+    )
+
+
+
+
+
 # ---------------------------------------------------------------------------
 # 17. sessionization (streaming-shaped; windowed gap analysis)
 # ---------------------------------------------------------------------------
