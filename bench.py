@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "doc_repetition",
     "doc_bm25_topk",
     "doc_hybrid_rrf",
+    "doc_bpe_merges",
     "emb_kmeans",
     "emb_semdedup",
     "chunk_embed_topk",

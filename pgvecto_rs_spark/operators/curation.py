@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bpe_train",
     "chunk_documents",
     "decontaminate",
     "pack_sequences",
@@ -456,3 +457,83 @@ def repetition_signals(
         for n in dup_ns
     ]
     return joined.select(*out_cols)
+
+
+def bpe_train(
+    df: DataFrame,
+    rounds: int = 3,
+    text_col: str = "text",
+) -> list[tuple[int, str, str, int]]:
+    """Distributed BPE tokenizer training: learn ``rounds`` merge rules
+    (the byte-pair-encoding vocabulary induction step of an LLM data
+    pipeline).  Returns [(round, left, right, pair_count), ...].
+
+    Algorithm (Sennrich et al. 2016), distributed the standard way:
+    train on the DISTINCT-WORD + frequency table, not the corpus — the
+    vocabulary is orders smaller than the text.  Each round:
+
+    1. adjacent-symbol pair counts weighted by word frequency — one
+       pair-keyed aggregation with map-side combine over vocab rows;
+    2. argmax pair (count DESC, pair ASC tie-break) — ONE row to the
+       driver;
+    3. merge applied to every word's symbol sequence as a native
+       ``aggregate`` fold (greedy left-to-right non-overlapping, the
+       reference BPE semantics) — a pure projection, no shuffle.
+
+    Driver state is one (a, b) pair per round; everything heavy stays
+    on executors.  Integer pair counts make every round's argmax
+    engine- and partitioning-exact.
+    """
+    words = (
+        df.select(F.explode(_norm_tokens(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seqs = words.select(
+        "word",
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("seq"),
+    ).cache()
+
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(rounds):
+        pair = F.transform(
+            F.sequence(F.lit(0), F.size("seq") - 2),
+            lambda i: F.struct(
+                F.get("seq", i).alias("a"), F.get("seq", i + 1).alias("b")
+            ),
+        )
+        counts = (
+            seqs.where(F.size("seq") >= 2)
+            .select("freq", F.explode(pair).alias("pr"))
+            .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
+            .agg(F.sum("freq").alias("c"))
+        )
+        top = counts.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
+        merges.append((r, a, b, c))
+        ab = a + b
+        merged = F.aggregate(
+            F.slice(F.col("seq"), 2, F.size("seq") - 1),
+            F.slice(F.col("seq"), 1, 1),
+            lambda acc, s: F.when(
+                (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+        nxt = seqs.select(
+            "word",
+            "freq",
+            F.when(F.size("seq") < 2, F.col("seq")).otherwise(merged).alias("seq"),
+        ).cache()
+        seqs.unpersist()
+        seqs = nxt
+    seqs.unpersist()
+    return merges

@@ -2068,6 +2068,66 @@ def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled BPE rounds (see curation.bpe_train): pair counts →
+    argmax → list_reduce greedy merge, chained as CTEs.  All counts are
+    integer, so every round's argmax is engine-exact."""
+    parts = [
+        r"""w AS (
+      SELECT word, COUNT(*) AS freq FROM (
+        SELECT unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS word
+        FROM documents WHERE length(trim(text)) > 0
+      ) GROUP BY word
+    )""",
+        """s0 AS (
+      SELECT word, freq,
+             list_transform(range(1, length(word) + 1), i -> substr(word, i, 1)) AS seq
+      FROM w WHERE length(word) > 0
+    )""",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"""p{r} AS (
+      SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS c
+      FROM (SELECT freq, unnest(list_transform(range(1, len(seq)),
+                      i -> struct_pack(a := seq[i], b := seq[i+1]))) AS pr
+            FROM s{r} WHERE len(seq) >= 2)
+      GROUP BY 1, 2
+    )"""
+        )
+        parts.append(
+            f"best{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1)"
+        )
+        if r < rounds - 1:
+            parts.append(
+                f"""s{r + 1} AS (
+      SELECT word, freq,
+             CASE WHEN len(seq) < 2 THEN seq ELSE
+               string_split(list_reduce(seq, (acc, s) -> CASE
+                 WHEN array_extract(string_split(acc, chr(31)), -1) = best{r}.a AND s = best{r}.b
+                 THEN substr(acc, 1, length(acc) - length(best{r}.a)) || best{r}.a || best{r}.b
+                 ELSE acc || chr(31) || s END), chr(31)) END AS seq
+      FROM s{r} CROSS JOIN best{r}
+    )"""
+            )
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT {r} AS round, a, b, c FROM best{r}" for r in range(rounds)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+@register("doc_bpe_merges", _bpe_oracle_sql(3))
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, 3 merge rounds over the
+    corpus vocabulary: the learned merge rules with their weighted pair
+    counts.  Trains on the distinct-word+frequency table (orders
+    smaller than the corpus); per round one pair-keyed aggregation and
+    a single argmax row to the driver; merges apply as a native
+    `aggregate` fold projection (curation.bpe_train)."""
+    merges = CU.bpe_train(_docs(spark, sf_dir), rounds=3)
+    return spark.createDataFrame(merges, "round int, a string, b string, c long")
+
+
 @register(
     "events_quantiles",
     """

@@ -321,3 +321,29 @@ class TestRepetitionSignals:
         docs = _docs(spark, [(1, "b a b a")])
         r = repetition_signals(docs).collect()[0]
         assert r["top_word_frac"] == pytest.approx(0.5)
+
+
+class TestBPETrain:
+    def test_classic_merge_sequence(self, spark):
+        """Sennrich et al.'s worked example: low x5, lower x2,
+        newest x6, widest x3 -> merges (e,s), (es,t), then (l,o) by
+        lexicographic tie-break against (o,w)."""
+        from pgvecto_rs_spark.operators.curation import bpe_train
+
+        text = " ".join(
+            ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        )
+        docs = _docs(spark, [(1, text)])
+        merges = bpe_train(docs, rounds=3)
+        assert merges == [(0, "e", "s", 9), (1, "es", "t", 9), (2, "l", "o", 7)]
+
+    def test_greedy_nonoverlapping_merge(self, spark):
+        """'aaaa' with pair (a,a) must merge to [aa, aa], not overlap."""
+        from pgvecto_rs_spark.operators.curation import bpe_train
+
+        docs = _docs(spark, [(1, "aaaa aaaa aaaa")])
+        merges = bpe_train(docs, rounds=2)
+        # round 0: (a,a) count 9; round 1 sequences are [aa, aa] -> pair
+        # (aa,aa) count 3
+        assert merges[0] == (0, "a", "a", 9)
+        assert merges[1] == (1, "aa", "aa", 3)
