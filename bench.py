@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "doc_bm25_topk",
     "doc_hybrid_rrf",
     "doc_bpe_merges",
+    "doc_bpe_tokens",
     "emb_kmeans",
     "emb_semdedup",
     "chunk_embed_topk",
@@ -66,8 +67,14 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q6",
     "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
     "tpch_q10",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
+    "tpch_q18",
+    "tpch_q22",
 ]
 
 

@@ -517,23 +517,83 @@ def bpe_train(
             break
         a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
         merges.append((r, a, b, c))
-        ab = a + b
-        merged = F.aggregate(
-            F.slice(F.col("seq"), 2, F.size("seq") - 1),
-            F.slice(F.col("seq"), 1, 1),
-            lambda acc, s: F.when(
-                (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
         nxt = seqs.select(
             "word",
             "freq",
-            F.when(F.size("seq") < 2, F.col("seq")).otherwise(merged).alias("seq"),
+            _bpe_merge_fold(F.col("seq"), a, b).alias("seq"),
         ).cache()
         seqs.unpersist()
         seqs = nxt
     seqs.unpersist()
     return merges
+
+
+def _bpe_merge_fold(seq: Column, a: str, b: str) -> Column:
+    """Greedy left-to-right non-overlapping (a,b)→ab merge of a symbol
+    array, as a native ``aggregate`` fold (shared by ``bpe_train`` and
+    ``bpe_encode_counts`` so training and encoding provably apply the
+    same merge semantics)."""
+    ab = a + b
+    merged = F.aggregate(
+        F.slice(seq, 2, F.size(seq) - 1),
+        F.slice(seq, 1, 1),
+        lambda acc, s: F.when(
+            (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+    return F.when(F.size(seq) < 2, seq).otherwise(merged)
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply learned BPE merge rules to the corpus — the tokenizer
+    APPLICATION step that follows ``bpe_train``: per-document raw-word
+    and BPE-token counts, the numbers a training pipeline needs for
+    sequence budgeting and per-source token accounting.
+
+    Returns (id_col, n_words, n_bpe_tokens); documents with no tokens
+    (blank text) carry no words and drop out, mirroring the oracle.
+
+    Scale shape: merges apply to the DISTINCT-WORD table (orders
+    smaller than the corpus), one shuffle-free fold projection per
+    rule in learned order; the word → subtoken-count map then joins
+    back onto the (doc, word, count) aggregate — a word-keyed
+    equi-join, never a re-tokenization of the raw text stream.  At
+    corpus scale the vocabulary table is millions of rows against
+    trillions of tokens, so the expensive part (per-symbol folding)
+    touches only the small side.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(_norm_tokens(F.col(text_col))).alias("word")
+    )
+    doc_words = toks.groupBy(id_col, "word").agg(F.count(F.lit(1)).alias("cnt"))
+    seqs = doc_words.select("word").distinct().select(
+        "word",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("seq"),
+    )
+    for _r, a, b, _c in merges:
+        # checkpoint per round: each fold references `seq` several
+        # times, and letting CollapseProject inline k rounds would grow
+        # the expression tree ~4^k; the vocab table is tiny relative to
+        # the corpus, so an eager materialization per rule is cheap
+        seqs = seqs.select(
+            "word", _bpe_merge_fold(F.col("seq"), a, b).alias("seq")
+        ).localCheckpoint(eager=True)
+    sub = seqs.select("word", F.size("seq").cast("long").alias("n_sub"))
+    out = (
+        doc_words.join(sub, "word")
+        .groupBy(id_col)
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_sub")).alias("n_bpe_tokens"),
+        )
+    )
+    return out

@@ -1488,6 +1488,420 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(_r4t(pct).alias("promo_revenue_pct"))
 
 
+@register(
+    "tpch_q7",
+    """
+    SELECT supp_nation, cust_nation, l_year, revenue_u FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_u
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_8'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2, 3
+    ) ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade volume between two
+    nations by year.
+
+    Scale shape: nation joins twice under DIFFERENT keys (supplier side
+    vs customer side); each side's nation pre-filter ({2,8}) applies to
+    supplier and customer BEFORE the fact joins, so the broadcast
+    supplier set and the customer shuffle both carry ~2/25 of their
+    tables and lineitem is pruned by supplier nation at the scan side.
+    The disjunctive pair predicate then evaluates as a residual on the
+    joined row (one pipeline, no union-of-plans); the only big shuffles
+    are lineitem⋈orders on orderkey and orders⋈customer on custkey;
+    the final (nation, nation, year) aggregation has a handful of
+    groups with map-side partials."""
+    _tune(spark)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    ).where(F.col("supp_nation").isin("NATION_8", "NATION_2"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    ).where(F.col("cust_nation").isin("NATION_8", "NATION_2"))
+    supp_f = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust_f = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .select("c_custkey", "cust_nation")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    )
+    joined = (
+        li.join(F.broadcast(supp_f), li.l_suppkey == supp_f.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_f, orders.o_custkey == cust_f.c_custkey)
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_8")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_8")
+            )
+        )
+    )
+    return (
+        joined.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            _scaled_sum(
+                F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 1000000.0
+            ).alias("revenue_u")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "tpch_q8",
+    """
+    SELECT o_year,
+           FLOOR((CAST(nation_u AS DOUBLE) / CAST(total_u AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+             CAST(SUM(CASE WHEN n2.n_name = 'NATION_3'
+                  THEN CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS nation_u,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_u
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN region ON n1.n_regionkey = r_regionkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+        AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1
+    ) ORDER BY o_year
+    """,
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the target nation's share of
+    PROMO-part revenue sold into a region, by order year.
+
+    Scale shape: the PROMO part filter broadcasts into lineitem first
+    (the strongest prune, ~1/5 of rows); supplier+nation broadcast as a
+    pre-joined (suppkey → nation) map; customer pre-filters through the
+    region's nations and meets orders on the custkey shuffle.  The
+    share numerator is a conditional scaled-int sum over the SAME
+    joined stream as the denominator (one pass, no self-join); the
+    final ratio divides identical integers in either engine."""
+    _tune(spark)
+    region = (
+        spark.read.parquet(f"{sf_dir}/region.parquet")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select(F.col("n_nationkey").alias("n1_key"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    )
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    supp_f = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust_f = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .select("c_custkey")
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev_u = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp_f), li.l_suppkey == supp_f.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_f, orders.o_custkey == cust_f.c_custkey)
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("long").alias("o_year")
+    ).agg(
+        F.sum(
+            F.when(F.col("supp_nation") == "NATION_3", rev_u).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("nation_u"),
+        F.sum(rev_u).cast("long").alias("total_u"),
+    )
+    share = F.col("nation_u").cast("double") / F.col("total_u").cast("double")
+    return agg.select("o_year", _r4t(share).alias("mkt_share")).orderBy("o_year")
+
+
+@register(
+    "tpch_q13",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    ) GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution), adapted to the reduced
+    schema: the spec filters orders on an o_comment regex; this corpus
+    carries no o_comment, so the join-side predicate is
+    o_orderpriority <> '1-URGENT' — same left-join-with-residual-
+    predicate shape, COUNT counts the nullable side so customers with
+    no surviving orders land in the c_count=0 bucket.
+
+    Scale shape: one custkey shuffle for the left join + count, then a
+    tiny distribution aggregation (≤ distinct order counts) with
+    map-side partials."""
+    _tune(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "tpch_q15",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_revenue_u
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_revenue_u
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue_u = (SELECT MAX(total_revenue_u) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): supplier(s) with the quarter's maximum
+    revenue — the scalar-subquery-against-an-aggregate shape.
+
+    Scale shape: one suppkey aggregation of the date-pruned lineitem
+    scan; the MAX reduces to a single broadcast row cross-joined back
+    (no second scan of lineitem, no window over a single partition);
+    supplier broadcasts into the tiny winners set.  Scaled-int revenue
+    makes the equality comparison exact — a double-summed revenue
+    could differ in the last ulp between engines and drop the winner."""
+    _tune(spark)
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _scaled_sum(
+            F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 1000000.0
+        ).alias("total_revenue_u")
+    )
+    best = revenue.agg(F.max("total_revenue_u").alias("best_u"))
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name"
+    )
+    return (
+        revenue.join(F.broadcast(best), F.col("total_revenue_u") == F.col("best_u"))
+        .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_u")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "tpch_q18",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_date, total_qty_c FROM (
+      SELECT c_custkey, c_name, o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+             CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_qty_c
+      FROM customer
+      JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY 1, 2, 3, 4
+      HAVING SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) > 18000
+    ) ORDER BY total_qty_c DESC, o_orderkey LIMIT 100
+    """,
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds a threshold, with their customers.
+
+    Scale shape: the HAVING filter runs on the orderkey aggregation
+    BEFORE joining customer (aggregate-then-join — the spec's IN
+    subquery and main join collapse into one pass since the grouping
+    key is the join key); customer broadcasts into the small surviving
+    set; top-100 is TakeOrdered.  Quantities sum as scaled ints so the
+    threshold cut is engine-exact at the boundary."""
+    _tune(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_scaled_sum(F.col("l_quantity"), 100.0).alias("total_qty_c"))
+        .where(F.col("total_qty_c") > 18000)
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name"
+    )
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "total_qty_c",
+        )
+        .orderBy(F.desc("total_qty_c"), "o_orderkey")
+        .limit(100)
+    )
+
+
+@register(
+    "tpch_q22",
+    """
+    SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_acctbal_c
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)
+          * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+          > (SELECT CAST(SUM(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '2000-01-01')
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted to the reduced
+    schema: the spec groups dormant above-average-balance customers by
+    phone country code; this corpus has no c_phone, so the grouping key
+    is the customer's nation and "dormant" means no order since
+    2000-01-01 (the spec's NOT EXISTS against all orders is empty here
+    — every customer has historical orders).
+
+    Scale shape: the above-average test cross-multiplies scaled-int
+    (sum, count) — `bal·n > Σbal` — instead of comparing against a
+    double AVG whose summation order differs between engines; the
+    (sum, count) pair is one broadcast row.  The dormancy check is a
+    broadcast ANTI join against the date-pruned orders scan; nation
+    broadcasts; the final aggregation is ≤25 groups."""
+    _tune(spark)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    bal_c = F.floor(F.col("c_acctbal") * F.lit(100.0) + F.lit(0.5)).cast("long")
+    stats = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.sum(bal_c).cast("long").alias("sum_bal_c"),
+        F.count(F.lit(1)).alias("n_bal"),
+    )
+    recent = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    rich = (
+        cust.join(F.broadcast(stats))
+        .where(bal_c * F.col("n_bal") > F.col("sum_bal_c"))
+        .join(
+            F.broadcast(recent),
+            cust.c_custkey == recent.o_custkey,
+            "left_anti",
+        )
+    )
+    return (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal_c).cast("long").alias("total_acctbal_c"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 12. sparse aggregate (svector.slt:22-80 semantics at table scale)
 # ---------------------------------------------------------------------------
@@ -2068,10 +2482,12 @@ def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(rounds: int = 3) -> str:
-    """Unrolled BPE rounds (see curation.bpe_train): pair counts →
-    argmax → list_reduce greedy merge, chained as CTEs.  All counts are
-    integer, so every round's argmax is engine-exact."""
+def _bpe_round_ctes(rounds: int, apply_last: bool) -> list[str]:
+    """Shared CTE chain for the BPE oracles (see curation.bpe_train):
+    per round, pair counts → argmax → list_reduce greedy merge.  All
+    counts are integer, so every round's argmax is engine-exact.
+    ``apply_last`` also materializes s{rounds} with the final rule
+    applied (needed by the encode oracle, not by the train oracle)."""
     parts = [
         r"""w AS (
       SELECT word, COUNT(*) AS freq FROM (
@@ -2098,7 +2514,7 @@ def _bpe_oracle_sql(rounds: int = 3) -> str:
         parts.append(
             f"best{r} AS (SELECT a, b, c FROM p{r} ORDER BY c DESC, a, b LIMIT 1)"
         )
-        if r < rounds - 1:
+        if apply_last or r < rounds - 1:
             parts.append(
                 f"""s{r + 1} AS (
       SELECT word, freq,
@@ -2110,10 +2526,52 @@ def _bpe_oracle_sql(rounds: int = 3) -> str:
       FROM s{r} CROSS JOIN best{r}
     )"""
             )
+    return parts
+
+
+def _bpe_oracle_sql(rounds: int = 3) -> str:
+    parts = _bpe_round_ctes(rounds, apply_last=False)
     selects = "\n    UNION ALL\n    ".join(
         f"SELECT {r} AS round, a, b, c FROM best{r}" for r in range(rounds)
     )
     return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+def _bpe_encode_oracle_sql(rounds: int) -> str:
+    """Train in SQL (same CTE chain as the merges oracle), then encode:
+    apply all learned rules to the vocabulary and join the word →
+    subtoken-count map back onto per-document word counts."""
+    parts = _bpe_round_ctes(rounds, apply_last=True)
+    parts.append(
+        r"""dw AS (
+      SELECT doc_id, word, COUNT(*) AS cnt FROM (
+        SELECT doc_id,
+               unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS word
+        FROM documents WHERE length(trim(text)) > 0
+      ) GROUP BY 1, 2
+    )"""
+    )
+    parts.append(f"sub AS (SELECT word, len(seq) AS n_sub FROM s{rounds})")
+    final = (
+        "SELECT dw.doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words,\n"
+        "           CAST(SUM(cnt * n_sub) AS BIGINT) AS n_bpe_tokens\n"
+        "    FROM dw JOIN sub USING (word) GROUP BY dw.doc_id"
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + final
+
+
+# bpe_train's argmax rounds are deterministic on the input file, so
+# memoize per (file, mtime, rounds) — doc_bpe_merges and doc_bpe_tokens
+# share a session without retraining
+_BPE_CACHE: dict[tuple, list[tuple[int, str, str, int]]] = {}
+
+
+def _bpe_merges_cached(spark, sf_dir: str, rounds: int):
+    src = f"{sf_dir}/documents.parquet"
+    key = (src, os.path.getmtime(src), rounds)
+    if key not in _BPE_CACHE:
+        _BPE_CACHE[key] = CU.bpe_train(_docs(spark, sf_dir), rounds=rounds)
+    return _BPE_CACHE[key]
 
 
 @register("doc_bpe_merges", _bpe_oracle_sql(3))
@@ -2124,8 +2582,24 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     smaller than the corpus); per round one pair-keyed aggregation and
     a single argmax row to the driver; merges apply as a native
     `aggregate` fold projection (curation.bpe_train)."""
-    merges = CU.bpe_train(_docs(spark, sf_dir), rounds=3)
+    merges = _bpe_merges_cached(spark, sf_dir, rounds=3)
     return spark.createDataFrame(merges, "round int, a string, b string, c long")
+
+
+@register("doc_bpe_tokens", _bpe_encode_oracle_sql(6))
+def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the step after training that a data
+    pipeline runs over every document: per-doc raw-word and BPE-token
+    counts under a 6-rule vocabulary learned from the same corpus
+    (curation.bpe_encode_counts).  Merge rules apply to the
+    distinct-word table only (one fold projection per rule); the word →
+    subtoken-count map equi-joins back onto per-doc word counts — the
+    raw token stream is never re-folded.  The oracle re-trains AND
+    re-encodes entirely in DuckDB SQL (list_reduce greedy merge), so
+    both the learned rules and their application are cross-engine
+    exact."""
+    merges = _bpe_merges_cached(spark, sf_dir, rounds=6)
+    return CU.bpe_encode_counts(_docs(spark, sf_dir), merges)
 
 
 @register(

@@ -347,3 +347,58 @@ class TestBPETrain:
         # (aa,aa) count 3
         assert merges[0] == (0, "a", "a", 9)
         assert merges[1] == (1, "aa", "aa", 3)
+
+
+class TestBPEEncode:
+    def test_counts_match_naive_encoder(self, spark):
+        """bpe_encode_counts over the vocab table == a naive per-word
+        sequential encoder applying the same rules in order."""
+        from pgvecto_rs_spark.operators.curation import (
+            bpe_encode_counts,
+            bpe_train,
+        )
+
+        corpus = [
+            (1, "low low low low low lower lower"),
+            (2, "newest newest newest widest widest widest"),
+            (3, "newest newest newest low aaaa"),
+            (4, "   "),  # blank: no words, must drop out
+        ]
+        docs = _docs(spark, corpus)
+        merges = bpe_train(docs, rounds=4)
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+            for r in bpe_encode_counts(docs, merges).collect()
+        }
+
+        def naive(word: str) -> int:
+            seq = list(word)
+            for _r, a, b, _c in merges:
+                out: list[str] = []
+                i = 0
+                while i < len(seq):
+                    if i + 1 < len(seq) and seq[i] == a and seq[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(seq[i])
+                        i += 1
+                seq = out
+            return len(seq)
+
+        expect = {}
+        for doc_id, text in corpus:
+            words = text.split()
+            if words:
+                expect[doc_id] = (len(words), sum(naive(w) for w in words))
+        assert got == expect
+        assert 4 not in got
+
+    def test_empty_merges_is_char_count(self, spark):
+        from pgvecto_rs_spark.operators.curation import bpe_encode_counts
+
+        docs = _docs(spark, [(1, "ab cde ab")])
+        got = bpe_encode_counts(docs, []).collect()
+        assert [(r["doc_id"], r["n_words"], r["n_bpe_tokens"]) for r in got] == [
+            (1, 3, 7)
+        ]
