@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "sparse_inv_topk_dot",
     "bin_hamming_topk",
     "ivf_topk_l2",
+    "ivf_range_l2",
     "ivf_pq_topk_l2",
     "hnsw_topk_l2",
     "flat_sq8_topk_l2",
@@ -54,6 +55,7 @@ BENCH_QUERIES = [
     "doc_hybrid_rrf",
     "doc_bpe_merges",
     "doc_bpe_tokens",
+    "doc_mixture_sample",
     "emb_kmeans",
     "emb_semdedup",
     "chunk_embed_topk",

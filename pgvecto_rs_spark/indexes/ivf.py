@@ -88,6 +88,40 @@ def _lloyd(
     return centroids.astype(np.float32)
 
 
+def _compute_list_radii(
+    spark: SparkSession, lists: DataFrame, centroids: np.ndarray
+) -> dict[int, float]:
+    """max residual L2 norm per list over ``lists`` rows (f64 over the
+    stored-f32 vectors — the same values the exact scan reads)."""
+    bc = spark.sparkContext.broadcast(centroids.astype(np.float64))
+
+    @F.pandas_udf("double")
+    def rnorm(v: pd.Series, lid: pd.Series) -> pd.Series:
+        res = np.asarray(v.tolist(), dtype=np.float64) - bc.value[lid.to_numpy()]
+        return pd.Series(np.sqrt(np.einsum("ij,ij->i", res, res)))
+
+    rows = (
+        lists.select(rnorm("vec", F.col("list_id").cast("int")).alias("r"), "list_id")
+        .groupBy("list_id")
+        .agg(F.max("r").alias("mr"))
+        .collect()
+    )
+    return {int(r["list_id"]): float(r["mr"]) for r in rows}
+
+
+def _save_list_radii(
+    spark: SparkSession,
+    lists: DataFrame,
+    centroids: np.ndarray,
+    nlist: int,
+    path: str,
+) -> None:
+    radii = np.zeros(nlist, dtype=np.float64)
+    for lid, mr in _compute_list_radii(spark, lists, centroids).items():
+        radii[lid] = mr
+    np.save(os.path.join(path, "list_radii.npy"), radii, allow_pickle=False)
+
+
 class IVFIndex:
     def __init__(self, spark: SparkSession, path: str, meta: dict, centroids: np.ndarray):
         self.spark = spark
@@ -95,6 +129,7 @@ class IVFIndex:
         self.meta = meta
         self.centroids = centroids
         self._lists_df: DataFrame | None = None
+        self._radii: np.ndarray | None = None
 
     def _lists(self) -> DataFrame:
         """The lists DataFrame, created once per index handle.
@@ -271,6 +306,14 @@ class IVFIndex:
         )
 
         np.save(os.path.join(path, "centroids.npy"), centroids, allow_pickle=False)
+        # per-list max residual norm — the triangle-inequality pruning
+        # bound for index-accelerated range search (list_radii docstring);
+        # computed from the WRITTEN lists so stored-f32 rounding is
+        # exactly what the exact range scan will see
+        _save_list_radii(
+            spark, spark.read.parquet(os.path.join(path, "lists")),
+            centroids, int(nlist_eff), path,
+        )
         meta = {
             "kind": "ivf",
             "metric": metric.lower(),
@@ -449,11 +492,103 @@ class IVFIndex:
         n = spark.read.parquet(lists_dir).select("id").distinct().count()
         self.meta["n_rows"] = int(n)
         base.write_meta(self.path, self.meta)
+        # inserted rows can extend a list's residual radius, which would
+        # silently break range_search completeness on a stale bound —
+        # re-derive the touched lists' radii (deletes only shrink, but
+        # tightening them is free in the same pass)
+        radii_path = os.path.join(self.path, "list_radii.npy")
+        if os.path.exists(radii_path):
+            radii = np.load(radii_path)
+            patch = _compute_list_radii(
+                spark,
+                spark.read.parquet(lists_dir).where(F.col("list_id").isin(segs)),
+                self.centroids,
+            )
+            for lid in segs:
+                radii[lid] = patch.get(lid, 0.0)
+            np.save(radii_path, radii, allow_pickle=False)
+            self._radii = None
         return segs
 
     def probe_lists(self, q: np.ndarray, nprobe: int) -> list[int]:
         d = base.np_kernel_distance(self.meta["kernel"], self.centroids.astype(np.float64), q)
         return np.argsort(d, kind="stable")[:nprobe].tolist()
+
+    def list_radii(self) -> np.ndarray:
+        """Per-list max residual L2 norm max_{x∈list} |x − centroid| —
+        the pruning bound for index-accelerated range search.  Loaded
+        from the build artifact; derived once (and persisted) for
+        indexes built before the artifact existed."""
+        if self._radii is None:
+            p = os.path.join(self.path, "list_radii.npy")
+            if not os.path.exists(p):
+                _save_list_radii(
+                    self.spark, self._lists(), self.centroids,
+                    int(self.meta["nlist"]), self.path,
+                )
+            self._radii = np.load(p)
+        return self._radii
+
+    def range_search(
+        self,
+        query: Sequence[float],
+        radius: float,
+        filter=None,
+        exclude: DataFrame | None = None,
+    ) -> DataFrame:
+        """All rows with distance < ``radius`` (SQL-level metric units,
+        matching ``search``'s returned distances) — EXACT, via
+        triangle-inequality list pruning instead of a full scan (the
+        sphere predicate of am_scan.rs pushed through the IVF layout).
+
+        A list can contain a hit only if its best-case distance beats
+        the radius: with c the centroid and R the list's max residual
+        norm, every member x has |x−c| ≤ R, so for L2
+        d(q,x) ≥ (max(0, |q−c| − R))² and for dot
+        −⟨q,x⟩ ≥ −⟨q,c⟩ − |q|·R (Cauchy-Schwarz on ⟨q, x−c⟩); cos runs
+        as dot on normalized vectors (+1 post-map).  Lists failing the
+        bound are pruned BEFORE the scan — partition pruning, same as
+        nprobe search — and any vector within range lives in a
+        surviving list (its own list's bound passes through it), so the
+        pruned scan provably returns exactly the full-scan result.
+        Scan fraction approaches nprobe-like selectivity for small
+        radii and degrades gracefully to a full scan for huge ones.
+        """
+        kernel = self.meta["kernel"]
+        q = base.prep_query(query, self.meta["normalize"])
+        rad = self.list_radii()
+        n = len(rad)
+        kradius = (
+            float(radius) - 1.0 if self.meta["metric"] == "cos" else float(radius)
+        )
+        d_c = base.np_kernel_distance(kernel, self.centroids.astype(np.float64), q)[:n]
+        if kernel == "l2":
+            lb = np.maximum(0.0, np.sqrt(np.maximum(d_c, 0.0)) - rad) ** 2
+        else:
+            lb = d_c - float(np.linalg.norm(q)) * rad
+        # relative epsilon margin: the bound holds for real arithmetic;
+        # a last-ulp overestimate of lb must never prune a borderline
+        # list on an exactness-guaranteed path
+        margin = 1e-9 * max(1.0, abs(kradius))
+        lists = np.nonzero(lb < kradius + margin)[0].tolist()
+        schema = "id long, distance double"
+        if not lists:
+            return self.spark.createDataFrame([], schema)
+        df = self._lists().where(F.col("list_id").isin(lists))
+        df = base.apply_residual(df, filter, exclude)
+        from pgvecto_rs_spark.operators.search import arrow_distance
+
+        scorer = arrow_distance([float(v) for v in q], kernel)
+        out = (
+            df.withColumn(
+                "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
+            )
+            .where(F.col("distance") < F.lit(float(radius)))
+            .select("id", "distance")
+        )
+        if self.meta.get("replicas", 1) > 1:
+            out = out.dropDuplicates(["id"])
+        return out
 
     def search(
         self,

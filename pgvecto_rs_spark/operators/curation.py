@@ -27,12 +27,15 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bpe_encode_counts",
     "bpe_train",
     "chunk_documents",
     "decontaminate",
     "pack_sequences",
     "pii_redact",
+    "quota_sample",
     "repetition_signals",
+    "temperature_quotas",
     "top_terms",
     "train_split",
     "unigram_lm_score",
@@ -597,3 +600,74 @@ def bpe_encode_counts(
         )
     )
     return out
+
+
+def temperature_quotas(
+    counts: dict[str, int], total: int, temperature: float = 0.7
+) -> dict[str, int]:
+    """Per-source sampling quotas for temperature-based data mixing
+    (the multilingual/multi-source rebalancing rule: p_s ∝ n_s^τ, τ<1
+    upsamples small sources relative to their share).  Pure driver-side
+    arithmetic over the per-source COUNT table — a handful of rows —
+    returning integer quotas capped at each source's size.  Largest-
+    remainder rounding spends exactly ``total`` when feasible and is
+    deterministic (remainder DESC, source name ASC tie-break).
+    """
+    if total <= 0 or not counts:
+        return {s: 0 for s in counts}
+    names = sorted(counts)
+    w = {s: float(counts[s]) ** temperature for s in names}
+    sw = sum(w[s] for s in names)
+    raw = {s: total * w[s] / sw for s in names}
+    q = {s: min(int(raw[s]), counts[s]) for s in names}
+    # largest-remainder: hand leftover slots to the sources that lost
+    # the most to flooring (skipping sources already at capacity)
+    leftover = total - sum(q.values())
+    order = sorted(names, key=lambda s: (-(raw[s] - int(raw[s])), s))
+    while leftover > 0:
+        progressed = False
+        for s in order:
+            if leftover == 0:
+                break
+            if q[s] < counts[s]:
+                q[s] += 1
+                leftover -= 1
+                progressed = True
+        if not progressed:  # every source exhausted: total > corpus size
+            break
+    return q
+
+
+def quota_sample(
+    df: DataFrame,
+    quotas: dict[str, int],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-source quota sampling — the apply step of data
+    mixing: keep the ``quotas[s]`` documents of source ``s`` with the
+    smallest md5(id) digests.  md5 ordering is a reproducible uniform
+    shuffle that every engine agrees on bit-for-bit (engine-native
+    hashes are not portable), so the SAME sample comes back across
+    engines, runs, and partitionings.
+
+    Scale shape: one shuffle on source_col for the per-source
+    row_number; sources far larger than their quota can skew a
+    partition, which AQE's skew-split handles for the sort (rank is
+    per-source, not global).  Quotas ride in as a broadcast map lookup
+    — no join against a quota table.
+    """
+    from pyspark.sql import Window
+
+    pairs: list[Column] = []
+    for s in sorted(quotas):
+        pairs += [F.lit(s), F.lit(int(quotas[s]))]
+    qmap = F.create_map(*pairs) if pairs else F.create_map()
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= F.coalesce(qmap[F.col(source_col)], F.lit(0)))
+        .drop("__rk")
+    )

@@ -2001,6 +2001,29 @@ def ivf_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_range_l2",
+    f"""
+    SELECT id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id AS id, {_SQL_L2} AS d FROM embeddings
+    ) WHERE d < {RANGE_RADIUS}
+    """,
+)
+def ivf_range_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-accelerated range search: the sphere predicate pushed
+    through the IVF layout with triangle-inequality list pruning
+    (IVFIndex.range_search) — provably the exact full-scan result, so
+    the brute-force sphere SQL is a true oracle, not a recall floor."""
+    from pgvecto_rs_spark.indexes import IVFIndex
+
+    path = _tmp_index_dir("ivf", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        IVFIndex.create(spark, _emb(spark, sf_dir), path, metric="l2", nlist=8)
+    idx = _open_cached(IVFIndex, spark, path)
+    out = idx.range_search(Q64, RANGE_RADIUS)
+    return out.select("id", _r4(F.col("distance")).alias("dist"))
+
+
+@register(
     "hnsw_topk_l2",
     f"""
     SELECT id, ROUND(d, 4) AS dist FROM (
@@ -2600,6 +2623,63 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact."""
     merges = _bpe_merges_cached(spark, sf_dir, rounds=6)
     return CU.bpe_encode_counts(_docs(spark, sf_dir), merges)
+
+
+# doc_mixture_sample oracle: quotas are an INPUT to the distributed
+# sampling operator (computed driver-side from the tiny per-source count
+# table); the Spark query materializes them to parquet so the oracle
+# applies the SAME quotas and the gate verifies the distributed part —
+# deterministic md5-ordered per-source selection.
+_MIXTURE_QUOTA_FILE = "/tmp/pgvrs_mixture_quotas.parquet"
+
+
+@register(
+    "doc_mixture_sample",
+    f"""
+    WITH q AS (SELECT * FROM '{_MIXTURE_QUOTA_FILE}'),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM documents WHERE n_chars >= 250
+    )
+    SELECT doc_id, source FROM ranked JOIN q USING (source) WHERE rk <= quota
+    """,
+)
+def doc_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based data mixing (p_s ∝ n_s^0.7) over the quality-
+    filtered corpus: a quality cut (n_chars ≥ 250) leaves unequal
+    per-source survivor counts, temperature_quotas rebalances them into
+    integer quotas spending 40% of the survivors, and quota_sample
+    keeps each source's quota by deterministic md5(id) order — the
+    standard multi-source rebalancing step before training.
+
+    Scale shape: the per-source COUNT table (one tiny aggregation) is
+    the only thing the driver sees; the sample itself is one
+    source-keyed window rank, no collect of data rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    docs = _docs(spark, sf_dir).where(F.col("n_chars") >= 250).select(
+        "doc_id", "source"
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = int(0.4 * sum(counts.values()))
+    quotas = CU.temperature_quotas(counts, total, temperature=0.7)
+    names = sorted(quotas)
+    pq.write_table(
+        pa.table(
+            {
+                "source": pa.array(names, type=pa.string()),
+                "quota": pa.array([quotas[s] for s in names], type=pa.int64()),
+            }
+        ),
+        _MIXTURE_QUOTA_FILE,
+    )
+    return CU.quota_sample(docs, quotas).select("doc_id", "source")
 
 
 @register(

@@ -402,3 +402,54 @@ class TestBPEEncode:
         assert [(r["doc_id"], r["n_words"], r["n_bpe_tokens"]) for r in got] == [
             (1, 3, 7)
         ]
+
+
+class TestMixing:
+    def test_temperature_quotas_rebalances_small_sources(self):
+        from pgvecto_rs_spark.operators.curation import temperature_quotas
+
+        counts = {"big": 900, "small": 100}
+        q = temperature_quotas(counts, 100, temperature=0.7)
+        assert sum(q.values()) == 100
+        # τ<1 gives the small source more than its 10% proportional share
+        assert q["small"] > 10
+        assert q["big"] + q["small"] == 100
+        # τ=1 is proportional sampling
+        q1 = temperature_quotas(counts, 100, temperature=1.0)
+        assert q1 == {"big": 90, "small": 10}
+
+    def test_temperature_quotas_caps_at_source_size(self):
+        from pgvecto_rs_spark.operators.curation import temperature_quotas
+
+        # tiny source can't supply more than it has; leftover goes elsewhere
+        q = temperature_quotas({"a": 3, "b": 100}, 50, temperature=0.1)
+        assert q["a"] <= 3
+        assert sum(q.values()) == 50
+        # total above corpus size: spend everything, no infinite loop
+        q = temperature_quotas({"a": 3, "b": 4}, 100)
+        assert q == {"a": 3, "b": 4}
+
+    def test_quota_sample_deterministic_and_exact(self, spark):
+        import hashlib
+
+        from pgvecto_rs_spark.operators.curation import quota_sample
+
+        rows = [(i, f"s{i % 3}") for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        quotas = {"s0": 5, "s1": 0, "s2": 20}  # s2 has 20 members: all kept
+        got = quota_sample(df, quotas, id_col="doc_id").collect()
+        by_src: dict[str, list[int]] = {}
+        for r in got:
+            by_src.setdefault(r["source"], []).append(r["doc_id"])
+        assert len(by_src.get("s0", [])) == 5
+        assert "s1" not in by_src
+        assert sorted(by_src["s2"]) == [i for i in range(60) if i % 3 == 2]
+        # the kept s0 ids are exactly the 5 smallest md5 digests
+        s0_ids = [i for i in range(60) if i % 3 == 0]
+        expect = sorted(
+            s0_ids, key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+        )[:5]
+        assert sorted(by_src["s0"]) == sorted(expect)
+        # unknown source in quotas is harmless; missing source drops out
+        got2 = quota_sample(df, {"s0": 5, "zzz": 9}, id_col="doc_id").collect()
+        assert {r["source"] for r in got2} == {"s0"}

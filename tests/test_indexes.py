@@ -673,3 +673,119 @@ class TestSphericalIVF:
                 for r in top_k(emb, "embedding", Q64, 10, metric="cos", tiebreaker="vec_id").collect()
             ]
             assert got == truth  # full probe: exact regardless of training
+
+
+class TestIVFRangeSearch:
+    """Index-accelerated range search: triangle-inequality list pruning
+    must return the brute-force sphere MEMBERSHIP exactly (completeness
+    is a theorem, not a recall target).  Distances compare to ~1e-6:
+    the index path scores with the f64 numpy kernel, the brute path
+    with the Catalyst fold (f32 subtract) — both "exact" far inside the
+    oracle's 4-decimal rounding.  Radii are picked at midpoints of
+    >1e-5-wide gaps in the sorted distance list so boundary membership
+    is never decided by that last-ulp difference."""
+
+    def _brute(self, emb, metric, radius):
+        from pgvecto_rs_spark.operators.search import range_search
+
+        rows = range_search(emb, "embedding", Q64, radius, metric=metric).collect()
+        return {r["vec_id"]: r["distance"] for r in rows}
+
+    def _safe_radius(self, emb, metric, idx_from: int):
+        """Midpoint of the first >1e-5 gap after the idx_from-th
+        smallest distance — a radius no engine can disagree about."""
+        from pgvecto_rs_spark.operators.search import range_search
+
+        ds = sorted(
+            r["distance"]
+            for r in range_search(
+                emb, "embedding", Q64, float("inf"), metric=metric
+            ).collect()
+        )
+        for i in range(idx_from, len(ds) - 1):
+            if ds[i + 1] - ds[i] > 1e-5:
+                return (ds[i] + ds[i + 1]) / 2.0
+        raise AssertionError("no usable gap in distance distribution")
+
+    def _check(self, idx, emb, metric, radius):
+        got = {r["id"]: r["distance"] for r in idx.range_search(Q64, radius).collect()}
+        want = self._brute(emb, metric, radius)
+        assert set(got) == set(want), (metric, radius)
+        for k in got:
+            assert got[k] == pytest.approx(want[k], abs=1e-6), (metric, k)
+
+    @pytest.mark.parametrize("metric", ["l2", "dot", "cos"])
+    def test_equals_brute_force(self, spark, emb, metric):
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(spark, emb, d, metric=metric, nlist=16)
+            for frm in (50, 200):
+                self._check(idx, emb, metric, self._safe_radius(emb, metric, frm))
+
+    def test_replicas_and_quantized_builds(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(
+                spark, emb, d, metric="l2", nlist=8, replicas=2, quantization="sq8"
+            )
+            self._check(idx, emb, "l2", self._safe_radius(emb, "l2", 100))
+
+    def test_small_radius_prunes_lists_on_clustered_data(self, spark):
+        """Pruning power is data-dependent: the sf test embeddings are
+        near-uniform on the sphere (every list's radius ≈ the data
+        diameter, bound can't exclude anything — correctness unaffected),
+        so pruning is demonstrated on clustered data, the regime IVF
+        layouts exist for."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        centers = rng.normal(size=(8, 16)) * 10.0
+        rows = []
+        for i in range(400):
+            c = i % 8
+            rows.append(
+                (i, (centers[c] + rng.normal(size=16) * 0.1).astype(float).tolist())
+            )
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        q = [float(x) for x in centers[3]]
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(
+                spark, df, d, vector_col="embedding", id_col="vec_id",
+                metric="l2", nlist=8,
+            )
+            rad = idx.list_radii()
+            from pgvecto_rs_spark.indexes import base as B
+
+            d_c = B.np_kernel_distance(
+                "l2", idx.centroids.astype(np.float64), np.asarray(q)
+            )
+            radius = 1.0  # covers cluster 3 (residuals ~0.4), no others
+            lb = np.maximum(0.0, np.sqrt(np.maximum(d_c, 0.0)) - rad) ** 2
+            surviving = int((lb < radius + 1e-9).sum())
+            assert surviving <= 2, f"expected heavy pruning, got {surviving}/8 lists"
+            got = {r["id"] for r in idx.range_search(q, radius).collect()}
+            from pgvecto_rs_spark.operators.search import range_search
+
+            want = {
+                r["vec_id"]
+                for r in range_search(df, "embedding", q, radius, metric="l2").collect()
+            }
+            assert got == want and len(got) == 50
+
+    def test_apply_updates_refreshes_radii(self, spark, emb):
+        """An inserted far-out vector extends its list's radius; range
+        search for a query near the outlier must find it (a stale bound
+        would prune the list and silently miss)."""
+        import numpy as np
+
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=8)
+            dims = idx.meta["dims"]
+            far = [100.0] * dims
+            ins = spark.createDataFrame(
+                [(10_000_000, far)], "id long, vec array<float>"
+            )
+            segs = idx.apply_updates(insert_rows=ins)
+            assert segs, "insert must touch a list"
+            radii = np.load(f"{d}/list_radii.npy")
+            assert any(radii[s] > 50.0 for s in segs), "radius must grow"
+            hits = idx.range_search(far, 1.0).collect()
+            assert [r["id"] for r in hits] == [10_000_000]
