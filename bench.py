@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "ivf_range_l2",
     "ivf_pq_topk_l2",
     "hnsw_topk_l2",
+    "hnsw_range_l2",
     "flat_sq8_topk_l2",
     "batch_topk_l2",
     "fresh_topk_l2",

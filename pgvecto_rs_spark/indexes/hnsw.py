@@ -1039,6 +1039,71 @@ class HNSWIndex:
             .limit(k)
         )
 
+    def range_search(
+        self,
+        query: Sequence[float],
+        radius: float,
+        ef_search: int = DEFAULT_EF_SEARCH,
+        filter=None,
+        exclude: DataFrame | None = None,
+    ) -> DataFrame:
+        """All rows with distance < ``radius`` (SQL-level units) via the
+        graph's ordered candidate stream — the VBASE sphere-scan
+        semantics on HNSW (am_scan.rs range strategy): consume the
+        stream until it crosses the radius.  Per segment the widening
+        happens INSIDE the task: search with ef, and while the ef-th
+        (worst) candidate still lies inside the sphere the stream may
+        not have drained it, so quadruple ef until the frontier crosses
+        the radius or ef reaches the segment size (at which point the
+        segment scan is exhaustive).  No driver round-trips between
+        rounds.  With a quantized graph the stop rule runs on the
+        exactly-rescored candidate distances (graph reranker), same as
+        top-k search.
+
+        Like the reference's HNSW range scan this is
+        reachability-complete, not provably complete: a vector the
+        greedy stream never surfaces is missed (recall-gated in tests;
+        exact at ef = segment size, which the widening reaches for any
+        radius whose sphere contains ≥ ef candidates)."""
+        kernel, metric = self.meta["kernel"], self.meta["metric"]
+        kradius = float(radius) - 1.0 if metric == "cos" else float(radius)
+        quant, qparams = self._quant()
+        sc = self.spark.sparkContext
+        q = base.prep_query(query, self.meta["normalize"])
+        qb = sc.broadcast(np.asarray(q, dtype=np.float64))
+        ef0 = max(1, int(ef_search))
+        seg_dirs = self._segment_dirs()
+
+        def run(it):
+            for seg_dir in it:
+                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir, quant, qparams)
+                n = len(ids)
+                if n == 0:
+                    continue
+                ef = min(ef0, n)
+                while True:
+                    out_d, out_i = _search_graph(
+                        vecs, neighbors, levels, entry, qb.value, kernel, ef
+                    )
+                    if quant and len(out_i):
+                        exact_mat = _read_exact_vecs(seg_dir, np.asarray(out_i))
+                        out_d = base.np_kernel_distance(kernel, exact_mat, qb.value)
+                    if (
+                        len(out_d) < ef
+                        or (len(out_d) and float(np.max(out_d)) >= kradius)
+                        or ef >= n
+                    ):
+                        break
+                    ef = min(ef * 4, n)
+                mask = out_d < kradius
+                for i, d in zip(np.asarray(out_i)[mask], out_d[mask]):
+                    yield (int(ids[int(i)]), float(d))
+
+        rdd = sc.parallelize(seg_dirs, len(seg_dirs)).mapPartitions(run)
+        out = self.spark.createDataFrame(rdd, schema="id bigint, distance double")
+        out = out.withColumn("distance", base.post_map(metric, F.col("distance")))
+        return base.apply_residual(out, filter, exclude)
+
     def search_batch(
         self,
         queries: DataFrame,

@@ -2049,6 +2049,30 @@ def hnsw_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hnsw_range_l2",
+    f"""
+    SELECT id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id AS id, {_SQL_L2} AS d FROM embeddings
+    ) WHERE d < {RANGE_RADIUS}
+    """,
+)
+def hnsw_range_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VBASE sphere scan on the graph stream (HNSWIndex.range_search):
+    per-segment in-task ef widening until the ordered candidate stream
+    crosses the radius.  Deterministic build + widening-to-exhaustive
+    at oracle scale ⇒ the brute sphere SQL is a true oracle here (same
+    justification as hnsw_topk_l2)."""
+    from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+    path = _tmp_index_dir("hnsw", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        HNSWIndex.create(spark, _emb(spark, sf_dir), path, metric="l2", segment_rows=512)
+    idx = _open_cached(HNSWIndex, spark, path)
+    out = idx.range_search(Q64, RANGE_RADIUS, ef_search=100)
+    return out.select("id", _r4(F.col("distance")).alias("dist"))
+
+
+@register(
     "sparse_inv_topk_dot",
     f"""
     SELECT vec_id, ROUND(d, 4) AS dist FROM (

@@ -789,3 +789,72 @@ class TestIVFRangeSearch:
             assert any(radii[s] > 50.0 for s in segs), "radius must grow"
             hits = idx.range_search(far, 1.0).collect()
             assert [r["id"] for r in hits] == [10_000_000]
+
+
+class TestHNSWRangeSearch:
+    """VBASE sphere scan on the graph stream: per-segment in-task ef
+    widening until the frontier crosses the radius.  At test scale the
+    deterministic graphs recover the full sphere (checked equal to the
+    brute sphere), including a radius big enough to force widening and
+    a quantized graph whose stop rule runs on rescored distances."""
+
+    def _brute_ids(self, emb, metric, radius):
+        from pgvecto_rs_spark.operators.search import range_search
+
+        return {
+            r["vec_id"]
+            for r in range_search(emb, "embedding", Q64, radius, metric=metric).collect()
+        }
+
+    def _gap_radius(self, emb, metric, idx_from):
+        from pgvecto_rs_spark.operators.search import range_search
+
+        ds = sorted(
+            r["distance"]
+            for r in range_search(
+                emb, "embedding", Q64, float("inf"), metric=metric
+            ).collect()
+        )
+        for i in range(idx_from, len(ds) - 1):
+            if ds[i + 1] - ds[i] > 1e-5:
+                return (ds[i] + ds[i + 1]) / 2.0
+        raise AssertionError("no usable gap")
+
+    @pytest.mark.parametrize("metric", ["l2", "cos"])
+    def test_matches_brute_sphere(self, spark, emb, metric):
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        with tempfile.TemporaryDirectory() as d:
+            idx = HNSWIndex.create(spark, emb, d, metric=metric, segment_rows=200)
+            for frm in (30, 250):  # 250 >> ef_search=16: forces widening
+                radius = self._gap_radius(emb, metric, frm)
+                got = {
+                    r["id"]
+                    for r in idx.range_search(Q64, radius, ef_search=16).collect()
+                }
+                assert got == self._brute_ids(emb, metric, radius), (metric, radius)
+
+    def test_quantized_graph_rescored_stop(self, spark, emb):
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        with tempfile.TemporaryDirectory() as d:
+            idx = HNSWIndex.create(
+                spark, emb, d, metric="l2", segment_rows=300, quantization="sq8"
+            )
+            radius = self._gap_radius(emb, "l2", 60)
+            got = {r["id"] for r in idx.range_search(Q64, radius).collect()}
+            assert got == self._brute_ids(emb, "l2", radius)
+
+    def test_filter_and_distance_units(self, spark, emb):
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        with tempfile.TemporaryDirectory() as d:
+            idx = HNSWIndex.create(spark, emb, d, metric="l2", segment_rows=200)
+            radius = self._gap_radius(emb, "l2", 40)
+            got = idx.range_search(
+                Q64, radius, filter=F.col("id") % 2 == 0
+            ).collect()
+            brute = self._brute_ids(emb, "l2", radius)
+            assert {r["id"] for r in got} == {i for i in brute if i % 2 == 0}
+            for r in got:
+                assert r["distance"] < radius
