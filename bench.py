@@ -76,6 +76,7 @@ BENCH_QUERIES = [
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
+    "tpch_q17",
     "tpch_q18",
     "tpch_q22",
 ]

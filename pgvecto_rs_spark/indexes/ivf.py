@@ -574,7 +574,13 @@ class IVFIndex:
         schema = "id long, distance double"
         if not lists:
             return self.spark.createDataFrame([], schema)
-        df = self._lists().where(F.col("list_id").isin(lists))
+        if len(lists) > 0.5 * n:
+            # a radius spanning most of the space can't prune usefully;
+            # skip the per-partition enumeration (a 1000-term isin only
+            # adds planning cost) and let the distance filter do the work
+            df = self._lists()
+        else:
+            df = self._lists().where(F.col("list_id").isin(lists))
         df = base.apply_residual(df, filter, exclude)
         from pgvecto_rs_spark.operators.search import arrow_distance
 

@@ -1835,6 +1835,62 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q17",
+    """
+    WITH brand_li AS (
+      SELECT l_partkey, l_quantity, l_extendedprice
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand = 'Brand#1'
+    ),
+    pavg AS (
+      SELECT l_partkey, SUM(l_quantity) / COUNT(*) AS avg_qty
+      FROM brand_li GROUP BY 1
+    )
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS total_u,
+           COUNT(*) AS n_items
+    FROM brand_li JOIN pavg USING (l_partkey)
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): revenue from lineitems
+    whose quantity is below 20% of their part's average quantity.
+
+    Scale shape: the per-part average is the correlated subquery turned
+    into ONE partkey aggregation joined back to the detail rows — and
+    because brand is a part property, brand-filtering lineitem FIRST
+    (broadcast part-key set) shrinks both the aggregation and the
+    detail side to ~1/num_brands before the partkey shuffle; the agg
+    and the join share that partitioning.  Engine-exactness: quantities
+    are integral doubles, so SUM is exact in any order and SUM/COUNT ·
+    0.2 is the same double everywhere — the threshold cut cannot
+    disagree at the boundary."""
+    _tune(spark)
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    brand_li = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pavg = brand_li.groupBy("l_partkey").agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        brand_li.join(pavg, "l_partkey")
+        .where(F.col("l_quantity") < F.lit(0.2) * F.col("avg_qty"))
+        .agg(
+            _scaled_sum(F.col("l_extendedprice"), 1000000.0).alias("total_u"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "tpch_q22",
     """
     SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
