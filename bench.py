@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "agg_sum_svector",
     "sparse_topk_dot",
     "sparse_inv_topk_dot",
+    "sparse_inv_range_dot",
     "bin_hamming_topk",
     "ivf_topk_l2",
     "ivf_range_l2",
@@ -41,8 +42,10 @@ BENCH_QUERIES = [
     "hnsw_topk_l2",
     "hnsw_range_l2",
     "flat_sq8_topk_l2",
+    "flat_sq8_range_l2",
     "batch_topk_l2",
     "fresh_topk_l2",
+    "fresh_range_l2",
     "doc_token_count",
     "doc_dedup_exact",
     "doc_minhash_pairs",

@@ -220,14 +220,10 @@ class FlatIndex:
             lambda c, p: (p["lo"] + c.cast("double") / levels * p["w"]).cast("float"),
         )
 
-    def _sq_error_rerank(self, df: DataFrame, qlist: list[float], k: int) -> DataFrame:
-        """Error-bound reranker (reranker/error.rs analogue, exact by
-        construction): decode error per dim is at most
-        ε_j = width_j / (2·levels), giving sound per-candidate bounds on
-        the true distance.  Rerank set = candidates whose lower bound
-        beats the k-th smallest upper bound — adaptive (no window guess)
-        and provably contains the exact top-k.  Costs one tiny threshold
-        job over the code column, then reranks only the qualifying rows."""
+    def _sq_bounds(self, df: DataFrame, qlist: list[float]) -> DataFrame:
+        """Sound per-row distance bounds from SQ codes: decode error per
+        dim is at most ε_j = width_j / (2·levels), so the true distance
+        lies in [__lb, __ub] around the decoded-code distance __adist."""
         bits = self.meta.get("sq_bits", SQ_BITS)
         levels = (1 << bits) - 1
         eps = np.asarray(self.meta["sq_width"], dtype=np.float64) / (2.0 * levels)
@@ -244,7 +240,16 @@ class FlatIndex:
             e = float(np.abs(np.asarray(qlist)) @ eps)
             upper = adist + F.lit(e)
             lower = adist - F.lit(e)
-        scored = df.withColumn("__adist", adist).withColumn("__ub", upper).withColumn("__lb", lower)
+        return df.withColumn("__adist", adist).withColumn("__ub", upper).withColumn("__lb", lower)
+
+    def _sq_error_rerank(self, df: DataFrame, qlist: list[float], k: int) -> DataFrame:
+        """Error-bound reranker (reranker/error.rs analogue, exact by
+        construction): sound bounds from ``_sq_bounds``; rerank set =
+        candidates whose lower bound beats the k-th smallest upper
+        bound — adaptive (no window guess) and provably contains the
+        exact top-k.  Costs one tiny threshold job over the code
+        column, then reranks only the qualifying rows."""
+        scored = self._sq_bounds(df, qlist)
         thresh_row = (
             scored.orderBy(F.col("__ub").asc(), F.col("id").asc())
             .limit(k)
@@ -368,6 +373,67 @@ class FlatIndex:
         d = arrow_distance(qlist, self.meta["kernel"])(F.col("vec"))
         out = df.withColumn("distance", base.post_map(self.meta["metric"], d))
         return out.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k).select("id", "distance")
+
+    def range_search(
+        self,
+        query: Sequence[float],
+        radius: float,
+        filter=None,
+        exclude: DataFrame | None = None,
+    ) -> DataFrame:
+        """All rows with distance < ``radius`` (SQL-level units) — EXACT
+        for every storage/quantization cell.
+
+        Raw f32 and f16 storage: one scan + filter.  SQ codes run the
+        two-phase sphere: the first pass reads ONLY the code column and
+        keeps rows whose sound LOWER bound (``_sq_bounds``) is inside
+        the radius — the true distance is ≥ that bound, so every
+        in-range row survives the prefilter by construction — then
+        exact vectors are fetched for just that candidate set and
+        refiltered.  At width·levels⁻¹ code error the candidate ring is
+        a thin shell around the sphere: the exact-vector I/O is
+        proportional to the answer, not the corpus.  PQ/RaBitQ
+        estimators carry no sound bound, so those cells fall back to
+        the exact vector scan (same answer, no I/O skip)."""
+        q = base.prep_query(query, self.meta["normalize"])
+        qlist = [float(v) for v in q]
+        metric = self.meta["metric"]
+        kradius = float(radius) - 1.0 if metric == "cos" else float(radius)
+        df = base.apply_residual(self._rows(), filter, exclude)
+
+        if self.meta.get("storage") == "f16":
+            kernel = self.meta["kernel"]
+            qv = np.asarray(qlist, dtype=np.float64)
+
+            @F.pandas_udf("double")
+            def f16_score(vb: pd.Series) -> pd.Series:
+                mat = np.asarray(
+                    [np.frombuffer(b, dtype=np.float16) for b in vb], dtype=np.float64
+                )
+                return pd.Series(base.np_kernel_distance(kernel, mat, qv))
+
+            out = df.withColumn(
+                "distance", base.post_map(metric, f16_score(F.col("vec16")))
+            )
+            return out.where(F.col("distance") < F.lit(float(radius))).select(
+                "id", "distance"
+            )
+
+        quant = self.meta.get("quantization")
+        if quant in _SQ_KINDS:
+            margin = 1e-9 * max(1.0, abs(kradius))
+            cand = self._sq_bounds(df.select("id", "codes"), qlist).where(
+                F.col("__lb") < F.lit(kradius + margin)
+            )
+            out = self._fetch_rerank(df, cand, qlist)
+        else:
+            from pgvecto_rs_spark.operators.search import arrow_distance
+
+            d = arrow_distance(qlist, self.meta["kernel"])(F.col("vec"))
+            out = df.withColumn("distance", base.post_map(metric, d))
+        return out.where(F.col("distance") < F.lit(float(radius))).select(
+            "id", "distance"
+        )
 
     def search_batch(
         self,

@@ -100,6 +100,44 @@ class SparseInvertedIndex:
             out = out.where(filter)
         return out.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
 
+    def range_search(
+        self,
+        query: Mapping[int, float] | Sequence[tuple[int, float]],
+        radius: float,
+        filter=None,
+    ) -> DataFrame:
+        """Docs with negative-dot distance < ``radius`` among docs that
+        OVERLAP the query's support — the sphere predicate through the
+        postings layout: only the query terms' postings are scanned
+        (term-membership pushdown, same as top-k), one doc-keyed
+        aggregation, then the threshold filter.
+
+        Zero-overlap docs (distance exactly 0, never touched by the
+        query's postings) are NOT emitted even when 0 < radius — the
+        same index contract as top-k, which also ranks only overlapping
+        docs; a sphere that must include non-overlapping docs is a full
+        table predicate, not an index scan."""
+        items = list(query.items()) if isinstance(query, Mapping) else list(query)
+        qdf = self.spark.createDataFrame(
+            [(int(t), float(w)) for t, w in items if w != 0.0], "term int, qw float"
+        )
+        postings = self.spark.read.parquet(os.path.join(self.path, "postings"))
+        terms = [int(t) for t, w in items if w != 0.0]
+        postings = postings.where(F.col("term").isin(terms))
+        scored = (
+            postings.join(F.broadcast(qdf), "term")
+            .groupBy("id")
+            .agg(
+                F.sum(F.col("val").cast("double") * F.col("qw").cast("double")).alias("score")
+            )
+        )
+        out = scored.select("id", (-F.col("score")).alias("distance")).where(
+            F.col("distance") < F.lit(float(radius))
+        )
+        if filter is not None:
+            out = out.where(filter)
+        return out
+
     def search_batch(
         self,
         queries: DataFrame,

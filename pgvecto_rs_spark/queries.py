@@ -2214,6 +2214,34 @@ def fresh_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fresh_range_l2",
+    f"""
+    SELECT id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id AS id, {_SQL_L2} AS d FROM embeddings
+    ) WHERE ((id % 7 <> 0) OR (id % 14 = 0)) AND d < {RANGE_RADIUS}
+    """,
+)
+def fresh_range_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sphere search through the freshness layer (same tombstone/
+    re-insert state as fresh_topk_l2): sealed pruned range ∪ brute
+    delta range − tombstones, deduped to best-per-id.  Oracle = the
+    same visibility predicate AND the sphere over the base table."""
+    from pgvecto_rs_spark.streaming.freshness import FreshVectorIndex
+
+    path = _tmp_index_dir("fresh", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        emb = _emb(spark, sf_dir)
+        FreshVectorIndex.create(spark, emb, path, metric="l2", sealed_kind="flat")
+        idx = FreshVectorIndex.open(spark, path)
+        idx.delete_df(emb.where(F.col("vec_id") % 7 == 0), id_col="vec_id")
+        idx.insert(emb.where(F.col("vec_id") % 14 == 0))
+    else:
+        idx = _open_cached(FreshVectorIndex, spark, path)
+    out = idx.range_search(Q64, RANGE_RADIUS)
+    return out.select("id", _r4(F.col("distance")).alias("dist"))
+
+
+@register(
     "flat_sq8_topk_l2",
     f"""
     SELECT id, ROUND(d, 4) AS dist FROM (
@@ -2234,6 +2262,64 @@ def flat_sq8_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _open_cached(FlatIndex, spark, path)
     out = idx.search(Q64, k=10)
     return out.select("id", _r4(F.col("distance")).alias("dist"))
+
+
+@register(
+    "flat_sq8_range_l2",
+    f"""
+    SELECT id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id AS id, {_SQL_L2} AS d FROM embeddings
+    ) WHERE d < {RANGE_RADIUS}
+    """,
+)
+def flat_sq8_range_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase coded sphere scan: pass 1 reads only the SQ8 code
+    column and keeps rows whose sound error-bound LOWER bound is inside
+    the radius (every in-range row survives by construction); pass 2
+    fetches exact vectors for just that ring and refilters — exact, at
+    code-column I/O plus answer-proportional vector I/O."""
+    from pgvecto_rs_spark.indexes import FlatIndex
+
+    path = _tmp_index_dir("sq8", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        FlatIndex.create(spark, _emb(spark, sf_dir), path, metric="l2", quantization="sq8")
+    idx = _open_cached(FlatIndex, spark, path)
+    out = idx.range_search(Q64, RANGE_RADIUS)
+    return out.select("id", _r4(F.col("distance")).alias("dist"))
+
+
+SPARSE_RANGE_RADIUS = -0.1  # dot > 0.1: ~15% of overlap docs at sf0.01
+
+
+@register(
+    "sparse_inv_range_dot",
+    f"""
+    SELECT vec_id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id,
+             -(list_sum(list_transform(range(1, {DIMS + 1}),
+                i -> ({_SQL_SPARSE_E}) * ({_SQL_SPARSE_Q})))) AS d
+      FROM embeddings
+    ) WHERE d < {SPARSE_RANGE_RADIUS} AND d <> 0.0
+    """,
+)
+def sparse_inv_range_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sphere predicate through the postings layout: only the query
+    terms' postings scan, one doc-keyed sum, threshold filter.  Exact
+    over the overlap contract (docs sharing no term with the query have
+    distance exactly 0 and are excluded on both sides — same contract
+    as the sparse top-k, which also ranks only overlapping docs)."""
+    from pgvecto_rs_spark.indexes.sparse_inverted import SparseInvertedIndex
+
+    path = _tmp_index_dir("spinv", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        SparseInvertedIndex.create(
+            spark, _sparse_emb(_emb(spark, sf_dir)), path,
+            svector_col="svec", id_col="vec_id",
+        )
+    idx = _open_cached(SparseInvertedIndex, spark, path)
+    q = {i: x for i, x in enumerate(Q64) if abs(x) > SPARSE_THRESHOLD}
+    out = idx.range_search(q, SPARSE_RANGE_RADIUS)
+    return out.select(F.col("id").alias("vec_id"), _r4(F.col("distance")).alias("dist"))
 
 
 _SQL_BATCH_L2 = (

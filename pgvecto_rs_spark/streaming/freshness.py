@@ -221,6 +221,38 @@ class FreshVectorIndex:
         merged = merged.groupBy("id").agg(F.min("distance").alias("distance"))
         return merged.orderBy(F.col("distance").asc(), F.col("id").asc()).limit(k)
 
+    def range_search(
+        self, query: Sequence[float], radius: float, **search_opts
+    ) -> DataFrame:
+        """Sphere search over sealed ∪ growing, minus tombstoned rows —
+        the freshness twin of ``search``: the sealed index's own
+        ``range_search`` (pruned: IVF triangle-inequality lists, HNSW
+        stream widening, flat SQ code-bound prefilter) unions a
+        brute-forced exact range over the small delta with version
+        visibility, deduped to each id's best distance."""
+        tomb_agg = self._tomb_agg()
+        sealed = self.sealed.range_search(
+            query, radius, exclude=tomb_agg, **search_opts
+        )
+        delta = self._delta()
+        if delta is None:
+            return sealed
+        kernel, do_norm = base.resolve_metric(self.meta["metric"])
+        q = base.prep_query(query, do_norm)
+        d = dist_expr(F.col("vec"), [float(x) for x in q], kernel)
+        live = delta
+        if tomb_agg is not None:
+            live = (
+                delta.join(F.broadcast(tomb_agg), "id", "left")
+                .where(F.col("tv").isNull() | (F.col("version") > F.col("tv")))
+                .drop("tv")
+            )
+        growing = live.select(
+            "id", base.post_map(self.meta["metric"], d).alias("distance")
+        ).where(F.col("distance") < F.lit(float(radius)))
+        merged = sealed.select("id", "distance").unionByName(growing)
+        return merged.groupBy("id").agg(F.min("distance").alias("distance"))
+
     # ------------------------------------------------------------------
     def compact(self, incremental: bool | None = None) -> None:
         """The optimizer pass (optimizing/mod.rs:58-105): fold delta into

@@ -321,3 +321,35 @@ def test_auto_seal_on_size(spark, emb):
         assert not st["idx_growing"], "threshold crossed: sealed"
         assert st["idx_sealed"][0] == emb.count()
         assert idx.search(Q64, k=10).count() == 10
+
+
+def test_range_search_union_delta_minus_tombstones(spark, emb):
+    """range_search twin of search: sealed pruned sphere + brute delta
+    sphere − tombstones == the brute sphere over the LIVE row set."""
+    from pgvecto_rs_spark.operators.search import range_search
+
+    # radius at a clear gap so membership is float-noise-proof
+    ds = sorted(
+        r["distance"]
+        for r in range_search(emb, "embedding", Q64, float("inf"), metric="l2").collect()
+    )
+    radius = next(
+        (ds[i] + ds[i + 1]) / 2.0 for i in range(25, len(ds) - 1) if ds[i + 1] - ds[i] > 1e-5
+    )
+    in_sphere = {
+        r["vec_id"]
+        for r in range_search(emb, "embedding", Q64, radius, metric="l2").collect()
+    }
+    assert len(in_sphere) > 5
+    victims = sorted(in_sphere)[:3]
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)  # sealed = vec_id < 400
+        idx.insert(emb.where(F.col("vec_id") >= 400))  # delta side
+        idx.delete(victims)  # tombstones hit sealed rows in the sphere
+        got = {r["id"] for r in idx.range_search(Q64, radius).collect()}
+        assert got == in_sphere - set(victims)
+        # re-insert one victim: version beats the tombstone
+        idx.insert(emb.where(F.col("vec_id") == victims[0]))
+        got2 = {r["id"] for r in idx.range_search(Q64, radius).collect()}
+        assert got2 == in_sphere - set(victims[1:])

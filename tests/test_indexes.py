@@ -858,3 +858,120 @@ class TestHNSWRangeSearch:
             assert {r["id"] for r in got} == {i for i in brute if i % 2 == 0}
             for r in got:
                 assert r["distance"] < radius
+
+
+class TestFlatRangeSearch:
+    """Exact sphere across every flat storage/quantization cell; the SQ
+    cell additionally proves its two-phase shape (code-bound prefilter
+    shrinks the exact-fetch set) without losing a single in-range row."""
+
+    def _brute(self, emb, metric, radius):
+        from pgvecto_rs_spark.operators.search import range_search
+
+        return {
+            r["vec_id"]
+            for r in range_search(emb, "embedding", Q64, radius, metric=metric).collect()
+        }
+
+    def _gap_radius(self, emb, metric, idx_from):
+        from pgvecto_rs_spark.operators.search import range_search
+
+        ds = sorted(
+            r["distance"]
+            for r in range_search(
+                emb, "embedding", Q64, float("inf"), metric=metric
+            ).collect()
+        )
+        for i in range(idx_from, len(ds) - 1):
+            if ds[i + 1] - ds[i] > 1e-5:
+                return (ds[i] + ds[i + 1]) / 2.0
+        raise AssertionError("no usable gap")
+
+    @pytest.mark.parametrize("metric", ["l2", "dot", "cos"])
+    def test_raw_matches_brute(self, spark, emb, metric):
+        with tempfile.TemporaryDirectory() as d:
+            idx = FlatIndex.create(spark, emb, d, metric=metric)
+            radius = self._gap_radius(emb, metric, 60)
+            got = {r["id"] for r in idx.range_search(Q64, radius).collect()}
+            assert got == self._brute(emb, metric, radius)
+
+    def test_sq8_two_phase_exact_and_pruned(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = FlatIndex.create(spark, emb, d, metric="l2", quantization="sq8")
+            radius = self._gap_radius(emb, "l2", 30)
+            got = {r["id"] for r in idx.range_search(Q64, radius).collect()}
+            want = self._brute(emb, "l2", radius)
+            assert got == want
+            # the prefilter ring must be well under the corpus size
+            q = [float(x) for x in Q64]
+            cand = idx._sq_bounds(
+                idx._rows().select("id", "codes"), q
+            ).where(F.col("__lb") < radius)
+            n_cand = cand.count()
+            assert len(want) <= n_cand < emb.count() * 0.6, n_cand
+
+    def test_f16_and_pq_cells(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            radius = self._gap_radius(emb, "l2", 45)
+            want = self._brute(emb, "l2", radius)
+            f16 = FlatIndex.create(spark, emb, f"{d}/f16", metric="l2", storage="f16")
+            got16 = {r["id"] for r in f16.range_search(Q64, radius).collect()}
+            # f16 stores on the binary16 grid: distances move ~1e-3, so
+            # membership can differ only right at the radius; the gap
+            # construction keeps the boundary clear of data points
+            assert got16 == want
+            pq = FlatIndex.create(
+                spark, emb, f"{d}/pq", metric="l2", quantization="pq", pq_ratio=4
+            )
+            gotpq = {r["id"] for r in pq.range_search(Q64, radius).collect()}
+            assert gotpq == want  # exact-scan fallback: no estimator risk
+
+
+class TestSparseRangeSearch:
+    def test_matches_brute_over_overlap(self, spark, emb):
+        from pgvecto_rs_spark.functions import sparse as VS
+
+        thr = F.transform(
+            F.col("embedding"),
+            lambda x: F.when(F.abs(x) > SPARSE_THRESHOLD, x)
+            .otherwise(F.lit(0.0))
+            .cast("float"),
+        )
+        sdf = emb.select(
+            F.col("vec_id").alias("doc_id"), VS.dense_to_svector(thr).alias("svec")
+        )
+        q = {i: x for i, x in enumerate(Q64) if abs(x) > SPARSE_THRESHOLD}
+        qs = VS.to_svector(
+            64,
+            F.array(*[F.lit(i) for i in q]).cast("array<int>"),
+            F.array(*[F.lit(v) for v in q.values()]).cast("array<float>"),
+        )
+        all_d = sorted(
+            r["d"]
+            for r in sdf.select(
+                "doc_id", VS.svector_neg_dot(F.col("svec"), qs, check=False).alias("d")
+            )
+            .where(F.col("d") != 0.0)
+            .collect()
+        )
+        # radius at a >1e-5 gap past the 20th overlap-doc distance
+        radius = next(
+            (all_d[i] + all_d[i + 1]) / 2.0
+            for i in range(20, len(all_d) - 1)
+            if all_d[i + 1] - all_d[i] > 1e-5
+        )
+        brute = {
+            (r["doc_id"], round(r["d"], 9))
+            for r in sdf.select(
+                "doc_id", VS.svector_neg_dot(F.col("svec"), qs, check=False).alias("d")
+            )
+            .where((F.col("d") < radius) & (F.col("d") != 0.0))
+            .collect()
+        }
+        with tempfile.TemporaryDirectory() as d:
+            idx = SparseInvertedIndex.create(spark, sdf, d)
+            got = {
+                (r["id"], round(r["distance"], 9))
+                for r in idx.range_search(q, radius).collect()
+            }
+        assert got == brute and len(got) > 20
