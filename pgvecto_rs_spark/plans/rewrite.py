@@ -159,7 +159,14 @@ class Planner:
         **index_opts,
     ) -> DataFrame:
         """``WHERE col <<op>> sphere(c, r)`` — index range-scan when
-        available (strategy-2 FOR SEARCH, finalize.sql:745-803)."""
+        available (strategy-2 FOR SEARCH, finalize.sql:745-803).
+
+        With a LIMIT the sphere rides the index's ordered top-k stream
+        and the radius filters it (the reference's ordered sphere scan);
+        without one, a native ``range_search`` on the index answers the
+        pure sphere predicate (IVF list pruning / HNSW stream widening /
+        flat SQ code-bound two-phase), falling back to the exact
+        seqscan filter when the index kind has neither."""
         entry = (
             self.catalog.lookup(table, sphere.column, sphere.metric)
             if self.enable_index
@@ -167,8 +174,14 @@ class Planner:
         )
         if entry is not None and k is not None:
             out = entry.index.search(sphere.center, k=k, filter=filter, **index_opts)
-            self.last_decision = {"path": "index-range"}
+            self.last_decision = {"path": "index-range-limit"}
             return out.where(F.col("distance") < sphere.radius)
+        if entry is not None and hasattr(entry.index, "range_search"):
+            out = entry.index.range_search(
+                sphere.center, sphere.radius, filter=filter, **index_opts
+            )
+            self.last_decision = {"path": "index-range"}
+            return out
         self.last_decision = {"path": "seqscan-range"}
         return SR.range_search(
             df, sphere.column, list(sphere.center), sphere.radius, metric=sphere.metric, filter=filter

@@ -398,6 +398,31 @@ class TestPlanner:
         assert p.last_decision["threshold"] == RANGE_RADIUS  # min-merge
         assert all(r["distance"] < RANGE_RADIUS for r in out)
 
+    def test_limitless_sphere_routes_to_index_range(self, spark, sf_dir, tmp_path):
+        """A sphere with no LIMIT routes to the index's native
+        range_search (IVF list pruning) and equals the seqscan sphere;
+        the enable_index veto restores the seqscan path."""
+        from pgvecto_rs_spark.indexes import IVFIndex
+        from pgvecto_rs_spark.plans import IndexCatalog, Planner
+        from pgvecto_rs_spark.plans.rewrite import Sphere
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cat = IndexCatalog()
+        idx = IVFIndex.create(spark, emb, str(tmp_path / "ivfr"), metric="l2", nlist=8)
+        cat.register("embeddings", "embedding", "l2", idx)
+        p = Planner(cat)
+        sph = Sphere("embedding", Q64, RANGE_RADIUS, "l2")
+        via_index = {
+            r["id"] for r in p.range_search("embeddings", emb, sph).collect()
+        }
+        assert p.last_decision["path"] == "index-range"
+        p.enable_index = False
+        via_scan = {
+            r["vec_id"] for r in p.range_search("embeddings", emb, sph).collect()
+        }
+        assert p.last_decision["path"] == "seqscan-range"
+        assert via_index == via_scan and len(via_index) > 0
+
     def test_multi_vector_order_by_rejected(self, spark, sf_dir):
         """scan_build (am_scan.rs:34-39): a second, *different* ORDER BY
         vector errors; a repeated identical one is tolerated."""
@@ -455,7 +480,7 @@ class TestPlanner:
 
         # range search through the index
         p.range_search("embeddings", emb, Sphere("embedding", Q64, RANGE_RADIUS, "l2"), k=50)
-        assert p.last_decision == {"path": "index-range"}
+        assert p.last_decision == {"path": "index-range-limit"}
         p.enable_index = False
         p.range_search("embeddings", emb, Sphere("embedding", Q64, RANGE_RADIUS, "l2"), k=50)
         assert p.last_decision == {"path": "seqscan-range"}
