@@ -61,8 +61,10 @@ BENCH_QUERIES = [
     "doc_bpe_tokens",
     "doc_mixture_sample",
     "emb_kmeans",
+    "emb_knn_classify",
     "emb_semdedup",
     "chunk_embed_topk",
+    "chunk_embed_pool",
     "doc_maxsim_topk",
     "events_hourly",
     "events_sessions",

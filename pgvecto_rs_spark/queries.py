@@ -279,6 +279,61 @@ def knn_join_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_knn_classify",
+    """
+    SELECT qid, true_label, predicted_label FROM (
+      SELECT qid, true_label, label AS predicted_label,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY n DESC, label) AS r
+      FROM (
+        SELECT qid, true_label, label, COUNT(*) AS n FROM (
+          SELECT q.vec_id AS qid, q.label AS true_label, c.label,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY list_distance(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])),
+                            c.vec_id
+                 ) AS rn
+          FROM embeddings q CROSS JOIN embeddings c
+          WHERE q.vec_id % 10 = 0 AND c.vec_id % 10 <> 0
+        ) WHERE rn <= 10 GROUP BY 1, 2, 3
+      )
+    ) WHERE r = 1
+    """,
+)
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label propagation — the label-spreading step of dataset
+    curation (propagate quality/domain labels from a labeled seed set
+    to unlabeled data): every 10th vector plays the query side, its
+    label predicted by majority vote (count DESC, label ASC tie-break)
+    over its 10 nearest corpus neighbors.
+
+    Scale shape: broadcast the (small) labeled query side, one corpus
+    scan (BroadcastNestedLoopJoin), per-query window rank, then a tiny
+    (query, label) vote aggregation — at corpus scale the scan side
+    parallelizes and the IVF knn path substitutes for the brute join
+    (knn_join_ivf_l2's shape)."""
+    emb = _emb(spark, sf_dir)
+    left = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("embedding").alias("qvec"),
+    )
+    corpus = emb.where(F.col("vec_id") % 10 != 0)
+    nn = SR.knn_join(
+        left, corpus, "qvec", "embedding", k=10, metric="l2",
+        partition_keys=["qid"], tiebreaker="vec_id",
+    )
+    votes = nn.groupBy("qid", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        votes.withColumn("__r", F.row_number().over(w))
+        .where(F.col("__r") == 1)
+        .select("qid", "true_label", F.col("label").alias("predicted_label"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. scalar functions: norm / normalize / dims / slice / arithmetic
 # ---------------------------------------------------------------------------
@@ -2628,6 +2683,54 @@ def _materialize_chunk_embed_oracle(sf_dir: str) -> None:
     pq.write_table(out, _CHUNK_EMBED_ORACLE_FILE)
     with open(sidecar, "w") as fh:
         json.dump(key, fh)
+
+
+@register(
+    "chunk_embed_pool",
+    f"""
+    SELECT doc_id, CAST(ord - 1 AS BIGINT) AS pos,
+           CAST(FLOOR(CAST(SUM(CAST(FLOOR(val * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                      / COUNT(*) + 0.5) AS BIGINT) AS pooled_u
+    FROM (
+      SELECT doc_id, CAST(unnest(emb) AS DOUBLE) AS val,
+             generate_subscripts(emb, 1) AS ord
+      FROM '{_CHUNK_EMBED_ORACLE_FILE}'
+    ) WHERE ord <= 8
+    GROUP BY doc_id, ord
+    """,
+)
+def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk→document embedding pooling — the mean-pool step that turns
+    per-chunk embeddings back into one document vector for doc-level
+    retrieval/dedup (the array-level operator is aggregates.avg_vector,
+    oracle-checked by agg_avg_vector; here the pooled components are
+    compared as micro-scaled integers so the cross-engine float-sum
+    order can't shift a rounding boundary).  First 8 dims per doc keep
+    the gate row count bounded; the plan shape (posexplode → (doc,pos)
+    partial agg) is dimension-independent."""
+    from pgvecto_rs_spark.sources.embedding import text2vec_hash
+
+    _materialize_chunk_embed_oracle(sf_dir)
+    chunks = CU.chunk_documents(
+        DD._spread(_docs(spark, sf_dir)), chunk_tokens=32, overlap=8
+    )
+    embedded = chunks.select(
+        "doc_id", text2vec_hash("chunk_text", 64).alias("emb")
+    )
+    exploded = embedded.select(
+        "doc_id", F.posexplode("emb").alias("pos", "val")
+    ).where(F.col("pos") < 8)
+    su = F.sum(
+        F.floor(F.col("val").cast("double") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    )
+    return (
+        exploded.groupBy("doc_id", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            F.floor(su.cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("long")
+            .alias("pooled_u")
+        )
+    )
 
 
 @register(
