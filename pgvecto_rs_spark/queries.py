@@ -307,24 +307,37 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     label predicted by majority vote (count DESC, label ASC tie-break)
     over its 10 nearest corpus neighbors.
 
-    Scale shape: broadcast the (small) labeled query side, one corpus
-    scan (BroadcastNestedLoopJoin), per-query window rank, then a tiny
-    (query, label) vote aggregation — at corpus scale the scan side
-    parallelizes and the IVF knn path substitutes for the brute join
-    (knn_join_ivf_l2's shape)."""
+    Scale shape: the whole labeled query set answers in ONE corpus scan
+    via FlatIndex.search_batch (per-Arrow-batch (rows × queries) gemm —
+    the same batched kernel batch_topk_l2 oracle-checks), then corpus
+    labels broadcast onto the k·|queries| neighbor rows and a tiny
+    (query, label) vote aggregation picks the winner; at larger corpus
+    scale the IVF batch path substitutes (knn_join_ivf_l2's shape)."""
+    from pgvecto_rs_spark.indexes import FlatIndex
+
     emb = _emb(spark, sf_dir)
     left = emb.where(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("true_label"),
         F.col("embedding").alias("qvec"),
     )
-    corpus = emb.where(F.col("vec_id") % 10 != 0)
-    nn = SR.knn_join(
-        left, corpus, "qvec", "embedding", k=10, metric="l2",
-        partition_keys=["qid"], tiebreaker="vec_id",
+    path = _tmp_index_dir("flatcls", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        FlatIndex.create(
+            spark, _emb(spark, sf_dir).where(F.col("vec_id") % 10 != 0),
+            path, metric="l2",
+        )
+    idx = _open_cached(FlatIndex, spark, path)
+    nn = idx.search_batch(left.select("qid", "qvec"), "qid", "qvec", k=10)
+    labels = emb.where(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("id"), "label"
     )
-    votes = nn.groupBy("qid", "true_label", "label").agg(
-        F.count(F.lit(1)).alias("n")
+    truth = left.select("qid", "true_label")
+    votes = (
+        nn.join(F.broadcast(labels), "id")
+        .join(F.broadcast(truth), nn.query_id == truth.qid)
+        .groupBy("qid", "true_label", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("n"), F.asc("label"))
     return (
