@@ -2721,15 +2721,8 @@ def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
     order can't shift a rounding boundary).  First 8 dims per doc keep
     the gate row count bounded; the plan shape (posexplode → (doc,pos)
     partial agg) is dimension-independent."""
-    from pgvecto_rs_spark.sources.embedding import text2vec_hash
-
     _materialize_chunk_embed_oracle(sf_dir)
-    chunks = CU.chunk_documents(
-        DD._spread(_docs(spark, sf_dir)), chunk_tokens=32, overlap=8
-    )
-    embedded = chunks.select(
-        "doc_id", text2vec_hash("chunk_text", 64).alias("emb")
-    )
+    embedded = _embedded_chunks(spark, sf_dir).select("doc_id", "emb")
     exploded = embedded.select(
         "doc_id", F.posexplode("emb").alias("pos", "val")
     ).where(F.col("pos") < 8)
@@ -2744,6 +2737,32 @@ def chunk_embed_pool(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pooled_u")
         )
     )
+
+
+_EMBEDDED_CHUNKS_CACHE: dict = {}
+
+
+def _embedded_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk+embed stage shared by chunk_embed_topk / _pool /
+    doc_maxsim_topk, materialized once per (file, session): the
+    text2vec UDF is the expensive stage and its output is identical
+    across the three consumers, so an eager localCheckpoint pays it
+    once (the kmeans/bpe memoization pattern).  Single-file input
+    arrives as 1 partition; _spread lets chunking AND the embedding UDF
+    parallelize (chunk_documents itself stays shuffle-free)."""
+    from pgvecto_rs_spark.sources.embedding import text2vec_hash
+
+    src = f"{sf_dir}/documents.parquet"
+    key = (src, os.path.getmtime(src), id(spark))
+    if key not in _EMBEDDED_CHUNKS_CACHE:
+        chunks = CU.chunk_documents(
+            DD._spread(_docs(spark, sf_dir)), chunk_tokens=32, overlap=8
+        )
+        _EMBEDDED_CHUNKS_CACHE[key] = chunks.select(
+            "doc_id", "chunk_no", text2vec_hash("chunk_text", 64).alias("emb")
+        ).localCheckpoint(eager=True)
+    return _EMBEDDED_CHUNKS_CACHE[key]
+
 
 
 @register(
@@ -2764,18 +2783,8 @@ def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedded query string.  Oracle side re-derives the chunk table and
     its embeddings independently (pure python/numpy) and runs the same
     top-k in SQL."""
-    from pgvecto_rs_spark.sources.embedding import text2vec_hash
-
     _materialize_chunk_embed_oracle(sf_dir)
-    # single-file input -> 1 partition; spread the docs so chunking AND
-    # the embedding UDF parallelize (chunk_documents itself stays
-    # shuffle-free)
-    chunks = CU.chunk_documents(
-        DD._spread(_docs(spark, sf_dir)), chunk_tokens=32, overlap=8
-    )
-    embedded = chunks.select(
-        "doc_id", "chunk_no", text2vec_hash("chunk_text", 64).alias("emb")
-    )
+    embedded = _embedded_chunks(spark, sf_dir)
     qv = _doc_embed_qv()
     q = F.array(*[F.lit(float(x)) for x in qv]).cast("array<float>")
     d = VD.cosine_distance(F.col("emb"), q, check=False)
@@ -3060,15 +3069,8 @@ def doc_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered.  Determinism: distances are the same IEEE expression
     tree both engines; MIN/MAX of identical doubles is order-free
     (unlike SUM, no rounding accumulates)."""
-    from pgvecto_rs_spark.sources.embedding import text2vec_hash
-
     _materialize_chunk_embed_oracle(sf_dir)
-    chunks = CU.chunk_documents(
-        DD._spread(_docs(spark, sf_dir)), chunk_tokens=32, overlap=8
-    )
-    embedded = chunks.select(
-        "doc_id", text2vec_hash("chunk_text", 64).alias("emb")
-    )
+    embedded = _embedded_chunks(spark, sf_dir).select("doc_id", "emb")
     qvs = _maxsim_qvs()
     d_cols = [
         VD.cosine_distance(
