@@ -155,14 +155,29 @@ class FreshVectorIndex:
 
         return sink
 
-    def maybe_compact(self, max_growing_rows: int = 20_000) -> bool:
+    def maybe_compact(
+        self,
+        max_growing_rows: int = 20_000,
+        delete_threshold: float = 0.2,
+    ) -> bool:
         """Compact iff the growing segment exceeds the size threshold
-        (seal-on-size, optimizing/mod.rs:33-131).  Returns True if a
+        (seal-on-size, optimizing/mod.rs:33-131) OR the tombstoned
+        fraction of the sealed index exceeds ``delete_threshold`` (the
+        reference's deleted-row GC trigger, crates/base/src/index.rs:
+        261-264 default 0.2: past that, every search drags a dead-row
+        anti-join worth a fifth of the index).  Returns True if a
         compaction ran."""
         delta = self._delta()
         if delta is not None and delta.count() >= max_growing_rows:
             self.compact()
             return True
+        tombs = self._tombstones()
+        if tombs is not None:
+            sealed_rows = max(1, int(self.sealed.meta.get("n_rows", 1)))
+            n_dead = tombs.select("id").distinct().count()
+            if n_dead / sealed_rows >= delete_threshold:
+                self.compact()
+                return True
         return False
 
     # ------------------------------------------------------------------

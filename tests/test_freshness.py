@@ -353,3 +353,20 @@ def test_range_search_union_delta_minus_tombstones(spark, emb):
         idx.insert(emb.where(F.col("vec_id") == victims[0]))
         got2 = {r["id"] for r in idx.range_search(Q64, radius).collect()}
         assert got2 == in_sphere - set(victims[1:])
+
+
+def test_delete_threshold_triggers_compaction(spark, emb):
+    """GC trigger parity (crates/base/src/index.rs:261-264): once the
+    tombstoned fraction of the sealed index passes delete_threshold,
+    maybe_compact must fold — below it, it must not."""
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)  # sealed = 400 rows
+        idx.delete(list(range(0, 40)))  # 10% dead
+        assert not idx.maybe_compact(max_growing_rows=10**9, delete_threshold=0.2)
+        idx.delete(list(range(40, 100)))  # 25% dead
+        assert idx.maybe_compact(max_growing_rows=10**9, delete_threshold=0.2)
+        st = idx.stat()
+        assert st["idx_growing"] == [] or st["idx_growing"][0] == 0
+        assert st["idx_sealed"][0] == 400 - 100
+        got = {r["id"] for r in idx.search(Q64, k=400).collect()}
+        assert got.isdisjoint(set(range(100)))
