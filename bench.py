@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "doc_token_count",
     "doc_dedup_exact",
     "doc_minhash_pairs",
+    "doc_dedup_keep",
     "doc_simhash_pairs",
     "doc_embed_hash_topk",
     "doc_decontaminate",

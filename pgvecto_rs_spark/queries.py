@@ -1104,17 +1104,26 @@ def emb_neardup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
 # truth both LSH pipelines must recover.  The Spark side only *verifies*
 # candidates (linear-ish LSH); equality with this brute-force oracle
 # proves the candidate generator has full recall at the threshold.
-_NEARDUP_TRUTH_SQL = r"""
-    WITH g AS (
+def _neardup_truth_body(src: str = "documents") -> str:
+    """Brute-force 5-shingle Jaccard pair CTE body over ``src`` (used
+    standalone as the minhash/simhash truth and re-parametrized over
+    the exact-dedup survivors by the dedup-pipeline oracle)."""
+    return rf"""g AS (
       SELECT doc_id,
              CASE WHEN length(t) < 5 THEN [t]
                   ELSE list_distinct(list_transform(range(1, length(t) - 3),
                                                     i -> substr(t, i, 5))) END AS sh
       FROM (
         SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-        FROM documents
+        FROM {src}
       )
-    )
+    )"""
+
+
+_NEARDUP_TRUTH_SQL = (
+    "WITH "
+    + _neardup_truth_body()
+    + r"""
     SELECT id_a, id_b, FLOOR(j * 10000.0 + 0.5) / 10000.0 AS jaccard FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -1122,6 +1131,7 @@ _NEARDUP_TRUTH_SQL = r"""
       FROM g a JOIN g b ON a.doc_id < b.doc_id
     ) WHERE j >= 0.9
 """
+)
 
 
 @register("doc_minhash_pairs", _NEARDUP_TRUTH_SQL)
@@ -1178,6 +1188,70 @@ def doc_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = DD.verify_pairs_jaccard(docs, cand, k=5, threshold=0.9)
     comp = DD.neardup_components(pairs)
     return comp.select(F.col("id").alias("doc_id"), "comp")
+
+
+_DEDUP_KEEP_SQL = (
+    r"""
+    WITH RECURSIVE keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM (
+        SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS dg
+        FROM documents
+      ) GROUP BY dg
+    ),
+    docs_f AS (SELECT d.doc_id, d.text FROM documents d JOIN keepers k USING (doc_id)),
+    """
+    + _neardup_truth_body("docs_f")
+    + r""",
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)) AS j
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+      ) WHERE j >= 0.9
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT w.a, e.dst FROM walk w JOIN edges e ON w.b = e.src
+    ),
+    comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS comp FROM walk GROUP BY a)
+    SELECT k.doc_id FROM keepers k LEFT JOIN comp c USING (doc_id)
+    WHERE c.comp IS NULL OR c.comp = k.doc_id
+    """
+)
+
+
+@register("doc_dedup_keep", _DEDUP_KEEP_SQL)
+def doc_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE dedup stage as one job — the kept-document set a
+    training pipeline actually materializes: exact dedup (md5 digest,
+    keep min id) → MinHash-LSH candidates over the survivors → exact
+    Jaccard verify → connected components → keep one doc per near-dup
+    cluster.  Oracle re-runs the chain in SQL (digest grouping, brute
+    pair truth over the survivors, recursive-CTE components).
+
+    Scale shape: each stage is the already-proven operator (one digest
+    shuffle; shuffle-free signatures + banded buckets; min-label
+    propagation over the tiny pair graph); the composition adds no new
+    shuffles beyond its parts."""
+    docs = _docs(spark, sf_dir)
+    keep_exact = DD.exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    survivors = docs.join(keep_exact, "doc_id").localCheckpoint(eager=True)
+    cand = DD.lsh_candidate_pairs(
+        survivors, num_perm=32, bands=8, est_threshold=0.6
+    ).localCheckpoint(eager=True)
+    pairs = DD.verify_pairs_jaccard(survivors, cand, k=5, threshold=0.9)
+    comp = DD.neardup_components(pairs)
+    drop = comp.where(F.col("comp") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    return survivors.select("doc_id").join(F.broadcast(drop), "doc_id", "left_anti")
 
 
 @register("doc_simhash_pairs", _NEARDUP_TRUTH_SQL)
