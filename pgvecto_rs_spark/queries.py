@@ -2696,6 +2696,26 @@ _SQL_DOC_NORMSQ = (
 )
 
 
+# whole-doc hash embeddings are shared by doc_embed_hash_topk and the
+# hybrid retriever — materialize once per (file, session)
+_DOC_EMBEDDED_CACHE: dict = {}
+
+
+def _doc_hash_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pgvecto_rs_spark.sources.embedding import text2vec_hash
+
+    src = f"{sf_dir}/documents.parquet"
+    key = (src, os.path.getmtime(src), id(spark))
+    if key not in _DOC_EMBEDDED_CACHE:
+        _DOC_EMBEDDED_CACHE[key] = (
+            _docs(spark, sf_dir)
+            .select("doc_id", text2vec_hash("text", 64).alias("emb"))
+            .localCheckpoint(eager=True)
+        )
+    return _DOC_EMBEDDED_CACHE[key]
+
+
+
 @register(
     "doc_embed_hash_topk",
     f"""
@@ -2711,10 +2731,9 @@ def doc_embed_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> deterministic hash embedding -> cosine top-10 to an
     embedded query string (text2vec analogue, src/embedding/mod.rs)."""
     from pgvecto_rs_spark.operators.search import top_k as tk
-    from pgvecto_rs_spark.sources.embedding import text2vec_hash
 
     _materialize_doc_embed_oracle(sf_dir)
-    docs = _docs(spark, sf_dir).select("doc_id", text2vec_hash("text", 64).alias("emb"))
+    docs = _doc_hash_embedded(spark, sf_dir)
     qv = _doc_embed_qv()
     out = tk(docs, "emb", qv, 10, metric="cos", tiebreaker="doc_id")
     return out.select("doc_id", _r4(F.col("distance")).alias("dist"))
@@ -3601,6 +3620,22 @@ _BM25_CTES = rf"""toks AS (
     )"""
 
 
+# bm25 scores against _BM25_TERMS are shared by doc_bm25_topk and the
+# hybrid retriever — materialize once per (file, session), same pattern
+# as _embedded_chunks
+_BM25_SCORED_CACHE: dict = {}
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = f"{sf_dir}/documents.parquet"
+    key = (src, os.path.getmtime(src), id(spark))
+    if key not in _BM25_SCORED_CACHE:
+        _BM25_SCORED_CACHE[key] = RT.bm25_score(
+            _docs(spark, sf_dir), _BM25_TERMS
+        ).localCheckpoint(eager=True)
+    return _BM25_SCORED_CACHE[key]
+
+
 @register(
     "doc_bm25_topk",
     f"""
@@ -3616,7 +3651,7 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     one broadcast scalar row; per-term contributions are 1e-6-scaled
     integers so both engines rank identically (see
     operators/retrieval.py)."""
-    return RT.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
+    return _bm25_scored(spark, sf_dir).orderBy(F.desc("score_u"), "doc_id").limit(10)
 
 
 @register(
@@ -3668,13 +3703,10 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     (scaled BM25 score / 1e-6-quantized distance), and RRF scores are
     two exact int divisions + one add — identical doubles either
     engine."""
-    from pgvecto_rs_spark.sources.embedding import text2vec_hash
-
     _materialize_doc_embed_oracle(sf_dir)
-    docs = _docs(spark, sf_dir)
 
     lexc = (
-        RT.bm25_score(docs, _BM25_TERMS)
+        _bm25_scored(spark, sf_dir)
         .orderBy(F.desc("score_u"), "doc_id")
         .limit(100)
     )
@@ -3688,11 +3720,10 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qv = _doc_embed_qv()
     qcol = F.array(*[F.lit(x) for x in qv]).cast("array<float>")
-    d = VD.cosine_distance(
-        text2vec_hash("text", 64), qcol, check=False
-    )
+    d = VD.cosine_distance(F.col("emb"), qcol, check=False)
     semc = (
-        docs.select(
+        _doc_hash_embedded(spark, sf_dir)
+        .select(
             "doc_id",
             F.floor(d * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("d_u"),
         )
