@@ -1134,16 +1134,41 @@ _NEARDUP_TRUTH_SQL = (
 )
 
 
+# verified near-dup pairs over the full corpus are shared by
+# doc_minhash_pairs and doc_neardup_groups — materialize once per
+# (file, session), same pattern as the other shared stages
+_NEARDUP_PAIRS_CACHE: dict = {}
+
+
+def _verified_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = f"{sf_dir}/documents.parquet"
+    key = (src, os.path.getmtime(src), id(spark))
+    if key not in _NEARDUP_PAIRS_CACHE:
+        docs = _docs(spark, sf_dir)
+        # materialize the (small) candidate set so the verify joins
+        # probe a local table instead of replanning the whole LSH DAG
+        # around two broadcast builds (measured 2x at sf0.1); at scale
+        # this is the natural checkpoint between pipeline stages
+        cand = DD.lsh_candidate_pairs(
+            docs, num_perm=32, bands=8, est_threshold=0.6
+        ).localCheckpoint(eager=True)
+        _NEARDUP_PAIRS_CACHE[key] = DD.verify_pairs_jaccard(
+            docs, cand, k=5, threshold=0.9
+        ).localCheckpoint(eager=True)
+    return _NEARDUP_PAIRS_CACHE[key]
+
+
 @register("doc_minhash_pairs", _NEARDUP_TRUTH_SQL)
 def doc_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH candidates -> exact-Jaccard verify (the production
     near-dup pipeline shape).  Oracle-equality against brute-force
-    all-pairs Jaccard proves LSH recall = 1.0 at the threshold."""
+    all-pairs Jaccard proves LSH recall = 1.0 at the threshold.
+
+    Deliberately does NOT reuse _verified_neardup_pairs: this query IS
+    the pair-discovery benchmark, so it pays its full cost every run;
+    downstream stages (doc_neardup_groups) reuse the materialized
+    stage, which is the pipeline's real execution shape."""
     docs = _docs(spark, sf_dir)
-    # materialize the (small) candidate set so the verify joins probe a
-    # local table instead of replanning the whole LSH DAG around two
-    # broadcast builds (measured 2x at sf0.1); at scale this is the
-    # natural checkpoint between pipeline stages
     cand = DD.lsh_candidate_pairs(
         docs, num_perm=32, bands=8, est_threshold=0.6
     ).localCheckpoint(eager=True)
@@ -1181,11 +1206,7 @@ def doc_neardup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph, component label = min doc_id (the canonical survivor).
     Pairs alone over-delete when clusters chain (A~B, B~C); components
     keep exactly one document per cluster."""
-    docs = _docs(spark, sf_dir)
-    cand = DD.lsh_candidate_pairs(
-        docs, num_perm=32, bands=8, est_threshold=0.6
-    ).localCheckpoint(eager=True)
-    pairs = DD.verify_pairs_jaccard(docs, cand, k=5, threshold=0.9)
+    pairs = _verified_neardup_pairs(spark, sf_dir)
     comp = DD.neardup_components(pairs)
     return comp.select(F.col("id").alias("doc_id"), "comp")
 
@@ -2729,11 +2750,14 @@ def _doc_hash_embedded(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_embed_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> deterministic hash embedding -> cosine top-10 to an
-    embedded query string (text2vec analogue, src/embedding/mod.rs)."""
+    embedded query string (text2vec analogue, src/embedding/mod.rs).
+    Pays the embedding cost itself (it IS the embed+search benchmark);
+    only the hybrid fusion query reuses the materialized stage."""
     from pgvecto_rs_spark.operators.search import top_k as tk
+    from pgvecto_rs_spark.sources.embedding import text2vec_hash
 
     _materialize_doc_embed_oracle(sf_dir)
-    docs = _doc_hash_embedded(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", text2vec_hash("text", 64).alias("emb"))
     qv = _doc_embed_qv()
     out = tk(docs, "emb", qv, 10, metric="cos", tiebreaker="doc_id")
     return out.select("doc_id", _r4(F.col("distance")).alias("dist"))
@@ -2875,9 +2899,18 @@ def chunk_embed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash embeddings (text2vec analogue) -> cosine top-10 chunks for an
     embedded query string.  Oracle side re-derives the chunk table and
     its embeddings independently (pure python/numpy) and runs the same
-    top-k in SQL."""
+    top-k in SQL.  Pays the chunk+embed cost itself (it IS the
+    retrieval-loop benchmark); the derived stage consumers
+    (chunk_embed_pool, doc_maxsim_topk) reuse _embedded_chunks."""
+    from pgvecto_rs_spark.sources.embedding import text2vec_hash
+
     _materialize_chunk_embed_oracle(sf_dir)
-    embedded = _embedded_chunks(spark, sf_dir)
+    chunks = CU.chunk_documents(
+        DD._spread(_docs(spark, sf_dir)), chunk_tokens=32, overlap=8
+    )
+    embedded = chunks.select(
+        "doc_id", "chunk_no", text2vec_hash("chunk_text", 64).alias("emb")
+    )
     qv = _doc_embed_qv()
     q = F.array(*[F.lit(float(x)) for x in qv]).cast("array<float>")
     d = VD.cosine_distance(F.col("emb"), q, check=False)
@@ -3650,8 +3683,10 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf/dl are shuffle-free array projections; corpus stats collapse to
     one broadcast scalar row; per-term contributions are 1e-6-scaled
     integers so both engines rank identically (see
-    operators/retrieval.py)."""
-    return _bm25_scored(spark, sf_dir).orderBy(F.desc("score_u"), "doc_id").limit(10)
+    operators/retrieval.py).  Pays the scoring cost itself (it IS the
+    lexical-retrieval benchmark); only the hybrid fusion query reuses
+    the materialized score stage."""
+    return RT.bm25_topk(_docs(spark, sf_dir), _BM25_TERMS, k=10)
 
 
 @register(
