@@ -323,9 +323,11 @@ def test_auto_seal_on_size(spark, emb):
         assert idx.search(Q64, k=10).count() == 10
 
 
-def test_range_search_union_delta_minus_tombstones(spark, emb):
-    """range_search twin of search: sealed pruned sphere + brute delta
-    sphere − tombstones == the brute sphere over the LIVE row set."""
+@pytest.mark.parametrize("sealed_kind", ["flat", "ivf", "hnsw"])
+def test_range_search_union_delta_minus_tombstones(spark, emb, sealed_kind):
+    """range_search twin of search: sealed pruned sphere (each sealed
+    kind's own pruning strategy) + brute delta sphere − tombstones ==
+    the brute sphere over the LIVE row set."""
     from pgvecto_rs_spark.operators.search import range_search
 
     # radius at a clear gap so membership is float-noise-proof
@@ -343,8 +345,12 @@ def test_range_search_union_delta_minus_tombstones(spark, emb):
     assert len(in_sphere) > 5
     victims = sorted(in_sphere)[:3]
 
+    kw = {"flat": {}, "ivf": {"nlist": 8}, "hnsw": {"segment_rows": 200}}[sealed_kind]
     with tempfile.TemporaryDirectory() as d:
-        idx = make(spark, emb, d)  # sealed = vec_id < 400
+        base_rows = emb.where(F.col("vec_id") < 400)
+        idx = FreshVectorIndex.create(
+            spark, base_rows, d, sealed_kind=sealed_kind, **kw
+        )
         idx.insert(emb.where(F.col("vec_id") >= 400))  # delta side
         idx.delete(victims)  # tombstones hit sealed rows in the sphere
         got = {r["id"] for r in idx.range_search(Q64, radius).collect()}
