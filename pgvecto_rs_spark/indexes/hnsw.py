@@ -142,6 +142,12 @@ class _RaBitQVecs:
         return dec[0] if single else dec
 
 
+# quant kinds whose graph distances are approximate and need the exact
+# rerank fetch; "f16" stores on the binary16 grid but its decoded
+# distances ARE the type's exact distances — no rerank
+_RERANK_QUANTS = ("sq8", "pq", "rabitq")
+
+
 def _quant_schema(quant: str | None) -> str:
     if quant in ("sq8",):
         return ", codes array<smallint>, qlo array<float>, qwidth array<float>"
@@ -271,6 +277,7 @@ def _load_segment(seg_dir: str, quant: str | None = None, qparams: tuple = ()):
     cols = ["idx", "id", "level", "neighbors", "entry"]
     cols += {
         None: ["vec"],
+        "f16": ["vec16"],
         "sq8": ["codes", "qlo", "qwidth"],
         "pq": ["codes", "codebook"],
         "rabitq": ["rq_norm", "rq_words"],
@@ -297,6 +304,15 @@ def _load_segment(seg_dir: str, quant: str | None = None, qparams: tuple = ()):
         norms = pdf["rq_norm"].to_numpy(dtype=np.float64)
         words = np.asarray(pdf["rq_words"].tolist(), dtype=np.int64).astype(np.uint32)
         vecs = _RaBitQVecs(norms, words, rabitq_projection(dims, seed))
+    elif quant == "f16":
+        # decode the stored binary16 words; all grid values are exactly
+        # representable in f64, so distances computed on the decode ARE
+        # the vecf16 type's exact distances (the reference also computes
+        # f16 via wider floats)
+        vecs = np.asarray(
+            [np.frombuffer(b, dtype=np.float16) for b in pdf["vec16"]],
+            dtype=np.float64,
+        )
     else:
         vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
     neighbors = [
@@ -726,6 +742,7 @@ class HNSWIndex:
         pq_ratio: int = 4,  # dims per subspace (base/src/index.rs:475-496)
         pq_bits: int = 8,
         seed: int = 42,
+        storage: str = "f32",  # "f32" | "f16" (vecf16: 2 bytes/dim on disk)
     ) -> "HNSWIndex":
         """Quantization composes codes into the graph: the
         executor-resident copy holds compact codes (sq8 = 1 byte/dim,
@@ -737,6 +754,10 @@ class HNSWIndex:
         on exact vectors (quality >= the reference's build-on-codes)."""
         if quantization not in (None, "sq8", "pq", "rabitq"):
             raise ValueError(f"unsupported hnsw quantization {quantization!r}")
+        if storage not in ("f32", "f16"):
+            raise ValueError(f"unknown storage {storage!r} (f32 | f16)")
+        if storage == "f16" and quantization is not None:
+            raise ValueError("f16 storage does not compose with quantization")
         kernel, do_norm = base.resolve_metric(metric)
         src = df.where(F.col(vector_col).isNotNull())
         if where is not None:
@@ -762,24 +783,34 @@ class HNSWIndex:
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("id").reset_index(drop=True)
             vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if storage == "f16":
+                # vecf16 semantics: values live on the binary16 grid;
+                # build the graph on the SAME grid values search decodes
+                vecs = vecs.astype(np.float16).astype(np.float64)
             neighbors, levels = _build_graph(vecs, kernel, m, ef_construction)
             entry = int(np.argmax(levels)) if levels else 0
             out = {
                 "seg": pdf["seg"],
                 "idx": np.arange(len(pdf), dtype=np.int64),
                 "id": pdf["id"].astype("int64"),
-                "vec": pdf["vec"],
                 "level": np.asarray(levels, dtype=np.int32),
                 "neighbors": [[lvl.tolist() for lvl in nb] for nb in neighbors],
                 "entry": np.full(len(pdf), entry, dtype=np.int64),
             }
+            if storage == "f16":
+                out["vec16"] = [
+                    row.astype(np.float16).tobytes() for row in vecs
+                ]
+            else:
+                out["vec"] = pdf["vec"]
             # per-segment quantizer training (scalar.rs trains per
             # dataset; per segment is strictly tighter)
             out.update(_quant_columns(vecs, quantization, pq_ratio, pq_bits, seed))
             return pd.DataFrame(out)
 
+        vec_field = "vec16 binary" if storage == "f16" else "vec array<float>"
         schema = (
-            "seg int, idx bigint, id bigint, vec array<float>, level int, "
+            f"seg int, idx bigint, id bigint, {vec_field}, level int, "
             "neighbors array<array<int>>, entry bigint"
         ) + _quant_schema(quantization)
         (
@@ -805,6 +836,7 @@ class HNSWIndex:
             "n_segments": int(n_segments),
             "segment_rows": int(segment_rows),
             "quantization": quantization,
+            "storage": storage,
             "pq_ratio": int(pq_ratio),
             "pq_bits": int(pq_bits),
             "seed": int(seed),
@@ -819,6 +851,8 @@ class HNSWIndex:
 
     def _quant(self) -> tuple:
         """(quant kind, loader params) — what _load_segment needs."""
+        if self.meta.get("storage") == "f16":
+            return "f16", ()
         quant = self.meta.get("quantization")
         if quant == "pq":
             return quant, (
@@ -869,8 +903,21 @@ class HNSWIndex:
 
         graph_dir = os.path.join(self.path, "graph")
         segs = sorted(affected)
+        storage = self.meta.get("storage", "f32")
         old = self.spark.read.parquet(graph_dir).where(F.col("seg").isin(segs))
-        live = old.select("seg", "id", "vec")
+        if storage == "f16":
+
+            @F.pandas_udf("array<float>")
+            def _f16_to_arr(vb: pd.Series) -> pd.Series:
+                return vb.map(
+                    lambda b: None
+                    if b is None
+                    else np.frombuffer(b, dtype=np.float16).astype(np.float32).tolist()
+                )
+
+            live = old.select("seg", "id", _f16_to_arr("vec16").alias("vec"))
+        else:
+            live = old.select("seg", "id", "vec")
         if delete_ids is not None:
             live = live.join(
                 F.broadcast(delete_ids.select(F.col(id_col).alias("id"))), "id", "left_anti"
@@ -893,22 +940,28 @@ class HNSWIndex:
         def build(pdf: pd.DataFrame) -> pd.DataFrame:
             pdf = pdf.sort_values("id").reset_index(drop=True)
             vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+            if storage == "f16":
+                vecs = vecs.astype(np.float16).astype(np.float64)
             neighbors, levels = _build_graph(vecs, kernel, m, ef_c)
             entry = int(np.argmax(levels)) if levels else 0
             out = {
                 "seg": pdf["seg"],
                 "idx": np.arange(len(pdf), dtype=np.int64),
                 "id": pdf["id"].astype("int64"),
-                "vec": pdf["vec"],
                 "level": np.asarray(levels, dtype=np.int32),
                 "neighbors": [[lvl.tolist() for lvl in nb] for nb in neighbors],
                 "entry": np.full(len(pdf), entry, dtype=np.int64),
             }
+            if storage == "f16":
+                out["vec16"] = [row.astype(np.float16).tobytes() for row in vecs]
+            else:
+                out["vec"] = pdf["vec"]
             out.update(_quant_columns(vecs, quantization, pq_ratio, pq_bits, seed))
             return pd.DataFrame(out)
 
+        vec_field = "vec16 binary" if storage == "f16" else "vec array<float>"
         schema = (
-            "seg int, idx bigint, id bigint, vec array<float>, level int, "
+            f"seg int, idx bigint, id bigint, {vec_field}, level int, "
             "neighbors array<array<int>>, entry bigint"
         ) + _quant_schema(quantization)
         # checkpoint severs lineage from the graph files we are about to
@@ -967,7 +1020,7 @@ class HNSWIndex:
                 if exact:
                     mat = (
                         _read_exact_vecs(seg_dir, np.arange(len(ids)))
-                        if quant
+                        if quant in _RERANK_QUANTS
                         else vecs
                     )
                     ds = base.np_kernel_distance(kernel, mat, qb.value)
@@ -981,7 +1034,7 @@ class HNSWIndex:
                     out_d, out_i = _search_graph(
                         vecs, neighbors, levels, entry, qb.value, kernel, ef
                     )
-                    if quant and len(out_i):
+                    if quant in _RERANK_QUANTS and len(out_i):
                         # graph reranker: candidates were ranked on coded
                         # distances; fetch their exact vectors from
                         # storage and rescore before the global merge
@@ -1085,7 +1138,7 @@ class HNSWIndex:
                     out_d, out_i = _search_graph(
                         vecs, neighbors, levels, entry, qb.value, kernel, ef
                     )
-                    if quant and len(out_i):
+                    if quant in _RERANK_QUANTS and len(out_i):
                         exact_mat = _read_exact_vecs(seg_dir, np.asarray(out_i))
                         out_d = base.np_kernel_distance(kernel, exact_mat, qb.value)
                     if (
@@ -1141,7 +1194,7 @@ class HNSWIndex:
                     ds, idxs = _search_graph(
                         vecs, neighbors, levels, entry, q, kernel, ef
                     )
-                    if quant and len(idxs):
+                    if quant in _RERANK_QUANTS and len(idxs):
                         exact_mat = _read_exact_vecs(seg_dir, np.asarray(idxs))
                         ds = base.np_kernel_distance(kernel, exact_mat, q)
                     for i, d in zip(idxs[:ef], ds[:ef]):

@@ -2657,6 +2657,36 @@ def vecf16_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "hnsw_vecf16_topk_l2",
+    f"""
+    SELECT id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id AS id, {_SQL_L2} AS d FROM '{_VECF16_ORACLE_FILE}'
+    ) ORDER BY d, id LIMIT 10
+    """,
+)
+def hnsw_vecf16_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hnsw × vecf16 cell of the type × algorithm matrix: graph
+    segments store raw binary16 words (2 bytes/dim on disk, halving
+    index I/O), build and traversal run on the decoded grid values —
+    the reference's f16-computes-via-f32 model, every algorithm
+    accepting every vector type.  Oracle = exact top-k over the
+    independently f16-snapped table (distances on the grid are the
+    type's exact distances, so no recall gap at gate scale)."""
+    from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+    _materialize_f16_oracle(sf_dir)
+    path = _tmp_index_dir("hnswf16", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        HNSWIndex.create(
+            spark, _emb(spark, sf_dir), path, metric="l2",
+            segment_rows=512, storage="f16",
+        )
+    idx = _open_cached(HNSWIndex, spark, path)
+    out = idx.search(Q64, k=10, ef_search=100)
+    return out.select("id", _r4(F.col("distance")).alias("dist"))
+
+
 # doc_embed_hash_topk oracle: DuckDB reads an independently materialized
 # (numpy, no Spark) parquet of the deterministic hash embeddings — the
 # vecf16 pattern — then runs the same cosine top-k in SQL.

@@ -975,3 +975,79 @@ class TestSparseRangeSearch:
                 for r in idx.range_search(q, radius).collect()
             }
         assert got == brute and len(got) > 20
+
+
+class TestHNSWF16:
+    """hnsw × vecf16: segments store binary16 words; build and search
+    run on the decoded grid values, which makes results EXACT for the
+    type (truth = exact top-k over the f16-snapped table)."""
+
+    def _snapped(self, spark, emb):
+        import numpy as np
+
+        @F.pandas_udf("array<float>")
+        def snap(v):
+            return v.map(
+                lambda x: np.asarray(x, np.float32)
+                .astype(np.float16)
+                .astype(np.float32)
+                .tolist()
+            )
+
+        return emb.select("vec_id", snap("embedding").alias("embedding"))
+
+    def test_matches_f16_grid_truth(self, spark, emb):
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        truth_df = self._snapped(spark, emb)
+        truth = [
+            r["vec_id"]
+            for r in top_k(
+                truth_df, "embedding", Q64, 10, metric="l2", tiebreaker="vec_id"
+            ).collect()
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            idx = HNSWIndex.create(
+                spark, emb, d, metric="l2", segment_rows=200, storage="f16"
+            )
+            got = [r["id"] for r in idx.search(Q64, k=10, ef_search=100).collect()]
+            assert got == truth
+            # storage layout: binary16 words, no f32 vector column
+            import glob as g
+
+            import pyarrow.parquet as pq
+
+            f = g.glob(f"{d}/graph/**/*.parquet", recursive=True)[0]
+            names = pq.read_schema(f).names
+            assert "vec16" in names and "vec" not in names
+            # range search on the same grid truth
+            from pgvecto_rs_spark.operators.search import range_search
+
+            want = {
+                r["vec_id"]
+                for r in range_search(
+                    truth_df, "embedding", Q64, 2.2, metric="l2"
+                ).collect()
+            }
+            rng = {r["id"] for r in idx.range_search(Q64, 2.2).collect()}
+            assert rng == want
+
+    def test_update_and_reject_quant_compose(self, spark, emb):
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        with tempfile.TemporaryDirectory() as d:
+            idx = HNSWIndex.create(
+                spark, emb, d, metric="l2", segment_rows=300, storage="f16"
+            )
+            dims = 64
+            ins = spark.createDataFrame(
+                [(9_000_001, [2.0] * dims)], "id long, vec array<float>"
+            )
+            assert idx.apply_updates(insert_rows=ins)
+            got = idx.search([2.0] * dims, k=1, ef_search=50).collect()
+            assert [r["id"] for r in got] == [9_000_001]
+        with tempfile.TemporaryDirectory() as d2:
+            with pytest.raises(ValueError, match="compose"):
+                HNSWIndex.create(
+                    spark, emb, d2, metric="l2", storage="f16", quantization="sq8"
+                )
