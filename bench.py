@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "hnsw_topk_l2",
     "hnsw_range_l2",
     "hnsw_vecf16_topk_l2",
+    "ivf_vecf16_topk_l2",
     "flat_sq8_topk_l2",
     "flat_sq8_range_l2",
     "batch_topk_l2",

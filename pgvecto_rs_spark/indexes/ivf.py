@@ -89,19 +89,35 @@ def _lloyd(
 
 
 def _compute_list_radii(
-    spark: SparkSession, lists: DataFrame, centroids: np.ndarray
+    spark: SparkSession, lists: DataFrame, centroids: np.ndarray, storage: str = "f32"
 ) -> dict[int, float]:
     """max residual L2 norm per list over ``lists`` rows (f64 over the
-    stored-f32 vectors — the same values the exact scan reads)."""
+    stored values — the same values the exact scan reads; f16 storage
+    decodes the stored binary16 words)."""
     bc = spark.sparkContext.broadcast(centroids.astype(np.float64))
 
-    @F.pandas_udf("double")
-    def rnorm(v: pd.Series, lid: pd.Series) -> pd.Series:
-        res = np.asarray(v.tolist(), dtype=np.float64) - bc.value[lid.to_numpy()]
-        return pd.Series(np.sqrt(np.einsum("ij,ij->i", res, res)))
+    if storage == "f16":
+
+        @F.pandas_udf("double")
+        def rnorm(v: pd.Series, lid: pd.Series) -> pd.Series:
+            mat = np.asarray(
+                [np.frombuffer(b, dtype=np.float16) for b in v], dtype=np.float64
+            )
+            res = mat - bc.value[lid.to_numpy()]
+            return pd.Series(np.sqrt(np.einsum("ij,ij->i", res, res)))
+
+        vcol = "vec16"
+    else:
+
+        @F.pandas_udf("double")
+        def rnorm(v: pd.Series, lid: pd.Series) -> pd.Series:
+            res = np.asarray(v.tolist(), dtype=np.float64) - bc.value[lid.to_numpy()]
+            return pd.Series(np.sqrt(np.einsum("ij,ij->i", res, res)))
+
+        vcol = "vec"
 
     rows = (
-        lists.select(rnorm("vec", F.col("list_id").cast("int")).alias("r"), "list_id")
+        lists.select(rnorm(vcol, F.col("list_id").cast("int")).alias("r"), "list_id")
         .groupBy("list_id")
         .agg(F.max("r").alias("mr"))
         .collect()
@@ -115,9 +131,10 @@ def _save_list_radii(
     centroids: np.ndarray,
     nlist: int,
     path: str,
+    storage: str = "f32",
 ) -> None:
     radii = np.zeros(nlist, dtype=np.float64)
-    for lid, mr in _compute_list_radii(spark, lists, centroids).items():
+    for lid, mr in _compute_list_radii(spark, lists, centroids, storage).items():
         radii[lid] = mr
     np.save(os.path.join(path, "list_radii.npy"), radii, allow_pickle=False)
 
@@ -163,6 +180,7 @@ class IVFIndex:
         quantization: str | None = None,  # None | "sq{1,2,4,8}" | "pq" | "rabitq"
         pq_ratio: int = 1,  # dims per subspace (base/src/index.rs:475-496)
         pq_bits: int = 8,  # codebook size 2^bits (base/src/index.rs:482-496)
+        storage: str = "f32",  # "f32" | "f16" (vecf16: 2 bytes/dim on disk)
     ) -> "IVFIndex":
         """``replicas`` > 1 stores each vector in its ``replicas``
         nearest lists (multi-assignment).  A deliberate extension over
@@ -180,10 +198,21 @@ class IVFIndex:
         the first-pass scan reads codes (n_sub bytes/row) instead of
         4·dims bytes/row."""
         kernel, do_norm = base.resolve_metric(metric)
+        if storage not in ("f32", "f16"):
+            raise ValueError(f"unknown storage {storage!r} (f32 | f16)")
+        if storage == "f16" and (quantization is not None or residual_quantization):
+            raise ValueError("f16 storage does not compose with quantization")
         src = df.where(F.col(vector_col).isNotNull())
         if where is not None:
             src = src.where(where)  # partial index: only matching rows are indexed  # NULLs not indexed (am.rs:199-211)
         vec = base.normalized_col(vector_col, do_norm).cast("array<float>")
+        if storage == "f16":
+            # vecf16 semantics: snap to the binary16 grid BEFORE training,
+            # assignment and radii so every derived artifact matches the
+            # values the stored words decode to
+            from pgvecto_rs_spark.functions.dense import to_f16_grid
+
+            vec = to_f16_grid(vec)
         prepared = src.select(
             F.col(id_col).alias("id"), vec.alias("vec"), *[F.col(c) for c in payload_cols]
         )
@@ -296,6 +325,17 @@ class IVFIndex:
         elif quantization is not None:
             raise ValueError(f"unknown quantization {quantization!r}")
 
+        if storage == "f16":
+
+            @F.pandas_udf("binary")
+            def _to_f16_bytes(v: pd.Series) -> pd.Series:
+                return v.map(
+                    lambda x: None
+                    if x is None
+                    else np.asarray(x, dtype=np.float32).astype(np.float16).tobytes()
+                )
+
+            indexed = indexed.withColumn("vec16", _to_f16_bytes("vec")).drop("vec")
         (
             indexed.repartition("list_id")
             .sortWithinPartitions("id")  # row-group min/max skipping for
@@ -312,7 +352,7 @@ class IVFIndex:
         # exactly what the exact range scan will see
         _save_list_radii(
             spark, spark.read.parquet(os.path.join(path, "lists")),
-            centroids, int(nlist_eff), path,
+            centroids, int(nlist_eff), path, storage=storage,
         )
         meta = {
             "kind": "ivf",
@@ -325,6 +365,7 @@ class IVFIndex:
             "spherical": spherical,
             "payload_cols": list(payload_cols),
             "replicas": int(r),
+            "storage": storage,
             "quantization": quantization,
             "residual_quantization": quantization in _SQ_KINDS,  # back-compat
         }
@@ -436,9 +477,14 @@ class IVFIndex:
         remove = None
         if delete_ids is not None:
             remove = delete_ids.select(F.col(id_col).cast("long").alias("id")).distinct()
+        storage = self.meta.get("storage", "f32")
         add = None
         if insert_rows is not None:
             vec = base.normalized_col(vector_col, self.meta["normalize"]).cast("array<float>")
+            if storage == "f16":
+                from pgvecto_rs_spark.functions.dense import to_f16_grid
+
+                vec = to_f16_grid(vec)
             payloads = [
                 c for c in self.meta.get("payload_cols", []) if c in insert_rows.columns
             ]
@@ -471,7 +517,19 @@ class IVFIndex:
             keep = keep.join(F.broadcast(remove), "id", "left_anti")
         live = keep
         if add is not None:
-            live = keep.unionByName(self._encode_delta(add), allowMissingColumns=True)
+            delta = self._encode_delta(add)
+            if storage == "f16":
+
+                @F.pandas_udf("binary")
+                def _to_f16_bytes(v: pd.Series) -> pd.Series:
+                    return v.map(
+                        lambda x: None
+                        if x is None
+                        else np.asarray(x, dtype=np.float32).astype(np.float16).tobytes()
+                    )
+
+                delta = delta.withColumn("vec16", _to_f16_bytes("vec")).drop("vec")
+            live = keep.unionByName(delta, allowMissingColumns=True)
         # checkpoint severs lineage from the list files we overwrite
         live = live.localCheckpoint(eager=True)
         (
@@ -503,12 +561,34 @@ class IVFIndex:
                 spark,
                 spark.read.parquet(lists_dir).where(F.col("list_id").isin(segs)),
                 self.centroids,
+                storage=storage,
             )
             for lid in segs:
                 radii[lid] = patch.get(lid, 0.0)
             np.save(radii_path, radii, allow_pickle=False)
             self._radii = None
         return segs
+
+    def _exact_distance_col(self, qlist: list[float]):
+        """Exact distance Column over the stored vector representation:
+        arrow kernel on the f32 array, or a decode-and-score UDF on f16
+        binary16 words (grid values decode exactly, so these ARE the
+        vecf16 type's distances)."""
+        kernel = self.meta["kernel"]
+        if self.meta.get("storage") == "f16":
+            qv = np.asarray(qlist, dtype=np.float64)
+
+            @F.pandas_udf("double")
+            def f16_score(vb: pd.Series) -> pd.Series:
+                mat = np.asarray(
+                    [np.frombuffer(b, dtype=np.float16) for b in vb], dtype=np.float64
+                )
+                return pd.Series(base.np_kernel_distance(kernel, mat, qv))
+
+            return f16_score(F.col("vec16"))
+        from pgvecto_rs_spark.operators.search import arrow_distance
+
+        return arrow_distance(qlist, kernel)(F.col("vec"))
 
     def probe_lists(self, q: np.ndarray, nprobe: int) -> list[int]:
         d = base.np_kernel_distance(self.meta["kernel"], self.centroids.astype(np.float64), q)
@@ -525,6 +605,7 @@ class IVFIndex:
                 _save_list_radii(
                     self.spark, self._lists(), self.centroids,
                     int(self.meta["nlist"]), self.path,
+                    storage=self.meta.get("storage", "f32"),
                 )
             self._radii = np.load(p)
         return self._radii
@@ -582,12 +663,13 @@ class IVFIndex:
         else:
             df = self._lists().where(F.col("list_id").isin(lists))
         df = base.apply_residual(df, filter, exclude)
-        from pgvecto_rs_spark.operators.search import arrow_distance
-
-        scorer = arrow_distance([float(v) for v in q], kernel)
         out = (
             df.withColumn(
-                "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
+                "distance",
+                base.post_map(
+                    self.meta["metric"],
+                    self._exact_distance_col([float(v) for v in q]),
+                ),
             )
             .where(F.col("distance") < F.lit(float(radius)))
             .select("id", "distance")
@@ -743,7 +825,8 @@ class IVFIndex:
             out = self._fetch_rerank(df, cand, scorer)
         else:
             out = df.withColumn(
-                "distance", base.post_map(self.meta["metric"], scorer(F.col("vec")))
+                "distance",
+                base.post_map(self.meta["metric"], self._exact_distance_col(qlist)),
             )
         if self.meta.get("replicas", 1) > 1:
             # multi-assignment can surface the same id from two probed
@@ -905,6 +988,8 @@ class IVFIndex:
         qb = self.spark.sparkContext.broadcast((qids, qmat, probes))
         kk = int(k)
 
+        storage = self.meta.get("storage", "f32")
+
         def scan(batches):
             qids_l, qm, pr = qb.value
             for pdf in batches:
@@ -917,7 +1002,13 @@ class IVFIndex:
                     qis = pr.get(int(lid))
                     if not qis:
                         continue
-                    mat = np.asarray(grp["vec"].tolist(), dtype=np.float64)
+                    if storage == "f16":
+                        mat = np.asarray(
+                            [np.frombuffer(b, dtype=np.float16) for b in grp["vec16"]],
+                            dtype=np.float64,
+                        )
+                    else:
+                        mat = np.asarray(grp["vec"].tolist(), dtype=np.float64)
                     ids = grp["id"].to_numpy()
                     top = min(kk, len(ids))
                     for qi in qis:
@@ -931,10 +1022,11 @@ class IVFIndex:
                         {"query_id": out_qid, "id": out_id, "distance": out_d}
                     )
 
+        vcol = "vec16" if self.meta.get("storage") == "f16" else "vec"
         src = (
             self._lists()
             .where(F.col("list_id").isin(all_lists))
-            .select("id", "vec", "list_id")
+            .select("id", vcol, "list_id")
         )
         cand = src.mapInPandas(
             scan, "query_id bigint, id bigint, distance double"

@@ -2658,6 +2658,33 @@ def vecf16_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_vecf16_topk_l2",
+    f"""
+    SELECT id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id AS id, {_SQL_L2} AS d FROM '{_VECF16_ORACLE_FILE}'
+    ) ORDER BY d, id LIMIT 10
+    """,
+)
+def ivf_vecf16_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ivf × vecf16 cell: lists store binary16 words (2 bytes/dim);
+    training, assignment, radii and the probed scans all run on the
+    decoded grid values, so full probe is exactly the vecf16 type's
+    top-k.  Oracle = exact top-k over the independently f16-snapped
+    table."""
+    from pgvecto_rs_spark.indexes import IVFIndex
+
+    _materialize_f16_oracle(sf_dir)
+    path = _tmp_index_dir("ivff16", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        IVFIndex.create(
+            spark, _emb(spark, sf_dir), path, metric="l2", nlist=8, storage="f16"
+        )
+    idx = _open_cached(IVFIndex, spark, path)
+    out = idx.search(Q64, k=10, nprobe=8)
+    return out.select("id", _r4(F.col("distance")).alias("dist"))
+
+
+@register(
     "hnsw_vecf16_topk_l2",
     f"""
     SELECT id, ROUND(d, 4) AS dist FROM (

@@ -1051,3 +1051,63 @@ class TestHNSWF16:
                 HNSWIndex.create(
                     spark, emb, d2, metric="l2", storage="f16", quantization="sq8"
                 )
+
+
+class TestIVFF16:
+    """ivf × vecf16: lists store binary16 words; training, assignment,
+    radii and scans all run on the decoded grid values, so full-probe
+    results are EXACT for the type."""
+
+    def test_matches_f16_grid_truth_all_surfaces(self, spark, emb):
+        import numpy as np
+
+        @F.pandas_udf("array<float>")
+        def snap(v):
+            return v.map(
+                lambda x: np.asarray(x, np.float32)
+                .astype(np.float16)
+                .astype(np.float32)
+                .tolist()
+            )
+
+        truth_df = emb.select("vec_id", snap("embedding").alias("embedding"))
+        truth = [
+            r["vec_id"]
+            for r in top_k(
+                truth_df, "embedding", Q64, 10, metric="l2", tiebreaker="vec_id"
+            ).collect()
+        ]
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=8, storage="f16")
+            got = [r["id"] for r in idx.search(Q64, k=10, nprobe=8).collect()]
+            assert got == truth
+            from pgvecto_rs_spark.operators.search import range_search
+
+            want = {
+                r["vec_id"]
+                for r in range_search(
+                    truth_df, "embedding", Q64, 2.2, metric="l2"
+                ).collect()
+            }
+            assert {r["id"] for r in idx.range_search(Q64, 2.2).collect()} == want
+            # storage layout
+            import glob as g
+
+            import pyarrow.parquet as pq
+
+            f = g.glob(f"{d}/lists/**/*.parquet", recursive=True)[0]
+            names = pq.read_schema(f).names
+            assert "vec16" in names and "vec" not in names
+            # incremental update keeps radii sound for range completeness
+            ins = spark.createDataFrame(
+                [(9_000_001, [2.0] * 64)], "id long, vec array<float>"
+            )
+            assert idx.apply_updates(insert_rows=ins)
+            hits = idx.range_search([2.0] * 64, 1.0).collect()
+            assert [r["id"] for r in hits] == [9_000_001]
+        with tempfile.TemporaryDirectory() as d2:
+            with pytest.raises(ValueError, match="compose"):
+                IVFIndex.create(
+                    spark, emb, d2, metric="l2", nlist=4,
+                    storage="f16", quantization="sq8",
+                )
