@@ -553,6 +553,48 @@ def bin_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bin_hamming_ivf_topk",
+    f"""
+    SELECT vec_id, CAST(d AS BIGINT) AS dist FROM (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, {DIMS + 1}),
+               i -> CASE WHEN ({_SQL_BIT_E}) != ({_SQL_BIT_Q}) THEN 1 ELSE 0 END)) AS d
+      FROM embeddings
+    ) ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def bin_hamming_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bvector × IVF cell via the 0/1 reduction: Hamming(x, y) ==
+    squared-L2 on the {0,1}-embedded bits, so binary vectors ride the
+    ENTIRE dense index machinery unchanged (build, probing = partition
+    pruning, radii, batch) — the Spark-first answer to the reference's
+    per-type index instantiations (crates/ivf over BVectOwned).  The
+    bit-packed struct is the wire/compute format (functions/binary.py);
+    the 0/1 array is its index-side embedding, with f16 storage as the
+    2-bytes-per-bit compression knob where packed words would need a
+    custom scan.  Full probe ⇒ exact integer Hamming, oracle-checked."""
+    from pgvecto_rs_spark.indexes import IVFIndex
+
+    path = _tmp_index_dir("ivfbits", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        bits = _emb(spark, sf_dir).select(
+            "vec_id",
+            VB.bvector_to_dense(VB.binarize("embedding")).alias("bits01"),
+        )
+        IVFIndex.create(
+            spark, bits, path, vector_col="bits01", id_col="vec_id",
+            metric="l2", nlist=8,
+        )
+    idx = _open_cached(IVFIndex, spark, path)
+    qbits = [1.0 if x > 0 else 0.0 for x in Q64]
+    out = idx.search(qbits, k=10, nprobe=8)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.round(F.col("distance")).cast("long").alias("dist"),
+    )
+
+
+@register(
     "bin_jaccard_topk",
     f"""
     SELECT vec_id, ROUND(d, 4) AS dist FROM (
