@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "sparse_inv_range_dot",
     "bin_hamming_topk",
     "bin_hamming_ivf_topk",
+    "bin_hamming_hnsw_topk",
     "ivf_topk_l2",
     "ivf_range_l2",
     "ivf_pq_topk_l2",

@@ -595,6 +595,43 @@ def bin_hamming_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bin_hamming_hnsw_topk",
+    f"""
+    SELECT vec_id, CAST(d AS BIGINT) AS dist FROM (
+      SELECT vec_id,
+             list_sum(list_transform(range(1, {DIMS + 1}),
+               i -> CASE WHEN ({_SQL_BIT_E}) != ({_SQL_BIT_Q}) THEN 1 ELSE 0 END)) AS d
+      FROM embeddings
+    ) ORDER BY d, vec_id LIMIT 10
+    """,
+)
+def bin_hamming_hnsw_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bvector × HNSW, same 0/1 reduction as bin_hamming_ivf_topk: the
+    graph builds and traverses on the bit embedding where squared L2 IS
+    integer Hamming; deterministic build + ef-exhaustive at gate scale
+    makes the brute Hamming SQL a true oracle."""
+    from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+    path = _tmp_index_dir("hnswbits", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        bits = _emb(spark, sf_dir).select(
+            "vec_id",
+            VB.bvector_to_dense(VB.binarize("embedding")).alias("bits01"),
+        )
+        HNSWIndex.create(
+            spark, bits, path, vector_col="bits01", id_col="vec_id",
+            metric="l2", segment_rows=512,
+        )
+    idx = _open_cached(HNSWIndex, spark, path)
+    qbits = [1.0 if x > 0 else 0.0 for x in Q64]
+    out = idx.search(qbits, k=10, ef_search=100)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        F.round(F.col("distance")).cast("long").alias("dist"),
+    )
+
+
+@register(
     "bin_jaccard_topk",
     f"""
     SELECT vec_id, ROUND(d, 4) AS dist FROM (
