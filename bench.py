@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "doc_simhash_pairs",
     "doc_embed_hash_topk",
     "doc_decontaminate",
+    "doc_dup_ngrams",
     "doc_top_terms",
     "doc_lm_score",
     "doc_repetition",

@@ -340,6 +340,70 @@ def top_terms(
     )
 
 
+def dup_ngram_fraction(
+    docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Cross-document duplicate n-gram fraction per doc:
+    (id, n_grams, n_dup, dup_frac).
+
+    An n-gram INSTANCE counts as duplicated when its gram occurs in at
+    least 2 distinct documents (document frequency >= 2) — the
+    RefinedWeb/Gopher-style corpus-level repetition signal, as opposed
+    to ``repetition_signals`` which is intra-document.  Docs shorter
+    than ``n`` tokens have n_grams = 0 and dup_frac = 0.0.
+
+    Scale shape: one explode, then every step aggregates or joins at
+    its natural key — (id, gram) multiplicity, gram document-frequency
+    (map-side partial agg absorbs head grams), a gram-keyed LEFT SEMI
+    back onto the (id, gram) pairs, and two id-keyed rollups.  With
+    ``hash_grams`` all shuffles carry a 64-bit xxhash instead of the
+    gram string.  No driver-side state at any corpus size.
+
+    Reference analogue: none (the reference is a vector engine); this
+    is a standard LLM-corpus curation signal.
+    """
+    from .dedup import _spread
+
+    gram = ngram_strings(F.col(text_col), n)
+    if hash_grams:
+        gram = F.transform(gram, lambda g: F.xxhash64(g))
+    inst = _spread(docs).select(
+        F.col(id_col), F.explode(gram).alias("__gram")
+    )
+    pair = inst.groupBy(id_col, "__gram").agg(F.count("*").alias("__c"))
+    dup_grams = (
+        pair.groupBy("__gram")
+        .agg(F.count("*").alias("__df"))
+        .where(F.col("__df") >= 2)
+        .select("__gram")
+    )
+    tot = pair.groupBy(id_col).agg(F.sum("__c").alias("n_grams"))
+    dups = (
+        pair.join(dup_grams, "__gram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.sum("__c").alias("n_dup"))
+    )
+    ng = F.coalesce(F.col("n_grams"), F.lit(0))
+    nd = F.coalesce(F.col("n_dup"), F.lit(0))
+    return (
+        docs.select(id_col)
+        .join(tot, id_col, "left")
+        .join(dups, id_col, "left")
+        .select(
+            F.col(id_col),
+            ng.alias("n_grams"),
+            nd.alias("n_dup"),
+            F.when(ng > 0, nd / F.col("n_grams"))
+            .otherwise(F.lit(0.0))
+            .alias("dup_frac"),
+        )
+    )
+
+
 def repetition_signals(
     df: DataFrame,
     text_col: str = "text",

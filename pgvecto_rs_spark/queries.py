@@ -792,6 +792,49 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.decontaminate(corpus, bench, n=_DECON_N)
 
 
+@register(
+    "doc_dup_ngrams",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')
+             END AS t
+      FROM documents
+    ), inst AS (
+      SELECT doc_id, unnest(
+               CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+                    ELSE list_transform(range(1, len(t) - 1),
+                                        i -> array_to_string(list_slice(t, i, i + 2), ' '))
+               END) AS g
+      FROM toks
+    ), pair AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM inst GROUP BY doc_id, g
+    ), dupg AS (
+      SELECT g FROM pair GROUP BY g HAVING COUNT(*) >= 2
+    ), tot AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams FROM pair GROUP BY doc_id
+    ), dups AS (
+      SELECT p.doc_id, CAST(SUM(p.c) AS BIGINT) AS n_dup
+      FROM pair p JOIN dupg USING (g) GROUP BY p.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(t.n_grams, 0) AS n_grams,
+           COALESCE(u.n_dup, 0) AS n_dup,
+           CASE WHEN COALESCE(t.n_grams, 0) > 0
+                THEN COALESCE(u.n_dup, 0) / t.n_grams
+                ELSE 0.0 END AS dup_frac
+    FROM documents d
+    LEFT JOIN tot t USING (doc_id)
+    LEFT JOIN dups u USING (doc_id)
+    """,
+)
+def doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate 3-gram fraction per doc (corpus-level
+    repetition signal; every shuffle at its natural key)."""
+    return CU.dup_ngram_fraction(_docs(spark, sf_dir), n=3)
+
+
 # deterministic synthetic PII appended on BOTH sides so the redaction
 # provably fires (the corpus text itself carries none)
 @register(

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from pgvecto_rs_spark.operators.curation import (
     decontaminate,
+    dup_ngram_fraction,
     ngram_strings,
     pii_redact,
     top_terms,
@@ -66,6 +67,43 @@ class TestDecontaminate:
         }
         assert got[1] == [] and got[2] == [] and got[3] == []
         assert got[4] == ["a b c"]
+
+
+class TestDupNgramFraction:
+    def test_cross_doc_semantics(self, spark):
+        # docs 1 and 2 share the window "a b c" (cross-doc dup); doc 1
+        # repeats "x y z" twice INTRA-doc only (df=1 -> not duplicated);
+        # doc 3 is too short for 3-grams
+        docs = _docs(
+            spark,
+            [
+                (1, "a b c q x y z q x y z"),
+                (2, "a b c r s t"),
+                (3, "a b"),
+            ],
+        )
+        out = {
+            r["doc_id"]: r
+            for r in dup_ngram_fraction(docs, n=3).collect()
+        }
+        # doc 1: 9 gram instances, only "a b c" (1 instance) is cross-doc
+        assert (out[1]["n_grams"], out[1]["n_dup"]) == (9, 1)
+        # doc 2: 4 instances, "a b c" duplicated
+        assert (out[2]["n_grams"], out[2]["n_dup"]) == (4, 1)
+        assert out[2]["dup_frac"] == 0.25
+        # short doc: zero grams, frac 0.0 (not NULL)
+        assert (out[3]["n_grams"], out[3]["n_dup"], out[3]["dup_frac"]) == (
+            0, 0, 0.0,
+        )
+
+    def test_hash_and_string_grams_agree(self, spark):
+        docs = _docs(
+            spark,
+            [(i, f"w{i % 3} a b c d w{i % 5} a b c d") for i in range(12)],
+        )
+        a = sorted(map(tuple, dup_ngram_fraction(docs, n=4, hash_grams=True).collect()))
+        b = sorted(map(tuple, dup_ngram_fraction(docs, n=4, hash_grams=False).collect()))
+        assert a == b
 
 
 class TestPiiRedact:
