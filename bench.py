@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "doc_mixture_sample",
     "emb_kmeans",
     "emb_knn_classify",
+    "emb_mmr_topk",
     "emb_semdedup",
     "chunk_embed_topk",
     "chunk_embed_pool",

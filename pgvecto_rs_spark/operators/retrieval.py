@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .curation import _norm_tokens
 
-__all__ = ["bm25_score", "bm25_topk"]
+__all__ = ["bm25_score", "bm25_topk", "mmr_topk"]
 
 
 def _tf(toks: Column, term: str) -> Column:
@@ -109,3 +109,99 @@ def bm25_topk(
     partition before the single-partition merge."""
     scored = bm25_score(df, query_terms, text_col, id_col, k1, b)
     return scored.orderBy(F.desc("score_u"), id_col).limit(k)
+
+
+def mmr_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    pool: int = 64,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-``k`` (λ = 1/2):
+    greedily pick the candidate maximizing
+    ``λ·rel − (1−λ)·max_sim_to_selected``.
+
+    Scale shape: the only corpus-cardinality work is the relevance scan
+    — an integer-dot projection + TakeOrdered down to ``pool``
+    candidates (k rows per partition cross the wire, exactly the
+    `search.top_k` shape).  The greedy selection is inherently
+    sequential with a k-term working set, so it runs on the bounded
+    pool (≤ ``pool`` ≤ 8192 rows) driver-side in one numpy pass with an
+    incrementally-updated max-similarity vector — O(pool·k) int64 dots.
+
+    Determinism: vectors are quantized to 1e-6 fixed-point
+    (`clustering._quantized` protocol) and λ = 1/2 makes the MMR
+    objective order-equivalent to the INTEGER ``rel_u − maxsim_u``, so
+    selection is bit-identical across engines and partitionings; ties
+    break on ascending id.
+
+    Reference analogue: none (pgvecto.rs returns raw distance order);
+    MMR is the standard diversification rerank of RAG retrieval stacks
+    (Carbonell & Goldstein, 1998).
+    """
+    if pool > 8192:
+        raise ValueError("pool must stay driver-bounded (<= 8192)")
+    import math
+
+    import numpy as np
+
+    from .clustering import _quantized
+
+    qu = [int(math.floor(float(x) * 1000000.0 + 0.5)) for x in query]
+    qarr = F.array(*[F.lit(v).cast("long") for v in qu])
+    rel = F.aggregate(
+        F.zip_with(_quantized(vec_col), qarr, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        df.select(
+            F.col(id_col),
+            _quantized(vec_col).alias("__xu"),
+            rel.alias("rel_u"),
+        )
+        .orderBy(F.desc("rel_u"), F.col(id_col))
+        .limit(pool)
+        .collect()
+    )
+    spark = df.sparkSession
+    out_schema = f"rnk int, {id_col} long, rel_u long, maxsim_u long"
+    if not cand:
+        return spark.createDataFrame([], out_schema)
+    ids = np.array([r[id_col] for r in cand], dtype=np.int64)
+    X = np.array([r["__xu"] for r in cand], dtype=np.int64)
+    rel_u = np.array([r["rel_u"] for r in cand], dtype=np.int64)
+    # candidates arrive (rel desc, id asc); argmax-with-tiebreak below
+    # relies only on numpy argmax returning the FIRST maximum, so
+    # re-sort defensively by (-rel, id)
+    order = np.lexsort((ids, -rel_u))
+    ids, X, rel_u = ids[order], X[order], rel_u[order]
+    n = len(ids)
+    maxsim = np.full(n, np.iinfo(np.int64).min, dtype=np.int64)
+    taken = np.zeros(n, dtype=bool)
+    rows = []
+    pick = 0  # first pick = argmax rel (ties id asc) = row 0 after sort
+    for rank in range(1, min(k, n) + 1):
+        rows.append(
+            (
+                rank,
+                int(ids[pick]),
+                int(rel_u[pick]),
+                int(maxsim[pick]) if rank > 1 else 0,
+            )
+        )
+        taken[pick] = True
+        if rank == min(k, n):
+            break
+        np.maximum(maxsim, X @ X[pick], out=maxsim)
+        score = rel_u - maxsim
+        score[taken] = np.iinfo(np.int64).min
+        best = score.max()
+        # first index attaining best has the smallest id (rows are
+        # rel-desc/id-asc sorted, and equal scores tie-break on id only
+        # among equal (rel, maxsim) pairs) — resolve exactly instead:
+        tie = np.where(score == best)[0]
+        pick = tie[np.argmin(ids[tie])]
+    return spark.createDataFrame(rows, out_schema)

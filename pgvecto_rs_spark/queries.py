@@ -3775,6 +3775,73 @@ def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("cluster").alias("cluster_id"), "n_vecs", "inertia_u")
 
 
+def _mmr_sql(k: int = 10, pool: int = 64, dims: int = DIMS) -> str:
+    """Unrolled greedy MMR selection (λ=1/2 ⇒ pure-integer objective
+    rel_u − maxsim_u; see operators/retrieval.mmr_topk).  Round r: max
+    int-dot of each unselected pool row against the selected set, then
+    a 1-row argmax with id tie-break."""
+    qu = [int(math.floor(float(x) * 1000000.0 + 0.5)) for x in Q64]
+    qsql = "[" + ", ".join(str(v) for v in qu) + "]"
+    dot_pq = (
+        f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> xu[i] * qu[i])) AS BIGINT)"
+    )
+    dot_ps = (
+        f"CAST(list_sum(list_transform(range(1, {dims + 1}), "
+        f"i -> p.xu[i] * s.xu[i])) AS BIGINT)"
+    )
+    parts = [
+        f"""v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS xu
+      FROM embeddings
+    )""",
+        f"""pool AS MATERIALIZED (
+      SELECT vec_id, xu, {dot_pq} AS rel_u
+      FROM v, (SELECT CAST({qsql} AS BIGINT[]) AS qu)
+      ORDER BY rel_u DESC, vec_id LIMIT {pool}
+    )""",
+        """sel1 AS MATERIALIZED (
+      SELECT CAST(1 AS INTEGER) AS rnk, vec_id, xu, rel_u, CAST(0 AS BIGINT) AS maxsim_u
+      FROM pool ORDER BY rel_u DESC, vec_id LIMIT 1
+    )""",
+    ]
+    prev = "sel1"
+    for r in range(2, k + 1):
+        parts.append(
+            f"""ms{r} AS (
+      SELECT p.vec_id, MAX({dot_ps}) AS maxsim_u
+      FROM pool p, {prev} s
+      WHERE p.vec_id NOT IN (SELECT vec_id FROM {prev})
+      GROUP BY p.vec_id
+    )""",
+        )
+        parts.append(
+            f"""sel{r} AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT * FROM {prev}
+        UNION ALL
+        SELECT CAST({r} AS INTEGER) AS rnk, p.vec_id, p.xu, p.rel_u, m.maxsim_u
+        FROM pool p JOIN ms{r} m ON p.vec_id = m.vec_id
+      ) ORDER BY rnk, rel_u - maxsim_u DESC, vec_id LIMIT {r}
+    )""",
+        )
+        prev = f"sel{r}"
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT rnk, vec_id, rel_u, maxsim_u FROM {prev}"
+    )
+
+
+@register("emb_mmr_topk", _mmr_sql())
+def emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-10 (λ=1/2, pool=64) for the shared Q64
+    query: integer-exact greedy rerank over a TakeOrdered relevance
+    pool (operators/retrieval.mmr_topk)."""
+    return RT.mmr_topk(_emb(spark, sf_dir), Q64, k=10, pool=64)
+
+
 @register("emb_semdedup", _semdedup_sql(tau=0.4))
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup: fixed-point k-means clusters, then each
