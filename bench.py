@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "emb_kmeans",
     "emb_knn_classify",
     "emb_mmr_topk",
+    "emb_outliers",
     "emb_semdedup",
     "chunk_embed_topk",
     "chunk_embed_pool",

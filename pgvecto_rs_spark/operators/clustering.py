@@ -333,3 +333,68 @@ def _semdedup_pairwise_numpy(
         )
 
     return assigned.groupBy("cluster").applyInPandas(fn, schema=out_schema)
+
+
+def kdist_outliers(
+    df: DataFrame,
+    k: int = 4,
+    top: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    nn: DataFrame | None = None,
+) -> DataFrame:
+    """Embedding-outlier scoring by k-th-nearest-neighbor distance
+    (the k-distance of LOF): the ``top`` vectors whose k-th neighbor is
+    farthest — isolated/noisy samples a curation pipeline drops or
+    down-weights.  Returns (id, kdist) ordered (kdist desc, id).
+
+    Needs each vector's top-(k+1) neighbors INCLUDING itself: the
+    top-k+1 always contains at least k non-self rows, so rank k among
+    non-self rows is exact even under exact-duplicate ties.
+
+    ``nn``: precomputed neighbor table ``(query_id, id, distance)``
+    holding the top-(k+1) per query — pass
+    ``FlatIndex.search_batch(corpus, ..., k=k+1)`` so the whole
+    corpus-as-queries set answers in ONE gemm scan (the
+    `batch_topk_l2` kernel; at larger scale the IVF batch path
+    substitutes).  When None, falls back to a self `search.knn_join`
+    — fine for bounded query sets and tests, quadratic dispatch for
+    corpus-sized ones (queries.emb_outliers shows the batched wiring).
+
+    Determinism: ordered on the ROUND(·,4) distance with id tie-break,
+    matching the oracle's rounding so near-ties cannot diverge across
+    engines.
+    """
+    from pyspark.sql import Window
+
+    if nn is None:
+        from .search import knn_join
+
+        left = df.select(
+            F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qvec")
+        )
+        nn = knn_join(
+            left,
+            df,
+            "__qvec",
+            vec_col,
+            k=k + 1,
+            metric="l2",
+            partition_keys=["__qid"],
+            tiebreaker=id_col,
+        ).select(
+            F.col("__qid").alias("query_id"),
+            F.col(id_col).alias("id"),
+            "distance",
+        )
+    nonself = nn.where(F.col("id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy("distance", "id")
+    kth = (
+        nonself.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == k)
+        .select(
+            F.col("query_id").alias(id_col),
+            F.round(F.col("distance"), 4).alias("kdist"),
+        )
+    )
+    return kth.orderBy(F.desc("kdist"), id_col).limit(top)

@@ -3842,6 +3842,43 @@ def emb_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return RT.mmr_topk(_emb(spark, sf_dir), Q64, k=10, pool=64)
 
 
+@register(
+    "emb_outliers",
+    """
+    SELECT vec_id, kdist FROM (
+      SELECT vec_id, ROUND(d, 4) AS kdist FROM (
+        SELECT a.vec_id,
+               list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) ^ 2 AS d,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_distance(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
+                          b.vec_id
+               ) AS rn
+        FROM embeddings a CROSS JOIN embeddings b
+        WHERE a.vec_id <> b.vec_id
+      ) WHERE rn = 4
+    ) ORDER BY kdist DESC, vec_id LIMIT 20
+    """,
+)
+def emb_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 embedding outliers by 4th-NN distance (LOF k-distance;
+    operators/clustering.kdist_outliers).  The corpus-as-queries
+    neighbor table comes from ONE FlatIndex.search_batch gemm scan
+    (shares batch_topk_l2's cached index), not |corpus| dispatches."""
+    from pgvecto_rs_spark.indexes import FlatIndex
+
+    emb = _emb(spark, sf_dir)
+    path = _tmp_index_dir("flatb", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        FlatIndex.create(spark, emb, path, metric="l2")
+    idx = _open_cached(FlatIndex, spark, path)
+    qdf = emb.where(F.col("embedding").isNotNull()).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    nn = idx.search_batch(qdf, "qid", "qv", k=5)
+    return CL.kdist_outliers(emb, k=4, top=20, nn=nn)
+
+
 @register("emb_semdedup", _semdedup_sql(tau=0.4))
 def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup: fixed-point k-means clusters, then each

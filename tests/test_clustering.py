@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from pgvecto_rs_spark.operators.clustering import (
+    kdist_outliers,
     kmeans_assign,
     kmeans_fit,
     semdedup,
@@ -121,3 +122,35 @@ class TestNumpyAssignParity:
         b = sorted(tuple(r) for r in semdedup(df, cents, threshold=0.98, impl="numpy").collect())
         assert a == b
         assert any(not r[2] for r in a)  # the planted dups actually drop
+
+
+class TestKdistOutliers:
+    def test_planted_outlier_ranks_first(self, spark):
+        # tight cluster at the origin + one far point: the far point's
+        # 2nd-NN distance dwarfs everyone else's
+        rows = [
+            (1, [0.0, 0.0]),
+            (2, [0.1, 0.0]),
+            (3, [0.0, 0.1]),
+            (4, [0.1, 0.1]),
+            (5, [10.0, 10.0]),
+        ]
+        out = kdist_outliers(_vecs(spark, rows), k=2, top=5).collect()
+        assert out[0]["vec_id"] == 5
+        assert out[0]["kdist"] > 100
+        # cluster members' 2nd-NN distance is ~0.01-0.02
+        assert all(r["kdist"] < 1 for r in out[1:])
+
+    def test_exact_duplicates_rank_k_stable(self, spark):
+        # 3 exact copies of the same point: each copy's 2nd-NN distance
+        # is 0 (two zero-distance neighbors exist even when SELF may be
+        # displaced from the top-k+1 by lower-id duplicates)
+        rows = [
+            (1, [1.0, 1.0]),
+            (2, [1.0, 1.0]),
+            (3, [1.0, 1.0]),
+            (4, [2.0, 2.0]),
+        ]
+        got = {r["vec_id"]: r["kdist"] for r in kdist_outliers(_vecs(spark, rows), k=2, top=4).collect()}
+        assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0
+        assert got[4] == 2.0  # (1+1) squared L2 to any duplicate
