@@ -2243,6 +2243,148 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order priority checking): EXISTS decorrelates to
+    a LEFT SEMI join on orderkey with the shipdate>orderdate residual —
+    the date filter prunes orders before the shuffle, and the semi join
+    stops probing an order at its first late lineitem.  (Adapted: the
+    test lineitem has no commit/receipt dates; 'a lineitem shipped
+    after the order date' plays the late-delivery predicate.)"""
+    _tune(spark)
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "tpch_q12",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority split): fact-fact
+    equi-join on orderkey + two-way conditional count per group.  The
+    lineitem side filters before the shuffle; both counts come from one
+    CASE aggregation pass (no second join/scan).  (Adapted: returnflag
+    plays the shipmode grouping; the test lineitem carries no
+    shipmode/commit/receipt columns.)"""
+    _tune(spark)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_returnflag")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "tpch_q19",
+    """
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_u
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape (discounted revenue, disjunctive predicate):
+    three brand/size/quantity branches OR-ed across both join sides.
+    Catalyst extracts the common single-side conjuncts below the join
+    (part prunes on brand∈{...} AND size≤35, lineitem on quantity
+    BETWEEN 1 AND 30) so the broadcast probe sees only candidate rows;
+    the cross-side residual evaluates post-join.  Revenue is the
+    scaled-int sum (order-free).  (Adapted: no shipmode/container
+    columns in the test schema — the disjunctive structure is the
+    point.)"""
+    _tune(spark)
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    qty = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15)
+         & (qty >= 1) & (qty <= 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25)
+           & (qty >= 10) & (qty <= 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35)
+           & (qty >= 20) & (qty <= 30))
+    )
+    rev_u = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .where(branch)
+        .agg(F.sum(rev_u).cast("long").alias("revenue_u"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # 12. sparse aggregate (svector.slt:22-80 semantics at table scale)
 # ---------------------------------------------------------------------------
