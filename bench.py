@@ -86,11 +86,13 @@ BENCH_QUERIES = [
     "tpch_q5",
     "tpch_q7",
     "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
     "tpch_q12",
     "tpch_q13",
     "tpch_q14",
     "tpch_q15",
+    "tpch_q16",
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",

@@ -2289,6 +2289,98 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q9",
+    """
+    SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_u
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name, ship_year
+    ORDER BY nation, ship_year
+    """,
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit by nation and year): the
+    fact table joins two broadcast dims and groups on a derived date
+    part — (nation, year(shipdate)) — so the only shuffle is the final
+    low-cardinality aggregate, whose partial combine runs map-side
+    inside the scan stage.  (Adapted: no partsupp/ps_supplycost in the
+    test schema, so revenue stands in for profit and the p_name filter
+    is dropped.)"""
+    _tune(spark)
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    rev_u = F.floor(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * F.lit(1000000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(F.sum(rev_u).cast("long").alias("revenue_u"))
+        .orderBy("nation", "ship_year")
+    )
+
+
+@register(
+    "tpch_q16",
+    """
+    SELECT p_brand, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_suppkey NOT IN (
+      SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+    )
+    GROUP BY p_brand
+    ORDER BY p_brand
+    """,
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): exclusion
+    subquery → broadcast LEFT ANTI join on the fact table before the
+    part join, then COUNT(DISTINCT supplier) per brand — Catalyst
+    expands the distinct aggregate into a two-stage
+    (brand, suppkey)-keyed partial dedup so no group ever materializes
+    its supplier set.  (Adapted: negative account balance plays the
+    'complaints' supplier exclusion; no partsupp in the test schema.)"""
+    _tune(spark)
+    bad_supp = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        "p_partkey", "p_brand"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey"
+    )
+    return (
+        li.join(
+            F.broadcast(bad_supp),
+            li.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+        .orderBy("p_brand")
+    )
+
+
+@register(
     "tpch_q12",
     """
     SELECT l_returnflag,
