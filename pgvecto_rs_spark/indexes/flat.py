@@ -45,6 +45,11 @@ _SQ_KINDS = {"sq1": 1, "sq2": 2, "sq4": 4, "sq8": 8}
 
 
 class FlatIndex:
+    #: range_search returns the provably-complete sphere (exact scan /
+    #: SQ error-bound two-phase) -- the planner may answer a bare sphere
+    #: predicate with it.
+    RANGE_EXACT = True
+
     def __init__(self, spark: SparkSession, path: str, meta: dict):
         self.spark = spark
         self.path = path
@@ -275,7 +280,11 @@ class FlatIndex:
         pushed filter with row-group min/max skipping, so pass 2 reads
         only the touched row groups' vector chunks instead of the whole
         vector column.  Falls back to a broadcast join when the
-        candidate set exceeds RERANK_FETCH_CAP."""
+        candidate set exceeds RERANK_FETCH_CAP — a PLAIN shuffle join,
+        not a forced broadcast: a large-radius range scan can make the
+        candidate ring corpus-scale, and force-broadcasting that would
+        hit the broadcast size limit / driver memory (AQE still picks
+        broadcast on its own when the set turns out small)."""
         exact = dist_expr(F.col("vec"), qlist, self.meta["kernel"])
         ids = [
             r["id"] for r in cand.select("id").limit(self.RERANK_FETCH_CAP + 1).collect()
@@ -283,7 +292,7 @@ class FlatIndex:
         if len(ids) <= self.RERANK_FETCH_CAP:
             fetched = rows.where(F.col("id").isin(ids))
         else:
-            fetched = rows.join(F.broadcast(cand.select("id")), "id")
+            fetched = rows.join(cand.select("id"), "id")
         return fetched.withColumn("distance", base.post_map(self.meta["metric"], exact))
 
     def search(
@@ -421,9 +430,14 @@ class FlatIndex:
 
         quant = self.meta.get("quantization")
         if quant in _SQ_KINDS:
-            margin = 1e-9 * max(1.0, abs(kradius))
+            # elementwise relative margin: FP error in the code bound
+            # scales with the bound's own magnitude (dot/cos bounds can
+            # dwarf |kradius|), so widen by max(1, |kradius|, |__lb|)
+            margin = F.lit(1e-9) * F.greatest(
+                F.lit(max(1.0, abs(kradius))), F.abs(F.col("__lb"))
+            )
             cand = self._sq_bounds(df.select("id", "codes"), qlist).where(
-                F.col("__lb") < F.lit(kradius + margin)
+                F.col("__lb") < F.lit(kradius) + margin
             )
             out = self._fetch_rerank(df, cand, qlist)
         else:

@@ -720,6 +720,11 @@ def _search_graph(
 
 
 class HNSWIndex:
+    #: graph-reachability approximate: range_search can miss in-sphere
+    #: rows (documented caveat), so the planner only dispatches a bare
+    #: sphere predicate here on an explicit approx=True opt-in.
+    RANGE_EXACT = False
+
     def __init__(self, spark: SparkSession, path: str, meta: dict):
         self.spark = spark
         self.path = path
@@ -1109,9 +1114,11 @@ class HNSWIndex:
         not have drained it, so quadruple ef until the frontier crosses
         the radius or ef reaches the segment size (at which point the
         segment scan is exhaustive).  No driver round-trips between
-        rounds.  With a quantized graph the stop rule runs on the
-        exactly-rescored candidate distances (graph reranker), same as
-        top-k search.
+        rounds.  With a quantized graph the widening-stop rule runs on
+        the CODED frontier (the stream's actual order) AND the exactly
+        rescored max — both must cross the radius — while the output
+        mask uses the exact distances (graph reranker), same as top-k
+        search.
 
         Like the reference's HNSW range scan this is
         reachability-complete, not provably complete: a vector the
@@ -1135,16 +1142,28 @@ class HNSWIndex:
                     continue
                 ef = min(ef0, n)
                 while True:
-                    out_d, out_i = _search_graph(
+                    coded_d, out_i = _search_graph(
                         vecs, neighbors, levels, entry, qb.value, kernel, ef
                     )
                     if quant in _RERANK_QUANTS and len(out_i):
                         exact_mat = _read_exact_vecs(seg_dir, np.asarray(out_i))
                         out_d = base.np_kernel_distance(kernel, exact_mat, qb.value)
+                    else:
+                        out_d = coded_d
+                    # the stream is ordered by CODED distance, so the
+                    # drained-the-sphere test must run on the coded
+                    # frontier; requiring the exact max to cross too
+                    # keeps code-error from stopping while exact
+                    # in-range rows are still surfacing (only ever
+                    # widens further — the safe direction)
                     if (
-                        len(out_d) < ef
-                        or (len(out_d) and float(np.max(out_d)) >= kradius)
+                        len(coded_d) < ef
                         or ef >= n
+                        or (
+                            len(coded_d)
+                            and float(np.max(coded_d)) >= kradius
+                            and float(np.max(out_d)) >= kradius
+                        )
                     ):
                         break
                     ef = min(ef * 4, n)

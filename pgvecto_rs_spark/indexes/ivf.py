@@ -140,6 +140,10 @@ def _save_list_radii(
 
 
 class IVFIndex:
+    #: triangle-inequality list pruning is lossless -- range_search is
+    #: exact, safe for the planner's bare-sphere dispatch.
+    RANGE_EXACT = True
+
     def __init__(self, spark: SparkSession, path: str, meta: dict, centroids: np.ndarray):
         self.spark = spark
         self.path = path
@@ -649,8 +653,12 @@ class IVFIndex:
             lb = d_c - float(np.linalg.norm(q)) * rad
         # relative epsilon margin: the bound holds for real arithmetic;
         # a last-ulp overestimate of lb must never prune a borderline
-        # list on an exactness-guaranteed path
-        margin = 1e-9 * max(1.0, abs(kradius))
+        # list on an exactness-guaranteed path.  FP error in lb scales
+        # with |d_c| and |q|·R (for dot/cos these can dwarf |kradius|),
+        # so the margin tracks the bound's own magnitude elementwise.
+        margin = 1e-9 * np.maximum.reduce(
+            [np.full_like(lb, max(1.0, abs(kradius))), np.abs(lb), np.abs(d_c)]
+        )
         lists = np.nonzero(lb < kradius + margin)[0].tolist()
         schema = "id long, distance double"
         if not lists:

@@ -26,6 +26,10 @@ from pgvecto_rs_spark.indexes import base
 
 
 class SparseInvertedIndex:
+    #: postings cover every doc overlapping the query support; for neg-dot
+    #: radius < 0 this is the complete sphere -- exact.
+    RANGE_EXACT = True
+
     def __init__(self, spark: SparkSession, path: str, meta: dict):
         self.spark = spark
         self.path = path

@@ -682,6 +682,8 @@ def temperature_quotas(
     names = sorted(counts)
     w = {s: float(counts[s]) ** temperature for s in names}
     sw = sum(w[s] for s in names)
+    if sw == 0:  # every source empty: nothing to hand out
+        return {s: 0 for s in counts}
     raw = {s: total * w[s] / sw for s in names}
     q = {s: min(int(raw[s]), counts[s]) for s in names}
     # largest-remainder: hand leftover slots to the sources that lost

@@ -172,13 +172,31 @@ class Planner:
             if self.enable_index
             else None
         )
+        approx_ok = bool(index_opts.pop("approx", False))
         if entry is not None and k is not None:
-            out = entry.index.search(sphere.center, k=k, filter=filter, **index_opts)
+            out = entry.index.search(
+                sphere.center,
+                k=k,
+                filter=filter,
+                **_sig_filter(entry.index.search, index_opts),
+            )
             self.last_decision = {"path": "index-range-limit"}
             return out.where(F.col("distance") < sphere.radius)
-        if entry is not None and hasattr(entry.index, "range_search"):
+        # A bare sphere predicate (no LIMIT) is an EXACT set in SQL; only
+        # dispatch to an index range_search whose result is provably the
+        # full sphere (flat/IVF/sparse postings).  HNSW's range_search is
+        # reachability-approximate, so it needs an explicit approx=True
+        # opt-in — otherwise the exact seqscan filter below answers.
+        if (
+            entry is not None
+            and hasattr(entry.index, "range_search")
+            and (getattr(entry.index, "RANGE_EXACT", False) or approx_ok)
+        ):
             out = entry.index.range_search(
-                sphere.center, sphere.radius, filter=filter, **index_opts
+                sphere.center,
+                sphere.radius,
+                filter=filter,
+                **_sig_filter(entry.index.range_search, index_opts),
             )
             self.last_decision = {"path": "index-range"}
             return out
@@ -186,6 +204,21 @@ class Planner:
         return SR.range_search(
             df, sphere.column, list(sphere.center), sphere.radius, metric=sphere.metric, filter=filter
         )
+
+
+def _sig_filter(method, opts: dict) -> dict:
+    """Drop index_opts the target method doesn't accept (e.g. ``nprobe``
+    against flat.range_search) instead of raising TypeError — knobs are
+    per-index-kind, the planner call site is kind-agnostic."""
+    import inspect
+
+    try:
+        params = inspect.signature(method).parameters
+    except (TypeError, ValueError):  # builtins / C-level callables
+        return dict(opts)
+    if any(p.kind is inspect.Parameter.VAR_KEYWORD for p in params.values()):
+        return dict(opts)
+    return {k: v for k, v in opts.items() if k in params}
 
 
 def _close(a: Sequence[float], b: Sequence[float]) -> bool:

@@ -886,7 +886,7 @@ def doc_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "doc_train_split",
     r"""
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars FROM (
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM (
       SELECT CASE
                WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
                WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
@@ -1127,7 +1127,7 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), clean AS (
       SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM cont)
     )
-    SELECT split, COUNT(*) AS n_docs, SUM(n_chars) AS sum_chars FROM (
+    SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS sum_chars FROM (
       SELECT CASE
                WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90 THEN 'train'
                WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 95 THEN 'val'
@@ -3831,8 +3831,8 @@ def events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     )
     SELECT user_id, day, n, v_u,
-           SUM(n) OVER w AS roll_n,
-           SUM(v_u) OVER w AS roll_v_u
+           CAST(SUM(n) OVER w AS BIGINT) AS roll_n,
+           CAST(SUM(v_u) OVER w AS BIGINT) AS roll_v_u
     FROM daily
     WINDOW w AS (PARTITION BY user_id ORDER BY day
                  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -3948,7 +3948,7 @@ def _kmeans_full_sql(k: int = 8, iters: int = 2, dims: int = DIMS) -> str:
     return (
         ctes
         + f"""
-    SELECT j AS cluster_id, COUNT(*) AS n_vecs, SUM(d) AS inertia_u
+    SELECT j AS cluster_id, COUNT(*) AS n_vecs, CAST(SUM(d) AS BIGINT) AS inertia_u
     FROM {final} GROUP BY j
     """
     )
@@ -4237,7 +4237,9 @@ def doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                + COALESCE(1.0 / (60 + s.rank_sem), 0.0) AS rrf
       FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
     )
-    SELECT doc_id, rank_lex, rank_sem,
+    SELECT doc_id,
+           COALESCE(rank_lex, CAST(0 AS BIGINT)) AS rank_lex,
+           COALESCE(rank_sem, CAST(0 AS BIGINT)) AS rank_sem,
            FLOOR(rrf * 10000.0 + 0.5) / 10000.0 AS rrf
     FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
     """,
@@ -4299,7 +4301,13 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("__rrf"), "doc_id")
         .limit(10)
         .select(
-            "doc_id", "rank_lex", "rank_sem", _r4t(F.col("__rrf")).alias("rrf")
+            "doc_id",
+            # 0 = absent from that retriever's top-100: keeps the output
+            # column NULL-free so pandas doesn't coerce BIGINT->float64
+            # (the driver's value-hash distinguishes 78 from 78.0).
+            F.coalesce(F.col("rank_lex"), F.lit(0).cast("long")).alias("rank_lex"),
+            F.coalesce(F.col("rank_sem"), F.lit(0).cast("long")).alias("rank_sem"),
+            _r4t(F.col("__rrf")).alias("rrf"),
         )
     )
 
@@ -4308,8 +4316,8 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_asof",
     """
     SELECT p.event_id, p.user_id, epoch_ns(p.ts) AS ts,
-           MAX(epoch_ns(c.ts)) AS last_click_ts,
-           epoch_ns(p.ts) - MAX(epoch_ns(c.ts)) AS gap_ns
+           COALESCE(MAX(epoch_ns(c.ts)), CAST(-1 AS BIGINT)) AS last_click_ts,
+           COALESCE(epoch_ns(p.ts) - MAX(epoch_ns(c.ts)), CAST(-1 AS BIGINT)) AS gap_ns
     FROM events p
     LEFT JOIN events c
       ON c.user_id = p.user_id AND c.event_type = 'click' AND c.ts < p.ts
@@ -4319,7 +4327,7 @@ def doc_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: every purchase annotated with the user's most recent
-    strictly-prior click (NULL when none) and the gap in nanoseconds —
+    strictly-prior click (-1 when none) and the gap in nanoseconds —
     the event-enrichment / feature-as-of-time operator.
 
     The Spark plan is operators/asof.py's union+window formulation (one
@@ -4341,8 +4349,11 @@ def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.col("click_ts").alias("last_click_ts"),
-        (F.col("ts") - F.col("click_ts")).alias("gap_ns"),
+        # -1 = no prior click: NULL-free BIGINT output columns survive
+        # the driver's pandas round-trip (nullable int64 -> float64
+        # would hash-mismatch, e.g. 105820000.0 vs 105820000).
+        F.coalesce(F.col("click_ts"), F.lit(-1).cast("long")).alias("last_click_ts"),
+        F.coalesce(F.col("ts") - F.col("click_ts"), F.lit(-1).cast("long")).alias("gap_ns"),
     )
 
 

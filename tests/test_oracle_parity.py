@@ -26,16 +26,35 @@ def _duck(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _canon(val):
-    """Canonicalize a cell for comparison (Decimal -> float, float -> repr)."""
+    """Canonicalize a cell for a *string-level* comparison, mimicking the
+    driver's value-hash: ints and floats stay distinct (`131558` !=
+    `131558.0` — the DuckDB HUGEINT->pandas-float64 drift that caused the
+    r4 `doc_train_split` hash mismatch must FAIL here, not be hidden by
+    Python's `int == float`)."""
+    import datetime
     import decimal
 
+    import numpy as np
+
+    if val is None:
+        return "NULL"
+    if isinstance(val, (np.ndarray, list, tuple)):
+        return tuple(_canon(x) for x in val)
+    if type(val).__module__ == "numpy":
+        val = val.item()
     if isinstance(val, decimal.Decimal):
-        return float(val)
+        val = float(val)
+    if isinstance(val, bool):
+        return repr(val)
     if isinstance(val, float):
         if math.isnan(val):
             return "NaN"
-        return round(val, 9)
-    return val
+        return repr(round(val, 9))
+    if isinstance(val, int):
+        return repr(val)
+    if isinstance(val, (datetime.datetime, datetime.date)):
+        return val.isoformat()
+    return repr(val)
 
 
 def _rows(rows, cols):
@@ -51,9 +70,12 @@ def test_query_matches_oracle(spark, sf_dir, name):
     spark_rows = [tuple(r) for r in sdf.collect()]
 
     con = _duck(sf_dir)
-    cur = con.execute(Q.oracle_sql()[name])
-    duck_cols = [d[0] for d in cur.description]
-    duck_rows = cur.fetchall()
+    # Fetch through pandas like the driver does: DuckDB HUGEINT (from
+    # SUM over BIGINT) materializes as float64 here, so an uncast oracle
+    # aggregate produces `131558.0` vs Spark's `131558` and fails below.
+    ddf = con.execute(Q.oracle_sql()[name]).df()
+    duck_cols = list(ddf.columns)
+    duck_rows = [tuple(r) for r in ddf.itertuples(index=False, name=None)]
 
     assert sorted(spark_cols) == sorted(duck_cols), f"{name}: column names differ"
     assert len(spark_rows) == len(duck_rows), f"{name}: row count differs"

@@ -423,6 +423,56 @@ class TestPlanner:
         assert p.last_decision["path"] == "seqscan-range"
         assert via_index == via_scan and len(via_index) > 0
 
+    def test_limitless_sphere_hnsw_needs_approx_opt_in(
+        self, spark, sf_dir, tmp_path
+    ):
+        """HNSW range_search is reachability-approximate, so a bare
+        sphere predicate (an EXACT set in SQL) must NOT silently route
+        to it: default -> seqscan-range; approx=True -> index-range."""
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+        from pgvecto_rs_spark.plans import IndexCatalog, Planner
+        from pgvecto_rs_spark.plans.rewrite import Sphere
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cat = IndexCatalog()
+        idx = HNSWIndex.create(spark, emb, str(tmp_path / "hnswr"), metric="l2")
+        cat.register("embeddings", "embedding", "l2", idx)
+        p = Planner(cat)
+        sph = Sphere("embedding", Q64, RANGE_RADIUS, "l2")
+
+        exact = {r["vec_id"] for r in p.range_search("embeddings", emb, sph).collect()}
+        assert p.last_decision["path"] == "seqscan-range"
+
+        via_index = {
+            r["id"]
+            for r in p.range_search(
+                "embeddings", emb, sph, approx=True, ef_search=64
+            ).collect()
+        }
+        assert p.last_decision["path"] == "index-range"
+        assert via_index <= exact and len(via_index) > 0
+
+    def test_range_search_index_opts_filtered_to_signature(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Search-only knobs (nprobe/ef_search) passed at the planner
+        call site must not TypeError against an index kind whose
+        range_search doesn't take them."""
+        from pgvecto_rs_spark.indexes import FlatIndex
+        from pgvecto_rs_spark.plans import IndexCatalog, Planner
+        from pgvecto_rs_spark.plans.rewrite import Sphere
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        cat = IndexCatalog()
+        idx = FlatIndex.create(spark, emb, str(tmp_path / "flatr"), metric="l2")
+        cat.register("embeddings", "embedding", "l2", idx)
+        p = Planner(cat)
+        sph = Sphere("embedding", Q64, RANGE_RADIUS, "l2")
+        out = p.range_search(
+            "embeddings", emb, sph, nprobe=4, ef_search=64
+        ).collect()
+        assert p.last_decision["path"] == "index-range" and len(out) > 0
+
     def test_multi_vector_order_by_rejected(self, spark, sf_dir):
         """scan_build (am_scan.rs:34-39): a second, *different* ORDER BY
         vector errors; a repeated identical one is tolerated."""
