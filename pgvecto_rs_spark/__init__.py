@@ -19,6 +19,24 @@ relational substrate (Postgres planner/executor) maps onto Spark
 SQL/Catalyst; the extension surface maps onto the modules above.
 """
 
-from pgvecto_rs_spark import functions, operators, types  # noqa: F401
-
 __version__ = "0.1.0"
+
+# Lazy submodule loading (PEP 562): importing the bare package must stay
+# cheap because Spark python workers import it transitively when they
+# unpickle task closures (e.g. the HNSW segment runners, whose only
+# heavy dependency is numpy).  Eagerly importing `functions` here would
+# drag pandas + pyspark.sql (~700 ms) into every cold worker.
+_SUBMODULES = ("functions", "indexes", "operators", "plans", "sources",
+               "streaming", "types", "queries", "session")
+
+
+def __getattr__(name: str):
+    if name in _SUBMODULES:
+        import importlib
+
+        return importlib.import_module(f"pgvecto_rs_spark.{name}")
+    raise AttributeError(f"module 'pgvecto_rs_spark' has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_SUBMODULES))

@@ -27,6 +27,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "bvector_lt",
+    "bvector_le",
+    "bvector_gt",
+    "bvector_ge",
     "BITS_PER_WORD",
     "binarize",
     "bvector",
@@ -210,3 +214,46 @@ def bvector_dims(v: Column | str) -> Column:
 def bvector_norm(v: Column | str) -> Column:
     """``vector_norm(bvector)`` = √popcount (bvect.rs:145-147)."""
     return F.sqrt(bvector_popcount(_col(v)).cast("double"))
+
+
+def _bvec_cmp(a: Column, b: Column) -> Column:
+    """-1/0/1 comparison matching bvect.rs:260-276: the reference
+    reverse_bits each word then compares unsigned, which makes bit 0
+    (dimension 0) the most significant — i.e. lexicographic over the
+    bits in dimension order, set bit > clear bit.  Here: on the first
+    differing word, the lowest set bit of x XOR y is the first differing
+    dimension; whichever side has that bit set is greater.  (``xor &
+    -xor`` isolates the lowest set bit; words are 32-bit values in
+    64-bit slots so the negation never overflows under ANSI mode.)"""
+    pairs = F.zip_with(
+        a["data"], b["data"], lambda x, y: F.struct(x.alias("x"), y.alias("y"))
+    )
+    first = F.try_element_at(
+        F.filter(pairs, lambda p: p["x"] != p["y"]), F.lit(1)
+    )
+    xor = first["x"].bitwiseXOR(first["y"])
+    low = xor.bitwiseAND(-xor)
+    cmp = (
+        F.when(first.isNull(), F.lit(0))
+        .when(first["x"].bitwiseAND(low) != 0, F.lit(1))
+        .otherwise(F.lit(-1))
+    )
+    return _checked(a, b, cmp)
+
+
+def bvector_lt(a: Column | str, b: Column | str) -> Column:
+    """``a < b`` (finalize.sql bvector operator family; semantics
+    bvect.rs:260-276 reverse_bits word compare)."""
+    return _bvec_cmp(_col(a), _col(b)) < 0
+
+
+def bvector_le(a: Column | str, b: Column | str) -> Column:
+    return _bvec_cmp(_col(a), _col(b)) <= 0
+
+
+def bvector_gt(a: Column | str, b: Column | str) -> Column:
+    return _bvec_cmp(_col(a), _col(b)) > 0
+
+
+def bvector_ge(a: Column | str, b: Column | str) -> Column:
+    return _bvec_cmp(_col(a), _col(b)) >= 0

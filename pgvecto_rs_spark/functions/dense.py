@@ -29,6 +29,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "vecf16_lt",
+    "vecf16_le",
+    "vecf16_gt",
+    "vecf16_ge",
     "cosine_distance",
     "dot_product",
     "l2sq_distance",
@@ -250,3 +254,23 @@ def to_f16_grid(v: Column | str) -> Column:
         )
 
     return _f16_grid(_col(v))
+
+
+def vecf16_lt(a: Column | str, b: Column | str) -> Column:
+    """``a < b`` on the vecf16 grid: snap both operands to IEEE binary16
+    then lexicographic compare — the reference's vecf16 operators compare
+    stored f16 values (crates/base/src/vector/vect.rs PartialOrd over
+    F16, declared in src/sql/finalize.sql:248-406)."""
+    return _lex_cmp(to_f16_grid(_col(a)), to_f16_grid(_col(b))) < 0
+
+
+def vecf16_le(a: Column | str, b: Column | str) -> Column:
+    return _lex_cmp(to_f16_grid(_col(a)), to_f16_grid(_col(b))) <= 0
+
+
+def vecf16_gt(a: Column | str, b: Column | str) -> Column:
+    return _lex_cmp(to_f16_grid(_col(a)), to_f16_grid(_col(b))) > 0
+
+
+def vecf16_ge(a: Column | str, b: Column | str) -> Column:
+    return _lex_cmp(to_f16_grid(_col(a)), to_f16_grid(_col(b))) >= 0

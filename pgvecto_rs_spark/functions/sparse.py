@@ -35,6 +35,10 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 __all__ = [
+    "svector_lt",
+    "svector_le",
+    "svector_gt",
+    "svector_ge",
     "svector",
     "to_svector",
     "svector_add",
@@ -297,3 +301,49 @@ def svector_mul(a: Column | str, b: Column | str, check: bool = True) -> Column:
     a, b = _col(a), _col(b)
     r = _merge(a, b, lambda x, y: x * y, union=False)
     return _checked(a, b, r) if check else r
+
+
+def _sv_cmp(a: Column, b: Column) -> Column:
+    """-1/0/1 as-if-densified comparison (svect.rs:404-444): the
+    reference merge-walks the sorted (index, value) streams, treating an
+    absent index as 0 — exactly the lexicographic order of the densified
+    vectors.  Here: the first index (over the sorted union of supports)
+    whose looked-up values differ decides; equal everywhere -> 0.
+    O(nnz log nnz) per row, never densifies to ``dims``."""
+    union = F.array_sort(F.array_union(a["indexes"], b["indexes"]))
+    ma = F.map_from_arrays(a["indexes"], _vals_dbl(a))
+    mb = F.map_from_arrays(b["indexes"], _vals_dbl(b))
+
+    def _va(i: Column) -> Column:
+        return F.coalesce(F.element_at(ma, i), F.lit(0.0))
+
+    def _vb(i: Column) -> Column:
+        return F.coalesce(F.element_at(mb, i), F.lit(0.0))
+
+    first = F.try_element_at(
+        F.filter(union, lambda i: _va(i) != _vb(i)), F.lit(1)
+    )
+    cmp = (
+        F.when(first.isNull(), F.lit(0))
+        .when(_va(first) < _vb(first), F.lit(-1))
+        .otherwise(F.lit(1))
+    )
+    return _checked(a, b, cmp)
+
+
+def svector_lt(a: Column | str, b: Column | str) -> Column:
+    """``a < b`` as-if-densified lexicographic (finalize.sql:248-406
+    svector operator family; semantics svect.rs:404-444)."""
+    return _sv_cmp(_col(a), _col(b)) < 0
+
+
+def svector_le(a: Column | str, b: Column | str) -> Column:
+    return _sv_cmp(_col(a), _col(b)) <= 0
+
+
+def svector_gt(a: Column | str, b: Column | str) -> Column:
+    return _sv_cmp(_col(a), _col(b)) > 0
+
+
+def svector_ge(a: Column | str, b: Column | str) -> Column:
+    return _sv_cmp(_col(a), _col(b)) >= 0

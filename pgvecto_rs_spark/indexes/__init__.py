@@ -16,6 +16,27 @@ columnar, partition-prunable, executor-cacheable; the Spark analogue of
 the reference's mmap'd columnar segments (common/src/mmap_array.rs).
 """
 
-from pgvecto_rs_spark.indexes.flat import FlatIndex  # noqa: F401
-from pgvecto_rs_spark.indexes.ivf import IVFIndex  # noqa: F401
-from pgvecto_rs_spark.indexes.sparse_inverted import SparseInvertedIndex  # noqa: F401
+# Lazy class loading (PEP 562) — same worker-import-cost rationale as
+# the package root: `pgvecto_rs_spark.indexes.segment_worker` must be
+# importable without touching the pyspark/pandas-heavy index modules.
+_EXPORTS = {
+    "FlatIndex": "pgvecto_rs_spark.indexes.flat",
+    "IVFIndex": "pgvecto_rs_spark.indexes.ivf",
+    "SparseInvertedIndex": "pgvecto_rs_spark.indexes.sparse_inverted",
+    "HNSWIndex": "pgvecto_rs_spark.indexes.hnsw",
+}
+
+
+def __getattr__(name: str):
+    mod = _EXPORTS.get(name)
+    if mod is not None:
+        import importlib
+
+        return getattr(importlib.import_module(mod), name)
+    raise AttributeError(
+        f"module 'pgvecto_rs_spark.indexes' has no attribute {name!r}"
+    )
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pgvecto_rs_spark.indexes import base
+from pgvecto_rs_spark.indexes import segment_worker as SW
 
 DEFAULT_M = 12  # crates/base/src/index.rs:406-409
 DEFAULT_EF_CONSTRUCTION = 300  # :410-413
@@ -60,92 +61,15 @@ DEFAULT_SEGMENT_ROWS = 20_000
 # reference keeping sealed segments mmap-open between queries
 # (crates/index/src/lib.rs:128-211).  Bounded LRU so a worker scanning many
 # segments doesn't hold them all.
-_SEG_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
-_SEG_CACHE_MAX = 64
-
-
-def _segment_fingerprint(seg_dir: str):
-    files = sorted(glob.glob(os.path.join(seg_dir, "*.parquet")))
-    return tuple((f, os.path.getmtime(f), os.path.getsize(f)) for f in files)
-
-
-class _CodedVecs:
-    """SQ8-coded vectors with decode-on-access: the resident footprint is
-    1 byte/dim (uint8 codes) instead of 8 (float64); traversal decodes
-    only the rows it touches.  Drop-in for the ndarray the search code
-    indexes (``v[i:j]``, ``v[int_array]``, ``len``)."""
-
-    def __init__(self, codes: np.ndarray, lo: np.ndarray, width: np.ndarray):
-        self.codes = codes  # (n, d) uint8
-        self.lo = lo
-        self.scale = width / 255.0
-
-    def __len__(self) -> int:
-        return len(self.codes)
-
-    def __getitem__(self, key) -> np.ndarray:
-        return self.lo + self.codes[key].astype(np.float64) * self.scale
-
-
-class _PQCodedVecs:
-    """PQ-coded vectors with decode-on-access (the hnsw x pq cell of the
-    reference's algorithm x quantizer matrix,
-    crates/quantization/src/reranker/graph_2.rs): resident footprint is
-    n_subspaces small ints per row; traversal reconstructs touched rows
-    from the per-segment codebooks."""
-
-    def __init__(self, codes: np.ndarray, books: np.ndarray):
-        self.codes = codes  # (n, n_sub) int
-        self.books = books  # (n_sub, 2^bits, sub) float64
-
-    def __len__(self) -> int:
-        return len(self.codes)
-
-    def __getitem__(self, key) -> np.ndarray:
-        c = self.codes[key]
-        single = c.ndim == 1
-        if single:
-            c = c[None, :]
-        n_sub, _, sub = self.books.shape
-        out = np.empty((len(c), n_sub * sub), dtype=np.float64)
-        for s in range(n_sub):
-            out[:, s * sub : (s + 1) * sub] = self.books[s][c[:, s]]
-        return out[0] if single else out
-
-
-class _RaBitQVecs:
-    """RaBitQ-coded vectors with decode-on-access (hnsw x rabitq cell):
-    1 bit/dim + a norm per row; x_hat = norm * P^T sgn / sqrt(d) (the
-    estimator of crates/quantization/src/rabitq.rs:24-143)."""
-
-    def __init__(self, norms: np.ndarray, words: np.ndarray, proj: np.ndarray):
-        self.norms = norms  # (n,) float64
-        self.words = words  # (n, n_words) uint32
-        self.proj = proj  # (d, d) orthogonal
-        self.dims = proj.shape[0]
-
-    def __len__(self) -> int:
-        return len(self.norms)
-
-    def __getitem__(self, key) -> np.ndarray:
-        w = self.words[key]
-        nm = self.norms[key]
-        single = w.ndim == 1
-        if single:
-            w = w[None, :]
-            nm = np.atleast_1d(nm)
-        n_words = w.shape[1]
-        bits = ((w[:, :, None] >> np.arange(32, dtype=np.uint32)[None, None, :]) & 1)
-        bits = bits.reshape(len(w), n_words * 32)[:, : self.dims].astype(np.float64)
-        sgn = 2.0 * bits - 1.0
-        dec = (nm[:, None] / np.sqrt(self.dims)) * (sgn @ self.proj)
-        return dec[0] if single else dec
-
-
-# quant kinds whose graph distances are approximate and need the exact
-# rerank fetch; "f16" stores on the binary16 grid but its decoded
-# distances ARE the type's exact distances — no rerank
-_RERANK_QUANTS = ("sq8", "pq", "rabitq")
+# Executor-side segment machinery lives in the import-light
+# ``segment_worker`` module (see its docstring for why); aliases keep
+# the public-ish names importable from here.
+_SEG_CACHE = SW._SEG_CACHE
+_segment_fingerprint = SW._segment_fingerprint
+_CodedVecs = SW._CodedVecs
+_PQCodedVecs = SW._PQCodedVecs
+_RaBitQVecs = SW._RaBitQVecs
+_RERANK_QUANTS = SW._RERANK_QUANTS
 
 
 def _quant_schema(quant: str | None) -> str:
@@ -230,103 +154,8 @@ def _quant_columns(
     return out
 
 
-def _read_exact_vecs(seg_dir: str, idxs: np.ndarray) -> np.ndarray:
-    """Transiently fetch exact vectors for the given node indexes from
-    the segment Parquet (vec column only) — the graph reranker's
-    storage access (reranker/graph_2.rs): exact values are read per
-    query, never held resident."""
-    import pyarrow.parquet as pq
-
-    tbl = pq.read_table(seg_dir, columns=["idx", "vec"])
-    # map node index -> row position, then Arrow-take ONLY those rows
-    pos_of = np.argsort(tbl.column("idx").to_numpy())
-    picked = tbl.column("vec").take(pos_of[np.asarray(idxs, dtype=np.int64)])
-    return np.asarray(picked.to_pylist(), dtype=np.float64)
-
-
-def _load_segment(seg_dir: str, quant: str | None = None, qparams: tuple = ()):
-    """Load (ids, vecs, neighbors, levels, entry) for one segment, via the
-    process-global cache keyed by file path + mtime + size (stale entries
-    reload after a rebuild).
-
-    Storage access assumes a filesystem path readable from every
-    executor — trivially true on local[*]; on a real cluster this is a
-    shared FS (NFS/HDFS-fuse) or an object store mounted/fronted by a
-    pyarrow filesystem (pq.read_table accepts fsspec URIs, and the
-    mtime/size fingerprint generalizes to etag/length).  The layout —
-    one self-contained directory per segment, opened lazily and cached
-    worker-resident — is exactly the reference's mmap-open-on-demand
-    model and is the part that matters at 100 TB.  With a quantization kind, ``vecs`` is a
-    decode-on-access view (:class:`_CodedVecs` for sq8,
-    :class:`_PQCodedVecs`, :class:`_RaBitQVecs`) and the exact vector
-    column stays on disk (fetched transiently at rerank).
-    ``qparams`` = (pq_ratio, pq_bits, seed) for pq / (dims, seed) for
-    rabitq."""
-    fp = _segment_fingerprint(seg_dir)
-    key = (fp, quant, qparams)
-    hit = _SEG_CACHE.get(seg_dir)
-    if hit is not None and hit[0] == key:
-        _SEG_CACHE.move_to_end(seg_dir)
-        return hit[1]
-    if not fp:  # hash-assigned segment with no rows: no directory written
-        empty = (np.empty(0, np.int64), np.empty((0, 0)), [], [], 0)
-        _SEG_CACHE[seg_dir] = (key, empty)
-        return empty
-    import pyarrow.parquet as pq
-
-    cols = ["idx", "id", "level", "neighbors", "entry"]
-    cols += {
-        None: ["vec"],
-        "f16": ["vec16"],
-        "sq8": ["codes", "qlo", "qwidth"],
-        "pq": ["codes", "codebook"],
-        "rabitq": ["rq_norm", "rq_words"],
-    }[quant]
-    pdf = pq.read_table(seg_dir, columns=cols).to_pandas()
-    pdf = pdf.sort_values("idx").reset_index(drop=True)
-    if quant == "sq8":
-        codes = np.asarray(pdf["codes"].tolist(), dtype=np.uint8)
-        lo = np.asarray(pdf["qlo"].iloc[0], dtype=np.float64)
-        width = np.asarray(pdf["qwidth"].iloc[0], dtype=np.float64)
-        vecs = _CodedVecs(codes, lo, width)
-    elif quant == "pq":
-        _pq_ratio, pq_bits, _seed = qparams
-        codes = np.asarray(pdf["codes"].tolist(), dtype=np.int32)
-        flat = next(b for b in pdf["codebook"] if b is not None)
-        n_sub, k = codes.shape[1], 1 << pq_bits
-        sub = len(flat) // (n_sub * k)
-        books = np.asarray(flat, dtype=np.float64).reshape(n_sub, k, sub)
-        vecs = _PQCodedVecs(codes, books)
-    elif quant == "rabitq":
-        from pgvecto_rs_spark.indexes.quantization import rabitq_projection
-
-        dims, seed = qparams
-        norms = pdf["rq_norm"].to_numpy(dtype=np.float64)
-        words = np.asarray(pdf["rq_words"].tolist(), dtype=np.int64).astype(np.uint32)
-        vecs = _RaBitQVecs(norms, words, rabitq_projection(dims, seed))
-    elif quant == "f16":
-        # decode the stored binary16 words; all grid values are exactly
-        # representable in f64, so distances computed on the decode ARE
-        # the vecf16 type's exact distances (the reference also computes
-        # f16 via wider floats)
-        vecs = np.asarray(
-            [np.frombuffer(b, dtype=np.float16) for b in pdf["vec16"]],
-            dtype=np.float64,
-        )
-    else:
-        vecs = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
-    neighbors = [
-        [np.asarray(lvl, dtype=np.int32) for lvl in nb] for nb in pdf["neighbors"]
-    ]
-    levels = pdf["level"].tolist()
-    entry = int(pdf["entry"].iloc[0]) if len(pdf) else 0
-    ids = pdf["id"].to_numpy().astype(np.int64)
-    data = (ids, vecs, neighbors, levels, entry)
-    _SEG_CACHE[seg_dir] = (key, data)
-    _SEG_CACHE.move_to_end(seg_dir)
-    while len(_SEG_CACHE) > _SEG_CACHE_MAX:
-        _SEG_CACHE.popitem(last=False)
-    return data
+_read_exact_vecs = SW._read_exact_vecs
+_load_segment = SW._load_segment
 
 
 def _level_of(vertex_no: int, m: int) -> int:
@@ -632,91 +461,7 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
     return neighbors, levels
 
 
-def _search_graph(
-    vecs: np.ndarray,
-    neighbors: list[list[np.ndarray]],
-    levels: list[int],
-    entry: int,
-    q: np.ndarray,
-    kernel: str,
-    ef: int,
-):
-    """Greedy descent + best-first layer-0 search.  Returns (dists,
-    node_indexes) of up to ef candidates, sorted ascending."""
-    if len(vecs) == 0:
-        return np.empty(0), np.empty(0, dtype=np.int64)
-
-    def dist_many(idx: np.ndarray) -> np.ndarray:
-        return base.np_kernel_distance(kernel, vecs[idx], q)
-
-    ep = entry
-    ep_d = float(base.np_kernel_distance(kernel, vecs[ep : ep + 1], q)[0])
-    for l in range(levels[entry], 0, -1):
-        changed = True
-        while changed:
-            changed = False
-            nbrs = neighbors[ep][l] if l < len(neighbors[ep]) else np.empty(0, np.int32)
-            if len(nbrs):
-                ds = dist_many(nbrs)
-                j = int(np.argmin(ds))
-                if ds[j] < ep_d:
-                    ep, ep_d = int(nbrs[j]), float(ds[j])
-                    changed = True
-    # layer-0 best-first with a batched frontier (same scheme as the
-    # build loop): up to B nodes expand per distance batch, visited is a
-    # bool array, rejected nodes are marked (their distance is fixed and
-    # the worst bound only shrinks), accepted pushes happen in ascending
-    # order with an early break.
-    n = len(vecs)
-    visited = np.zeros(n, dtype=bool)
-    visited[ep] = True
-    cand = [(ep_d, ep)]
-    result = [(-ep_d, ep)]
-    B = 8
-    done = False
-    while cand and not done:
-        batch: list[int] = []
-        while cand and len(batch) < B:
-            d, u = heapq.heappop(cand)
-            if len(result) >= ef and d > -result[0][0]:
-                done = True
-                break
-            batch.append(u)
-        if not batch:
-            break
-        parts = [neighbors[u][0] for u in batch if len(neighbors[u][0])]
-        if not parts:
-            continue
-        allnb = (np.concatenate(parts) if len(parts) > 1 else parts[0]).astype(
-            np.int64, copy=False
-        )
-        fresh = allnb[~visited[allnb]]
-        if not len(fresh):
-            continue
-        fresh = np.unique(fresh)
-        visited[fresh] = True
-        ds = dist_many(fresh)
-        nres = len(result)
-        if nres >= ef:
-            keep = ds < -result[0][0]
-            fresh, ds = fresh[keep], ds[keep]
-        if not len(fresh):
-            continue
-        o = np.argsort(ds, kind="stable")
-        fresh, ds = fresh[o], ds[o]
-        worst = -result[0][0]
-        for v, dv in zip(fresh.tolist(), ds.tolist()):
-            if nres >= ef and dv >= worst:
-                break
-            heapq.heappush(cand, (dv, v))
-            if nres >= ef:
-                heapq.heappushpop(result, (-dv, v))
-            else:
-                heapq.heappush(result, (-dv, v))
-                nres += 1
-            worst = -result[0][0]
-    out = sorted((-d, v) for d, v in result)
-    return np.asarray([d for d, _ in out]), np.asarray([v for _, v in out])
+_search_graph = SW._search_graph
 
 
 class HNSWIndex:
@@ -1014,39 +759,8 @@ class HNSWIndex:
         kernel, metric = self.meta["kernel"], self.meta["metric"]
         quant, qparams = self._quant()
         sc = self.spark.sparkContext
-        qb = sc.broadcast(np.asarray(q, dtype=np.float64))
         seg_dirs = self._segment_dirs()
-
-        def run(it):
-            for seg_dir in it:
-                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir, quant, qparams)
-                if len(ids) == 0:
-                    continue
-                if exact:
-                    mat = (
-                        _read_exact_vecs(seg_dir, np.arange(len(ids)))
-                        if quant in _RERANK_QUANTS
-                        else vecs
-                    )
-                    ds = base.np_kernel_distance(kernel, mat, qb.value)
-                    if keep_all:
-                        order = np.argsort(ds, kind="stable")
-                    else:
-                        order = np.argsort(ds, kind="stable")[:ef]
-                    sel = order
-                    out_d, out_i = ds[sel], sel
-                else:
-                    out_d, out_i = _search_graph(
-                        vecs, neighbors, levels, entry, qb.value, kernel, ef
-                    )
-                    if quant in _RERANK_QUANTS and len(out_i):
-                        # graph reranker: candidates were ranked on coded
-                        # distances; fetch their exact vectors from
-                        # storage and rescore before the global merge
-                        exact_mat = _read_exact_vecs(seg_dir, np.asarray(out_i))
-                        out_d = base.np_kernel_distance(kernel, exact_mat, qb.value)
-                for i, d in zip(out_i, out_d):
-                    yield (int(ids[int(i)]), float(d))
+        run = SW.topk_runner(quant, qparams, kernel, q, ef, exact, keep_all)
 
         rdd = sc.parallelize(seg_dirs, len(seg_dirs)).mapPartitions(run)
         cand = self.spark.createDataFrame(rdd, schema="id bigint, distance double")
@@ -1130,46 +844,8 @@ class HNSWIndex:
         quant, qparams = self._quant()
         sc = self.spark.sparkContext
         q = base.prep_query(query, self.meta["normalize"])
-        qb = sc.broadcast(np.asarray(q, dtype=np.float64))
-        ef0 = max(1, int(ef_search))
         seg_dirs = self._segment_dirs()
-
-        def run(it):
-            for seg_dir in it:
-                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir, quant, qparams)
-                n = len(ids)
-                if n == 0:
-                    continue
-                ef = min(ef0, n)
-                while True:
-                    coded_d, out_i = _search_graph(
-                        vecs, neighbors, levels, entry, qb.value, kernel, ef
-                    )
-                    if quant in _RERANK_QUANTS and len(out_i):
-                        exact_mat = _read_exact_vecs(seg_dir, np.asarray(out_i))
-                        out_d = base.np_kernel_distance(kernel, exact_mat, qb.value)
-                    else:
-                        out_d = coded_d
-                    # the stream is ordered by CODED distance, so the
-                    # drained-the-sphere test must run on the coded
-                    # frontier; requiring the exact max to cross too
-                    # keeps code-error from stopping while exact
-                    # in-range rows are still surfacing (only ever
-                    # widens further — the safe direction)
-                    if (
-                        len(coded_d) < ef
-                        or ef >= n
-                        or (
-                            len(coded_d)
-                            and float(np.max(coded_d)) >= kradius
-                            and float(np.max(out_d)) >= kradius
-                        )
-                    ):
-                        break
-                    ef = min(ef * 4, n)
-                mask = out_d < kradius
-                for i, d in zip(np.asarray(out_i)[mask], out_d[mask]):
-                    yield (int(ids[int(i)]), float(d))
+        run = SW.range_runner(quant, qparams, kernel, q, kradius, int(ef_search))
 
         rdd = sc.parallelize(seg_dirs, len(seg_dirs)).mapPartitions(run)
         out = self.spark.createDataFrame(rdd, schema="id bigint, distance double")
@@ -1198,26 +874,11 @@ class HNSWIndex:
         qids = [r[0] for r in rows]
         qmat = [base.prep_query(r[1], do_norm) for r in rows]
         sc = self.spark.sparkContext
-        qb = sc.broadcast((qids, qmat))
         ef = max(ef_search, k)
         seg_dirs = self._segment_dirs()
 
         quant, qparams = self._quant()
-
-        def run(it):
-            for seg_dir in it:
-                ids, vecs, neighbors, levels, entry = _load_segment(seg_dir, quant, qparams)
-                if len(ids) == 0:
-                    continue
-                for qid, q in zip(*qb.value):
-                    ds, idxs = _search_graph(
-                        vecs, neighbors, levels, entry, q, kernel, ef
-                    )
-                    if quant in _RERANK_QUANTS and len(idxs):
-                        exact_mat = _read_exact_vecs(seg_dir, np.asarray(idxs))
-                        ds = base.np_kernel_distance(kernel, exact_mat, q)
-                    for i, d in zip(idxs[:ef], ds[:ef]):
-                        yield (qid, int(ids[int(i)]), float(d))
+        run = SW.batch_runner(quant, qparams, kernel, qids, qmat, ef)
 
         rdd = sc.parallelize(seg_dirs, len(seg_dirs)).mapPartitions(run)
         cand = self.spark.createDataFrame(

@@ -86,3 +86,55 @@ class TestSlice:
     def test_slice_invalid_is_null(self, spark):
         assert _one(spark, B.bvector_slice(bv(1, 0, 1), 2, 1)) is None
         assert _one(spark, B.bvector_slice(bv(1, 0, 1), 0, 4)) is None
+
+
+class TestOrdering:
+    """reverse_bits word compare (bvect.rs:260-276): lexicographic over
+    bits in DIMENSION order — the first differing bit decides, set > clear."""
+
+    def _cmp4(self, spark, ba, bb):
+        row = spark.range(1).select(
+            B.bvector_lt(ba, bb).alias("lt"),
+            B.bvector_le(ba, bb).alias("le"),
+            B.bvector_gt(ba, bb).alias("gt"),
+            B.bvector_ge(ba, bb).alias("ge"),
+        ).first()
+        return row
+
+    def test_matches_bit_lexicographic(self, spark):
+        import itertools
+
+        cases = [
+            (0, 0, 0, 0),
+            (1, 0, 0, 0),
+            (0, 1, 0, 0),
+            (1, 1, 0, 0),
+            (0, 0, 0, 1),
+            (1, 0, 1, 1),
+        ]
+        for xa, xb in itertools.product(cases, repeat=2):
+            row = self._cmp4(spark, bv(*xa), bv(*xb))
+            assert row["lt"] == (xa < xb), (xa, xb)
+            assert row["le"] == (xa <= xb), (xa, xb)
+            assert row["gt"] == (xa > xb), (xa, xb)
+            assert row["ge"] == (xa >= xb), (xa, xb)
+
+    def test_cross_word_boundary(self, spark):
+        # identical first word (32 bits), difference only in word 2:
+        # the word-walk must reach it
+        a = [0] * 40
+        b = [0] * 40
+        a[35] = 1
+        row = self._cmp4(spark, bv(*a), bv(*b))
+        assert row["gt"] and not row["lt"]
+        # difference in word 1 dominates any later difference
+        a2 = [0] * 40
+        b2 = [0] * 40
+        a2[3] = 1   # a2 > b2 at dim 3
+        b2[35] = 1  # later difference ignored
+        row = self._cmp4(spark, bv(*a2), bv(*b2))
+        assert row["gt"] and not row["lt"]
+
+    def test_dim_mismatch_errors(self, spark):
+        with pytest.raises(Exception, match="differently-dimensioned"):
+            _one(spark, B.bvector_lt(bv(1, 0), bv(1, 0, 1)))

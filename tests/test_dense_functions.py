@@ -114,3 +114,52 @@ class TestLexicographic:
 
         with pytest.raises(Exception, match="dimension"):
             _one(spark, vector_lt(_vec(1, 2), _vec(1, 2, 0)))
+
+
+class TestVecf16Ordering:
+    """vecf16 comparisons run on the IEEE binary16 grid: two f32 values
+    that collapse to the same f16 compare EQUAL (the reference compares
+    stored f16: scalar/f16.rs + finalize.sql vecf16 operator family)."""
+
+    def test_grid_collapse_equal(self, spark):
+        from pgvecto_rs_spark.functions import dense as D
+
+        # 1.0 and 1.0 + 2^-13 round to the same binary16 value
+        a = F.array(F.lit(1.0), F.lit(2.0)).cast("array<float>")
+        b = F.array(F.lit(1.0 + 2.0**-13), F.lit(2.0)).cast("array<float>")
+        row = spark.range(1).select(
+            D.vecf16_le(a, b).alias("le"),
+            D.vecf16_ge(a, b).alias("ge"),
+            D.vecf16_lt(a, b).alias("lt"),
+            D.vecf16_gt(a, b).alias("gt"),
+        ).first()
+        assert (row["le"], row["ge"], row["lt"], row["gt"]) == (
+            True, True, False, False,
+        )
+
+    def test_matches_numpy_f16_tuples(self, spark):
+        import itertools
+
+        import numpy as np
+
+        from pgvecto_rs_spark.functions import dense as D
+
+        vecs = [
+            [1.0, 2.0],
+            [1.0, 2.0001],
+            [0.5, -3.0],
+            [-0.0, 0.0],
+            [65504.0, 1.0],   # f16 max
+            [1e-8, 0.0],      # subnormal grid
+        ]
+        for va, vb in itertools.product(vecs, repeat=2):
+            fa = tuple(np.float32(np.float16(np.float32(x))) for x in va)
+            fb = tuple(np.float32(np.float16(np.float32(x))) for x in vb)
+            a = F.array(*[F.lit(float(x)) for x in va]).cast("array<float>")
+            b = F.array(*[F.lit(float(x)) for x in vb]).cast("array<float>")
+            row = spark.range(1).select(
+                D.vecf16_lt(a, b).alias("lt"),
+                D.vecf16_gt(a, b).alias("gt"),
+            ).first()
+            assert row["lt"] == (fa < fb), (va, vb)
+            assert row["gt"] == (fa > fb), (va, vb)

@@ -142,3 +142,102 @@ class TestSlice:
         assert _one(spark, S.svector_slice(v, 5, 5)) is None
         assert _one(spark, S.svector_slice(v, 0, 9)) is None
         assert _one(spark, S.svector_slice(v, F.lit(None).cast("int"), 3)) is None
+
+
+class TestOrdering:
+    """As-if-densified comparison (svect.rs:404-444): mismatched index
+    compares the present value against 0; first difference decides."""
+
+    def _cmp(self, spark, dims, pa, pb):
+        a, b = sv(spark, dims, pa), sv(spark, dims, pb)
+        row = spark.range(1).select(
+            S.svector_lt(a, b).alias("lt"),
+            S.svector_le(a, b).alias("le"),
+            S.svector_gt(a, b).alias("gt"),
+            S.svector_ge(a, b).alias("ge"),
+        ).first()
+        return row
+
+    @staticmethod
+    def _dense(dims, pairs):
+        out = [0.0] * dims
+        for i, v in pairs:
+            if v != 0.0:
+                out[i] = float(v)
+        return tuple(out)
+
+    def test_matches_densified_order(self, spark):
+        import itertools
+
+        cases = [
+            [(0, 1.0), (2, 3.0)],
+            [(0, 1.0), (1, 2.0)],
+            [(1, 2.0), (2, 3.0)],
+            [(0, -1.0), (4, 5.0)],
+            [(2, -3.0)],
+            [],
+            [(0, 1.0), (2, 3.0)],  # duplicate of first: equality case
+            [(4, 0.5)],
+            [(0, 1.0), (1, -2.0), (3, 4.0)],
+        ]
+        for pa, pb in itertools.combinations(cases, 2):
+            da, db = self._dense(5, pa), self._dense(5, pb)
+            row = self._cmp(spark, 5, pa, pb)
+            assert row["lt"] == (da < db), (pa, pb)
+            assert row["le"] == (da <= db), (pa, pb)
+            assert row["gt"] == (da > db), (pa, pb)
+            assert row["ge"] == (da >= db), (pa, pb)
+
+    def test_equal_and_absent_vs_zero(self, spark):
+        row = self._cmp(spark, 4, [(1, 2.0)], [(1, 2.0)])
+        assert (row["le"], row["ge"], row["lt"], row["gt"]) == (
+            True, True, False, False,
+        )
+        # absent index 0 (=0) vs present negative at 0: {} > {0:-1}
+        row = self._cmp(spark, 4, [], [(0, -1.0)])
+        assert row["gt"] and not row["lt"]
+
+    def test_dim_mismatch_errors(self, spark):
+        import pytest as _pt
+
+        a, b = sv(spark, 3, [(0, 1.0)]), sv(spark, 4, [(0, 1.0)])
+        with _pt.raises(Exception, match="differently-dimensioned"):
+            spark.range(1).select(S.svector_lt(a, b)).collect()
+
+    def test_order_by_sorts_rows(self, spark):
+        """ORDER BY a svector column via the comparator key (BTree
+        ordering use-case, finalize.sql svector operator CLASS)."""
+        rows = [
+            (0, 5, [0], [1.0]),
+            (1, 5, [1], [9.0]),
+            (2, 5, [0, 1], [1.0, -1.0]),
+            (3, 5, [], []),
+        ]
+        df = spark.createDataFrame(
+            rows, "id int, dims int, idx array<int>, val array<float>"
+        ).select("id", S.to_svector(F.col("dims"), "idx", "val").alias("v"))
+        ref = sorted(
+            rows, key=lambda r: self._dense(5, list(zip(r[2], r[3])))
+        )
+        anchor = sv(spark, 5, [])
+        key = S._sv_cmp(F.col("v"), anchor)
+        # pairwise-consistent: id ordering by pairwise comparator equals
+        # ordering by densified tuples
+        got = [
+            r["id"]
+            for r in df.withColumn("k", key).collect()
+        ]
+        # verify with an explicit pairwise sort on the driver
+        import functools
+
+        def pair(x, y):
+            rowx = spark.range(1).select(
+                S._sv_cmp(
+                    sv(spark, 5, list(zip(x[2], x[3]))),
+                    sv(spark, 5, list(zip(y[2], y[3]))),
+                ).alias("c")
+            ).first()
+            return rowx["c"]
+
+        got_sorted = sorted(rows, key=functools.cmp_to_key(pair))
+        assert [r[0] for r in got_sorted] == [r[0] for r in ref]
