@@ -468,6 +468,17 @@ class FlatIndex:
         Returns (query_id, id, distance), k rows per query."""
         from pyspark.sql import Window
 
+        from pgvecto_rs_spark.indexes import batch as BT
+
+        qrows = BT.collect_queries_or_none(queries, query_id_col, query_vec_col)
+        if qrows is None:
+            # over-cap query set: executor-assembled blocks x rows files,
+            # never materialized on the driver (exact for every storage/
+            # quantization cell — the distributed scan reads true vectors)
+            return BT.flat_batch_distributed(
+                self, queries, query_id_col, query_vec_col, k
+            )
+
         if self.meta.get("quantization") is not None:
             return self._search_batch_quantized(queries, query_id_col, query_vec_col, k)
         if self.meta.get("storage") == "f16":
@@ -482,7 +493,7 @@ class FlatIndex:
             return out
 
         kernel, metric = self.meta["kernel"], self.meta["metric"]
-        rows = queries.select(query_id_col, query_vec_col).collect()
+        rows = qrows
         qids = [int(r[0]) for r in rows]
         qmat = np.asarray(
             [base.prep_query(r[1], self.meta["normalize"]) for r in rows], dtype=np.float64

@@ -868,9 +868,18 @@ class HNSWIndex:
         rows per query."""
         from pyspark.sql import Window
 
+        from pgvecto_rs_spark.indexes import batch as BT
+
         kernel, metric = self.meta["kernel"], self.meta["metric"]
         do_norm = self.meta["normalize"]
-        rows = queries.select(query_id_col, query_vec_col).collect()
+        rows = BT.collect_queries_or_none(queries, query_id_col, query_vec_col)
+        if rows is None:
+            # over-cap query set: executor-assembled blocks x segments,
+            # never materialized on the driver
+            return BT.hnsw_batch_distributed(
+                self, queries, query_id_col, query_vec_col, k,
+                ef=max(ef_search, k),
+            )
         qids = [r[0] for r in rows]
         qmat = [base.prep_query(r[1], do_norm) for r in rows]
         sc = self.spark.sparkContext

@@ -973,6 +973,21 @@ class IVFIndex:
         nprobe (same np_kernel_distance arithmetic)."""
         from pyspark.sql import Window
 
+        from pgvecto_rs_spark.indexes import batch as BT
+
+        if nprobe is None:
+            nprobe = max(DEFAULT_NPROBE, -(-self.meta["nlist"] // 50))
+
+        qrows = BT.collect_queries_or_none(queries, query_id_col, query_vec_col)
+        if qrows is None:
+            # over-cap query set: per-block in-task probing + pyarrow
+            # scan of only the probed list partitions; exact distances
+            # (the stored true vectors), so quantized cells get the
+            # same-or-better ranking as the ADC+rerank path
+            return BT.ivf_batch_distributed(
+                self, queries, query_id_col, query_vec_col, k, nprobe
+            )
+
         if self.meta.get("quantization") is not None or self.meta.get(
             "residual_quantization"
         ):
@@ -980,10 +995,8 @@ class IVFIndex:
                 queries, query_id_col, query_vec_col, k, nprobe, rerank_size
             )
 
-        if nprobe is None:
-            nprobe = max(DEFAULT_NPROBE, -(-self.meta["nlist"] // 50))
         kernel, metric = self.meta["kernel"], self.meta["metric"]
-        rows = queries.select(query_id_col, query_vec_col).collect()
+        rows = qrows
         qids = [int(r[0]) for r in rows]
         qmat = np.asarray(
             [base.prep_query(r[1], self.meta["normalize"]) for r in rows], dtype=np.float64

@@ -423,3 +423,146 @@ def batch_runner(quant, qparams, kernel: str, qids: list, qmat: list, ef: int):
                     yield (qid, int(ids[int(i)]), float(d))
 
     return run
+
+
+# ---------------------------------------------------------------------------
+# Distributed batch search (the over-cap path): query BLOCKS are
+# assembled executor-side — the query DataFrame never materializes on
+# the driver — and cartesian-paired with storage units (parquet files /
+# graph segments / probed lists).  Each task runs one (block x unit)
+# gemm / graph pass and emits per-query local top-k; a window merge
+# finishes globally.  O(Q x N) work is inherent to exact batch search;
+# this shape spreads it over tasks with bounded memory per task.
+
+
+def assemble_block(rows_iter, normalize: bool):
+    """One (qids, qmat) block from an iterator of (qid, vec) rows —
+    runs INSIDE an executor task (rdd.mapPartitions)."""
+    qids, vecs = [], []
+    for r in rows_iter:
+        qids.append(int(r[0]))
+        vecs.append(np.asarray(r[1], dtype=np.float64))
+    if not qids:
+        return None
+    qmat = np.vstack(vecs)
+    if normalize:
+        n = np.linalg.norm(qmat, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        qmat = qmat / n
+    return (qids, qmat)
+
+
+def _block_topk_emit(qids, d, ids, k):
+    """Per-query local top-k rows from a (rows x queries) distance
+    matrix."""
+    top = min(k, len(ids))
+    if top == 0:
+        return
+    part = np.argpartition(d, top - 1, axis=0)[:top]
+    for qi in range(len(qids)):
+        sel = part[:, qi]
+        for i, dv in zip(ids[sel].tolist(), d[sel, qi].tolist()):
+            yield (qids[qi], int(i), float(dv))
+
+
+def _read_vec_matrix(tbl, vec_col: str) -> np.ndarray:
+    """Column -> float64 matrix; vec16 holds packed IEEE binary16 bytes."""
+    if vec_col == "vec16":
+        return np.asarray(
+            [np.frombuffer(bb, dtype=np.float16)
+             for bb in tbl.column(vec_col).to_pylist()],
+            dtype=np.float64,
+        )
+    return np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float64)
+
+
+def flat_file_block_runner(kernel: str, k: int, vec_col: str = "vec"):
+    """Runner over (block, parquet_file) pairs: one gemm per pair."""
+    import pyarrow.parquet as pq
+
+    def run(pairs):
+        for blk, path in pairs:
+            if blk is None:
+                continue
+            qids, qmat = blk
+            tbl = pq.read_table(path, columns=["id", vec_col])
+            ids = tbl.column("id").to_numpy()
+            if not len(ids):
+                continue
+            mat = _read_vec_matrix(tbl, vec_col)
+            d = np.empty((len(mat), len(qmat)))
+            for qi in range(len(qmat)):
+                d[:, qi] = np_kernel_distance(kernel, mat, qmat[qi])
+            yield from _block_topk_emit(qids, d, ids, k)
+
+    return run
+
+
+def hnsw_segment_block_runner(quant, qparams, kernel: str, ef: int):
+    """Runner over (block, seg_dir) pairs: the segment graph loads once
+    per task (worker LRU cache) and answers every query in the block."""
+
+    def run(pairs):
+        for blk, seg_dir in pairs:
+            if blk is None:
+                continue
+            qids, qmat = blk
+            ids, vecs, neighbors, levels, entry = _load_segment(seg_dir, quant, qparams)
+            if len(ids) == 0:
+                continue
+            for qid, q in zip(qids, qmat):
+                ds, idxs = _search_graph(vecs, neighbors, levels, entry, q, kernel, ef)
+                if quant in _RERANK_QUANTS and len(idxs):
+                    exact_mat = _read_exact_vecs(seg_dir, np.asarray(idxs))
+                    ds = np_kernel_distance(kernel, exact_mat, q)
+                for i, d in zip(idxs[:ef], ds[:ef]):
+                    yield (qid, int(ids[int(i)]), float(d))
+
+    return run
+
+
+def ivf_block_runner(centroids: np.ndarray, kernel: str, nprobe: int, k: int,
+                     lists_dir: str, vec_col: str = "vec"):
+    """Runner over blocks: each task probes its block's nearest lists
+    and scans ONLY the union of probed list partitions with pyarrow
+    (the static partition-pruning of the DataFrame path, done in-task).
+    Centroids ride in the closure (nlist x dims, bounded by build)."""
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    def run(blocks):
+        for blk in blocks:
+            if blk is None:
+                continue
+            qids, qmat = blk
+            nl = len(centroids)
+            np_eff = min(nprobe, nl)
+            # (queries x lists) centroid distances -> per-query probes
+            cd = np.empty((len(qmat), nl))
+            for qi in range(len(qmat)):
+                cd[qi] = np_kernel_distance(kernel, centroids, qmat[qi])
+            # stable argsort mirrors IVFIndex.probe_lists exactly
+            # (deterministic tie-break), so the distributed path probes
+            # the same lists as the per-query path
+            probes = np.argsort(cd, axis=1, kind="stable")[:, :np_eff]
+            by_list: dict = {}
+            for qi, row in enumerate(probes):
+                for lid in row.tolist():
+                    by_list.setdefault(int(lid), []).append(qi)
+            for lid, qis in sorted(by_list.items()):
+                ldir = _os.path.join(lists_dir, f"list_id={lid}")
+                if not _os.path.isdir(ldir):
+                    continue
+                tbl = pq.read_table(ldir, columns=["id", vec_col])
+                ids = tbl.column("id").to_numpy()
+                if not len(ids):
+                    continue
+                mat = _read_vec_matrix(tbl, vec_col)
+                sub = np.asarray(qis, dtype=np.int64)
+                d = np.empty((len(mat), len(sub)))
+                for j, qi in enumerate(sub.tolist()):
+                    d[:, j] = np_kernel_distance(kernel, mat, qmat[qi])
+                yield from _block_topk_emit([qids[qi] for qi in sub.tolist()], d, ids, k)
+
+    return run

@@ -30,15 +30,56 @@ _ALTERABLE = {
     "fresh": {"default_nprobe", "default_ef_search", "default_rerank_size"},
 }
 
+# the reference's alterable option tree (IndexAlterableOptions =
+# segment + optimizing, crates/base/src/index.rs:158-167, 201-246),
+# dotted keys exactly as index_edit.slt spells them; (type, min, max)
+# mirrors the validate(range) attributes
+_ALTERABLE_COMMON: dict[str, tuple[type, float, float]] = {
+    "segment.max_growing_segment_size": (int, 1, 4_000_000_000),
+    "segment.max_sealed_segment_size": (int, 1, 4_000_000_000),
+    "optimizing.sealing_secs": (int, 1, 86_400),
+    "optimizing.sealing_size": (int, 1, 4_000_000_000),
+    "optimizing.optimizing_secs": (int, 1, 86_400),
+    "optimizing.optimizing_threads": (int, 1, 65_535),
+    "optimizing.delete_threshold": (float, 0.0001, 1.0),
+}
+
 
 def alter_index(index, key: str, value: Any) -> None:
     """Persist a runtime-alterable option into the index meta
-    (alter_vector_index analogue).  Non-alterable keys error, like the
-    reference (index.rs:595-617)."""
+    (alter_vector_index analogue, index.rs:595-617 + the Alter derive).
+
+    Two families, matching the reference:
+    - the common segment/optimizing tree (dotted keys, index_edit.slt)
+      — consumed by the background ``IndexOptimizer`` cadence;
+    - per-kind search-time knobs (this engine's default_* extensions).
+
+    Unknown keys error with 'not found'; unparsable / out-of-range
+    values error with 'Invalid index options' — the reference's two
+    error classes (AlterError::KeyNotExists / InvalidIndexOptions)."""
     kind = index.meta.get("kind", "?")
+    spec = _ALTERABLE_COMMON.get(key)
+    if spec is not None:
+        ty, lo, hi = spec
+        try:
+            parsed = ty(value)
+        except (TypeError, ValueError):
+            raise ValueError(f"Invalid index options: failed to parse {value!r} for {key!r}")
+        if isinstance(value, str) and ty is int and not value.lstrip("-").isdigit():
+            raise ValueError(f"Invalid index options: failed to parse {value!r} for {key!r}")
+        if not (lo <= parsed <= hi):
+            raise ValueError(
+                f"Invalid index options: {key}={parsed} outside [{lo}, {hi}]"
+            )
+        index.meta[key] = parsed
+        base.write_meta(index.path, index.meta)
+        return
     allowed = _ALTERABLE.get(kind, set())
     if key not in allowed:
-        raise ValueError(f"option {key!r} of {kind} index is not alterable (allowed: {sorted(allowed)})")
+        raise ValueError(
+            f"option {key!r} of {kind} index not found (alterable: "
+            f"{sorted(allowed) + sorted(_ALTERABLE_COMMON)})"
+        )
     index.meta[key] = value
     base.write_meta(index.path, index.meta)
 

@@ -3013,6 +3013,81 @@ def vecf16_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Anchor for the order-operator query: Q64 with every 5th element zeroed
+# (zeros exercise the svector comparator's absent-index-vs-zero branches)
+ORDER_ANCHOR = [0.0 if i % 5 == 0 else Q64[i] for i in range(DIMS)]
+
+
+def _order_anchor_sql_lists():
+    """(float_list, bit_list, f16_list) SQL literals for the oracle."""
+    import numpy as np
+
+    f32 = [float(np.float32(x)) for x in ORDER_ANCHOR]
+    bits = [1 if x > 0 else 0 for x in ORDER_ANCHOR]
+    f16 = [float(np.float32(np.float16(np.float32(x)))) for x in ORDER_ANCHOR]
+    fmt = lambda xs: "[" + ", ".join(repr(v) for v in xs) + "]"
+    return fmt(f32), fmt(bits), fmt(f16)
+
+
+_ORDER_F32, _ORDER_BITS, _ORDER_F16 = _order_anchor_sql_lists()
+
+
+@register(
+    "vec_order_ops",
+    f"""
+    SELECT
+      CAST(SUM(CASE WHEN fl <  af THEN 1 ELSE 0 END) AS BIGINT) AS sv_lt,
+      CAST(SUM(CASE WHEN fl <= af THEN 1 ELSE 0 END) AS BIGINT) AS sv_le,
+      CAST(SUM(CASE WHEN fl >  af THEN 1 ELSE 0 END) AS BIGINT) AS sv_gt,
+      CAST(SUM(CASE WHEN bl <  ab THEN 1 ELSE 0 END) AS BIGINT) AS bv_lt,
+      CAST(SUM(CASE WHEN bl >  ab THEN 1 ELSE 0 END) AS BIGINT) AS bv_gt,
+      CAST(SUM(CASE WHEN hl <  ah THEN 1 ELSE 0 END) AS BIGINT) AS f16_lt,
+      CAST(SUM(CASE WHEN hl >  ah THEN 1 ELSE 0 END) AS BIGINT) AS f16_gt
+    FROM (
+      SELECT
+        CAST(e.embedding AS FLOAT[]) AS fl,
+        list_transform(range(1, 65), i -> CASE WHEN e.embedding[i] > 0 THEN 1 ELSE 0 END) AS bl,
+        CAST(h.embedding AS FLOAT[]) AS hl,
+        CAST({_ORDER_F32} AS FLOAT[]) AS af,
+        {_ORDER_BITS} AS ab,
+        CAST({_ORDER_F16} AS FLOAT[]) AS ah
+      FROM embeddings e JOIN '{_VECF16_ORACLE_FILE}' h USING (vec_id)
+      WHERE e.embedding IS NOT NULL
+    )
+    """,
+)
+def vec_order_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order operators over all four orderable vector types in one
+    aggregate: svector as-if-densified compare (svect.rs:404-444),
+    bvector reverse_bits bit-lex compare (bvect.rs:260-276), vecf16
+    f16-grid lex compare, against a fixed anchor with zeroed entries
+    (so the svector comparator's absent-index branches are exercised on
+    every row).  The oracle spells each comparison as DuckDB's native
+    lexicographic list comparison over the equivalent dense layouts —
+    an independent formulation of the same order.
+
+    Scale shape: a single projection + partial-agg scan, no shuffle of
+    vector data; the comparators are pure Column expressions
+    (zip_with/filter), whole-stage friendly."""
+    _materialize_f16_oracle(sf_dir)
+    emb = _emb(spark, sf_dir).where(F.col("embedding").isNotNull())
+    anchor_f = F.array(*[F.lit(float(x)) for x in ORDER_ANCHOR]).cast("array<float>")
+    sv = VS.dense_to_svector(F.col("embedding"))
+    asv = VS.dense_to_svector(anchor_f)
+    bv = VB.binarize(F.col("embedding"))
+    abv = VB.binarize(anchor_f)
+    one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
+    return emb.agg(
+        one(VS.svector_lt(sv, asv)).alias("sv_lt"),
+        one(VS.svector_le(sv, asv)).alias("sv_le"),
+        one(VS.svector_gt(sv, asv)).alias("sv_gt"),
+        one(VB.bvector_lt(bv, abv)).alias("bv_lt"),
+        one(VB.bvector_gt(bv, abv)).alias("bv_gt"),
+        one(VD.vecf16_lt(F.col("embedding"), anchor_f)).alias("f16_lt"),
+        one(VD.vecf16_gt(F.col("embedding"), anchor_f)).alias("f16_gt"),
+    )
+
+
 @register(
     "ivf_vecf16_topk_l2",
     f"""

@@ -376,3 +376,73 @@ def test_delete_threshold_triggers_compaction(spark, emb):
         assert st["idx_sealed"][0] == 400 - 100
         got = {r["id"] for r in idx.search(Q64, k=400).collect()}
         assert got.isdisjoint(set(range(100)))
+
+
+def test_optimizer_sealing_converges_without_explicit_compact(spark, emb):
+    """tests/sealing/check.slt analogue: insert into the growing
+    segment, start the timer-driven optimizer (optimizing/mod.rs:33-131
+    cadence), and WITHOUT any explicit compact() call the stat must
+    converge to sealed=[all rows] / growing=[] — the idle write segment
+    seals after two unchanged ticks."""
+    from pgvecto_rs_spark.streaming import run_optimizer
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)
+        idx.insert(emb.where(F.col("vec_id") >= 400))
+        assert idx.stat()["idx_growing"], "precondition: delta present"
+        total = idx.stat()["idx_tuples"]
+        opt = run_optimizer(idx, sealing_secs=0.2, optimizing_secs=3600)
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                st = idx.stat()
+                if not st["idx_growing"]:
+                    break
+                time.sleep(0.3)
+            st = idx.stat()
+            assert st["idx_growing"] == [], "growing segment must seal"
+            assert st["idx_sealed"] == [total]
+            assert st["idx_tuples"] == total
+        finally:
+            opt.stop()
+
+
+def test_optimizer_active_segment_not_sealed_then_seals_when_idle(spark, emb):
+    """The stamp check (mod.rs:41-55): a write segment that changed
+    between ticks is left alone; once idle for a full cadence it
+    seals."""
+    from pgvecto_rs_spark.streaming import IndexOptimizer
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)
+        idx.insert(emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)))
+        opt = IndexOptimizer(idx, sealing_secs=3600, optimizing_secs=3600)
+        # tick 1: first=True -> seals only if stamp deemed stable; the
+        # reference seals on the FIRST tick too (first || stamp==check),
+        # so simulate activity between construction and the first tick
+        # by driving ticks manually around inserts
+        assert opt.tick_sealing() is True  # first tick, idle -> seals
+        assert idx.stat()["idx_growing"] == []
+        # new writes arrive; then a tick observes a CHANGED stamp (the
+        # previous check was from the sealed state) -> no seal
+        idx.insert(emb.where((F.col("vec_id") >= 450) & (F.col("vec_id") < 500)))
+        assert opt.tick_sealing() is False
+        assert idx.stat()["idx_growing"], "active segment left alone"
+        # segment idle since last tick -> stamp unchanged -> seals
+        assert opt.tick_sealing() is True
+        assert idx.stat()["idx_growing"] == []
+
+
+def test_optimizer_delete_threshold_gc(spark, emb):
+    """The optimizing-scan trigger: past the delete_threshold tombstone
+    fraction, a tick merges (tombstone GC) without any size trigger."""
+    from pgvecto_rs_spark.streaming import IndexOptimizer
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)  # 400 sealed rows
+        idx.delete(list(range(0, 120)))  # 30% > default 0.2
+        opt = IndexOptimizer(idx, max_growing_rows=10**9)
+        assert opt.tick_optimizing() is True
+        st = idx.stat()
+        assert st["idx_tombstones"] == 0, "tombstones folded"
+        assert opt.tick_optimizing() is False, "no further work"

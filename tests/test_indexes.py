@@ -1111,3 +1111,83 @@ class TestIVFF16:
                     spark, emb, d2, metric="l2", nlist=4,
                     storage="f16", quantization="sq8",
                 )
+
+
+class TestDistributedBatch:
+    """Over-cap search_batch: the distributed (blocks x storage-units)
+    formulation must match the collected path bit-for-bit and never
+    materialize the query DataFrame on the driver."""
+
+    def _qdf(self, spark, sf_dir, n=200):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return emb.orderBy("vec_id").limit(n).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+
+    def _rows(self, df):
+        return sorted(
+            (int(r["query_id"]), int(r["id"]), round(float(r["distance"]), 9))
+            for r in df.collect()
+        )
+
+    def test_flat_over_cap_matches_collected(self, spark, sf_dir, tmp_path, monkeypatch):
+        from pgvecto_rs_spark.indexes import batch as BT
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = FlatIndex.create(spark, emb, str(tmp_path / "fb"), metric="l2")
+        q = self._qdf(spark, sf_dir, 120)
+        collected = self._rows(idx.search_batch(q, "qid", "qv", k=5))
+        monkeypatch.setattr(BT, "BATCH_COLLECT_CAP", 16)
+        monkeypatch.setattr(BT, "BLOCK_ROWS", 32)
+        distributed = self._rows(idx.search_batch(q, "qid", "qv", k=5))
+        assert distributed == collected
+
+    def test_ivf_over_cap_matches_collected(self, spark, sf_dir, tmp_path, monkeypatch):
+        from pgvecto_rs_spark.indexes import batch as BT
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = IVFIndex.create(spark, emb, str(tmp_path / "ivb"), metric="l2", nlist=8)
+        q = self._qdf(spark, sf_dir, 120)
+        collected = self._rows(idx.search_batch(q, "qid", "qv", k=5, nprobe=3))
+        monkeypatch.setattr(BT, "BATCH_COLLECT_CAP", 16)
+        monkeypatch.setattr(BT, "BLOCK_ROWS", 32)
+        distributed = self._rows(idx.search_batch(q, "qid", "qv", k=5, nprobe=3))
+        assert distributed == collected
+
+    def test_hnsw_over_cap_matches_collected(self, spark, sf_dir, tmp_path, monkeypatch):
+        from pgvecto_rs_spark.indexes import batch as BT
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        idx = HNSWIndex.create(
+            spark, emb, str(tmp_path / "hb"), metric="l2", segment_rows=128
+        )
+        q = self._qdf(spark, sf_dir, 60)
+        collected = self._rows(idx.search_batch(q, "qid", "qv", k=5, ef_search=50))
+        monkeypatch.setattr(BT, "BATCH_COLLECT_CAP", 8)
+        monkeypatch.setattr(BT, "BLOCK_ROWS", 16)
+        distributed = self._rows(idx.search_batch(q, "qid", "qv", k=5, ef_search=50))
+        assert distributed == collected
+
+    def test_query_set_larger_than_cap_never_hits_driver(
+        self, spark, sf_dir, tmp_path, monkeypatch
+    ):
+        """A query DataFrame far larger than the collect cap runs end to
+        end through the distributed path: the only driver materialization
+        is the k-rows-per-query result we ask for."""
+        from pgvecto_rs_spark.indexes import batch as BT
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        corpus = emb.orderBy("vec_id").limit(64)
+        idx = FlatIndex.create(spark, corpus, str(tmp_path / "big"), metric="l2")
+        monkeypatch.setattr(BT, "BATCH_COLLECT_CAP", 1000)
+        n_q = 20_000  # >> cap; generated lazily, never collected
+        q = spark.range(n_q).select(
+            F.col("id").alias("qid"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(64)),
+                lambda i: (F.col("id") % 97 + i).cast("float") / 100.0,
+            ).alias("qv"),
+        )
+        out = idx.search_batch(q, "qid", "qv", k=3)
+        assert out.groupBy().count().first()[0] == n_q * 3

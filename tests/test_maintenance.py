@@ -44,3 +44,56 @@ def test_evaluate_harness(spark, sf_dir):
         rep = evaluate_index(idx, emb, qs, k=10, nprobe=8)
     assert rep["recall_at_k"] == 1.0  # full probe is exact
     assert rep["qps"] > 0 and rep["n_queries"] == 5
+
+
+class TestAlterableOptionTree:
+    """index_edit.slt goldens over the reference's alterable option
+    tree (segment + optimizing, index.rs:158-167/201-246)."""
+
+    def _idx(self, spark, sf_dir, tmp_path):
+        from pgvecto_rs_spark.indexes import FlatIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return FlatIndex.create(spark, emb.limit(50), str(tmp_path / "alt"), metric="l2")
+
+    def test_unknown_key_not_found(self, spark, sf_dir, tmp_path):
+        import pytest as _pt
+
+        from pgvecto_rs_spark.maintenance import alter_index
+
+        idx = self._idx(spark, sf_dir, tmp_path)
+        with _pt.raises(ValueError, match="not found"):
+            alter_index(idx, "unknown_key", "1")
+
+    def test_unparsable_and_out_of_range_invalid(self, spark, sf_dir, tmp_path):
+        import pytest as _pt
+
+        from pgvecto_rs_spark.maintenance import alter_index
+
+        idx = self._idx(spark, sf_dir, tmp_path)
+        with _pt.raises(ValueError, match="Invalid index options"):
+            alter_index(idx, "optimizing.optimizing_threads", "unknown_value")
+        with _pt.raises(ValueError, match="Invalid index options"):
+            alter_index(idx, "optimizing.optimizing_threads", "0")
+        with _pt.raises(ValueError, match="Invalid index options"):
+            alter_index(idx, "optimizing.delete_threshold", "1.5")
+
+    def test_valid_alter_persists_and_feeds_optimizer(self, spark, sf_dir, tmp_path):
+        from pgvecto_rs_spark.indexes import base as IB
+        from pgvecto_rs_spark.maintenance import alter_index
+        from pgvecto_rs_spark.streaming.optimizer import IndexOptimizer
+
+        idx = self._idx(spark, sf_dir, tmp_path)
+        alter_index(idx, "optimizing.optimizing_threads", "1")
+        alter_index(idx, "optimizing.sealing_secs", "120")
+        alter_index(idx, "segment.max_growing_segment_size", "5000")
+        alter_index(idx, "optimizing.delete_threshold", "0.5")
+        # persisted
+        meta = IB.read_meta(idx.path)
+        assert meta["optimizing.sealing_secs"] == 120
+        assert meta["segment.max_growing_segment_size"] == 5000
+        # optimizer attach honors the altered cadence/thresholds
+        opt = IndexOptimizer(idx)
+        assert opt.sealing_secs == 120.0
+        assert opt.max_growing_rows == 5000
+        assert opt.delete_threshold == 0.5
