@@ -42,6 +42,7 @@ from pgvecto_rs_spark.operators.search import distance as dist_expr
 
 SQ_BITS = 8  # default (crates/base/src/index.rs:447-462)
 _SQ_KINDS = {"sq1": 1, "sq2": 2, "sq4": 4, "sq8": 8}
+_ISIN_LITERAL_CAP = 512  # max ids to inline as IN-list literals (planning cost)
 
 
 class FlatIndex:
@@ -289,8 +290,13 @@ class FlatIndex:
         ids = [
             r["id"] for r in cand.select("id").limit(self.RERANK_FETCH_CAP + 1).collect()
         ]
-        if len(ids) <= self.RERANK_FETCH_CAP:
+        if len(ids) <= _ISIN_LITERAL_CAP:
             fetched = rows.where(F.col("id").isin(ids))
+        elif len(ids) <= self.RERANK_FETCH_CAP:
+            # giant IN-lists cost more to plan/codegen than the row-group
+            # skipping saves; ship the ids as a broadcast join instead
+            iddf = self.spark.createDataFrame([(int(i),) for i in ids], "id bigint")
+            fetched = rows.join(F.broadcast(iddf), "id")
         else:
             fetched = rows.join(cand.select("id"), "id")
         return fetched.withColumn("distance", base.post_map(self.meta["metric"], exact))

@@ -42,6 +42,7 @@ DEFAULT_NLIST = 1000  # crates/base/src/index.rs:368-370
 DEFAULT_NPROBE = 10  # crates/base/src/index.rs:558-560
 KMEANS_ITERS = 10  # crates/k_means/src/lib.rs:40-46
 SAMPLE_CAP = 65536  # common/src/sample.rs
+_ISIN_LITERAL_CAP = 512  # max ids to inline as IN-list literals (planning cost)
 
 
 def _kmeanspp_init(x: np.ndarray, k: int, rng: np.random.Generator) -> np.ndarray:
@@ -858,8 +859,14 @@ class IVFIndex:
         ids = [
             r["id"] for r in cand.select("id").limit(self.RERANK_FETCH_CAP + 1).collect()
         ]
-        if len(ids) <= self.RERANK_FETCH_CAP:
+        if len(ids) <= _ISIN_LITERAL_CAP:
             fetched = rows.where(F.col("id").isin(ids))
+        elif len(ids) <= self.RERANK_FETCH_CAP:
+            # a giant IN-list costs more to plan/codegen than it saves in
+            # row-group skipping; ship the collected ids as a broadcast
+            # join instead (same pruned scan, no literal explosion)
+            iddf = self.spark.createDataFrame([(int(i),) for i in ids], "id bigint")
+            fetched = rows.join(F.broadcast(iddf), "id")
         else:
             fetched = rows.join(F.broadcast(cand.select("id")), "id")
         return fetched.withColumn(

@@ -59,6 +59,38 @@ _FUNCTIONS: dict[str, str] = {
     "vec_slice": """(a ARRAY<FLOAT>, lo INT, hi INT) RETURNS ARRAY<FLOAT> RETURN
         CASE WHEN lo IS NULL OR hi IS NULL OR lo < 0 OR hi < 0 OR lo >= hi OR hi > size(a)
              THEN NULL ELSE slice(a, lo + 1, hi - lo) END""",
+    # --- ordering operators (finalize.sql:248-406 operator families):
+    #     dense lexicographic; sparse as-if-densified (svect.rs:404-444);
+    #     bit-array bit-lex in dimension order (bvect.rs:260-276)
+    "vec_cmp": f"""(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS INT RETURN {_CHECK.format(expr='''
+        CASE WHEN try_element_at(filter(zip_with(a, b, (x, y) -> struct(x AS x, y AS y)), p -> p.x != p.y), 1) IS NULL THEN 0
+             WHEN try_element_at(filter(zip_with(a, b, (x, y) -> struct(x AS x, y AS y)), p -> p.x != p.y), 1).x
+                < try_element_at(filter(zip_with(a, b, (x, y) -> struct(x AS x, y AS y)), p -> p.x != p.y), 1).y
+             THEN -1 ELSE 1 END''')}""",
+    "vec_lt": "(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS BOOLEAN RETURN vec_cmp(a, b) < 0",
+    "vec_le": "(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS BOOLEAN RETURN vec_cmp(a, b) <= 0",
+    "vec_gt": "(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS BOOLEAN RETURN vec_cmp(a, b) > 0",
+    "vec_ge": "(a ARRAY<FLOAT>, b ARRAY<FLOAT>) RETURNS BOOLEAN RETURN vec_cmp(a, b) >= 0",
+    "svec_cmp": """(a STRUCT<dims:INT, indexes:ARRAY<INT>, values:ARRAY<FLOAT>>,
+                    b STRUCT<dims:INT, indexes:ARRAY<INT>, values:ARRAY<FLOAT>>) RETURNS INT RETURN
+        CASE WHEN a.dims != b.dims THEN raise_error('differently-dimensioned vectors')
+             WHEN try_element_at(filter(array_sort(array_union(a.indexes, b.indexes)),
+                 i -> coalesce(element_at(map_from_arrays(a.indexes, CAST(a.values AS ARRAY<DOUBLE>)), i), 0.0D)
+                   != coalesce(element_at(map_from_arrays(b.indexes, CAST(b.values AS ARRAY<DOUBLE>)), i), 0.0D)), 1) IS NULL
+             THEN 0
+             WHEN coalesce(element_at(map_from_arrays(a.indexes, CAST(a.values AS ARRAY<DOUBLE>)),
+                     try_element_at(filter(array_sort(array_union(a.indexes, b.indexes)),
+                       i -> coalesce(element_at(map_from_arrays(a.indexes, CAST(a.values AS ARRAY<DOUBLE>)), i), 0.0D)
+                         != coalesce(element_at(map_from_arrays(b.indexes, CAST(b.values AS ARRAY<DOUBLE>)), i), 0.0D)), 1)), 0.0D)
+                < coalesce(element_at(map_from_arrays(b.indexes, CAST(b.values AS ARRAY<DOUBLE>)),
+                     try_element_at(filter(array_sort(array_union(a.indexes, b.indexes)),
+                       i -> coalesce(element_at(map_from_arrays(a.indexes, CAST(a.values AS ARRAY<DOUBLE>)), i), 0.0D)
+                         != coalesce(element_at(map_from_arrays(b.indexes, CAST(b.values AS ARRAY<DOUBLE>)), i), 0.0D)), 1)), 0.0D)
+             THEN -1 ELSE 1 END""",
+    "bit_cmp": f"""(a ARRAY<INT>, b ARRAY<INT>) RETURNS INT RETURN {_CHECK.format(expr='''
+        CASE WHEN try_element_at(filter(zip_with(a, b, (x, y) -> struct(x AS x, y AS y)), p -> p.x != p.y), 1) IS NULL THEN 0
+             WHEN try_element_at(filter(zip_with(a, b, (x, y) -> struct(x AS x, y AS y)), p -> p.x != p.y), 1).x = 1
+             THEN 1 ELSE -1 END''')}""",
     # --- bit-vector kernels on the 0/1 array logical view
     "bit_hamming": f"""(a ARRAY<INT>, b ARRAY<INT>) RETURNS BIGINT RETURN {_CHECK.format(
         expr='size(filter(zip_with(a, b, (x, y) -> x != y), p -> p))')}""",

@@ -181,17 +181,34 @@ class FreshVectorIndex:
         return False
 
     # ------------------------------------------------------------------
-    def _delta(self) -> DataFrame | None:
-        p = os.path.join(self.path, "delta", "rows")
-        if not glob.glob(os.path.join(p, "*.parquet")):
+    def _read_cached(self, sub: str) -> DataFrame | None:
+        """DataFrame handle for ``{path}/{sub}/rows``, cached per file
+        fingerprint: re-creating it per search re-runs Spark's file
+        listing + schema job (~100 ms each — the dominant warm fresh-
+        query cost, same rationale as IVFIndex._lists); inserts/deletes
+        change the fingerprint and refresh the handle."""
+        p = os.path.join(self.path, sub, "rows")
+        files = tuple(
+            (f, os.path.getmtime(f), os.path.getsize(f))
+            for f in sorted(glob.glob(os.path.join(p, "*.parquet")))
+        )
+        if not files:
             return None
-        return self.spark.read.parquet(p)
+        cache = getattr(self, "_df_cache", None)
+        if cache is None:
+            cache = self._df_cache = {}
+        hit = cache.get(sub)
+        if hit is not None and hit[0] == files:
+            return hit[1]
+        df = self.spark.read.parquet(p)
+        cache[sub] = (files, df)
+        return df
+
+    def _delta(self) -> DataFrame | None:
+        return self._read_cached("delta")
 
     def _tombstones(self) -> DataFrame | None:
-        p = os.path.join(self.path, "tombstones", "rows")
-        if not glob.glob(os.path.join(p, "*.parquet")):
-            return None
-        return self.spark.read.parquet(p)
+        return self._read_cached("tombstones")
 
     def _tomb_agg(self) -> DataFrame | None:
         """Per-id max tombstone version, as a DataFrame — never collected

@@ -123,3 +123,27 @@ def test_text_analysis_sql_matches_column_api(spark, sf_dir):
         assert g["n"] == w["n"] and g["fp"] == w["fp"]
         for f in ("pr", "ur", "sr", "ls"):
             assert g[f] == w[f], (g["doc_id"], f, g[f], w[f])
+
+
+def test_ordering_operators_sql(spark):
+    """finalize.sql:248-406 operator families through the SQL surface:
+    dense lexicographic, sparse as-if-densified, bit-lex in dim order."""
+    from pgvecto_rs_spark.sql import register_sql_functions
+
+    register_sql_functions(spark)
+    r = spark.sql("""
+        SELECT vec_cmp(array(1.0,2.0), array(2.0,2.0)) AS dlt,
+               vec_cmp(array(1.0,2.0), array(1.0,2.0)) AS deq,
+               vec_ge(array(1.0,3.0), array(1.0,2.0)) AS dge,
+               svec_cmp(named_struct('dims',5,'indexes',array(0),'values',CAST(array(1.0) AS ARRAY<FLOAT>)),
+                        named_struct('dims',5,'indexes',array(1),'values',CAST(array(9.0) AS ARRAY<FLOAT>))) AS s1,
+               svec_cmp(named_struct('dims',4,'indexes',CAST(array() AS ARRAY<INT>),'values',CAST(array() AS ARRAY<FLOAT>)),
+                        named_struct('dims',4,'indexes',array(0),'values',CAST(array(-1.0) AS ARRAY<FLOAT>))) AS s2,
+               bit_cmp(array(0,1,0), array(0,0,1)) AS b1,
+               bit_cmp(array(1,0), array(1,0)) AS b0
+    """).first()
+    assert tuple(r) == (-1, 0, True, 1, 1, 1, 0)
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="differently-dimensioned"):
+        spark.sql("SELECT vec_cmp(array(1.0), array(1.0, 2.0))").collect()
