@@ -96,7 +96,11 @@ BENCH_QUERIES = [
     "tpch_q17",
     "tpch_q18",
     "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
     "tpch_q22",
+    "tpch_q2",
+    "tpch_q11",
 ]
 
 

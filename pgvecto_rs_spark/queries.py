@@ -2176,6 +2176,314 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q2",
+    """
+    WITH ps AS (
+      SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+             MIN(CAST(FLOOR(l_extendedprice / l_quantity * 100.0 + 0.5) AS BIGINT)) AS ps_cost_c
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT CAST(FLOOR(s_acctbal * 100.0 + 0.5) AS BIGINT) AS s_acctbal_c,
+           s_name, n_name, p_partkey
+    FROM part, ps, supplier, nation, region
+    WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND p_size = 3 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'
+      AND ps_cost_c = (SELECT MIN(ps2.ps_cost_c)
+                       FROM ps ps2, supplier s2, nation n2, region r2
+                       WHERE ps2.ps_partkey = p_partkey
+                         AND s2.s_suppkey = ps2.ps_suppkey
+                         AND s2.s_nationkey = n2.n_nationkey
+                         AND n2.n_regionkey = r2.r_regionkey
+                         AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal_c DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted to the reduced schema:
+    there is no partsupp table, so the part-supplier relation is
+    derived from lineitem — (l_partkey, l_suppkey) pairs with
+    ps_supplycost := MIN unit price ever charged (scaled-int for
+    engine-exact comparison).  The correlated min-cost-in-region
+    subquery — Q2's defining shape — is unchanged.
+
+    Scale shape: the oracle's correlated subquery becomes one regional
+    per-part MIN aggregation joined back (two hash aggregates over the
+    derived ps relation, no correlated re-execution); dimension tables
+    (supplier, nation, region) broadcast; part filter prunes before the
+    join.  TakeOrdered 100."""
+    _tune(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cost_c = F.floor(
+        F.col("l_extendedprice") / F.col("l_quantity") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    ps = li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"), F.col("l_suppkey").alias("ps_suppkey")
+    ).agg(F.min(cost_c).alias("ps_cost_c"))
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet").where(
+        F.col("r_name") == "EUROPE"
+    )
+    eur_supp = (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    eur_ps = ps.join(F.broadcast(eur_supp), ps.ps_suppkey == F.col("s_suppkey"))
+    min_cost = eur_ps.groupBy("ps_partkey").agg(
+        F.min("ps_cost_c").alias("min_cost_c")
+    )
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where((F.col("p_size") == 3) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey")
+    )
+    out = (
+        eur_ps.join(min_cost, "ps_partkey")
+        .where(F.col("ps_cost_c") == F.col("min_cost_c"))
+        .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
+        .select(
+            F.floor(F.col("s_acctbal") * F.lit(100.0) + F.lit(0.5))
+            .cast("long")
+            .alias("s_acctbal_c"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+        )
+        .orderBy(F.desc("s_acctbal_c"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+    return out
+
+
+@register(
+    "tpch_q11",
+    """
+    WITH val AS (
+      SELECT l_partkey AS ps_partkey,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS value_c
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY 1
+    )
+    SELECT ps_partkey, value_c FROM val
+    WHERE value_c * 1000 > (SELECT CAST(SUM(value_c) AS BIGINT) FROM val)
+    ORDER BY value_c DESC, ps_partkey
+    """,
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted: partsupp
+    value ps_supplycost*ps_availqty becomes the total extended price a
+    nation's suppliers ever shipped per part (scaled-int), and the
+    HAVING-over-global-fraction shape (value > 1/1000 of the national
+    total) is unchanged.
+
+    Scale shape: one partkey hash aggregate over the nation-filtered
+    lineitem scan (supplier/nation broadcast); the global total is a
+    single-row broadcast cross-join, NOT a correlated re-scan; the
+    fraction test runs in scaled-int (value_c * 1000 > total_c), no
+    engine-dependent double summation."""
+    _tune(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        F.col("n_name") == "NATION_7"
+    )
+    nat_supp = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("value_c")
+        )
+    )
+    total = val.agg(F.sum("value_c").cast("long").alias("total_c"))
+    return (
+        val.join(F.broadcast(total))
+        .where(F.col("value_c") * F.lit(1000) > F.col("total_c"))
+        .select("ps_partkey", "value_c")
+        .orderBy(F.desc("value_c"), "ps_partkey")
+    )
+
+
+@register(
+    "tpch_q20",
+    """
+    WITH avail AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS availqty
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT DISTINCT s_name FROM supplier, nation
+    WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      AND s_suppkey IN (
+        SELECT a.l_suppkey FROM avail a JOIN part ON p_partkey = a.l_partkey
+        WHERE p_name LIKE 'small%'
+          AND a.availqty > (SELECT CAST(FLOOR(0.5 * SUM(l_quantity)) AS BIGINT)
+                            FROM lineitem l2
+                            JOIN orders o ON o_orderkey = l2.l_orderkey
+                            WHERE l2.l_partkey = a.l_partkey
+                              AND l2.l_suppkey = a.l_suppkey
+                              AND o_orderdate >= TIMESTAMP '1997-01-01'
+                              AND o_orderdate < TIMESTAMP '1998-01-01'))
+    ORDER BY s_name
+    """,
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted: ps_availqty
+    becomes the total quantity the (part, supplier) pair ever shipped,
+    compared against half its 1997 shipped quantity — the nested
+    correlated-aggregate + semi-join-chain shape (supplier ⋉ partsupp ⋉
+    part with a per-pair scalar subquery) is unchanged.
+
+    Scale shape: the correlated subquery becomes ONE date-pruned hash
+    aggregate per (part, supplier) joined to the avail aggregate (inner
+    join — pairs with no 1997 shipments compare against NULL in the
+    oracle and drop out identically); part filter broadcasts; the
+    supplier membership is a semi join; output is DISTINCT supplier
+    names, driver-bounded."""
+    _tune(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
+    )
+    avail = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("availqty")
+    )
+    orders97 = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .select("o_orderkey")
+    )
+    q97 = (
+        li.join(orders97, li.l_orderkey == orders97.o_orderkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.floor(F.lit(0.5) * F.sum("l_quantity")).cast("long").alias("half_q97")
+        )
+    )
+    part = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    good_pairs = (
+        avail.join(q97, ["l_partkey", "l_suppkey"])
+        .where(F.col("availqty") > F.col("half_q97"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").where(
+        F.col("n_name") == "NATION_3"
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+        )
+        .join(good_pairs, supplier.s_suppkey == good_pairs.l_suppkey, "left_semi")
+        .select("s_name")
+        .distinct()
+        .orderBy("s_name")
+    )
+
+
+@register(
+    "tpch_q21",
+    """
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier, lineitem l1, orders, nation
+    WHERE s_suppkey = l1.l_suppkey
+      AND o_orderkey = l1.l_orderkey
+      AND s_nationkey = n_nationkey
+      AND o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o2 ON o2.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o2.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    reduced schema: the spec's lateness predicate l_receiptdate >
+    l_commitdate has no columns here, so "late" = shipped more than 90
+    days after the order date; the multi-supplier EXISTS / NOT-EXISTS
+    self-join shape — the hard part of Q21 — is unchanged.
+
+    Scale shape: instead of two correlated self-joins over lineitem
+    (the oracle's literal spelling), ONE per-order aggregation computes
+    (distinct suppliers, distinct late suppliers) per order — for a
+    late line l1, "another supplier exists" == n_supp > 1 and "no other
+    supplier was late" == n_late_supp == 1.  That turns Q21 into two
+    hash aggregates + one join: no lineitem x lineitem shuffle, and the
+    per-order stats table is orders-cardinality, not lineitem-
+    cardinality.  The final group is |suppliers| rows, TakeOrdered."""
+    _tune(spark)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late", late
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    l1 = (
+        lo.where(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+    )
+    out = (
+        l1.join(F.broadcast(supplier), l1.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+    return out
+
+
+@register(
     "tpch_q22",
     """
     SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
