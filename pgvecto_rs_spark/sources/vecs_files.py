@@ -13,7 +13,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
-__all__ = ["read_fvecs", "read_ivecs"]
+__all__ = ["read_bvecs", "read_fvecs", "read_ivecs"]
 
 
 def _read_vecs(path: str, dtype) -> np.ndarray:
@@ -38,3 +38,20 @@ def read_ivecs(spark: SparkSession, path: str, id_offset: int = 0) -> DataFrame:
     mat = _read_vecs(path, np.int32)
     rows = [(id_offset + i, row.tolist()) for i, row in enumerate(mat)]
     return spark.createDataFrame(rows, "vec_id bigint, neighbors array<int>")
+
+
+def read_bvecs(spark: SparkSession, path: str, id_offset: int = 0) -> DataFrame:
+    """bvecs (SIFT1B-style): ``int32 dim`` + ``dim`` uint8 components
+    per record — the third member of the TexMex benchmark-file family
+    the reference CLI's corpora come in.  Components surface as the
+    dense f32 logical type (uint8 values are exact in f32)."""
+    raw = np.fromfile(path, dtype=np.uint8)
+    if len(raw) == 0:
+        return spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    dim = int(np.frombuffer(raw[:4].tobytes(), dtype=np.int32)[0])
+    rec = 4 + dim
+    if len(raw) % rec != 0:
+        raise ValueError(f"{path}: not a whole number of {dim}-dim records")
+    mat = raw.reshape(-1, rec)[:, 4:].astype(np.float32)
+    rows = [(id_offset + i, row.tolist()) for i, row in enumerate(mat)]
+    return spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")

@@ -550,6 +550,21 @@ class TestVecsFiles:
         got = np.array([r["embedding"] for r in df.orderBy("vec_id").collect()], np.float32)
         assert np.array_equal(got, mat)
 
+    def test_bvecs_round_trip(self, spark, tmp_path):
+        from pgvecto_rs_spark.sources.vecs_files import read_bvecs
+
+        mat = np.random.default_rng(2).integers(0, 256, size=(6, 5)).astype(np.uint8)
+        path = str(tmp_path / "x.bvecs")
+        with open(path, "wb") as f:
+            for row in mat:
+                np.int32(5).tofile(f)
+                row.tofile(f)
+        df = read_bvecs(spark, path)
+        got = np.array(
+            [r["embedding"] for r in df.orderBy("vec_id").collect()], np.float32
+        )
+        assert np.array_equal(got, mat.astype(np.float32))
+
 
 class TestKnnJoinIVF:
     def test_recall_vs_brute(self, spark, sf_dir):
