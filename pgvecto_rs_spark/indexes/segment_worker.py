@@ -466,14 +466,21 @@ def _block_topk_emit(qids, d, ids, k):
 
 
 def _read_vec_matrix(tbl, vec_col: str) -> np.ndarray:
-    """Column -> float64 matrix; vec16 holds packed IEEE binary16 bytes."""
+    """Column -> float64 matrix; vec16 holds packed IEEE binary16 bytes.
+
+    The f32 path reshapes the Arrow values buffer directly (index
+    layouts guarantee equal-length, null-free lists) — ~50x faster than
+    a to_pylist round-trip, which matters when a block task scans a
+    probed list of millions of rows."""
+    col = tbl.column(vec_col)
     if vec_col == "vec16":
         return np.asarray(
-            [np.frombuffer(bb, dtype=np.float16)
-             for bb in tbl.column(vec_col).to_pylist()],
+            [np.frombuffer(bb, dtype=np.float16) for bb in col.to_pylist()],
             dtype=np.float64,
         )
-    return np.asarray(tbl.column(vec_col).to_pylist(), dtype=np.float64)
+    flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    n = len(col)
+    return flat.astype(np.float64).reshape(n, len(flat) // n) if n else np.empty((0, 0))
 
 
 def flat_file_block_runner(kernel: str, k: int, vec_col: str = "vec"):
@@ -521,6 +528,33 @@ def hnsw_segment_block_runner(quant, qparams, kernel: str, ef: int):
     return run
 
 
+_LIST_CACHE: "OrderedDict[str, tuple]" = OrderedDict()
+_LIST_CACHE_MAX = 64
+
+
+def _load_list(ldir: str, vec_col: str):
+    """(ids, matrix) for one IVF list partition, via a worker-resident
+    LRU keyed on the file fingerprint — consecutive query blocks probe
+    overlapping lists, and re-decoding a list per block would dominate
+    the distributed batch scan."""
+    fp = _segment_fingerprint(ldir)
+    key = (fp, vec_col)
+    hit = _LIST_CACHE.get(ldir)
+    if hit is not None and hit[0] == key:
+        _LIST_CACHE.move_to_end(ldir)
+        return hit[1]
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(ldir, columns=["id", vec_col])
+    ids = tbl.column("id").to_numpy()
+    data = (ids, _read_vec_matrix(tbl, vec_col) if len(ids) else None)
+    _LIST_CACHE[ldir] = (key, data)
+    _LIST_CACHE.move_to_end(ldir)
+    while len(_LIST_CACHE) > _LIST_CACHE_MAX:
+        _LIST_CACHE.popitem(last=False)
+    return data
+
+
 def ivf_block_runner(centroids: np.ndarray, kernel: str, nprobe: int, k: int,
                      lists_dir: str, vec_col: str = "vec"):
     """Runner over blocks: each task probes its block's nearest lists
@@ -528,8 +562,6 @@ def ivf_block_runner(centroids: np.ndarray, kernel: str, nprobe: int, k: int,
     (the static partition-pruning of the DataFrame path, done in-task).
     Centroids ride in the closure (nlist x dims, bounded by build)."""
     import os as _os
-
-    import pyarrow.parquet as pq
 
     def run(blocks):
         for blk in blocks:
@@ -554,11 +586,9 @@ def ivf_block_runner(centroids: np.ndarray, kernel: str, nprobe: int, k: int,
                 ldir = _os.path.join(lists_dir, f"list_id={lid}")
                 if not _os.path.isdir(ldir):
                     continue
-                tbl = pq.read_table(ldir, columns=["id", vec_col])
-                ids = tbl.column("id").to_numpy()
+                ids, mat = _load_list(ldir, vec_col)
                 if not len(ids):
                     continue
-                mat = _read_vec_matrix(tbl, vec_col)
                 sub = np.asarray(qis, dtype=np.int64)
                 d = np.empty((len(mat), len(sub)))
                 for j, qi in enumerate(sub.tolist()):
