@@ -488,15 +488,12 @@ class FlatIndex:
         if self.meta.get("quantization") is not None:
             return self._search_batch_quantized(queries, query_id_col, query_vec_col, k)
         if self.meta.get("storage") == "f16":
-            out = None
-            for r in queries.select(query_id_col, query_vec_col).collect():
-                one = (
-                    self.search(list(r[1]), k=k)
-                    .withColumn("query_id", F.lit(r[0]).cast("long"))
-                    .select("query_id", "id", "distance")
-                )
-                out = one if out is None else out.unionByName(one)
-            return out
+            # the block runner decodes vec16 natively; even under-cap
+            # batches use it (a per-query loop would build an n-way
+            # unionByName plan, unplannable past a few hundred queries)
+            return BT.flat_batch_distributed(
+                self, queries, query_id_col, query_vec_col, k
+            )
 
         kernel, metric = self.meta["kernel"], self.meta["metric"]
         rows = qrows

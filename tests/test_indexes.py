@@ -1191,3 +1191,26 @@ class TestDistributedBatch:
         )
         out = idx.search_batch(q, "qid", "qv", k=3)
         assert out.groupBy().count().first()[0] == n_q * 3
+
+
+def test_flat_f16_search_batch_matches_per_query(spark, sf_dir, tmp_path):
+    """f16-storage flat batches route through the distributed block
+    runner (native vec16 decode) and equal the per-query path."""
+    from pgvecto_rs_spark.indexes import FlatIndex
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = FlatIndex.create(
+        spark, emb, str(tmp_path / "f16b"), metric="l2", storage="f16"
+    )
+    q = emb.orderBy("vec_id").limit(8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    batched = {
+        (int(r["query_id"]), int(r["id"]), round(float(r["distance"]), 9))
+        for r in idx.search_batch(q, "qid", "qv", k=5).collect()
+    }
+    per_query = set()
+    for r in q.collect():
+        for x in idx.search(list(r["qv"]), k=5).collect():
+            per_query.add((int(r["qid"]), int(x["id"]), round(float(x["distance"]), 9)))
+    assert batched == per_query
