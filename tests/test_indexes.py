@@ -1214,3 +1214,55 @@ def test_flat_f16_search_batch_matches_per_query(spark, sf_dir, tmp_path):
         for x in idx.search(list(r["qv"]), k=5).collect():
             per_query.add((int(r["qid"]), int(x["id"]), round(float(x["distance"]), 9)))
     assert batched == per_query
+
+
+class TestFp16Slt:
+    """fp16.slt mirror: vecf16 HNSW across all three metrics returns
+    exactly k, and vecf16 arithmetic runs on the f16 grid."""
+
+    def test_hnsw_all_metrics_k10(self, spark, sf_dir, tmp_path):
+        from pgvecto_rs_spark.indexes import HNSWIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        for metric in ("l2", "dot", "cos"):
+            idx = HNSWIndex.create(
+                spark, emb, str(tmp_path / f"fp16_{metric}"),
+                metric=metric, storage="f16", segment_rows=256,
+            )
+            rows = idx.search(Q64, k=10, ef_search=50).collect()
+            assert len(rows) == 10, metric
+
+    def test_vecf16_arithmetic_on_grid(self, spark):
+        # '[1,2,3]'::vecf16 * '[4,5,6]'::vecf16 = [4,10,18] (fp16.slt)
+        from pgvecto_rs_spark.functions import dense as D
+
+        a = D.to_f16_grid(F.array(F.lit(1.0), F.lit(2.0), F.lit(3.0)).cast("array<float>"))
+        b = D.to_f16_grid(F.array(F.lit(4.0), F.lit(5.0), F.lit(6.0)).cast("array<float>"))
+        got = spark.range(1).select(D.vector_mul(a, b).alias("r")).first()["r"]
+        assert got == [4.0, 10.0, 18.0]
+
+
+class TestReindexSlt:
+    """reindex.slt mirror: rebuilding an index over the same path while
+    an OPEN handle exists must serve the new data — the worker-resident
+    segment cache invalidates on the file fingerprint."""
+
+    def test_rebuild_invalidates_resident_segments(self, spark, sf_dir, tmp_path):
+        from pgvecto_rs_spark.indexes import HNSWIndex
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        path = str(tmp_path / "re")
+        first = emb.where(F.col("vec_id") < 200)
+        idx = HNSWIndex.create(spark, first, path, metric="l2", segment_rows=128)
+        before = {r["id"] for r in idx.search(Q64, k=10, ef_search=100).collect()}
+        assert before <= set(range(200))
+
+        # REINDEX over the full table at the same path; the old handle's
+        # resident graphs are stale but fingerprint-keyed
+        idx2 = HNSWIndex.create(spark, emb, path, metric="l2", segment_rows=128)
+        after = {r["id"] for r in idx2.search(Q64, k=10, ef_search=100).collect()}
+        exact = {
+            r["vec_id"]
+            for r in top_k(emb, "embedding", Q64, 10, metric="l2").collect()
+        }
+        assert after == exact
