@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "doc_bpe_merges",
     "doc_bpe_tokens",
     "doc_mixture_sample",
+    "doc_dsir_weights",
     "emb_kmeans",
     "emb_knn_classify",
     "emb_mmr_topk",

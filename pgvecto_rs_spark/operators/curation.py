@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "bpe_encode_counts",
+    "dsir_importance_weights",
     "bpe_train",
     "chunk_documents",
     "decontaminate",
@@ -736,4 +737,102 @@ def quota_sample(
         df.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= F.coalesce(qmap[F.col(source_col)], F.lit(0)))
         .drop("__rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): score each raw document
+# by the log-likelihood ratio of a target-domain hashed-n-gram unigram
+# model vs the raw-pool model.  Feature = character trigram hashed into
+# ``n_buckets`` via a polynomial rolling hash computed with plain
+# arithmetic (NOT an engine hash builtin) so any SQL engine reproduces
+# the exact bucket ids; per-bucket log-ratios quantize to 1e-6-scaled
+# integers so the per-doc sum is associative and engine-exact.
+
+DSIR_BUCKETS = 1024
+DSIR_SCALE = 1_000_000.0
+
+
+def _dsir_trigram_buckets(text: Column) -> Column:
+    """Array of bucket ids, one per character trigram of lower(text):
+    (c1*31^2 + c2*31 + c3) mod DSIR_BUCKETS over ascii codes."""
+    t = F.lower(text)
+    n = F.length(t)
+    return F.when(n < 3, F.array().cast("array<int>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(2)),
+            lambda i: (
+                F.ascii(F.substring(t, i, 1)) * F.lit(961)
+                + F.ascii(F.substring(t, i + 1, 1)) * F.lit(31)
+                + F.ascii(F.substring(t, i + 2, 1))
+            )
+            % F.lit(DSIR_BUCKETS),
+        )
+    )
+
+
+def dsir_importance_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """(id, n_feat, weight_u) per raw document: weight_u = Σ_b
+    n_doc[b] · floor(1e6·ln(p_target[b]/p_raw[b]) + 0.5), with
+    add-one-smoothed bucket unigram models over the hashed trigrams.
+
+    Scale shape: two global bucket-count aggregations (n_buckets rows
+    each — broadcastable at any corpus size), one trigram explode over
+    the raw pool with a broadcast join against the 2·n_buckets model
+    table, and a per-doc partial-aggregated sum.  No shuffle carries
+    more than (doc, bucket) pairs; the log-ratio table is computed once
+    and is O(n_buckets).  Engine-exact: bucket ids are integer
+    arithmetic, the only transcendental (ln of a ratio of exact
+    integers) quantizes to a scaled int BEFORE any multi-row sum."""
+    buckets = _dsir_trigram_buckets(F.col(text_col))
+
+    def model(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.explode(buckets).alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias(f"c_{name}"))
+        )
+
+    mt, mr = model(target, "t"), model(raw, "r")
+    tot_t = target.select(F.explode(buckets).alias("b")).count()
+    tot_r = raw.select(F.explode(buckets).alias("b")).count()
+    all_b = raw.sparkSession.range(n_buckets).select(F.col("id").cast("int").alias("b"))
+    lr = (
+        all_b.join(F.broadcast(mt), "b", "left")
+        .join(F.broadcast(mr), "b", "left")
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    ((F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1)).cast("double")
+                     / F.lit(float(tot_t + n_buckets)))
+                    / ((F.coalesce(F.col("c_r"), F.lit(0)) + F.lit(1)).cast("double")
+                       / F.lit(float(tot_r + n_buckets)))
+                )
+                * F.lit(DSIR_SCALE)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("lr_u"),
+        )
+    )
+    doc_feats = (
+        raw.select(F.col(id_col), F.explode(buckets).alias("b"))
+        .groupBy(id_col, "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        doc_feats.join(F.broadcast(lr), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_feat"),
+            F.sum(F.col("n") * F.col("lr_u")).cast("long").alias("weight_u"),
+        )
     )

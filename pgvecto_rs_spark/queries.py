@@ -2176,6 +2176,68 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_dsir_weights",
+    """
+    WITH tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(lower(text)) - 1),
+               i -> (ascii(substr(lower(text), CAST(i AS INT), 1)) * 961
+                   + ascii(substr(lower(text), CAST(i + 1 AS INT), 1)) * 31
+                   + ascii(substr(lower(text), CAST(i + 2 AS INT), 1))) % 1024)) AS b
+      FROM documents WHERE text IS NOT NULL AND length(text) >= 3
+    ),
+    tgt AS (SELECT b, COUNT(*) AS c_t FROM tri WHERE doc_id % 10 = 0 GROUP BY b),
+    raw AS (SELECT b, COUNT(*) AS c_r FROM tri WHERE doc_id % 10 <> 0 GROUP BY b),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM tri WHERE doc_id % 10 = 0) AS tt,
+             (SELECT COUNT(*) FROM tri WHERE doc_id % 10 <> 0) AS tr
+    ),
+    lr AS (
+      SELECT ab.b,
+             CAST(FLOOR(ln((CAST(COALESCE(tgt.c_t, 0) + 1 AS DOUBLE) / (tot.tt + 1024))
+                         / (CAST(COALESCE(raw.c_r, 0) + 1 AS DOUBLE) / (tot.tr + 1024)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS lr_u
+      FROM (SELECT unnest(range(0, 1024)) AS b) ab
+      LEFT JOIN tgt ON tgt.b = ab.b
+      LEFT JOIN raw ON raw.b = ab.b
+      CROSS JOIN tot
+    ),
+    doc_feats AS (
+      SELECT doc_id, b, COUNT(*) AS n FROM tri WHERE doc_id % 10 <> 0 GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(SUM(n) AS BIGINT) AS n_feat,
+           CAST(SUM(n * lr_u) AS BIGINT) AS weight_u
+    FROM doc_feats JOIN lr USING (b)
+    GROUP BY doc_id
+    ORDER BY weight_u DESC, doc_id LIMIT 20
+    """,
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023): score raw-pool
+    documents by the log-likelihood ratio of a target-domain hashed
+    char-trigram unigram model vs the raw-pool model; here target =
+    every 10th document.  Bucket ids come from a polynomial rolling
+    hash in plain arithmetic (NOT an engine hash builtin), and
+    per-bucket log-ratios quantize to scaled ints before any multi-row
+    sum — the oracle reproduces both exactly.  Top-20 by weight.
+
+    Scale shape (operators/curation.py:dsir_importance_weights): two
+    O(n_buckets) model aggregations broadcast everywhere; the raw pool
+    explodes trigrams once, partial-aggregates (doc, bucket) counts,
+    and broadcast-joins the 1024-row log-ratio table — no shuffle wider
+    than (doc, bucket)."""
+    docs = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") >= 3)
+    )
+    out = CU.dsir_importance_weights(
+        docs.where(F.col("doc_id") % 10 != 0),
+        docs.where(F.col("doc_id") % 10 == 0),
+    )
+    return out.orderBy(F.desc("weight_u"), "doc_id").limit(20)
+
+
+@register(
     "tpch_q2",
     """
     WITH ps AS (

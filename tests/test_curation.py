@@ -491,3 +491,30 @@ class TestMixing:
         # unknown source in quotas is harmless; missing source drops out
         got2 = quota_sample(df, {"s0": 5, "zzz": 9}, id_col="doc_id").collect()
         assert {r["source"] for r in got2} == {"s0"}
+
+
+def test_dsir_importance_weights_semantics(spark):
+    """Target-typical docs outweigh raw-typical ones; weights are
+    deterministic scaled ints; n_feat counts trigrams."""
+    from pgvecto_rs_spark.operators.curation import dsir_importance_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "alpha beta gamma alpha beta") for i in range(3)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "zzz qqq xxx vvv"), (3, "alpha beta")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dsir_importance_weights(raw, target).collect()}
+    assert set(rows) == {1, 2, 3}
+    # doc 1/3 share the target's trigrams -> higher weight than doc 2
+    assert rows[1]["weight_u"] > rows[2]["weight_u"]
+    assert rows[3]["weight_u"] > rows[2]["weight_u"]
+    assert rows[1]["n_feat"] == len("alpha beta gamma") - 2
+    # deterministic across repartitionings
+    again = {
+        r["doc_id"]: r["weight_u"]
+        for r in dsir_importance_weights(raw.repartition(7), target.repartition(5)).collect()
+    }
+    assert again == {k: v["weight_u"] for k, v in rows.items()}
