@@ -756,20 +756,29 @@ DSIR_SCALE = 1_000_000.0
 
 def _dsir_trigram_buckets(text: Column) -> Column:
     """Array of bucket ids, one per character trigram of lower(text):
-    (c1*31^2 + c2*31 + c3) mod DSIR_BUCKETS over ascii codes."""
+    (c1*31^2 + c2*31 + c3) mod DSIR_BUCKETS over the codepoints.
+
+    The codepoint array comes from ONE split+ascii pass; indexing it is
+    O(1) per trigram, where per-position ``substring`` would seek O(i)
+    into the UTF-8 string (quadratic per doc)."""
     t = F.lower(text)
     n = F.length(t)
-    return F.when(n < 3, F.array().cast("array<int>")).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), n - F.lit(2)),
-            lambda i: (
-                F.ascii(F.substring(t, i, 1)) * F.lit(961)
-                + F.ascii(F.substring(t, i + 1, 1)) * F.lit(31)
-                + F.ascii(F.substring(t, i + 2, 1))
-            )
-            % F.lit(DSIR_BUCKETS),
-        )
+    codes = F.transform(F.split(t, ""), lambda c: F.ascii(c))
+    # zip_with over SHIFTED SLICES, not element_at(codes, i) inside a
+    # transform lambda: higher-order lambdas evaluate interpreted (no
+    # common-subexpression elimination), so an element_at formulation
+    # re-runs the whole split+ascii subtree per ELEMENT — O(n^2) per
+    # document.  Here ``codes`` evaluates a bounded number of times per
+    # ROW and each zip_with pass is linear.
+    c12 = F.zip_with(
+        F.slice(codes, 1, n - F.lit(2)),
+        F.slice(codes, 2, n - F.lit(2)),
+        lambda a, bb: a * F.lit(961) + bb * F.lit(31),
     )
+    tri = F.zip_with(
+        c12, F.slice(codes, 3, n - F.lit(2)), lambda ab, c: (ab + c) % F.lit(DSIR_BUCKETS)
+    )
+    return F.when(n < 3, F.array().cast("array<int>")).otherwise(tri)
 
 
 def dsir_importance_weights(
@@ -783,38 +792,45 @@ def dsir_importance_weights(
     n_doc[b] · floor(1e6·ln(p_target[b]/p_raw[b]) + 0.5), with
     add-one-smoothed bucket unigram models over the hashed trigrams.
 
-    Scale shape: two global bucket-count aggregations (n_buckets rows
-    each — broadcastable at any corpus size), one trigram explode over
-    the raw pool with a broadcast join against the 2·n_buckets model
-    table, and a per-doc partial-aggregated sum.  No shuffle carries
-    more than (doc, bucket) pairs; the log-ratio table is computed once
-    and is O(n_buckets).  Engine-exact: bucket ids are integer
-    arithmetic, the only transcendental (ln of a ratio of exact
-    integers) quantizes to a scaled int BEFORE any multi-row sum."""
+    Scale shape: the trigram explode is built ONCE (raw ∪ target with a
+    side tag) and feeds exactly two aggregations — the per-bucket model
+    counts (n_buckets rows, broadcastable at any corpus size; the model
+    TOTALS fall out of the same table, no extra scan) and the per-(doc,
+    bucket) feature counts.  The 2·n_buckets log-ratio table broadcast-
+    joins the features; no shuffle carries more than (doc, bucket)
+    pairs.  Engine-exact: bucket ids are integer arithmetic, and the
+    only transcendental (ln of a ratio of exact integers) quantizes to
+    a scaled int BEFORE any multi-row sum."""
+    from .dedup import _spread
+
     buckets = _dsir_trigram_buckets(F.col(text_col))
-
-    def model(df: DataFrame, name: str) -> DataFrame:
-        return (
-            df.select(F.explode(buckets).alias("b"))
-            .groupBy("b")
-            .agg(F.count(F.lit(1)).alias(f"c_{name}"))
-        )
-
-    mt, mr = model(target, "t"), model(raw, "r")
-    tot_t = target.select(F.explode(buckets).alias("b")).count()
-    tot_r = raw.select(F.explode(buckets).alias("b")).count()
+    both = raw.select(
+        F.col(id_col), F.lit(False).alias("__tgt"), F.col(text_col)
+    ).unionByName(
+        target.select(F.col(id_col), F.lit(True).alias("__tgt"), F.col(text_col))
+    )
+    # single-file inputs arrive as 1-2 partitions; the trigram fan-out
+    # multiplies rows ~n_chars-fold, so spread BEFORE the explode
+    tri = _spread(both).select(F.col(id_col), "__tgt", F.explode(buckets).alias("b"))
+    stats = tri.groupBy("b").agg(
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("c_t"),
+        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("c_r"),
+    )
+    tots = stats.agg(
+        F.sum("c_t").alias("tt"), F.sum("c_r").alias("tr")
+    )
     all_b = raw.sparkSession.range(n_buckets).select(F.col("id").cast("int").alias("b"))
     lr = (
-        all_b.join(F.broadcast(mt), "b", "left")
-        .join(F.broadcast(mr), "b", "left")
+        all_b.join(F.broadcast(stats), "b", "left")
+        .join(F.broadcast(tots))
         .select(
             "b",
             F.floor(
                 F.log(
                     ((F.coalesce(F.col("c_t"), F.lit(0)) + F.lit(1)).cast("double")
-                     / F.lit(float(tot_t + n_buckets)))
+                     / (F.col("tt") + F.lit(n_buckets)).cast("double"))
                     / ((F.coalesce(F.col("c_r"), F.lit(0)) + F.lit(1)).cast("double")
-                       / F.lit(float(tot_r + n_buckets)))
+                       / (F.col("tr") + F.lit(n_buckets)).cast("double"))
                 )
                 * F.lit(DSIR_SCALE)
                 + F.lit(0.5)
@@ -824,7 +840,7 @@ def dsir_importance_weights(
         )
     )
     doc_feats = (
-        raw.select(F.col(id_col), F.explode(buckets).alias("b"))
+        tri.where(~F.col("__tgt"))
         .groupBy(id_col, "b")
         .agg(F.count(F.lit(1)).alias("n"))
     )
