@@ -145,7 +145,12 @@ def _assign(
     qdf: DataFrame, centroids: list[list[int]], impl: str = "auto"
 ) -> DataFrame:
     if impl == "auto":
-        impl = "numpy" if len(centroids) * len(centroids[0]) >= 2048 else "expr"
+        # numpy (bit-identical, see _assign_numpy's exactness argument)
+        # unless the centroid set is trivial: the expr path costs
+        # O(k·dims) py4j round-trips just to BUILD the fold expressions
+        # (~2 s at k=8, dims=64) plus interpreted evaluation per row;
+        # the Arrow path pays one pandas-UDF stage regardless of k
+        impl = "numpy" if len(centroids) * len(centroids[0]) >= 128 else "expr"
     return (_assign_numpy if impl == "numpy" else _assign_expr)(qdf, centroids)
 
 
