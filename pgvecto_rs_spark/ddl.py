@@ -280,3 +280,36 @@ def create_index(
     for key, val in spec["alterable"].items():
         alter_index(idx, key, val)
     return idx
+
+
+def create_index_pgvector(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    using: str = "hnsw",
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    opclass: str = "vector_l2_ops",
+    **with_options,
+):
+    """pgvector-compat DDL entry (`CREATE INDEX ... USING hnsw (col
+    vector_l2_ops) WITH (m=16, ef_construction=64)`): the reference
+    rewrites this via a ProcessUtility hook onto its native options
+    (src/index/compatibility.rs:7-117, pgvector defaults m=16 /
+    ef_construction=64 / lists=100 at :86-100) — mirrored here through
+    ``maintenance.pgvector_compat_options`` + the native builders."""
+    from pgvecto_rs_spark.maintenance import pgvector_compat_options
+
+    mapped = pgvector_compat_options(using, **with_options)
+    kind = mapped.pop("kind")
+    if kind == "hnsw":
+        toml = (
+            f"[indexing.hnsw]\nm = {mapped['m']}\n"
+            f"ef_construction = {max(10, mapped['ef_construction'])}"
+        )
+    else:
+        toml = f"[indexing.ivf]\nnlist = {mapped['nlist']}"
+    return create_index(
+        spark, df, path, vector_col=vector_col, id_col=id_col,
+        opclass=opclass, options=toml,
+    )

@@ -164,3 +164,21 @@ class TestCreate:
                 vector_col="bv", id_col="vec_id",
                 opclass="bvector_jaccard_ops",
             )
+
+
+def test_pgvector_compat_ddl(spark, sf_dir, tmp_path):
+    """compatibility.rs:86-100 defaults: USING hnsw -> m=16/efc=64,
+    USING ivfflat -> lists=100 (capped by corpus here via nlist)."""
+    from pgvecto_rs_spark.ddl import create_index_pgvector
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    idx = create_index_pgvector(spark, emb, str(tmp_path / "pgv"))
+    assert idx.meta["kind"] == "hnsw" and idx.meta["m"] == 16
+    assert len(idx.search(Q64, k=5, ef_search=100).collect()) == 5
+
+    ivf = create_index_pgvector(
+        spark, emb, str(tmp_path / "pgvi"), using="ivfflat", lists=8
+    )
+    assert ivf.meta["kind"] == "ivf" and ivf.meta["nlist"] == 8
+    with pytest.raises(ValueError, match="unknown hnsw options"):
+        create_index_pgvector(spark, emb, str(tmp_path / "x"), wat=1)
