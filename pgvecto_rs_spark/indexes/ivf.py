@@ -229,6 +229,26 @@ class IVFIndex:
             prepared.select("vec").sample(fraction=fraction, seed=seed).limit(SAMPLE_CAP).collect()
         )
         x = np.asarray([r["vec"] for r in sample], dtype=np.float64)
+        if len(x) == 0:
+            # issue_427.slt: an all-NULL (or empty) column must build an
+            # empty index that searches to the empty set, not crash in
+            # centroid seeding
+            os.makedirs(os.path.join(path, "lists"), exist_ok=True)
+            centroids = np.zeros((0, 0), dtype=np.float32)
+            np.save(os.path.join(path, "centroids.npy"), centroids, allow_pickle=False)
+            np.save(
+                os.path.join(path, "list_radii.npy"),
+                np.zeros(0, dtype=np.float64), allow_pickle=False,
+            )
+            meta = {
+                "kind": "ivf", "metric": metric.lower(), "kernel": kernel,
+                "normalize": do_norm, "nlist": 0, "dims": 0, "n_rows": 0,
+                "spherical": spherical, "payload_cols": list(payload_cols),
+                "replicas": 1, "storage": storage, "quantization": quantization,
+                "residual_quantization": False,
+            }
+            base.write_meta(path, meta)
+            return cls(spark, path, meta, centroids)
         nlist_eff = min(nlist, len(x))
         centroids = _lloyd(x, nlist_eff, spherical=spherical, seed=seed)
 
@@ -641,6 +661,8 @@ class IVFIndex:
         radii and degrades gracefully to a full scan for huge ones.
         """
         kernel = self.meta["kernel"]
+        if self.meta["nlist"] == 0:  # empty index (issue_427 build path)
+            return self.spark.createDataFrame([], "id long, distance double")
         q = base.prep_query(query, self.meta["normalize"])
         rad = self.list_radii()
         n = len(rad)
@@ -729,6 +751,8 @@ class IVFIndex:
                 np_eff = min(self.meta["nlist"], np_eff * 4)
             return self.spark.createDataFrame(rows, out.schema)
 
+        if self.meta["nlist"] == 0:  # empty index (issue_427 build path)
+            return self.spark.createDataFrame([], "id long, distance double")
         q = base.prep_query(query, self.meta["normalize"])
         lists = self.probe_lists(q, nprobe)
         df = self._lists().where(F.col("list_id").isin(lists))
@@ -984,6 +1008,10 @@ class IVFIndex:
 
         if nprobe is None:
             nprobe = max(DEFAULT_NPROBE, -(-self.meta["nlist"] // 50))
+        if self.meta["nlist"] == 0:  # empty index (issue_427 build path)
+            return self.spark.createDataFrame(
+                [], "query_id bigint, id bigint, distance double"
+            )
 
         qrows = BT.collect_queries_or_none(queries, query_id_col, query_vec_col)
         if qrows is None:

@@ -96,3 +96,26 @@ class TestPartitionedPartial:
         merged = sorted(results, key=lambda r: (r["distance"], r["id"]))[:5]
         truth = top_k(emb, "embedding", Q64, 5, metric="l2", tiebreaker="vec_id").collect()
         assert [r["id"] for r in merged] == [r["vec_id"] for r in truth]
+
+
+def test_issue_427_all_null_column_index(spark, tmp_path):
+    """issue_427.slt: building any index over an ALL-NULL vector column
+    must succeed (empty index) and searching it must run, returning the
+    empty set."""
+    from pgvecto_rs_spark.indexes import FlatIndex, IVFIndex
+    from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+    from pgvecto_rs_spark.queries import Q64
+
+    nulls = spark.range(100).select(
+        F.col("id").alias("vec_id"),
+        F.lit(None).cast("array<float>").alias("embedding"),
+    )
+    for name, builder, kw in [
+        ("flat", FlatIndex, {}),
+        ("ivf", IVFIndex, {"nlist": 4}),
+        ("hnsw", HNSWIndex, {"segment_rows": 64}),
+    ]:
+        idx = builder.create(
+            spark, nulls, str(tmp_path / f"n_{name}"), metric="l2", **kw
+        )
+        assert idx.search(Q64, k=10).collect() == [], name
