@@ -26,8 +26,9 @@ __version__ = "0.1.0"
 # unpickle task closures (e.g. the HNSW segment runners, whose only
 # heavy dependency is numpy).  Eagerly importing `functions` here would
 # drag pandas + pyspark.sql (~700 ms) into every cold worker.
-_SUBMODULES = ("functions", "indexes", "operators", "plans", "sources",
-               "streaming", "types", "queries", "session")
+_SUBMODULES = ("ddl", "evaluate", "functions", "indexes", "maintenance",
+               "operators", "plans", "queries", "session", "sources",
+               "sql", "streaming", "types")
 
 
 def __getattr__(name: str):
