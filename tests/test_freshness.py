@@ -446,3 +446,53 @@ def test_optimizer_delete_threshold_gc(spark, emb):
         st = idx.stat()
         assert st["idx_tombstones"] == 0, "tombstones folded"
         assert opt.tick_optimizing() is False, "no further work"
+
+
+def test_streaming_ingest_with_background_optimizer(spark, emb, tmp_path):
+    """End-to-end: Structured Streaming micro-batches feed the growing
+    segment while the timer-driven optimizer runs concurrently; after
+    the stream drains and the segment goes idle, the index converges to
+    fully sealed WITHOUT any explicit compact() — the reference's
+    aminsert + background-optimizer interplay (optimizing/mod.rs)."""
+    from pgvecto_rs_spark.streaming import run_optimizer
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)
+        total_base = idx.stat()["idx_tuples"]
+        stage = str(tmp_path / "sstage")
+        late = emb.where(F.col("vec_id") >= 400)
+        late.write.mode("overwrite").parquet(stage)
+        n_late = late.count()
+
+        opt = run_optimizer(idx, sealing_secs=0.3, optimizing_secs=3600)
+        try:
+            stream = (
+                spark.readStream.schema(late.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(stage)
+            )
+            q = (
+                stream.writeStream.foreachBatch(idx.foreach_batch_sink())
+                .option("checkpointLocation", str(tmp_path / "sckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            # searchable regardless of sealing state, right away
+            got = {r["id"] for r in idx.search(Q64, k=10).collect()}
+            assert any(i >= 400 for i in got)
+            # idle stream -> the optimizer seals within a few cadences
+            deadline = time.time() + 90
+            while time.time() < deadline:
+                st = idx.stat()
+                if not st["idx_growing"]:
+                    break
+                time.sleep(0.4)
+            st = idx.stat()
+            assert st["idx_growing"] == []
+            assert st["idx_sealed"] == [total_base + n_late]
+            # sealed result unchanged
+            sealed_got = {r["id"] for r in idx.search(Q64, k=10).collect()}
+            assert sealed_got == got
+        finally:
+            opt.stop()
