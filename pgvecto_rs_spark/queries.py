@@ -2423,22 +2423,31 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity"
     )
-    avail = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("availqty")
-    )
-    orders97 = (
+    # ONE lineitem shuffle: the in-1997 flag broadcasts from orders and
+    # both aggregates (total qty, half the 1997 qty) ride the same
+    # (part, supplier) groupBy as conditional sums.  A pair with no 1997
+    # rows gets a NULL half_q97, and `availqty > NULL` drops it exactly
+    # like the oracle's empty correlated subquery.
+    o97 = (
         spark.read.parquet(f"{sf_dir}/orders.parquet")
-        .where(
-            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .select(
+            "o_orderkey",
+            (
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ).alias("in97"),
         )
-        .select("o_orderkey")
     )
-    q97 = (
-        li.join(orders97, li.l_orderkey == orders97.o_orderkey)
+    pairs = (
+        li.join(F.broadcast(o97), li.l_orderkey == o97.o_orderkey)
         .groupBy("l_partkey", "l_suppkey")
         .agg(
-            F.floor(F.lit(0.5) * F.sum("l_quantity")).cast("long").alias("half_q97")
+            F.sum(F.col("l_quantity").cast("long")).cast("long").alias("availqty"),
+            F.floor(
+                F.lit(0.5) * F.sum(F.when(F.col("in97"), F.col("l_quantity")))
+            )
+            .cast("long")
+            .alias("half_q97"),
         )
     )
     part = (
@@ -2447,8 +2456,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     good_pairs = (
-        avail.join(q97, ["l_partkey", "l_suppkey"])
-        .where(F.col("availqty") > F.col("half_q97"))
+        pairs.where(F.col("availqty") > F.col("half_q97"))
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .select("l_suppkey")
         .distinct()
@@ -2520,7 +2528,9 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
-    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+    # orders('F') is 1/3 of orders — key+date columns broadcast fine at
+    # bench scale, and on a real cluster AQE would pick this anyway
+    lo = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey).withColumn(
         "is_late", late
     )
     per_order = lo.groupBy("l_orderkey").agg(
