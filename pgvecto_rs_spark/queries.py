@@ -2293,16 +2293,16 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     eur_ps = ps.join(F.broadcast(eur_supp), ps.ps_suppkey == F.col("s_suppkey"))
-    min_cost = eur_ps.groupBy("ps_partkey").agg(
-        F.min("ps_cost_c").alias("min_cost_c")
-    )
     part = (
         spark.read.parquet(f"{sf_dir}/part.parquet")
         .where((F.col("p_size") == 3) & (F.col("p_type") == "ECONOMY"))
         .select("p_partkey")
     )
+    # regional per-part MIN as a window over the (already partkey-keyed)
+    # derived ps relation: one shuffle instead of aggregate + join-back
+    wmin = Window.partitionBy("ps_partkey")
     out = (
-        eur_ps.join(min_cost, "ps_partkey")
+        eur_ps.withColumn("min_cost_c", F.min("ps_cost_c").over(wmin))
         .where(F.col("ps_cost_c") == F.col("min_cost_c"))
         .join(F.broadcast(part), F.col("ps_partkey") == F.col("p_partkey"))
         .select(
