@@ -32,6 +32,7 @@ __all__ = [
     "bpe_train",
     "chunk_documents",
     "decontaminate",
+    "dedup_passages",
     "pack_sequences",
     "pii_redact",
     "quota_sample",
@@ -272,6 +273,68 @@ def chunk_documents(
         )
     )
     return out
+
+
+def dedup_passages(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_tokens: int = 10,
+) -> DataFrame:
+    """Corpus-level duplicate-passage removal (CCNet / ExactSubstr-lite):
+    split every document into non-overlapping ``window_tokens``-token
+    passages, keep only the FIRST corpus-wide occurrence of each
+    distinct passage (ordered by ``(id, window position)``), and
+    reassemble each document from its surviving passages.
+
+    Returns (id, n_windows, n_dup_windows, dedup_text).  A document
+    whose every passage already appeared earlier comes back with
+    ``dedup_text = ''`` — the standard boilerplate/duplicated-span
+    scrub applied before training.
+
+    Shape: per-row window fan-out (no shuffle), then ONE shuffle keyed
+    by passage text for the global first-occurrence rank, then a
+    doc-keyed reassembly agg.  Word-count shape twice — the map-side
+    partial agg absorbs head-passage skew.  At 100 TB you'd key the
+    rank shuffle by ``xxhash64(passage)`` and keep the string only in
+    the row payload; the decision logic is unchanged.
+    """
+    w = window_tokens
+    toks = _norm_tokens(F.col(text_col))
+    n = F.size(toks)
+    n_wins = F.floor((n + F.lit(w - 1)).cast("long") / F.lit(w)).cast("int")
+    wins = F.transform(
+        F.sequence(F.lit(0), n_wins - 1),
+        lambda i: F.struct(
+            i.cast("int").alias("win_idx"),
+            F.concat_ws(" ", F.slice(toks, i * w + 1, w)).alias("win_text"),
+        ),
+    )
+    from pyspark.sql import Window
+
+    exploded = (
+        df.where(n > 0)
+        .select(F.col(id_col), F.explode(wins).alias("__w"))
+        .select(id_col, "__w.win_idx", "__w.win_text")
+    )
+    rank_w = Window.partitionBy("win_text").orderBy(id_col, "win_idx")
+    ranked = exploded.withColumn("__keep", F.row_number().over(rank_w) == 1)
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("win_idx"), F.col("win_text"))
+    )
+    return ranked.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_windows"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda x: x["win_text"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
 
 
 def pack_sequences(

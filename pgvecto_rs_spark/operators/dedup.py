@@ -35,6 +35,7 @@ __all__ = [
     "shingles",
     "simhash",
     "simhash_candidate_pairs",
+    "srp_neardup_pairs",
     "verify_pairs_jaccard",
 ]
 
@@ -587,6 +588,94 @@ def embedding_neardup_pairs(
         F.col("cos_dist") < threshold
     )
     # the same pair can co-occur in several lists; keep one
+    return scored.groupBy("id_a", "id_b").agg(F.min("cos_dist").alias("cos_dist"))
+
+
+def srp_codes(
+    mat: "np.ndarray", bands: int, band_bits: int, seed: int
+) -> "np.ndarray":
+    """(n, bands) int64 SRP band codes for an (n, dims) float64 matrix.
+
+    Hyperplane entry for (global bit g, dim d) is ±1 from a
+    deterministic integer hash of ``idx = g*dims + d``: a multiplicative
+    step then two xor-shift/multiply rounds (hash32-style finalizer —
+    the plain linear hash correlates across consecutive dims), all in
+    int64-safe mod-2^32 arithmetic (multipliers < 2^31, so products
+    stay < 2^63 — no overflow in numpy, Spark, or ANSI SQL).
+    Components are quantized to ``floor(v * 2^24)`` int64 before the
+    dot, so ANY engine (numpy here, plain SQL arithmetic in the
+    oracle) reproduces the codes bit-for-bit: no float-summation-order
+    dependence.
+    """
+    dims = mat.shape[1]
+    q = np.floor(mat * 16777216.0).astype(np.int64)  # (n, dims)
+    g = np.arange(bands * band_bits * dims, dtype=np.int64).reshape(
+        bands * band_bits, dims
+    )
+    s = (g * 2654435761 + seed) % 4294967296
+    s = ((s ^ (s >> 16)) * 73244475) % 4294967296
+    s = ((s ^ (s >> 16)) * 73244475) % 4294967296
+    s = s ^ (s >> 16)
+    sign = (s & 1) * 2 - 1  # (bands*band_bits, dims) of ±1
+    dots = q @ sign.T  # int64 exact
+    bits = (dots > 0).astype(np.int64).reshape(len(mat), bands, band_bits)
+    return (bits << np.arange(band_bits, dtype=np.int64)).sum(axis=2)
+
+
+def srp_neardup_pairs(
+    df: DataFrame,
+    vector_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.2,
+    bands: int = 16,
+    band_bits: int = 4,
+    seed: int = 12345,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine via random-hyperplane
+    (signed-random-projection) LSH — the classic cosine LSH family
+    (Charikar 2002), complementing the IVF-bucketed path in
+    :func:`embedding_neardup_pairs`: (id_a, id_b, cos_dist).
+
+    Candidates = pairs sharing any band's ``band_bits``-bit SRP code
+    (an equi-join on (band, code) — quadratic work confined to
+    buckets, same shape as MinHash banding), then exact cosine
+    verify ``< threshold``.  Recall vs candidate volume tunes like
+    any LSH: more + shorter bands raise both.
+
+    Codes come from :func:`srp_codes` (deterministic integer-hash
+    hyperplanes + quantized int64 dots) so the full pipeline is
+    engine-reproducible — the registered oracle replays it in plain
+    SQL arithmetic.  Signature computation is a per-row Arrow batch
+    (no shuffle); the only shuffles are the (band, code) join and the
+    final pair dedup.
+    """
+    from pgvecto_rs_spark.functions.dense import cosine_distance
+
+    e = df.where(F.col(vector_col).isNotNull()).select(
+        F.col(id_col).alias("__id"), F.col(vector_col).alias("__v")
+    )
+
+    @F.pandas_udf("array<bigint>")
+    def codes(v: pd.Series) -> pd.Series:
+        mat = np.asarray(v.tolist(), dtype=np.float64)
+        c = srp_codes(mat, bands, band_bits, seed)
+        return pd.Series([row.tolist() for row in c])
+
+    coded = e.withColumn("__codes", codes("__v")).select(
+        "__id", "__v", F.posexplode("__codes").alias("__band", "__code")
+    )
+    a = coded.select(
+        "__band", "__code", F.col("__id").alias("id_a"), F.col("__v").alias("v_a")
+    )
+    b = coded.select(
+        "__band", "__code", F.col("__id").alias("id_b"), F.col("__v").alias("v_b")
+    )
+    cand = a.join(b, ["__band", "__code"]).where(F.col("id_a") < F.col("id_b"))
+    d = cosine_distance(F.col("v_a"), F.col("v_b"), check=False)
+    scored = cand.select("id_a", "id_b", d.alias("cos_dist")).where(
+        F.col("cos_dist") < threshold
+    )
+    # a pair can collide in several bands; keep one row
     return scored.groupBy("id_a", "id_b").agg(F.min("cos_dist").alias("cos_dist"))
 
 

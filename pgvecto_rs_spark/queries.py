@@ -943,6 +943,35 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_dup_passages",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS t
+      FROM documents WHERE length(trim(text)) > 0
+    ), wins AS (
+      SELECT doc_id, CAST(u.i AS INT) AS win_idx,
+             array_to_string(list_slice(t, u.i*10 + 1, u.i*10 + 10), ' ') AS win_text
+      FROM toks, unnest(range(0, (len(t) + 9) // 10)) AS u(i)
+    ), ranked AS (
+      SELECT doc_id, win_idx, win_text,
+             row_number() OVER (PARTITION BY win_text ORDER BY doc_id, win_idx) AS rn
+      FROM wins
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows,
+           COALESCE(string_agg(CASE WHEN rn = 1 THEN win_text END, ' ' ORDER BY win_idx), '') AS dedup_text
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def doc_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level duplicate-passage removal (CCNet / ExactSubstr-lite,
+    Lee et al. 2022): 10-token non-overlapping passages, keep the first
+    corpus-wide occurrence of each distinct passage, reassemble docs."""
+    return CU.dedup_passages(_docs(spark, sf_dir), window_tokens=10)
+
+
+@register(
     "doc_pack",
     r"""
     WITH toks AS (
@@ -1218,6 +1247,60 @@ def emb_neardup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline; IVF-bucketed variant is the scale path)."""
     out = DD.embedding_neardup_pairs(
         _emb(spark, sf_dir).where(F.col("vec_id") < 200), threshold=0.7
+    )
+    return out.select("id_a", "id_b", _r4(F.col("cos_dist")).alias("cos_dist"))
+
+
+# Oracle replays the SRP pipeline in plain SQL arithmetic: quantized
+# int64 components, integer-hash hyperplane signs, band-code equi-join,
+# exact cosine verify — deterministic (engine-exact), not probabilistic.
+@register(
+    "emb_srp_neardup",
+    """
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(floor(x * 16777216.0) AS BIGINT)) AS qv,
+             CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < 400
+    ), s0 AS (
+      SELECT g.g AS g, d.d AS d,
+             ((g.g * 64 + d.d) * 2654435761 + 12345) % 4294967296 AS s
+      FROM unnest(range(0, 64)) AS g(g), unnest(range(0, 64)) AS d(d)
+    ), s1 AS (
+      SELECT g, d, (xor(s, s // 65536) * 73244475) % 4294967296 AS s FROM s0
+    ), s2 AS (
+      SELECT g, d, (xor(s, s // 65536) * 73244475) % 4294967296 AS s FROM s1
+    ), signs AS (
+      SELECT g, d, 2 * (xor(s, s // 65536) % 2) - 1 AS sgn FROM s2
+    ), bits AS (
+      SELECT q.vec_id, CAST(s.g // 4 AS INT) AS band, s.g % 4 AS j,
+             SUM(qv[CAST(s.d AS INT) + 1] * s.sgn) AS dot
+      FROM q, signs s GROUP BY q.vec_id, s.g
+    ), codes AS (
+      SELECT vec_id, band,
+             SUM(CASE WHEN dot > 0 THEN (1 << CAST(j AS INT)) ELSE 0 END) AS code
+      FROM bits GROUP BY vec_id, band
+    )
+    SELECT id_a, id_b, ROUND(MIN(d), 4) AS cos_dist FROM (
+      SELECT qa.vec_id AS id_a, qb.vec_id AS id_b,
+             1.0 - list_cosine_similarity(qa.v, qb.v) AS d
+      FROM codes a JOIN codes b
+        ON a.band = b.band AND a.code = b.code AND a.vec_id < b.vec_id
+      JOIN q qa ON qa.vec_id = a.vec_id JOIN q qb ON qb.vec_id = b.vec_id
+    ) WHERE d < 0.65 GROUP BY id_a, id_b
+    """,
+)
+def emb_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (SRP) LSH near-dup over embeddings: 16 bands
+    x 4-bit deterministic hyperplane codes -> band-code equi-join ->
+    exact cosine verify (Charikar 2002 cosine LSH family)."""
+    out = DD.srp_neardup_pairs(
+        _emb(spark, sf_dir).where(F.col("vec_id") < 400),
+        threshold=0.65,
+        bands=16,
+        band_bits=4,
+        seed=12345,
     )
     return out.select("id_a", "id_b", _r4(F.col("cos_dist")).alias("cos_dist"))
 

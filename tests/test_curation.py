@@ -518,3 +518,43 @@ def test_dsir_importance_weights_semantics(spark):
         for r in dsir_importance_weights(raw.repartition(7), target.repartition(5)).collect()
     }
     assert again == {k: v["weight_u"] for k, v in rows.items()}
+
+
+class TestDedupPassages:
+    def test_keep_first_and_reassembly(self, spark):
+        from pgvecto_rs_spark.operators.curation import dedup_passages
+
+        # window_tokens=3: doc 1 = [a b c][d e f]; doc 2 repeats doc 1's
+        # first passage then adds a fresh one; doc 3 is entirely passages
+        # seen before -> empty dedup_text
+        docs = _docs(
+            spark,
+            [
+                (1, "a b c d e f"),
+                (2, "a b c x y z"),
+                (3, "a b c d e f"),
+                (4, ""),
+            ],
+        )
+        got = {
+            r["doc_id"]: r
+            for r in dedup_passages(docs, window_tokens=3).collect()
+        }
+        assert got[1]["n_windows"] == 2 and got[1]["n_dup_windows"] == 0
+        assert got[1]["dedup_text"] == "a b c d e f"
+        assert got[2]["n_dup_windows"] == 1
+        assert got[2]["dedup_text"] == "x y z"
+        assert got[3]["n_dup_windows"] == 2 and got[3]["dedup_text"] == ""
+        assert 4 not in got  # blank docs yield no rows
+
+    def test_tail_window_and_within_doc_dup(self, spark):
+        from pgvecto_rs_spark.operators.curation import dedup_passages
+
+        # 7 tokens, w=3 -> windows [a b c][a b c][a]: the SECOND window
+        # duplicates the first WITHIN the same doc; the 1-token tail is
+        # its own passage
+        docs = _docs(spark, [(1, "a b c a b c a")])
+        row = dedup_passages(docs, window_tokens=3).collect()[0]
+        assert row["n_windows"] == 3
+        assert row["n_dup_windows"] == 1
+        assert row["dedup_text"] == "a b c a"

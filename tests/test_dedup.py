@@ -142,3 +142,66 @@ class TestNeardupComponents:
         )
         got = {r["id"]: r["comp"] for r in DD.neardup_components(pairs).collect()}
         assert set(got.values()) == {30} and len(got) == 13
+
+
+class TestSrpNearDup:
+    def test_codes_deterministic_and_match_formula(self):
+        """srp_codes must equal a naive per-bit reimplementation of the
+        documented integer-hash formula."""
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        mat = rng.normal(size=(5, 8))
+        bands, bb, seed, dims = 3, 4, 12345, 8
+        got = DD.srp_codes(mat, bands, bb, seed)
+        q = np.floor(mat * 16777216.0).astype(np.int64)
+        for n in range(5):
+            for b in range(bands):
+                code = 0
+                for j in range(bb):
+                    dot = 0
+                    for d in range(dims):
+                        s = (((b * bb + j) * dims + d) * 2654435761 + seed) % 4294967296
+                        s = ((s ^ (s >> 16)) * 73244475) % 4294967296
+                        s = ((s ^ (s >> 16)) * 73244475) % 4294967296
+                        s = s ^ (s >> 16)
+                        sign = 2 * (s & 1) - 1
+                        dot += int(q[n, d]) * sign
+                    if dot > 0:
+                        code |= 1 << j
+                assert got[n, b] == code
+        assert (DD.srp_codes(mat, bands, bb, seed) == got).all()
+
+    def test_planted_neardups_recovered(self, spark):
+        """Jittered copies of base vectors are strongly cosine-similar;
+        SRP banding (16 x 4 bits) must recover every planted pair at
+        threshold 0.1, and the verify stage must drop dissimilar pairs."""
+        import numpy as np
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=(20, 32)).astype(np.float64)
+        base /= np.linalg.norm(base, axis=1, keepdims=True)
+        jit = base + rng.normal(scale=0.01, size=base.shape)
+        rows = [(i, base[i].tolist()) for i in range(20)] + [
+            (100 + i, jit[i].tolist()) for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = _pairset(
+            DD.srp_neardup_pairs(df, threshold=0.1, bands=16, band_bits=4)
+        )
+        planted = {(i, 100 + i) for i in range(20)}
+        assert planted <= got
+        # nothing below-threshold sneaks through the exact verify
+        for r in DD.srp_neardup_pairs(df, threshold=0.1).collect():
+            assert r["cos_dist"] < 0.1
+
+    def test_candidates_confined_to_buckets(self, spark):
+        """Orthogonal one-hot vectors share no band codes beyond chance;
+        with long codes (16 bits/band) none collide -> empty result even
+        at threshold 2.0 (verify never sees a cross pair)."""
+        import numpy as np
+
+        rows = [(i, (np.eye(24)[i]).tolist()) for i in range(24)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        got = DD.srp_neardup_pairs(df, threshold=2.0, bands=4, band_bits=16)
+        assert got.count() == 0
