@@ -33,6 +33,7 @@ __all__ = [
     "chunk_documents",
     "decontaminate",
     "dedup_passages",
+    "global_shuffle",
     "pack_sequences",
     "pii_redact",
     "quota_sample",
@@ -271,6 +272,64 @@ def chunk_documents(
             F.concat_ws(" ", F.col("__c.ct")).alias("chunk_text"),
             F.size(F.col("__c.ct")).cast("long").alias("n_chunk_tokens"),
         )
+    )
+    return out
+
+
+def global_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    num_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic global training-order shuffle: adds ``shuffle_pos``
+    (0-based), the row's position when the corpus is ordered by
+    ``(md5(seed || id), id)`` — reproducible across engines, runs, and
+    partitionings (md5, not an engine hash).
+
+    Scale-correct global indexing: a bare ``row_number() OVER (ORDER
+    BY ...)`` collapses to ONE partition in Spark.  Instead the md5
+    key's 32-bit prefix is bucketed (monotone w.r.t. the hex string
+    order, so bucket boundaries respect the global order), bucket
+    counts → exclusive offsets are a ``num_buckets``-row driver fold
+    (bounded, data-independent), and the final position is
+    ``offset[bucket] + rank within bucket`` — one count agg + one
+    bucket-keyed window shuffle, never a single-partition sort.  md5 is
+    uniform, so buckets are balanced by construction (no sampling, no
+    RangePartitioner nondeterminism).
+    """
+    key = F.md5(F.concat(F.lit(str(seed)), F.col(id_col).cast("string")))
+    # first 8 hex chars as int: monotone prefix of the full key order
+    bucket = (
+        F.conv(F.substring(F.col("__gs_key"), 1, 8), 16, 10).cast("long")
+        * num_buckets
+        / F.lit(4294967296)
+    ).cast("int")
+    keyed = df.withColumn("__gs_key", key).withColumn("__gs_b", bucket)
+    counts = {
+        r["__gs_b"]: r["n"]
+        for r in keyed.groupBy("__gs_b").agg(F.count("*").alias("n")).collect()
+    }
+    running, offsets = 0, {}
+    for b in range(num_buckets):
+        offsets[b] = running
+        running += counts.get(b, 0)
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(b, offsets[b]) for b in sorted(offsets)], "__gs_b int, __gs_off long"
+        )
+    )
+    w = Window.partitionBy("__gs_b").orderBy("__gs_key", id_col)
+    out = (
+        keyed.join(off_df, "__gs_b")
+        .withColumn(
+            "shuffle_pos",
+            (F.col("__gs_off") + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("__gs_key", "__gs_b", "__gs_off")
     )
     return out
 

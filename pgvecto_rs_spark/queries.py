@@ -943,6 +943,25 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_shuffle_order",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('42' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+           AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def doc_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (md5-keyed) — the
+    oracle's single global ROW_NUMBER is realized distributed: bucketed
+    two-phase global indexing, never a one-partition sort."""
+    return CU.global_shuffle(_docs(spark, sf_dir), seed=42).select(
+        "doc_id", "shuffle_pos"
+    )
+
+
+@register(
     "doc_dup_passages",
     r"""
     WITH toks AS (

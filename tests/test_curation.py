@@ -558,3 +558,36 @@ class TestDedupPassages:
         assert row["n_windows"] == 3
         assert row["n_dup_windows"] == 1
         assert row["dedup_text"] == "a b c a"
+
+
+class TestGlobalShuffle:
+    def test_matches_single_partition_rank_and_determinism(self, spark):
+        from pgvecto_rs_spark.operators.curation import global_shuffle
+
+        docs = _docs(spark, [(i, f"doc {i}") for i in range(200)])
+        got = {
+            r["doc_id"]: r["shuffle_pos"]
+            for r in global_shuffle(docs, seed=7, num_buckets=16).collect()
+        }
+        # truth: one-partition rank over the same md5 key
+        import hashlib
+
+        order = sorted(range(200), key=lambda i: (hashlib.md5(f"7{i}".encode()).hexdigest(), i))
+        want = {doc: pos for pos, doc in enumerate(order)}
+        assert got == want
+        # a permutation of 0..n-1, stable across re-runs
+        assert sorted(got.values()) == list(range(200))
+        again = {
+            r["doc_id"]: r["shuffle_pos"]
+            for r in global_shuffle(docs, seed=7, num_buckets=16).collect()
+        }
+        assert again == got
+
+    def test_seed_changes_order_but_not_set(self, spark):
+        from pgvecto_rs_spark.operators.curation import global_shuffle
+
+        docs = _docs(spark, [(i, "x") for i in range(50)])
+        a = {r["doc_id"]: r["shuffle_pos"] for r in global_shuffle(docs, seed=1).collect()}
+        b = {r["doc_id"]: r["shuffle_pos"] for r in global_shuffle(docs, seed=2).collect()}
+        assert a != b
+        assert sorted(a.values()) == sorted(b.values()) == list(range(50))
