@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     "doc_bpe_tokens",
     "doc_mixture_sample",
     "doc_dsir_weights",
+    "doc_dup_passages",
+    "doc_shuffle_order",
+    "emb_srp_neardup",
     "emb_kmeans",
     "emb_knn_classify",
     "emb_mmr_topk",
