@@ -305,3 +305,55 @@ class TestRepackPure:
         w32 = W._repack_64_to_32(words64.view(np.int64), dims)
         back = W._repack_32_to_64(np.asarray(w32, dtype=np.uint32), dims)
         assert np.array_equal(back.view(np.uint64), words64)
+
+
+class TestDedupPassagesProperties:
+    """Corpus-level invariants of curation.dedup_passages: on ANY corpus,
+    every distinct passage string survives exactly once corpus-wide, in
+    its first-occurrence document, and window accounting balances."""
+
+    @given(
+        st.lists(
+            st.lists(
+                st.sampled_from(["a", "b", "c", "dd"]), min_size=1, max_size=12
+            ),
+            min_size=1,
+            max_size=8,
+        ),
+        st.integers(min_value=1, max_value=4),
+    )
+    @settings(**_SETTINGS)
+    def test_each_distinct_passage_survives_exactly_once(self, spark, token_lists, w):
+        from pgvecto_rs_spark.operators.curation import dedup_passages
+
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(token_lists)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in dedup_passages(df, window_tokens=w).collect()}
+
+        # python model: windows in (doc_id, win_idx) order, keep-first
+        seen: set[str] = set()
+        model_kept: dict[int, list[str]] = {}
+        model_total: dict[int, int] = {}
+        for i, toks in enumerate(rows):
+            words = rows[i][1].split(" ")
+            wins = [
+                " ".join(words[j : j + w]) for j in range(0, len(words), w)
+            ]
+            model_total[i] = len(wins)
+            model_kept[i] = []
+            for win in wins:
+                if win not in seen:
+                    seen.add(win)
+                    model_kept[i].append(win)
+
+        assert set(out) == set(model_total)
+        all_survivors: list[str] = []
+        for i in out:
+            assert out[i]["n_windows"] == model_total[i]
+            assert out[i]["n_dup_windows"] == model_total[i] - len(model_kept[i])
+            got_text = out[i]["dedup_text"]
+            want_text = " ".join(model_kept[i])
+            assert got_text == want_text
+            all_survivors += model_kept[i]
+        # global exactly-once property
+        assert len(all_survivors) == len(set(all_survivors))
