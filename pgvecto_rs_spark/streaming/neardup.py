@@ -52,7 +52,7 @@ from pgvecto_rs_spark.operators.dedup import (
 
 __all__ = ["StreamingNearDup"]
 
-_BANDS_SCHEMA = "band int, bucket string, doc_id long"
+_BANDS_SCHEMA = "band int, bucket long, doc_id long"
 
 
 class StreamingNearDup:
@@ -114,8 +114,9 @@ class StreamingNearDup:
     # -- banding -------------------------------------------------------
 
     def _band_codes(self, df: DataFrame) -> DataFrame:
-        """(doc_id, band, bucket) — md5 of each band's signature slice
-        (the same banding rule as ``lsh_candidate_pairs``)."""
+        """(doc_id, band, bucket) — xxhash64 of each band's signature
+        slice, seeded by the band id (the same banding rule as
+        ``lsh_candidate_pairs``: a LONG bucket key, no string alloc)."""
         rpb = self.num_perm // self.bands
         sig = minhash_signatures_df(
             df, self.text_col, self.id_col, self.num_perm, self.k, self.seed
@@ -127,14 +128,12 @@ class StreamingNearDup:
                     *[
                         F.struct(
                             F.lit(b).alias("band"),
-                            F.md5(
-                                F.concat_ws(
-                                    ",",
-                                    *[
-                                        F.col("__sig")[b * rpb + r]
-                                        for r in range(rpb)
-                                    ],
-                                )
+                            F.xxhash64(
+                                F.lit(b),
+                                *[
+                                    F.col("__sig")[b * rpb + r]
+                                    for r in range(rpb)
+                                ],
                             ).alias("bucket"),
                         )
                         for b in range(self.bands)
