@@ -1293,7 +1293,7 @@ def emb_neardup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), signs AS (
       SELECT g, d, 2 * (xor(s, s // 65536) % 2) - 1 AS sgn FROM s2
     ), bits AS (
-      SELECT q.vec_id, CAST(s.g // 4 AS INT) AS band, s.g % 4 AS j,
+      SELECT q.vec_id, CAST(s.g // 8 AS INT) AS band, s.g % 8 AS j,
              SUM(qv[CAST(s.d AS INT) + 1] * s.sgn) AS dot
       FROM q, signs s GROUP BY q.vec_id, s.g
     ), codes AS (
@@ -1311,14 +1311,16 @@ def emb_neardup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def emb_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane (SRP) LSH near-dup over embeddings: 16 bands
-    x 4-bit deterministic hyperplane codes -> band-code equi-join ->
-    exact cosine verify (Charikar 2002 cosine LSH family)."""
+    """Random-hyperplane (SRP) LSH near-dup over embeddings: 8 bands
+    x 8-bit deterministic hyperplane codes -> band-code equi-join ->
+    exact cosine verify (Charikar 2002 cosine LSH family).  8-bit codes
+    keep buckets fine-grained (256-way per band), so candidates stay
+    bucket-confined instead of collapsing toward all-pairs."""
     out = DD.srp_neardup_pairs(
         _emb(spark, sf_dir).where(F.col("vec_id") < 400),
         threshold=0.65,
-        bands=16,
-        band_bits=4,
+        bands=8,
+        band_bits=8,
         seed=12345,
     )
     return out.select("id_a", "id_b", _r4(F.col("cos_dist")).alias("cos_dist"))
