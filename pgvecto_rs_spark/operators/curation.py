@@ -33,7 +33,9 @@ __all__ = [
     "chunk_documents",
     "decontaminate",
     "dedup_passages",
+    "global_rank",
     "global_shuffle",
+    "quality_ntile",
     "pack_sequences",
     "pii_redact",
     "quota_sample",
@@ -332,6 +334,100 @@ def global_shuffle(
         .drop("__gs_key", "__gs_b", "__gs_off")
     )
     return out
+
+
+def global_rank(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int = 64,
+) -> DataFrame:
+    """0-based dense global position of every row under the total order
+    ``order_cols`` — the scale-correct ``row_number() OVER (ORDER BY
+    ...)``: a bare global window collapses to ONE partition in Spark.
+
+    Two-pass distributed rank: range-repartition + in-partition sort,
+    then partition row-counts → exclusive offsets (a
+    ``num_partitions``-row driver fold), then a second pass adds
+    ``offset[pid] + local position``.  RangePartitioner boundary
+    sampling is NOT a determinism risk: whatever the boundaries, the
+    in-partition sort plus offsets reproduce the same total order, so
+    the rank of each row is exact (ties must be broken by including a
+    unique id in ``order_cols``).  Lineage is truncated
+    (localCheckpoint) so partition ids are stable between the count
+    pass and the indexing pass.
+    """
+    from pyspark import TaskContext
+
+    parted = (
+        df.repartitionByRange(num_partitions, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["__pid"]: r["n"]
+        for r in parted.groupBy(
+            F.spark_partition_id().alias("__pid")
+        )
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    running, offsets = 0, {}
+    for pid in range(max(counts, default=-1) + 1):
+        offsets[pid] = running
+        running += counts.get(pid, 0)
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        list(parted.schema.fields) + [StructField(rank_col, LongType())]
+    )
+
+    def add_rank(it):
+        import pandas as pd  # noqa: F401 — pandas batches in/out
+
+        pid = TaskContext.get().partitionId()
+        base = offsets.get(pid, 0)
+        seen = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf[rank_col] = range(base + seen, base + seen + len(pdf))
+            seen += len(pdf)
+            yield pdf
+
+    return parted.mapInPandas(add_rank, schema)
+
+
+def quality_ntile(
+    df: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    n: int = 4,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """SQL-NTILE quality bucketing over a score column — the curriculum
+    / quality-tier assignment step (e.g. CCNet's perplexity head/
+    middle/tail thirds): adds ``bucket`` in 1..n, sizes matching
+    ``NTILE(n) OVER (ORDER BY score, id)`` exactly (first ``total % n``
+    buckets get the extra row).
+
+    Built on :func:`global_rank` — distributed, never a one-partition
+    window.  Ties broken by ``id_col``, so the assignment is
+    deterministic and engine-reproducible.
+    """
+    ranked = global_rank(df, [score_col, id_col], rank_col="__qr")
+    total = ranked.count()
+    q, r = divmod(total, n)
+    rank = F.col("__qr")
+    if q == 0:
+        bucket = rank + 1
+    else:
+        bucket = (
+            F.when(rank < r * (q + 1), F.floor(rank / (q + 1)))
+            .otherwise(r + F.floor((rank - r * (q + 1)) / q))
+            + 1
+        )
+    return ranked.withColumn(bucket_col, bucket.cast("int")).drop("__qr")
 
 
 def dedup_passages(

@@ -1046,6 +1046,45 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_quality_ntile",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ')) AS term
+      FROM documents WHERE length(trim(text)) > 0
+    ), freq AS (
+      SELECT term, COUNT(*) AS tf FROM toks GROUP BY term
+    ), tot AS (
+      SELECT SUM(tf) AS total FROM freq
+    ), scored AS (
+      SELECT t.doc_id,
+             SUM(CAST(FLOOR(ln(CAST(tf AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)) AS s_u,
+             COUNT(*) AS n_tokens
+      FROM toks t JOIN freq USING (term) CROSS JOIN tot
+      GROUP BY t.doc_id
+    ), final AS (
+      SELECT doc_id,
+             FLOOR(CAST(s_u AS DOUBLE) / 1000000.0 / n_tokens * 10000.0 + 0.5) / 10000.0 AS lm_score
+      FROM scored
+    )
+    SELECT doc_id, lm_score,
+           NTILE(4) OVER (ORDER BY lm_score, doc_id) AS bucket
+    FROM final
+    """,
+)
+def doc_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-tier assignment (CCNet head/middle/tail shape): NTILE(4)
+    over the unigram-LM score — computed DISTRIBUTED via the two-pass
+    global rank (range repartition + partition offsets), never a
+    one-partition ORDER BY window."""
+    scored = CU.unigram_lm_score(_docs(spark, sf_dir)).select(
+        "doc_id", _r4t(F.col("lm_score")).alias("lm_score")
+    )
+    out = CU.quality_ntile(scored, "lm_score", "doc_id", n=4)
+    return out.select("doc_id", "lm_score", "bucket")
+
+
+@register(
     "doc_repetition",
     r"""
     WITH docs2 AS (

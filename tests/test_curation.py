@@ -591,3 +591,50 @@ class TestGlobalShuffle:
         b = {r["doc_id"]: r["shuffle_pos"] for r in global_shuffle(docs, seed=2).collect()}
         assert a != b
         assert sorted(a.values()) == sorted(b.values()) == list(range(50))
+
+
+class TestGlobalRankAndNtile:
+    def test_rank_matches_single_partition_sort(self, spark):
+        from pgvecto_rs_spark.operators.curation import global_rank
+
+        rows = [(i, (i * 37) % 100) for i in range(500)]
+        df = spark.createDataFrame(rows, "doc_id long, score long")
+        got = {
+            r["doc_id"]: r["rank"]
+            for r in global_rank(df, ["score", "doc_id"], num_partitions=8).collect()
+        }
+        want = {
+            doc: pos
+            for pos, (doc, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+        }
+        assert got == want
+
+    def test_ntile_matches_sql_ntile(self, spark):
+        from pgvecto_rs_spark.operators.curation import quality_ntile
+
+        # total=10, n=4 -> bucket sizes 3,3,2,2 (NTILE rule)
+        rows = [(i, float(10 - i)) for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id long, score double")
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in quality_ntile(df, "score", "doc_id", n=4).collect()
+        }
+        # ascending score order = doc_id 9,8,...,0
+        order = [9, 8, 7, 6, 5, 4, 3, 2, 1, 0]
+        sizes = [3, 3, 2, 2]
+        want, i = {}, 0
+        for b, sz in enumerate(sizes, start=1):
+            for _ in range(sz):
+                want[order[i]] = b
+                i += 1
+        assert got == want
+
+    def test_ntile_fewer_rows_than_buckets(self, spark):
+        from pgvecto_rs_spark.operators.curation import quality_ntile
+
+        df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "doc_id long, score double")
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in quality_ntile(df, "score", "doc_id", n=4).collect()
+        }
+        assert got == {1: 1, 2: 2}
