@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "doc_dsir_weights",
     "doc_dup_passages",
     "doc_shuffle_order",
+    "doc_quality_ntile",
     "emb_srp_neardup",
     "emb_kmeans",
     "emb_knn_classify",
