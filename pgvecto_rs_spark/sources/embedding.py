@@ -26,7 +26,34 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["text2vec", "text2vec_hash"]
+__all__ = ["embedding_options", "get_option", "set_option", "text2vec", "text2vec_hash"]
+
+
+# GUC analogue (src/gucs/embedding.rs:24-47, openai_options.slt): the
+# provider settings a deployment points at an OpenAI-compatible
+# endpoint.  SET/SHOW semantics; consumed by whoever constructs the
+# provider callable for text2vec.
+_OPTIONS: dict[str, str] = {
+    "openai_base_url": "https://api.openai.com/v1",
+    "openai_api_key": "",
+}
+
+
+def set_option(name: str, value: str) -> None:
+    """``SET vectors.<name> TO <value>`` analogue (known keys only)."""
+    if name not in _OPTIONS:
+        raise KeyError(f"unknown embedding option {name!r}")
+    _OPTIONS[name] = value
+
+
+def get_option(name: str) -> str:
+    """``SHOW vectors.<name>`` analogue."""
+    return _OPTIONS[name]
+
+
+def embedding_options() -> dict[str, str]:
+    """Snapshot of all embedding provider options."""
+    return dict(_OPTIONS)
 
 
 def text2vec(provider: Callable[[list[str]], "np.ndarray"], dims: int) -> Callable[[Column], Column]:

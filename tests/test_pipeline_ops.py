@@ -613,3 +613,24 @@ class TestKnnJoinIVF:
         a = sorted((r["query_id"], r["neighbor_id"]) for r in approx)
         e = sorted((r["qid"], r["vec_id"]) for r in exact)
         assert a == e
+
+
+class TestEmbeddingOptions:
+    """Mirror of openai_options.slt: SET/SHOW of the provider GUCs."""
+
+    def test_set_show_roundtrip(self):
+        from pgvecto_rs_spark.sources import embedding as E
+
+        E.set_option("openai_base_url", "https://api.moonshot.cn/v1")
+        E.set_option("openai_api_key", "fake_key")
+        assert E.get_option("openai_base_url") == "https://api.moonshot.cn/v1"
+        assert E.get_option("openai_api_key") == "fake_key"
+        assert E.embedding_options()["openai_api_key"] == "fake_key"
+
+    def test_unknown_key_rejected(self):
+        from pgvecto_rs_spark.sources import embedding as E
+
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            E.set_option("openai_timeout", "1")
