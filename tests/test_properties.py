@@ -357,3 +357,40 @@ class TestDedupPassagesProperties:
             all_survivors += model_kept[i]
         # global exactly-once property
         assert len(all_survivors) == len(set(all_survivors))
+
+
+class TestGlobalRankProperties:
+    """global_rank must equal the single-partition sort rank for ANY
+    data distribution and partition count (RangePartitioner boundary
+    sampling must never change the result)."""
+
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=10_000),
+                st.integers(min_value=-50, max_value=50),
+            ),
+            min_size=1,
+            max_size=60,
+            unique_by=lambda t: t[0],
+        ),
+        st.integers(min_value=1, max_value=9),
+    )
+    @settings(**_SETTINGS)
+    def test_rank_is_exact_for_any_partitioning(self, spark, rows, parts):
+        from pgvecto_rs_spark.operators.curation import global_rank
+
+        df = spark.createDataFrame(rows, "id long, score long")
+        got = {
+            r["id"]: r["rank"]
+            for r in global_rank(
+                df, ["score", "id"], num_partitions=parts
+            ).collect()
+        }
+        want = {
+            rid: pos
+            for pos, (rid, _) in enumerate(
+                sorted(rows, key=lambda t: (t[1], t[0]))
+            )
+        }
+        assert got == want
