@@ -34,6 +34,7 @@ __all__ = [
     "decontaminate",
     "dedup_passages",
     "global_rank",
+    "global_rank_with_total",
     "global_shuffle",
     "quality_ntile",
     "pack_sequences",
@@ -342,6 +343,16 @@ def global_rank(
     rank_col: str = "rank",
     num_partitions: int = 64,
 ) -> DataFrame:
+    out, _ = global_rank_with_total(df, order_cols, rank_col, num_partitions)
+    return out
+
+
+def global_rank_with_total(
+    df: DataFrame,
+    order_cols: list[str],
+    rank_col: str = "rank",
+    num_partitions: int = 64,
+) -> tuple[DataFrame, int]:
     """0-based dense global position of every row under the total order
     ``order_cols`` — the scale-correct ``row_number() OVER (ORDER BY
     ...)``: a bare global window collapses to ONE partition in Spark.
@@ -356,9 +367,15 @@ def global_rank(
     unique id in ``order_cols``).  Lineage is truncated
     (localCheckpoint) so partition ids are stable between the count
     pass and the indexing pass.
+
+    The INPUT is checkpointed first: RangePartitioner's boundary
+    sampling is a separate pass over the upstream, so an expensive
+    lineage (a scoring pipeline feeding the rank) would otherwise be
+    evaluated twice — once for sampling, once for the shuffle.
     """
     from pyspark import TaskContext
 
+    df = df.localCheckpoint(eager=True)
     parted = (
         df.repartitionByRange(num_partitions, *order_cols)
         .sortWithinPartitions(*order_cols)
@@ -395,7 +412,7 @@ def global_rank(
             seen += len(pdf)
             yield pdf
 
-    return parted.mapInPandas(add_rank, schema)
+    return parted.mapInPandas(add_rank, schema), running
 
 
 def quality_ntile(
@@ -415,8 +432,9 @@ def quality_ntile(
     window.  Ties broken by ``id_col``, so the assignment is
     deterministic and engine-reproducible.
     """
-    ranked = global_rank(df, [score_col, id_col], rank_col="__qr")
-    total = ranked.count()
+    ranked, total = global_rank_with_total(
+        df, [score_col, id_col], rank_col="__qr", num_partitions=16
+    )
     q, r = divmod(total, n)
     rank = F.col("__qr")
     if q == 0:
