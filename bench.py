@@ -79,6 +79,9 @@ BENCH_QUERIES = [
     "chunk_embed_topk",
     "chunk_embed_pool",
     "doc_maxsim_topk",
+    "mm_image_stats",
+    "mm_image_knn",
+    "mm_audio_stats",
     "events_hourly",
     "events_sessions",
     "events_asof",

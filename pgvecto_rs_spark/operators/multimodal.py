@@ -39,6 +39,7 @@ __all__ = [
     "attach_media_metadata",
     "decode_image_features",
     "decode_audio_features",
+    "decode_audio_stats",
     "resize_images",
     "sample_video_frames",
 ]
@@ -289,6 +290,62 @@ def decode_audio_features(
                     "duration_ms": pd.Series(durs, dtype="int32"),
                     "sample_rate": pd.Series(rates, dtype="int32"),
                     "feature": feats,
+                }
+            )
+
+    return df.mapInPandas(op, out_schema)
+
+
+def decode_audio_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(id, sample_rate, n_samples, duration_ms, energy, zero_crossings):
+    REAL PCM WAV decode reduced to *exact integer* statistics, so the
+    whole decode path is verifiable against a SQL oracle with no
+    floating-point tolerance.  For 8/16-bit PCM the waveform values are
+    dyadic rationals (``s / 128`` or ``s / 32768``), so the integer
+    sample ``s`` is recovered exactly by rounding and ``energy``
+    (sum of s^2) and ``zero_crossings`` (strict sign flips,
+    s[i]*s[i+1] < 0) are order-independent integer reductions — the
+    multimodal analogue of the repo's scaled-integer aggregation
+    discipline.  mapInPandas batch operator, same contract as
+    decode_audio_features."""
+    out_schema = (
+        f"{id_col} bigint, sample_rate int, n_samples bigint, "
+        "duration_ms int, energy bigint, zero_crossings bigint"
+    )
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, rates, ns, durs, es, zcs = [], [], [], [], [], []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                x, rate = _decode_wav(bytes(b))
+                # exact integer reconstruction: mono 8-bit samples are
+                # s/128, 16-bit s/32768 — pick the smallest scale that
+                # lands every sample on an integer (dyadic, so the
+                # check is exact, not a tolerance)
+                s = x * 128.0
+                if not np.array_equal(s, np.rint(s)):
+                    s = x * 32768.0
+                s = np.rint(s).astype(np.int64)
+                ids.append(int(mid))
+                rates.append(int(rate))
+                ns.append(int(x.size))
+                durs.append(int(1000 * x.size / rate) if rate else 0)
+                es.append(int(np.dot(s, s)))
+                zcs.append(int(np.count_nonzero(s[:-1] * s[1:] < 0)))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "duration_ms": pd.Series(durs, dtype="int32"),
+                    "energy": pd.Series(es, dtype="int64"),
+                    "zero_crossings": pd.Series(zcs, dtype="int64"),
                 }
             )
 

@@ -4955,6 +4955,278 @@ def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# 8m. multimodal (operators/multimodal.py): deterministic synthetic media
+# payloads (PPM image / PCM WAV / MJPEG AVI, derived from doc_id alone) are
+# pushed through the REAL codec paths — PPM decode + nearest-neighbor
+# resize, stdlib-wave PCM decode, RIFF walk + baseline-JPEG decode — and the
+# decoded values reduce to integer statistics a SQL oracle reproduces
+# exactly.  This proves the Spark-side plumbing (binary columns, Arrow
+# mapInPandas batches, fan-out schemas) end-to-end, not just in unit tests.
+# Payload synthesis happens executor-side inside the same mapInPandas batch
+# discipline, so nothing media-sized ever crosses the driver.
+# ---------------------------------------------------------------------------
+
+
+def _synth_ppm_op(it):
+    """(doc_id) -> (doc_id, payload): 8x8 P6 PPM, pixel v_i =
+    (doc_id*31 + i*7 + 13) % 256, r=g=b (so gray == v/255 exactly in
+    float32 — see mm_image_stats oracle-boundary note)."""
+    import numpy as np
+    import pandas as pd
+
+    idx = np.arange(64)
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            v = ((int(did) * 31 + idx * 7 + 13) % 256).astype(np.uint8)
+            payloads.append(b"P6\n8 8\n255\n" + bytes(np.repeat(v, 3)))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_image_stats",
+    r"""
+    WITH px AS (
+      SELECT d.doc_id, d.source,
+             CAST(FLOOR(((d.doc_id*31 + i*7 + 13) % 256) / 255.0 * 10000 + 0.5)
+                  AS BIGINT) AS q
+      FROM documents d, range(64) r(i)
+    ), per_doc AS (
+      SELECT doc_id, source, SUM(q) AS s, MAX(q) AS m
+      FROM px GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_images,
+           CAST(SUM(s) AS BIGINT) AS sum_gray_q,
+           CAST(MAX(m) AS BIGINT) AS max_gray_q
+    FROM per_doc GROUP BY source
+    """,
+)
+def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pipeline end-to-end: synthesize a deterministic 8x8 PPM per
+    document, decode through the REAL codec path
+    (multimodal.decode_image_features: P6 parse -> gray -> resize), and
+    aggregate per-pixel grayscale quantized at 1e4 per source.
+
+    Oracle-boundary safety: with r=g=b=v the decoded gray is
+    float32(v/255); the exact value v*10000/255 is a multiple of 1/51,
+    so its distance to any FLOOR(x+0.5) boundary is >= 1/102 ~ 9.8e-3
+    while the float32 representation error is <= 6e-4 — both engines
+    round identically for every v in 0..255 (verified exhaustively)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    media = docs.select("doc_id").mapInPandas(
+        _synth_ppm_op, "doc_id bigint, payload binary"
+    )
+    feats = MM.decode_image_features(media, id_col="doc_id")
+    q = F.expr(
+        "transform(feature, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    per_doc = feats.select(
+        "doc_id",
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
+        F.array_max(q).alias("m"),
+    )
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("s").cast("long").alias("sum_gray_q"),
+            F.max("m").cast("long").alias("max_gray_q"),
+        )
+    )
+
+
+@register(
+    "mm_image_knn",
+    r"""
+    WITH px AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(((d.doc_id*31 + i*7 + 13) % 256) / 255.0 * 10000 + 0.5)
+                  AS BIGINT)
+             - CAST(FLOOR(((123457*31 + i*7 + 13) % 256) / 255.0 * 10000 + 0.5)
+                    AS BIGINT) AS dq
+      FROM documents d, range(64) r(i)
+    )
+    SELECT doc_id, CAST(SUM(dq*dq) AS BIGINT) AS dist_q
+    FROM px GROUP BY doc_id
+    ORDER BY dist_q, doc_id LIMIT 10
+    """,
+)
+def mm_image_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal -> ANN handoff: decode every document's synthetic PPM
+    through the REAL codec path, quantize the 64-dim grayscale feature
+    to integers (the same 1e4 grid as mm_image_stats, so parity is
+    exact), and run squared-L2 top-10 against a fixed query image
+    (doc_id 123457's pixel formula) — decoded features are directly
+    usable by the search layer, and the plan is the engine's top-k
+    shape (TakeOrderedAndProject over a scan-fused projection, no
+    shuffle before the limit)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.mapInPandas(_synth_ppm_op, "doc_id bigint, payload binary")
+    feats = MM.decode_image_features(media, id_col="doc_id")
+    qpx = [
+        int(math.floor((123457 * 31 + i * 7 + 13) % 256 / 255.0 * 10000 + 0.5))
+        for i in range(64)
+    ]
+    q = F.array(*[F.lit(int(x)).cast("long") for x in qpx])
+    pq = F.expr(
+        "transform(feature, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    dist = F.aggregate(
+        F.zip_with(pq, q, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        feats.select("doc_id", dist.alias("dist_q"))
+        .orderBy("dist_q", "doc_id")
+        .limit(10)
+    )
+
+
+def _synth_wav_op(it):
+    """(doc_id) -> (doc_id, payload): mono 8-bit PCM WAV at 8 kHz,
+    n = 64 + doc_id%32 samples, byte u_i = (doc_id*17 + i*29 + 5) % 256."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    rate = 8000
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            n = 64 + did % 32
+            u = ((did * 17 + np.arange(n) * 29 + 5) % 256).astype(np.uint8)
+            data = bytes(u)
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+                + b"data"
+                + struct.pack("<I", len(data))
+            )
+            payloads.append(hdr + data)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_audio_stats",
+    r"""
+    WITH sm AS (
+      SELECT d.doc_id, i,
+             (((d.doc_id*17 + i*29 + 5) % 256) - 128) AS s,
+             (64 + d.doc_id % 32) AS n
+      FROM documents d, range(96) r(i)
+      WHERE i < 64 + d.doc_id % 32
+    ), zz AS (
+      SELECT doc_id, n, s,
+             LEAD(s) OVER (PARTITION BY doc_id ORDER BY i) AS s2
+      FROM sm
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(FLOOR(MAX(n) * 1000.0 / 8000.0) AS INT) AS duration_ms,
+           CAST(SUM(s*s) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN s*s2 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings
+    FROM zz GROUP BY doc_id
+    """,
+)
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline end-to-end: synthesize a deterministic 8-bit PCM
+    WAV per document, decode through the REAL stdlib-wave path, and
+    emit exact integer statistics (energy = sum s^2, strict sign-flip
+    zero crossings).  8-bit PCM decodes to (u-128)/128 — dyadic — so
+    the integer sample is recovered exactly and the oracle needs no
+    floating-point tolerance at all (the multimodal analogue of the
+    scaled-integer SUM discipline used by the TPC-H oracles)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.mapInPandas(_synth_wav_op, "doc_id bigint, payload binary")
+    return MM.decode_audio_stats(media, id_col="doc_id")
+
+
+def _synth_avi_op(it):
+    """(doc_id) -> (doc_id, payload): MJPEG AVI with 1 + doc_id%4
+    constant-gray 8x8 frames (fill value 32*frame_no+16), real
+    baseline-JPEG encode per frame (operators/jpeg.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.video import encode_mjpeg_avi
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            nf = 1 + int(did) % 4
+            frames = [
+                np.full((8, 8), 32 * f + 16, dtype=np.uint8) for f in range(nf)
+            ]
+            payloads.append(encode_mjpeg_avi(frames))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_video_frames",
+    r"""
+    WITH v AS (SELECT doc_id, (1 + doc_id % 4) AS nf FROM documents)
+    SELECT doc_id,
+           CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(((nf - 1) // 2) * 2 AS INT) AS max_frame_no,
+           CAST(((nf + 1) // 2) * 64 AS BIGINT) AS n_px
+    FROM v
+    """,
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline end-to-end: synthesize an MJPEG AVI per document
+    (real baseline-JPEG frames), frame-sample every 2nd frame through
+    the REAL RIFF walk (multimodal.sample_video_frames), then decode
+    every sampled frame through the REAL JPEG path
+    (decode_image_features) and count decoded pixels.  The oracle
+    checks the structural invariants that are SQL-expressible exactly
+    (sampled-frame count, max sampled frame index, total decoded
+    pixels); pixel values round-trip a lossy DCT so they are covered by
+    unit tests, not the SQL oracle."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.mapInPandas(_synth_avi_op, "doc_id bigint, payload binary")
+    sampled = MM.sample_video_frames(media, id_col="doc_id", every_n=2)
+    counts = sampled.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.max("frame_no").cast("int").alias("max_frame_no"),
+    )
+    feats = MM.decode_image_features(
+        sampled.select("doc_id", F.col("frame_payload").alias("payload")),
+        id_col="doc_id",
+    )
+    px = feats.groupBy("doc_id").agg(
+        F.sum(F.size("feature")).cast("long").alias("n_px")
+    )
+    return counts.join(px, "doc_id").select(
+        "doc_id", "n_sampled", "max_frame_no", "n_px"
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the README quick-start query shape on sf0.001."""
     return topk_l2(spark, "/root/testdata/sf0.001")

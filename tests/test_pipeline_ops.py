@@ -333,6 +333,43 @@ class TestMultimodal:
         # 440 Hz of a 4 kHz band span lands in the second of 14 bands
         assert max(range(14), key=lambda i: bands[i]) == 1
 
+    def test_audio_stats_exact_integers(self, spark):
+        """decode_audio_stats recovers the exact integer samples for
+        both 8-bit (s/128) and 16-bit (s/32768) PCM and reduces them to
+        oracle-safe integer statistics."""
+        import io
+        import wave as wavemod
+
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import decode_audio_stats
+
+        def wav(samples, width):
+            buf = io.BytesIO()
+            with wavemod.open(buf, "wb") as w:
+                w.setnchannels(1)
+                w.setsampwidth(width)
+                w.setframerate(8000)
+                if width == 1:
+                    w.writeframes(bytes((np.asarray(samples) + 128).astype(np.uint8)))
+                else:
+                    w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+            return buf.getvalue()
+
+        s8 = [3, -5, 7, -2, 0, 4]
+        s16 = [300, -500, 700, -200, 0, 400]
+        df = spark.createDataFrame(
+            [(1, wav(s8, 1)), (2, wav(s16, 2))], "media_id long, payload binary"
+        )
+        rows = {r["media_id"]: r for r in decode_audio_stats(df).collect()}
+        for mid, s in ((1, s8), (2, s16)):
+            a = np.asarray(s, dtype=np.int64)
+            r = rows[mid]
+            assert r["n_samples"] == len(s)
+            assert r["sample_rate"] == 8000
+            assert r["energy"] == int((a * a).sum())
+            assert r["zero_crossings"] == int(((a[:-1] * a[1:]) < 0).sum())
+
     def test_video_frame_sampling(self, spark):
         from pgvecto_rs_spark.operators.multimodal import sample_video_frames
 
