@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "doc_maxsim_topk",
     "mm_image_stats",
     "mm_image_knn",
+    "mm_image_neardup",
     "mm_audio_stats",
     "events_hourly",
     "events_sessions",

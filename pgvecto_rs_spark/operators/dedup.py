@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "exact_dedup",
+    "hamming_candidate_pairs",
     "minhash_signature",
     "lsh_candidate_pairs",
     "minhash_dedup_groups",
@@ -783,6 +784,24 @@ def simhash_candidate_pairs(
     ``max_bucket`` are dropped — one degenerate band bucket
     (empty/boilerplate docs) would otherwise make the in-array pair
     expansion quadratic (same skew guard as the MinHash path)."""
+    sig = simhash_signatures_df(df, text_col, id_col, k)
+    return hamming_candidate_pairs(sig, max_hamming=max_hamming, max_bucket=max_bucket)
+
+
+def hamming_candidate_pairs(
+    sig: DataFrame,
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, hamming) over a ``(__id long, __sig long)`` 64-bit
+    signature relation: band the signature into ``max_hamming + 1``
+    bit-bands (pigeonhole completeness), equi-join on (band, key),
+    verify exact Hamming inside each bucket with one vectorized XOR
+    popcount matrix per bucket.  The shared engine behind
+    ``simhash_candidate_pairs`` (text) and
+    ``multimodal.image_neardup_pairs`` (perceptual hashes) — any
+    64-bit per-row fingerprint gets the same exact-within-radius,
+    bucket-confined join."""
     if max_hamming > 15:
         # the pigeonhole guarantee needs max_hamming+1 bands of >= 4 bits
         # each over a 64-bit signature; silently clamping the band count
@@ -791,7 +810,6 @@ def simhash_candidate_pairs(
             f"max_hamming={max_hamming} > 15 cannot keep the pigeonhole "
             "guarantee over a 64-bit signature (needs max_hamming+1 bands)"
         )
-    sig = simhash_signatures_df(df, text_col, id_col, k)
     n_bands = min(max_hamming + 1, 16)
     base, rem = divmod(64, n_bands)
     widths = [base + 1] * rem + [base] * (n_bands - rem)

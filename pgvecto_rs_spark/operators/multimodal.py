@@ -40,6 +40,8 @@ __all__ = [
     "decode_image_features",
     "decode_audio_features",
     "decode_audio_stats",
+    "image_hashes_df",
+    "image_neardup_pairs",
     "resize_images",
     "sample_video_frames",
 ]
@@ -350,6 +352,90 @@ def decode_audio_stats(
             )
 
     return df.mapInPandas(op, out_schema)
+
+
+def image_hashes_df(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    method: str = "ahash",
+    fake: bool = False,
+) -> DataFrame:
+    """(__id, __sig): 64-bit perceptual hash per image, decoded through
+    the REAL codec path (PPM/PNG/baseline JPEG -> 8x8 gray).  Both
+    hashes are *integer-exact*: the integer gray level v in 0..255 is
+    recovered exactly from the float32 feature (representation error
+    < 1/510, under the rounding radius), and every bit is a strict
+    integer comparison — so the whole fingerprint is replayable by a
+    SQL oracle with no floating-point tolerance.
+
+    - ``ahash`` (average hash): bit_i = 64*v_i > sum(v) — strict
+      greater-than against the mean, cross-multiplied to stay integer.
+    - ``dhash`` (difference hash, wraparound variant): bit[r,c] =
+      v[r, (c+1) % 8] > v[r, c] over the 8x8 grid.  Classic dHash uses
+      a 9-column resize; the decode contract is fixed at 8x8, so the
+      row wraps instead — same gradient-sign idea, still 64 bits.
+
+    Output feeds ``dedup.hamming_candidate_pairs`` (same banded
+    pigeonhole join as SimHash text near-dup) — signatures are a
+    per-row map, NO shuffle here."""
+    if method not in ("ahash", "dhash"):
+        raise ValueError(f"unknown image hash method: {method!r}")
+    use_ahash = method == "ahash"
+    weights = 1 << np.arange(64, dtype=np.uint64)
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, sigs = [], []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                g = _decode_image_bytes(bytes(b), fake)
+                v = np.rint(g.astype(np.float64) * 255.0).astype(np.int64)
+                if use_ahash:
+                    bits = (64 * v.reshape(-1)) > v.sum()
+                else:
+                    bits = (np.roll(v, -1, axis=1) > v).reshape(-1)
+                sig = int((bits.astype(np.uint64) * weights).sum(dtype=np.uint64))
+                if sig >= 1 << 63:  # two's-complement into Spark's long
+                    sig -= 1 << 64
+                ids.append(int(mid))
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "__id": pd.Series(ids, dtype="int64"),
+                    "__sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(op, "__id bigint, __sig bigint")
+
+
+def image_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    method: str = "ahash",
+    max_bucket: int = 1000,
+    fake: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate image pairs by perceptual
+    hash — decode through the real codec path, 64-bit integer-exact
+    aHash/dHash, then the shared banded-pigeonhole Hamming join
+    (``dedup.hamming_candidate_pairs``: complete within ``max_hamming``,
+    candidates confined to (band, key) buckets, exact verify inside the
+    bucket).  The image analogue of SimHash text near-dup: at 100 TB the
+    only shuffle is the band-key exchange on 64-bit signatures, never
+    on pixels."""
+    from .dedup import hamming_candidate_pairs
+
+    sig = image_hashes_df(
+        df, payload_col=payload_col, id_col=id_col, method=method, fake=fake
+    )
+    return hamming_candidate_pairs(
+        sig, max_hamming=max_hamming, max_bucket=max_bucket
+    )
 
 
 def resize_images(

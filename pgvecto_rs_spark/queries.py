@@ -5227,6 +5227,93 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_ppm_groups_op(it):
+    """(doc_id) -> (doc_id, payload): 8x8 P6 PPM in near-dup groups of
+    4 (base g = doc_id - doc_id%4, variant d = doc_id%4):
+    d in {0,1}: v_i = (g*31 + i*7 + 13 + (128 if d==1 and i==0 else 0)) % 256
+    d == 2:     v_i = (g*37 + i*11 + 57) % 256
+    d == 3:     v_i = (g*41 + i*23 + 191) % 256      (r=g=b)."""
+    import numpy as np
+    import pandas as pd
+
+    idx = np.arange(64)
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            g, d = did - did % 4, did % 4
+            if d == 2:
+                v = (g * 37 + idx * 11 + 57) % 256
+            elif d == 3:
+                v = (g * 41 + idx * 23 + 191) % 256
+            else:
+                v = (g * 31 + idx * 7 + 13) % 256
+                if d == 1:
+                    v = v.copy()
+                    v[0] = (v[0] + 128) % 256
+            payloads.append(b"P6\n8 8\n255\n" + bytes(np.repeat(v.astype(np.uint8), 3)))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_image_neardup",
+    r"""
+    WITH px AS (
+      SELECT d.doc_id, r.i,
+        CASE
+          WHEN d.doc_id % 4 = 2
+            THEN ((d.doc_id - d.doc_id % 4)*37 + r.i*11 + 57) % 256
+          WHEN d.doc_id % 4 = 3
+            THEN ((d.doc_id - d.doc_id % 4)*41 + r.i*23 + 191) % 256
+          ELSE ((d.doc_id - d.doc_id % 4)*31 + r.i*7 + 13
+                + CASE WHEN d.doc_id % 4 = 1 AND r.i = 0 THEN 128 ELSE 0 END)
+               % 256
+        END AS v
+      FROM documents d, range(64) r(i)
+    ), s AS (
+      SELECT doc_id, i, v, SUM(v) OVER (PARTITION BY doc_id) AS sv FROM px
+    ), sig AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN 64*v > sv AND i < 32
+                      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo,
+        CAST(SUM(CASE WHEN 64*v > sv AND i >= 32
+                      THEN (CAST(1 AS BIGINT) << (i-32)) ELSE 0 END) AS BIGINT) AS hi
+      FROM s GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+             AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """,
+)
+def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup end-to-end: synthesize grouped 8x8 PPMs (each
+    group of 4 doc_ids shares a base image; one variant perturbs a
+    single pixel, two are unrelated), decode through the REAL codec
+    path, fingerprint with the integer-exact 64-bit aHash
+    (multimodal.image_hashes_df), and find every pair within Hamming
+    distance 3 via the shared banded-pigeonhole join
+    (dedup.hamming_candidate_pairs — the same engine as SimHash text
+    near-dup, complete within the radius).  The oracle replays the
+    full pipeline in integer SQL (pixels -> strict-mean bits -> two
+    32-bit halves -> XOR popcount all-pairs), so parity is exact and
+    deterministic — this certifies the banding join itself finds
+    EVERY pair, not just the planted ones.  max_bucket is set above
+    the corpus's worst observed band-bucket (371 at 5k docs) so no
+    bucket is dropped; the only shuffle is the band-key exchange on
+    64-bit signatures, never on pixels."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.mapInPandas(_synth_ppm_groups_op, "doc_id bigint, payload binary")
+    return MM.image_neardup_pairs(
+        media, id_col="doc_id", max_hamming=3, method="ahash", max_bucket=100_000
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: the README quick-start query shape on sf0.001."""
     return topk_l2(spark, "/root/testdata/sf0.001")

@@ -370,6 +370,65 @@ class TestMultimodal:
             assert r["energy"] == int((a * a).sum())
             assert r["zero_crossings"] == int(((a[:-1] * a[1:]) < 0).sum())
 
+    def test_image_hashes_integer_exact(self, spark):
+        """aHash/dHash from the real decode path match a pure-python
+        integer model (strict mean compare / wraparound row gradient)."""
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import image_hashes_df
+
+        def ppm(v):
+            return b"P6\n8 8\n255\n" + bytes(np.repeat(v.astype(np.uint8), 3))
+
+        rng = np.random.RandomState(7)
+        imgs = {i: rng.randint(0, 256, 64) for i in range(5)}
+        df = spark.createDataFrame(
+            [(i, ppm(v)) for i, v in imgs.items()], "media_id long, payload binary"
+        )
+
+        def model(v, method):
+            if method == "ahash":
+                bits = (64 * v) > v.sum()
+            else:
+                m = v.reshape(8, 8)
+                bits = (np.roll(m, -1, axis=1) > m).reshape(-1)
+            sig = sum(int(b) << i for i, b in enumerate(bits))
+            return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+        for method in ("ahash", "dhash"):
+            got = {
+                r["__id"]: r["__sig"]
+                for r in image_hashes_df(df, method=method).collect()
+            }
+            assert got == {i: model(v, method) for i, v in imgs.items()}
+
+    def test_image_neardup_pairs(self, spark):
+        """Identical images pair at hamming 0, a one-pixel perturbation
+        pairs at small hamming, an unrelated image does not pair."""
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import image_neardup_pairs
+
+        def ppm(v):
+            return b"P6\n8 8\n255\n" + bytes(np.repeat(v.astype(np.uint8), 3))
+
+        base = (np.arange(64) * 7 + 13) % 256
+        tweak = base.copy()
+        tweak[0] = (tweak[0] + 128) % 256
+        other = (np.arange(64) * 37 + 101) % 256
+        df = spark.createDataFrame(
+            [(1, ppm(base)), (2, ppm(base)), (3, ppm(tweak)), (4, ppm(other))],
+            "media_id long, payload binary",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in image_neardup_pairs(df, max_hamming=3).collect()
+        }
+        assert pairs[(1, 2)] == 0
+        assert (1, 3) in pairs and 1 <= pairs[(1, 3)] <= 3
+        assert pairs[(1, 3)] == pairs[(2, 3)]
+        assert not any(4 in p for p in pairs)
+
     def test_video_frame_sampling(self, spark):
         from pgvecto_rs_spark.operators.multimodal import sample_video_frames
 
