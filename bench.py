@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "emb_srp_neardup",
     "emb_kmeans",
     "emb_knn_classify",
+    "emb_triplets",
     "emb_mmr_topk",
     "emb_outliers",
     "emb_semdedup",

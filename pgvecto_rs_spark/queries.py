@@ -347,6 +347,66 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "emb_triplets",
+    """
+    WITH pairs AS (
+      SELECT a.vec_id AS aid, a.label AS albl, c.vec_id AS cid, c.label AS clbl,
+             list_distance(CAST(a.embedding AS DOUBLE[]),
+                           CAST(c.embedding AS DOUBLE[])) ^ 2 AS d
+      FROM embeddings a JOIN embeddings c ON c.vec_id <> a.vec_id
+      WHERE a.vec_id % 10 = 0
+    ),
+    pos AS (
+      SELECT aid, cid, d,
+             ROW_NUMBER() OVER (PARTITION BY aid ORDER BY d DESC, cid) AS rn
+      FROM pairs WHERE clbl = albl
+    ),
+    neg AS (
+      SELECT aid, cid, d,
+             ROW_NUMBER() OVER (PARTITION BY aid ORDER BY d, cid) AS rn
+      FROM pairs WHERE clbl <> albl
+    )
+    SELECT p.aid AS aid, p.cid AS pos_id, ROUND(p.d, 4) AS pos_dist,
+           n.cid AS neg_id, ROUND(n.d, 4) AS neg_dist
+    FROM pos p JOIN neg n ON p.aid = n.aid AND p.rn = 1 AND n.rn = 1
+    """,
+)
+def emb_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-hard triplet mining (FaceNet/Hermans batch-hard) — the
+    contrastive-training pair-selection stage of an embedding
+    fine-tuning pipeline: every 10th vector is an anchor; emit its
+    hardest positive (FARTHEST same-label row, the confusable pair)
+    and hardest negative (NEAREST different-label row, the impostor).
+
+    Scale shape (operators/mining.py): anchors broadcast, the corpus
+    is scanned once with per-partition partial struct-argmax/argmin
+    (map-side combine), so the only shuffle carries |anchors| rows —
+    never the corpus.  Ties break on candidate id via the struct's
+    second field, replayed in the oracle by ROW_NUMBER tie-breaks."""
+    from pgvecto_rs_spark.operators.mining import batch_hard_triplets
+
+    emb = _emb(spark, sf_dir)
+    anchors = emb.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("aid"),
+        F.col("label").alias("albl"),
+        F.col("embedding").alias("avec"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clbl"),
+        F.col("embedding").alias("cvec"),
+    )
+    out = batch_hard_triplets(anchors, cand)
+    return out.select(
+        "aid",
+        "pos_id",
+        _r4(F.col("pos_dist")).alias("pos_dist"),
+        "neg_id",
+        _r4(F.col("neg_dist")).alias("neg_dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. scalar functions: norm / normalize / dims / slice / arithmetic
 # ---------------------------------------------------------------------------

@@ -143,3 +143,92 @@ class TestMMR:
         rows = mmr_topk(self._df(spark), [1.0, 0.0, 0.0], k=50, pool=64).collect()
         assert len(rows) == len(self.VECS)
         assert {r["vec_id"] for r in rows} == set(self.VECS)
+
+
+class TestBatchHardTriplets:
+    """operators/mining.py: batch-hard triplet mining vs a numpy model."""
+
+    def _tables(self, spark):
+        import numpy as np
+
+        rng = np.random.RandomState(11)
+        vecs = {i: rng.randn(4).astype(np.float32) for i in range(20)}
+        labels = {i: i % 3 for i in vecs}
+        schema = "vec_id long, label int, embedding array<float>"
+        rows = [(i, labels[i], [float(x) for x in vecs[i]]) for i in vecs]
+        df = spark.createDataFrame(rows, schema)
+        return df, vecs, labels
+
+    def _model(self, vecs, labels, anchor_ids):
+        import numpy as np
+
+        out = {}
+        for a in anchor_ids:
+            pos = [
+                (float(np.sum((vecs[a].astype(np.float64) - vecs[c].astype(np.float64)) ** 2)), c)
+                for c in vecs if c != a and labels[c] == labels[a]
+            ]
+            neg = [
+                (float(np.sum((vecs[a].astype(np.float64) - vecs[c].astype(np.float64)) ** 2)), c)
+                for c in vecs if c != a and labels[c] != labels[a]
+            ]
+            if not pos or not neg:
+                continue
+            # hardest positive: max d, tie-break smallest id; hardest
+            # negative: min d, tie-break smallest id
+            pd_, pid = max(pos, key=lambda t: (t[0], -t[1]))
+            nd_, nid = min(neg)
+            out[a] = (pid, pd_, nid, nd_)
+        return out
+
+    def test_matches_model(self, spark):
+        from pyspark.sql import functions as F
+
+        from pgvecto_rs_spark.operators.mining import batch_hard_triplets
+
+        df, vecs, labels = self._tables(spark)
+        anchors = df.where(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("aid"),
+            F.col("label").alias("albl"),
+            F.col("embedding").alias("avec"),
+        )
+        cand = df.select(
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clbl"),
+            F.col("embedding").alias("cvec"),
+        )
+        got = {
+            r["aid"]: (r["pos_id"], r["pos_dist"], r["neg_id"], r["neg_dist"])
+            for r in batch_hard_triplets(anchors, cand).collect()
+        }
+        want = self._model(vecs, labels, [i for i in vecs if i % 2 == 0])
+        assert set(got) == set(want)
+        for a, (pid, pd_, nid, nd_) in want.items():
+            gp, gpd, gn, gnd = got[a]
+            assert (gp, gn) == (pid, nid)
+            assert abs(gpd - pd_) < 1e-9 and abs(gnd - nd_) < 1e-9
+
+    def test_anchor_without_peers_dropped(self, spark):
+        from pyspark.sql import functions as F
+
+        from pgvecto_rs_spark.operators.mining import batch_hard_triplets
+
+        # label 9 has a single member: no positive exists -> dropped
+        rows = [
+            (0, 1, [0.0, 0.0]),
+            (1, 1, [1.0, 0.0]),
+            (2, 9, [0.0, 1.0]),
+        ]
+        df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+        anchors = df.select(
+            F.col("vec_id").alias("aid"),
+            F.col("label").alias("albl"),
+            F.col("embedding").alias("avec"),
+        )
+        cand = df.select(
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clbl"),
+            F.col("embedding").alias("cvec"),
+        )
+        got = {r["aid"] for r in batch_hard_triplets(anchors, cand).collect()}
+        assert got == {0, 1}
