@@ -40,6 +40,8 @@ __all__ = [
     "decode_image_features",
     "decode_audio_features",
     "decode_audio_stats",
+    "audio_hashes_df",
+    "audio_neardup_pairs",
     "image_hashes_df",
     "image_neardup_pairs",
     "resize_images",
@@ -436,6 +438,78 @@ def image_neardup_pairs(
     return hamming_candidate_pairs(
         sig, max_hamming=max_hamming, max_bucket=max_bucket
     )
+
+
+def audio_hashes_df(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """(__id, __sig): 64-bit energy-profile fingerprint per audio clip,
+    decoded through the REAL PCM WAV path.  The clip's integer samples
+    (exactly recovered from the dyadic 8/16-bit PCM floats, same
+    reconstruction as ``decode_audio_stats``) are partitioned into 64
+    frames by ``frame(i) = i*64 // n``; bit_f is the strict integer
+    comparison ``64 * energy_f > total_energy`` (cross-multiplied
+    mean compare, the aHash discipline applied to the energy envelope).
+    Every step is integer arithmetic, so the fingerprint is replayable
+    by a SQL oracle with no floating-point tolerance.
+
+    Output feeds ``dedup.hamming_candidate_pairs`` — the same banded
+    pigeonhole join as SimHash text near-dup and perceptual-image
+    near-dup; signatures are a per-row map, NO shuffle here."""
+    weights = 1 << np.arange(64, dtype=np.uint64)
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, sigs = [], []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                x, _rate = _decode_wav(bytes(b))
+                if x.size == 0:
+                    continue
+                s = x * 128.0
+                if not np.array_equal(s, np.rint(s)):
+                    s = x * 32768.0
+                s = np.rint(s).astype(np.int64)
+                n = s.size
+                f = (np.arange(n, dtype=np.int64) * 64) // n
+                e = np.zeros(64, dtype=np.int64)
+                np.add.at(e, f, s * s)
+                bits = (64 * e) > e.sum()
+                sig = int((bits.astype(np.uint64) * weights).sum(dtype=np.uint64))
+                if sig >= 1 << 63:  # two's-complement into Spark's long
+                    sig -= 1 << 64
+                ids.append(int(mid))
+                sigs.append(sig)
+            yield pd.DataFrame(
+                {
+                    "__id": pd.Series(ids, dtype="int64"),
+                    "__sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(op, "__id bigint, __sig bigint")
+
+
+def audio_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """(id_a, id_b, hamming): near-duplicate audio pairs by
+    energy-envelope fingerprint — real WAV decode, integer-exact
+    64-frame energy hash, then the shared banded-pigeonhole Hamming
+    join (complete within ``max_hamming``, candidates confined to
+    (band, key) buckets).  At 100 TB the only shuffle is the band-key
+    exchange on 64-bit signatures, never on samples."""
+    from .dedup import hamming_candidate_pairs
+
+    sig = audio_hashes_df(df, payload_col=payload_col, id_col=id_col)
+    return hamming_candidate_pairs(sig, max_hamming=max_hamming, max_bucket=max_bucket)
 
 
 def resize_images(

@@ -5223,6 +5223,112 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_audio_stats(media, id_col="doc_id")
 
 
+def _synth_wav_groups_op(it):
+    """(doc_id) -> (doc_id, payload): mono 8-bit PCM WAVs in near-dup
+    groups of 4 (base g = doc_id - doc_id%4, variant d = doc_id%4),
+    all group members n = 64 + g%32 samples:
+    d in {0,1}: u_i = (g*17 + i*29 + 5 + (16 if d==1 and i==0 else 0)) % 256
+    d == 2:     u_i = (g*23 + i*31 + 97) % 256
+    d == 3:     u_i = (g*29 + i*37 + 201) % 256."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    rate = 8000
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            g, d = did - did % 4, did % 4
+            n = 64 + g % 32
+            i = np.arange(n)
+            if d == 2:
+                u = (g * 23 + i * 31 + 97) % 256
+            elif d == 3:
+                u = (g * 29 + i * 37 + 201) % 256
+            else:
+                u = (g * 17 + i * 29 + 5) % 256
+                if d == 1:
+                    u = u.copy()
+                    u[0] = (u[0] + 16) % 256
+            data = bytes(u.astype(np.uint8))
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+                + b"data"
+                + struct.pack("<I", len(data))
+            )
+            payloads.append(hdr + data)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_audio_neardup",
+    r"""
+    WITH sm AS (
+      SELECT d.doc_id, (d.doc_id - d.doc_id % 4) AS g, r.i,
+             (64 + (d.doc_id - d.doc_id % 4) % 32) AS n
+      FROM documents d, range(96) r(i)
+      WHERE r.i < 64 + (d.doc_id - d.doc_id % 4) % 32
+    ), sv AS (
+      SELECT doc_id, i, n,
+        (CASE
+           WHEN doc_id % 4 = 2 THEN (g*23 + i*31 + 97) % 256
+           WHEN doc_id % 4 = 3 THEN (g*29 + i*37 + 201) % 256
+           ELSE (g*17 + i*29 + 5
+                 + CASE WHEN doc_id % 4 = 1 AND i = 0 THEN 16 ELSE 0 END) % 256
+         END) - 128 AS s
+      FROM sm
+    ), fe AS (
+      SELECT doc_id, (i*64)//n AS f, SUM(s*s) AS e
+      FROM sv GROUP BY doc_id, (i*64)//n
+    ), te AS (
+      SELECT doc_id, SUM(e) AS tot FROM fe GROUP BY doc_id
+    ), sig AS (
+      SELECT fe.doc_id,
+        CAST(SUM(CASE WHEN 64*e > tot AND f < 32
+                      THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS lo,
+        CAST(SUM(CASE WHEN 64*e > tot AND f >= 32
+                      THEN (CAST(1 AS BIGINT) << (f-32)) ELSE 0 END) AS BIGINT) AS hi
+      FROM fe JOIN te ON fe.doc_id = te.doc_id GROUP BY fe.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+             AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """,
+)
+def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup end-to-end: synthesize grouped 8-bit PCM WAVs
+    (each group of 4 doc_ids shares a base signal; one variant perturbs
+    a single sample, two are unrelated), decode through the REAL
+    stdlib-wave path, fingerprint with the integer-exact 64-frame
+    energy-envelope hash (multimodal.audio_hashes_df), and find every
+    pair within Hamming distance 3 via the shared banded-pigeonhole
+    join (dedup.hamming_candidate_pairs).  The oracle replays the full
+    pipeline in integer SQL (samples -> frame energies via
+    f = i*64 // n -> strict cross-multiplied mean bits -> two 32-bit
+    halves -> XOR popcount all-pairs), so parity is exact and
+    deterministic — certifying the banding join finds EVERY pair
+    within the radius on audio fingerprints too.  max_bucket sits
+    above the corpus's worst band bucket so none is dropped; the only
+    shuffle is the band-key exchange on 64-bit signatures, never on
+    samples."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.mapInPandas(_synth_wav_groups_op, "doc_id bigint, payload binary")
+    return MM.audio_neardup_pairs(
+        media, id_col="doc_id", max_hamming=3, max_bucket=100_000
+    )
+
+
 def _synth_avi_op(it):
     """(doc_id) -> (doc_id, payload): MJPEG AVI with 1 + doc_id%4
     constant-gray 8x8 frames (fill value 32*frame_no+16), real

@@ -5,3 +5,4 @@ from pgvecto_rs_spark.sources.bucketed import (  # noqa: F401
     read_table,
     write_bucketed,
 )
+from pgvecto_rs_spark.sources.text_copy import read_vectors_csv  # noqa: F401

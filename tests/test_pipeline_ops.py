@@ -429,6 +429,77 @@ class TestMultimodal:
         assert pairs[(1, 3)] == pairs[(2, 3)]
         assert not any(4 in p for p in pairs)
 
+    def test_audio_hashes_integer_exact(self, spark):
+        """Energy-envelope hash from the real WAV decode matches a pure
+        python integer model (frame f = i*64//n, strict cross-multiplied
+        mean compare)."""
+        import struct
+
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import audio_hashes_df
+
+        def wav(u):
+            data = bytes(np.asarray(u, dtype=np.uint8))
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        rng = np.random.RandomState(3)
+        clips = {i: rng.randint(0, 256, 64 + 7 * i) for i in range(1, 5)}
+        df = spark.createDataFrame(
+            [(i, wav(u)) for i, u in clips.items()], "media_id long, payload binary"
+        )
+
+        def model(u):
+            s = np.asarray(u, dtype=np.int64) - 128
+            n = s.size
+            f = (np.arange(n) * 64) // n
+            e = np.zeros(64, dtype=np.int64)
+            np.add.at(e, f, s * s)
+            bits = (64 * e) > e.sum()
+            sig = sum(int(b) << i for i, b in enumerate(bits))
+            return sig - (1 << 64) if sig >= 1 << 63 else sig
+
+        got = {r["__id"]: r["__sig"] for r in audio_hashes_df(df).collect()}
+        assert got == {i: model(u) for i, u in clips.items()}
+
+    def test_audio_neardup_pairs(self, spark):
+        """Identical clips pair at hamming 0; a one-sample perturbation
+        pairs at small hamming; an unrelated clip does not pair."""
+        import struct
+
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import audio_neardup_pairs
+
+        def wav(u):
+            data = bytes(np.asarray(u, dtype=np.uint8))
+            return (
+                b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+                + b"data" + struct.pack("<I", len(data)) + data
+            )
+
+        base = (np.arange(80) * 29 + 5) % 256
+        tweak = base.copy()
+        tweak[0] = (int(tweak[0]) + 16) % 256
+        other = (np.arange(80) * 31 + 97) % 256
+        df = spark.createDataFrame(
+            [(1, wav(base)), (2, wav(base)), (3, wav(tweak)), (4, wav(other))],
+            "media_id long, payload binary",
+        )
+        pairs = {
+            (r["id_a"], r["id_b"]): r["hamming"]
+            for r in audio_neardup_pairs(df, max_hamming=3).collect()
+        }
+        assert pairs[(1, 2)] == 0
+        assert (1, 3) in pairs and 0 <= pairs[(1, 3)] <= 3
+        assert pairs[(1, 3)] == pairs[(2, 3)]
+        assert not any(4 in p for p in pairs)
+
     def test_video_frame_sampling(self, spark):
         from pgvecto_rs_spark.operators.multimodal import sample_video_frames
 
