@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "mm_image_knn",
     "mm_image_neardup",
     "mm_audio_stats",
+    "mm_audio_neardup",
+    "mm_video_frames",
     "events_hourly",
     "events_sessions",
     "events_asof",
@@ -242,7 +244,7 @@ def main() -> None:
             errors[n] = f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    out = {
+    detail = {
         "metric": "total_query_wall_time",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
@@ -250,15 +252,65 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        out["errors"] = errors
+        detail["errors"] = errors
     recall = _ann_recall(spark, registry)
     if recall:
-        out["recall_at_10"] = recall
+        detail["recall_at_10"] = recall
     try:
-        out["batch_speedup_32q"] = _batch_speedup(spark)
+        detail["batch_speedup_32q"] = _batch_speedup(spark)
     except Exception as e:  # noqa: BLE001
-        out.setdefault("errors", {})["batch_speedup_32q"] = f"{type(e).__name__}: {e}"
-    print(json.dumps(out))
+        detail.setdefault("errors", {})["batch_speedup_32q"] = f"{type(e).__name__}: {e}"
+
+    # Per-query detail goes to a sidecar file; stdout's FINAL line is a
+    # compact (<1.5 kB) summary.  The driver captures only the last
+    # 2000 chars of output and parses the final JSON line — an 80-query
+    # timing map starts the captured tail mid-JSON and parses as null
+    # (BENCH_r04/r05 regression).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCHDETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    out = {
+        "metric": "total_query_wall_time",
+        "value": detail["value"],
+        "unit": "sec",
+        "sf": detail["sf"],
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        # the headline per-family shapes + the 5 slowest, so the driver
+        # line alone shows where time goes; full map in BENCHDETAIL.json
+        "queries": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:5]
+        ),
+    }
+    if recall:
+        out["recall_at_10"] = recall
+    if "batch_speedup_32q" in detail:
+        out["batch_speedup_32q"] = detail["batch_speedup_32q"]
+    try:  # geomean vs the r1 first-measurement contract, when available
+        with open(os.path.join(here, "BENCH_r01.json")) as f:
+            r1 = (json.load(f).get("parsed") or {}).get("queries") or {}
+        import math
+
+        ratios = [timings[n] / r1[n] for n in timings if r1.get(n)]
+        if ratios:
+            out["geomean_vs_r1"] = round(
+                math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 4
+            )
+    except Exception:  # noqa: BLE001
+        pass
+    if errors:
+        first = next(iter(errors.items()))
+        out["first_error"] = f"{first[0]}: {first[1][:120]}"
+    out["detail"] = "BENCHDETAIL.json"
+    line = json.dumps(out)
+    if len(line) > 1500:  # hard guard: drop optional keys till it fits
+        for k in ("queries", "recall_at_10", "first_error", "batch_speedup_32q"):
+            out.pop(k, None)
+            line = json.dumps(out)
+            if len(line) <= 1500:
+                break
+    print(line)
     spark.stop()
 
 

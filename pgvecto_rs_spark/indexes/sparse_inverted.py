@@ -26,9 +26,18 @@ from pgvecto_rs_spark.indexes import base
 
 
 class SparseInvertedIndex:
-    #: postings cover every doc overlapping the query support; for neg-dot
-    #: radius < 0 this is the complete sphere -- exact.
-    RANGE_EXACT = True
+    #: postings cover every doc overlapping the query support, so the
+    #: index sphere is complete ONLY when the radius requires a strictly
+    #: positive dot (radius <= 0): a zero-overlap doc has neg-dot
+    #: distance exactly 0 and is never touched by the query's postings,
+    #: yet satisfies distance < radius for any radius > 0.  The planner
+    #: asks ``range_exact_for(radius)`` and answers positive-radius
+    #: spheres with the exact seqscan filter instead.
+    RANGE_EXACT = False
+
+    @staticmethod
+    def range_exact_for(radius: float) -> bool:
+        return float(radius) <= 0.0
 
     def __init__(self, spark: SparkSession, path: str, meta: dict):
         self.spark = spark

@@ -184,13 +184,24 @@ class Planner:
             return out.where(F.col("distance") < sphere.radius)
         # A bare sphere predicate (no LIMIT) is an EXACT set in SQL; only
         # dispatch to an index range_search whose result is provably the
-        # full sphere (flat/IVF/sparse postings).  HNSW's range_search is
-        # reachability-approximate, so it needs an explicit approx=True
-        # opt-in — otherwise the exact seqscan filter below answers.
+        # full sphere (flat/IVF).  Exactness can depend on the radius:
+        # sparse postings cover only docs overlapping the query support,
+        # complete iff radius <= 0 (range_exact_for hook).  HNSW's
+        # range_search is reachability-approximate, so it needs an
+        # explicit approx=True opt-in — otherwise the exact seqscan
+        # filter below answers.
+        exact_for = getattr(entry.index, "range_exact_for", None) if entry else None
+        provably_exact = (
+            exact_for(sphere.radius)
+            if exact_for is not None
+            else getattr(entry.index, "RANGE_EXACT", False)
+            if entry is not None
+            else False
+        )
         if (
             entry is not None
             and hasattr(entry.index, "range_search")
-            and (getattr(entry.index, "RANGE_EXACT", False) or approx_ok)
+            and (provably_exact or approx_ok)
         ):
             out = entry.index.range_search(
                 sphere.center,

@@ -10,9 +10,10 @@ Reference semantics (SURVEY.md §2.8):
 - sealing/merge: background optimizer folds growing segments into
   sealed ones and applies deletes
   (crates/index/src/optimizing/mod.rs:33-131)
-- crash recovery: WAL replay (lib.rs:128-211) — Parquet's atomic
-  task-commit protocol plays the WAL role here: a partially-written
-  append never becomes visible.
+- crash recovery: WAL replay + FileAtomic manifest
+  (crates/index/src/lib.rs:128-211) — Parquet's atomic task-commit
+  protocol plays the WAL role here; the generation MANIFEST below
+  plays FileAtomic's.
 
 Spark design: the sealed part is any of the ANN indexes (flat/ivf/hnsw);
 the growing part is an append-only Parquet directory searched exactly;
@@ -20,6 +21,20 @@ tombstones are (id, version) rows.  A search unions
 ``sealed ∖ tombstones`` with ``delta_live`` and takes the global top-k
 — the LoserTree merge analogue.  ``compact()`` is the optimizer pass:
 rebuild the sealed index over the live rows, clear delta + tombstones.
+
+Concurrency (the FileAtomic analogue, crates/index/src/lib.rs:128-211):
+all mutable state lives under a numbered generation directory
+``gen-NNNNNN/{sealed,delta,tombstones}`` named by ``MANIFEST.json``.
+``compact()`` builds the next generation COMPLETELY (never touching the
+current one), hardlinks any delta/tombstone files that arrived during
+the rebuild into it, then commits by atomically replacing the manifest
+(write-temp + ``os.replace``).  The previous generation stays on disk
+until the *next* commit (grace-period GC: generation G is deleted when
+G+2 commits), so a concurrently planned DataFrame — including cached
+handles and mid-flight FileScan tasks — keeps valid files.  Writers
+(insert/delete) serialize against the commit step with a lock so an
+append always lands in a generation that is either folded or carried
+forward; readers never take the lock.
 
 Structured Streaming: ``foreach_batch_sink()`` returns a function for
 ``writeStream.foreachBatch`` so a stream of (id, vector) rows feeds the
@@ -32,6 +47,7 @@ import glob
 import json
 import os
 import shutil
+import threading
 from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +61,30 @@ from pgvecto_rs_spark.operators.search import distance as dist_expr
 
 _KINDS = {"flat": FlatIndex, "ivf": IVFIndex, "hnsw": HNSWIndex}
 
+_MANIFEST = "MANIFEST.json"
+
+
+def _gen_name(n: int) -> str:
+    return f"gen-{n:06d}"
+
+
+def _link_or_copy_tree(src: str, dst: str) -> None:
+    """Clone a directory tree cheaply: hardlink immutable data files
+    (Spark never rewrites a committed parquet file in place — overwrite
+    modes unlink and write fresh inodes, which leaves the source link
+    intact), but COPY .json metadata, which index code rewrites via
+    ``open(.., "w")`` and would otherwise mutate the shared inode."""
+    for root, _dirs, files in os.walk(src):
+        rel = os.path.relpath(root, src)
+        troot = os.path.join(dst, rel) if rel != "." else dst
+        os.makedirs(troot, exist_ok=True)
+        for f in files:
+            s, d = os.path.join(root, f), os.path.join(troot, f)
+            if f.endswith(".json"):
+                shutil.copy2(s, d)
+            else:
+                os.link(s, d)
+
 
 class FreshVectorIndex:
     """A vector index that stays searchable while rows arrive/leave."""
@@ -53,8 +93,74 @@ class FreshVectorIndex:
         self.spark = spark
         self.path = path
         self.meta = base.read_meta(path)
+        # writers + manifest commits serialize on this; readers don't
+        self._write_lock = threading.RLock()
+        self._compact_lock = threading.Lock()
+        self._df_cache: dict = {}
+        self._migrate_legacy_layout()
+        self._gen = self._read_manifest()
         cls = _KINDS[self.meta["sealed_kind"]]
-        self.sealed = cls.open(spark, os.path.join(path, "sealed"))
+        self.sealed = cls.open(spark, os.path.join(self._gen_dir(), "sealed"))
+
+    # -- generation bookkeeping ----------------------------------------
+    def _migrate_legacy_layout(self) -> None:
+        """Pre-generation indexes kept sealed/delta/tombstones at the
+        root; fold them into gen-000000 once, on open."""
+        if os.path.exists(os.path.join(self.path, _MANIFEST)):
+            return
+        g0 = os.path.join(self.path, _gen_name(0))
+        os.makedirs(g0, exist_ok=True)
+        for sub in ("sealed", "delta", "tombstones"):
+            src = os.path.join(self.path, sub)
+            if os.path.exists(src):
+                os.rename(src, os.path.join(g0, sub))
+            else:
+                os.makedirs(os.path.join(g0, sub), exist_ok=True)
+        self._write_manifest(0)
+
+    def _read_manifest(self) -> int:
+        with open(os.path.join(self.path, _MANIFEST)) as f:
+            return int(json.load(f)["generation"])
+
+    def _write_manifest(self, gen: int) -> None:
+        tmp = os.path.join(self.path, _MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"generation": gen}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, _MANIFEST))
+
+    def _gen_dir(self, gen: int | None = None) -> str:
+        return os.path.join(self.path, _gen_name(self._gen if gen is None else gen))
+
+    def _refresh(self) -> None:
+        """Adopt a newer generation committed by another handle/thread
+        on the same path (readers see commits without any locking)."""
+        gen = self._read_manifest()
+        if gen == self._gen:
+            return
+        with self._write_lock:
+            if gen == self._gen:
+                return
+            cls = _KINDS[self.meta["sealed_kind"]]
+            self.sealed = cls.open(self.spark, os.path.join(self._gen_dir(gen), "sealed"))
+            self._df_cache.clear()
+            self._gen = gen
+            self.meta = base.read_meta(self.path)
+
+    def _gc(self, keep_from: int) -> None:
+        """Delete generations below ``keep_from``.  Called after a
+        commit with ``keep_from = new_gen - 1`` so the previous
+        generation survives one full compaction cycle — the grace
+        period for in-flight plans."""
+        for d in glob.glob(os.path.join(self.path, "gen-*")):
+            name = os.path.basename(d)
+            try:
+                n = int(name.split("-", 1)[1])
+            except ValueError:
+                continue
+            if n < keep_from:
+                shutil.rmtree(d, ignore_errors=True)
 
     # ------------------------------------------------------------------
     @classmethod
@@ -70,10 +176,11 @@ class FreshVectorIndex:
         **index_opts,
     ) -> "FreshVectorIndex":
         idx_cls = _KINDS[sealed_kind]
+        g0 = os.path.join(path, _gen_name(0))
         idx_cls.create(
             spark,
             df,
-            os.path.join(path, "sealed"),
+            os.path.join(g0, "sealed"),
             vector_col=vector_col,
             id_col=id_col,
             metric=metric,
@@ -89,8 +196,12 @@ class FreshVectorIndex:
             "index_opts": index_opts,
         }
         base.write_meta(path, meta)
-        os.makedirs(os.path.join(path, "delta"), exist_ok=True)
-        os.makedirs(os.path.join(path, "tombstones"), exist_ok=True)
+        os.makedirs(os.path.join(g0, "delta"), exist_ok=True)
+        os.makedirs(os.path.join(g0, "tombstones"), exist_ok=True)
+        tmp = os.path.join(path, _MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump({"generation": 0}, f)
+        os.replace(tmp, os.path.join(path, _MANIFEST))
         return cls(spark, path)
 
     open = classmethod(lambda cls, spark, path: cls(spark, path))
@@ -103,42 +214,55 @@ class FreshVectorIndex:
 
     def insert(self, df: DataFrame) -> None:
         """Append (id, vector) rows to the growing segment
-        (``aminsert`` path; NULL vectors skipped like am.rs:266-278)."""
-        v = self._bump()
-        kernel, do_norm = base.resolve_metric(self.meta["metric"])
-        vec = base.normalized_col(self.meta["vector_col"], do_norm).cast("array<float>")
-        (
-            df.where(F.col(self.meta["vector_col"]).isNotNull())
-            .select(
-                F.col(self.meta["id_col"]).cast("long").alias("id"),
-                vec.alias("vec"),
-                F.lit(v).alias("version"),
+        (``aminsert`` path; NULL vectors skipped like am.rs:266-278).
+
+        Serialized with compaction commits (not with the rebuild) so an
+        append lands either in the generation being folded — where the
+        commit step carries its files forward — or in the committed new
+        one; it can never vanish into a just-retired directory."""
+        with self._write_lock:
+            self._refresh()
+            v = self._bump()
+            kernel, do_norm = base.resolve_metric(self.meta["metric"])
+            vec = base.normalized_col(self.meta["vector_col"], do_norm).cast("array<float>")
+            (
+                df.where(F.col(self.meta["vector_col"]).isNotNull())
+                .select(
+                    F.col(self.meta["id_col"]).cast("long").alias("id"),
+                    vec.alias("vec"),
+                    F.lit(v).alias("version"),
+                )
+                .write.mode("append")
+                .parquet(os.path.join(self._gen_dir(), "delta", "rows"))
             )
-            .write.mode("append")
-            .parquet(os.path.join(self.path, "delta", "rows"))
-        )
 
     def delete(self, ids: Sequence[int]) -> None:
         """Tombstone ids at the current version (delete.rs:52-65 —
         deletes shadow strictly-older inserts, so a later re-insert of
         the same id is visible again)."""
-        v = self._bump()
-        self.spark.createDataFrame(
-            [(int(i), v) for i in ids], "id long, version int"
-        ).write.mode("append").parquet(os.path.join(self.path, "tombstones", "rows"))
+        with self._write_lock:
+            self._refresh()
+            v = self._bump()
+            self.spark.createDataFrame(
+                [(int(i), v) for i in ids], "id long, version int"
+            ).write.mode("append").parquet(
+                os.path.join(self._gen_dir(), "tombstones", "rows")
+            )
 
     def delete_df(self, ids_df: DataFrame, id_col: str = "id") -> None:
         """Distributed bulk delete: tombstone every id in ``ids_df``
         (the ambulkdelete path) without materializing ids on the driver —
         at scale a delete predicate selects millions of rows."""
-        v = self._bump()
-        (
-            ids_df.select(
-                F.col(id_col).cast("long").alias("id"), F.lit(v).alias("version")
+        with self._write_lock:
+            self._refresh()
+            v = self._bump()
+            (
+                ids_df.select(
+                    F.col(id_col).cast("long").alias("id"), F.lit(v).alias("version")
+                )
+                .write.mode("append")
+                .parquet(os.path.join(self._gen_dir(), "tombstones", "rows"))
             )
-            .write.mode("append")
-            .parquet(os.path.join(self.path, "tombstones", "rows"))
-        )
 
     def foreach_batch_sink(self, auto_compact_rows: int | None = None):
         """For ``stream.writeStream.foreachBatch(idx.foreach_batch_sink())``.
@@ -167,6 +291,7 @@ class FreshVectorIndex:
         261-264 default 0.2: past that, every search drags a dead-row
         anti-join worth a fifth of the index).  Returns True if a
         compaction ran."""
+        self._refresh()
         delta = self._delta()
         if delta is not None and delta.count() >= max_growing_rows:
             self.compact()
@@ -181,27 +306,29 @@ class FreshVectorIndex:
         return False
 
     # ------------------------------------------------------------------
-    def _read_cached(self, sub: str) -> DataFrame | None:
-        """DataFrame handle for ``{path}/{sub}/rows``, cached per file
-        fingerprint: re-creating it per search re-runs Spark's file
+    def _list_files(self, sub: str, gen: int | None = None) -> tuple[str, ...]:
+        p = os.path.join(self._gen_dir(gen), sub, "rows")
+        return tuple(sorted(glob.glob(os.path.join(p, "*.parquet"))))
+
+    def _read_cached(self, sub: str, files: tuple[str, ...] | None = None) -> DataFrame | None:
+        """DataFrame handle for the growing/tombstone rows, cached per
+        file fingerprint: re-creating it per search re-runs Spark's file
         listing + schema job (~100 ms each — the dominant warm fresh-
         query cost, same rationale as IVFIndex._lists); inserts/deletes
-        change the fingerprint and refresh the handle."""
-        p = os.path.join(self.path, sub, "rows")
-        files = tuple(
-            (f, os.path.getmtime(f), os.path.getsize(f))
-            for f in sorted(glob.glob(os.path.join(p, "*.parquet")))
-        )
+        change the fingerprint and refresh the handle.  When ``files``
+        is given the read is pinned to EXACTLY that snapshot (used by
+        compaction so concurrently arriving appends are carried forward
+        instead of half-folded)."""
+        if files is None:
+            files = self._list_files(sub)
         if not files:
             return None
-        cache = getattr(self, "_df_cache", None)
-        if cache is None:
-            cache = self._df_cache = {}
-        hit = cache.get(sub)
-        if hit is not None and hit[0] == files:
+        fp = tuple((f, os.path.getmtime(f), os.path.getsize(f)) for f in files)
+        hit = self._df_cache.get(sub)
+        if hit is not None and hit[0] == fp:
             return hit[1]
-        df = self.spark.read.parquet(p)
-        cache[sub] = (files, df)
+        df = self.spark.read.parquet(*files)
+        self._df_cache[sub] = (fp, df)
         return df
 
     def _delta(self) -> DataFrame | None:
@@ -210,11 +337,12 @@ class FreshVectorIndex:
     def _tombstones(self) -> DataFrame | None:
         return self._read_cached("tombstones")
 
-    def _tomb_agg(self) -> DataFrame | None:
+    def _tomb_agg(self, tomb: DataFrame | None = None) -> DataFrame | None:
         """Per-id max tombstone version, as a DataFrame — never collected
         to the driver (at scale the tombstone set is millions of ids; it
         flows into searches as a broadcast anti-/left-join only)."""
-        tomb = self._tombstones()
+        if tomb is None:
+            tomb = self._tombstones()
         if tomb is None:
             return None
         return tomb.groupBy("id").agg(F.max("version").alias("tv"))
@@ -222,6 +350,7 @@ class FreshVectorIndex:
     def search(self, query: Sequence[float], k: int = 10, **search_opts) -> DataFrame:
         """Top-k over sealed ∪ growing, minus tombstoned rows — the
         vbase union + delete filter (crates/index/src/lib.rs:387-423)."""
+        self._refresh()
         tomb_agg = self._tomb_agg()
 
         # sealed side: rows predate all tombstones -> any tombstone kills
@@ -262,6 +391,7 @@ class FreshVectorIndex:
         stream widening, flat SQ code-bound prefilter) unions a
         brute-forced exact range over the small delta with version
         visibility, deduped to each id's best distance."""
+        self._refresh()
         tomb_agg = self._tomb_agg()
         sealed = self.sealed.range_search(
             query, radius, exclude=tomb_agg, **search_opts
@@ -286,9 +416,36 @@ class FreshVectorIndex:
         return merged.groupBy("id").agg(F.min("distance").alias("distance"))
 
     # ------------------------------------------------------------------
+    def _commit(self, old_gen: int, snap_delta: tuple, snap_tomb: tuple) -> None:
+        """Publish generation ``old_gen + 1``: carry forward any delta/
+        tombstone files that arrived after the snapshot (hardlinks — the
+        writers hold .parquet files immutable once committed), atomically
+        swap the manifest, then GC generations older than ``old_gen``
+        (grace period: the just-retired generation survives until the
+        NEXT commit, so every in-flight plan keeps valid files)."""
+        new_gen = old_gen + 1
+        with self._write_lock:
+            for sub, snap in (("delta", snap_delta), ("tombstones", snap_tomb)):
+                dst = os.path.join(self._gen_dir(new_gen), sub, "rows")
+                carried = [f for f in self._list_files(sub, old_gen) if f not in set(snap)]
+                if carried:
+                    os.makedirs(dst, exist_ok=True)
+                for f in carried:
+                    os.link(f, os.path.join(dst, os.path.basename(f)))
+                os.makedirs(os.path.join(self._gen_dir(new_gen), sub), exist_ok=True)
+            self._write_manifest(new_gen)
+            self._gen = new_gen
+            self._df_cache.clear()
+            self.sealed = _KINDS[self.meta["sealed_kind"]].open(
+                self.spark, os.path.join(self._gen_dir(), "sealed")
+            )
+            self._bump()
+        self._gc(keep_from=old_gen)
+
     def compact(self, incremental: bool | None = None) -> None:
         """The optimizer pass (optimizing/mod.rs:58-105): fold delta into
-        the sealed index, apply deletes, clear delta + tombstones.
+        the sealed index, apply deletes, publish a new generation with an
+        empty delta + tombstones.
 
         For HNSW and IVF sealed indexes the default is *incremental*:
         only the segments / list partitions whose membership changed are
@@ -299,98 +456,107 @@ class FreshVectorIndex:
         when the delta outgrows half the sealed capacity (HNSW: segment
         count is fixed at create time; IVF: centroids would drift too
         far from the merged distribution)."""
-        if incremental is None:
-            incremental = self.meta["sealed_kind"] in ("hnsw", "ivf")
-        if incremental and self.meta["sealed_kind"] in ("hnsw", "ivf"):
-            delta = self._delta()
-            if self.meta["sealed_kind"] == "hnsw":
-                cap = self.sealed.meta["n_segments"] * self.sealed.meta.get(
-                    "segment_rows", 20_000
-                )
-                small = delta is None or delta.count() <= cap // 2
+        with self._compact_lock:
+            self._refresh()
+            old_gen = self._gen
+            snap_delta = self._list_files("delta", old_gen)
+            snap_tomb = self._list_files("tombstones", old_gen)
+            delta = self._read_cached("delta", snap_delta)
+            tomb_agg = self._tomb_agg(self._read_cached("tombstones", snap_tomb))
+
+            if incremental is None:
+                incremental = self.meta["sealed_kind"] in ("hnsw", "ivf")
+            if incremental and self.meta["sealed_kind"] in ("hnsw", "ivf"):
+                if self.meta["sealed_kind"] == "hnsw":
+                    cap = self.sealed.meta["n_segments"] * self.sealed.meta.get(
+                        "segment_rows", 20_000
+                    )
+                    small = delta is None or delta.count() <= cap // 2
+                else:
+                    n_sealed = self.sealed.meta.get("n_rows", 0)
+                    small = delta is None or delta.count() <= max(10_000, n_sealed // 2)
+                if small:
+                    self._compact_incremental(old_gen, delta, tomb_agg, snap_delta, snap_tomb)
+                    return
+
+            sealed_path = os.path.join(self._gen_dir(old_gen), "sealed")
+            if self.meta["sealed_kind"] == "flat":
+                sealed_rows = self.spark.read.parquet(
+                    os.path.join(sealed_path, "rows")
+                ).select("id", "vec")
             else:
-                n_sealed = self.sealed.meta.get("n_rows", 0)
-                small = delta is None or delta.count() <= max(10_000, n_sealed // 2)
-            if small:
-                self._compact_incremental()
-                return
-
-        tomb_agg = self._tomb_agg()
-        sealed_rows = self.spark.read.parquet(
-            os.path.join(self.sealed.path, "rows" if self.meta["sealed_kind"] == "flat" else "")
-        ) if self.meta["sealed_kind"] == "flat" else None
-        if sealed_rows is None:
-            # generic path: re-read sealed vectors from the index layout
-            sub = {"ivf": "lists", "hnsw": "graph"}[self.meta["sealed_kind"]]
-            sealed_rows = self.spark.read.parquet(os.path.join(self.sealed.path, sub)).select("id", "vec")
-        else:
-            sealed_rows = sealed_rows.select("id", "vec")
-        # IVF multi-assignment (replicas>1) stores each id in several
-        # lists; dedup before rebuilding or every compaction multiplies
-        # rows and storage by the replica factor.
-        sealed_rows = sealed_rows.dropDuplicates(["id"])
-        if tomb_agg is not None:
-            # any tombstone kills a sealed row (all sealed inserts predate
-            # all tombstones) — broadcast anti-join, never an IN-list
-            sealed_rows = sealed_rows.join(
-                F.broadcast(tomb_agg.select("id")), "id", "left_anti"
-            )
-        live = sealed_rows
-        delta = self._delta()
-        if delta is not None:
-            d_live = delta
+                sub = {"ivf": "lists", "hnsw": "graph"}[self.meta["sealed_kind"]]
+                sealed_rows = self.spark.read.parquet(
+                    os.path.join(sealed_path, sub)
+                ).select("id", "vec")
+            # IVF multi-assignment (replicas>1) stores each id in several
+            # lists; dedup before rebuilding or every compaction multiplies
+            # rows and storage by the replica factor.
+            sealed_rows = sealed_rows.dropDuplicates(["id"])
             if tomb_agg is not None:
-                d_live = (
-                    delta.join(F.broadcast(tomb_agg), "id", "left")
-                    .where(F.col("tv").isNull() | (F.col("version") > F.col("tv")))
-                    .drop("tv")
+                # any tombstone kills a sealed row (all sealed inserts predate
+                # all tombstones) — broadcast anti-join, never an IN-list
+                sealed_rows = sealed_rows.join(
+                    F.broadcast(tomb_agg.select("id")), "id", "left_anti"
                 )
-            # an id can live on both sides (re-insert) or twice in the
-            # delta; keep the newest version per id (sealed rows rank as
-            # version 0 — they predate every delta append)
-            from pyspark.sql import Window
+            live = sealed_rows
+            if delta is not None:
+                d_live = delta
+                if tomb_agg is not None:
+                    d_live = (
+                        delta.join(F.broadcast(tomb_agg), "id", "left")
+                        .where(F.col("tv").isNull() | (F.col("version") > F.col("tv")))
+                        .drop("tv")
+                    )
+                # an id can live on both sides (re-insert) or twice in the
+                # delta; keep the newest version per id (sealed rows rank as
+                # version 0 — they predate every delta append)
+                from pyspark.sql import Window
 
-            live = (
-                sealed_rows.withColumn("version", F.lit(0))
-                .unionByName(d_live.select("id", "vec", "version"))
-                .withColumn(
-                    "_rn",
-                    F.row_number().over(
-                        Window.partitionBy("id").orderBy(F.col("version").desc())
-                    ),
+                live = (
+                    sealed_rows.withColumn("version", F.lit(0))
+                    .unionByName(d_live.select("id", "vec", "version"))
+                    .withColumn(
+                        "_rn",
+                        F.row_number().over(
+                            Window.partitionBy("id").orderBy(F.col("version").desc())
+                        ),
+                    )
+                    .where(F.col("_rn") == 1)
+                    .select("id", "vec")
                 )
-                .where(F.col("_rn") == 1)
-                .select("id", "vec")
+
+            idx_cls = _KINDS[self.meta["sealed_kind"]]
+            new_sealed = os.path.join(self._gen_dir(old_gen + 1), "sealed")
+            shutil.rmtree(self._gen_dir(old_gen + 1), ignore_errors=True)
+            idx_cls.create(
+                self.spark,
+                live,
+                new_sealed,
+                vector_col="vec",
+                id_col="id",
+                metric=self.meta["metric"],
+                **self.meta.get("index_opts", {}),
             )
+            self._commit(old_gen, snap_delta, snap_tomb)
 
-        idx_cls = _KINDS[self.meta["sealed_kind"]]
-        new_path = os.path.join(self.path, "sealed_new")
-        idx_cls.create(
-            self.spark,
-            live,
-            new_path,
-            vector_col="vec",
-            id_col="id",
-            metric=self.meta["metric"],
-            **self.meta.get("index_opts", {}),
-        )
-        old = os.path.join(self.path, "sealed")
-        shutil.rmtree(old)
-        os.rename(new_path, old)
-        for sub in ("delta", "tombstones"):
-            shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
-            os.makedirs(os.path.join(self.path, sub), exist_ok=True)
-        self.sealed = idx_cls.open(self.spark, old)
-        self._bump()
-
-    def _compact_incremental(self) -> None:
+    def _compact_incremental(
+        self,
+        old_gen: int,
+        delta: DataFrame | None,
+        tomb_agg: DataFrame | None,
+        snap_delta: tuple,
+        snap_tomb: tuple,
+    ) -> None:
         """Fold delta + tombstones into the sealed index by rebuilding
         only the affected segments (HNSW) / list partitions (IVF) via
-        the index's apply_updates."""
+        the index's apply_updates — run against a hardlink CLONE of the
+        sealed directory in the next generation, so the current
+        generation's files are never touched (apply_updates' dynamic
+        partition overwrite unlinks and writes fresh inodes; the old
+        generation keeps its links)."""
         from pyspark.sql import Window
 
-        tomb_agg = self._tomb_agg()
-        delta = self._delta()
         d_live = None
         if delta is not None:
             d_live = delta
@@ -411,17 +577,17 @@ class FreshVectorIndex:
                 .where(F.col("_rn") == 1)
                 .select("id", "vec")
             )
-        self.sealed.apply_updates(delete_ids=tomb_agg, insert_rows=d_live)
-        for sub in ("delta", "tombstones"):
-            shutil.rmtree(os.path.join(self.path, sub), ignore_errors=True)
-            os.makedirs(os.path.join(self.path, sub), exist_ok=True)
-        self.sealed = _KINDS[self.meta["sealed_kind"]].open(
-            self.spark, os.path.join(self.path, "sealed")
-        )
-        self._bump()
+        old_sealed = os.path.join(self._gen_dir(old_gen), "sealed")
+        new_sealed = os.path.join(self._gen_dir(old_gen + 1), "sealed")
+        shutil.rmtree(self._gen_dir(old_gen + 1), ignore_errors=True)
+        _link_or_copy_tree(old_sealed, new_sealed)
+        clone = _KINDS[self.meta["sealed_kind"]].open(self.spark, new_sealed)
+        clone.apply_updates(delete_ids=tomb_agg, insert_rows=d_live)
+        self._commit(old_gen, snap_delta, snap_tomb)
 
     def stat(self) -> dict:
         """vector_index_stat analogue (src/index/views.rs:17-80)."""
+        self._refresh()
         delta = self._delta()
         tomb = self._tombstones()
         growing = delta.count() if delta is not None else 0

@@ -74,17 +74,21 @@ class IndexOptimizer:
         return (self.index.meta.get("version", 0), n)
 
     def tick_sealing(self) -> bool:
-        """One sealing check; True if a seal (compaction) ran."""
+        """One sealing check; True if a seal (compaction) ran.
+
+        Sealing requires TWO consecutive ticks observing the same write-
+        segment stamp (mod.rs:41-55): the first tick only records the
+        stamp, so an actively-written segment is never compacted at
+        optimizer start — it must sit idle for a full cadence first."""
         self.stats["sealing_runs"] += 1
         stamp = self._growing_stamp()
         ran = False
-        if self._first or stamp == self._stamp_check:
-            if stamp[1] >= self.sealing_size and stamp[1] > 0:
-                self.index.compact()
-                self.stats["compactions"] += 1
-                ran = True
-        else:
+        if self._first or stamp != self._stamp_check:
             self._stamp_check = stamp
+        elif stamp[1] >= self.sealing_size and stamp[1] > 0:
+            self.index.compact()
+            self.stats["compactions"] += 1
+            ran = True
         self._first = False
         return ran
 

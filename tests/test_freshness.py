@@ -155,16 +155,20 @@ def test_hnsw_incremental_compact(spark, emb):
             for r in idx.search(Q64, k=10, ef_search=200).collect()
         ]
 
-        graph = os.path.join(d, "sealed", "graph")
-        before = {
-            f: (os.path.getmtime(f), os.path.getsize(f))
-            for f in glob.glob(os.path.join(graph, "seg=*", "*.parquet"))
-        }
+        # compaction publishes a NEW generation directory (hardlink clone
+        # for untouched segments), so key by path relative to the live
+        # sealed dir; untouched files share the old inode -> same
+        # (mtime, size), rewritten ones get fresh inodes.
+        def snap():
+            graph = os.path.join(idx.sealed.path, "graph")
+            return {
+                os.path.relpath(f, graph): (os.path.getmtime(f), os.path.getsize(f))
+                for f in glob.glob(os.path.join(graph, "seg=*", "*.parquet"))
+            }
+
+        before = snap()
         idx.compact()
-        after = {
-            f: (os.path.getmtime(f), os.path.getsize(f))
-            for f in glob.glob(os.path.join(graph, "seg=*", "*.parquet"))
-        }
+        after = snap()
         untouched = [f for f in before if f in after and before[f] == after[f]]
         assert untouched, "some segments must survive compaction untouched"
         assert any(f not in after or before[f] != after[f] for f in before), (
@@ -193,10 +197,13 @@ def test_ivf_incremental_compact(spark, emb):
     import os
 
     def content_hashes(lists_dir):
+        # keyed by path relative to the live sealed dir: compaction
+        # publishes a new generation (hardlink clone), so absolute paths
+        # change while untouched partitions stay byte-identical
         out = {}
         for f in glob.glob(os.path.join(lists_dir, "list_id=*", "*.parquet")):
             with open(f, "rb") as fh:
-                out[f] = hashlib.md5(fh.read()).hexdigest()
+                out[os.path.relpath(f, lists_dir)] = hashlib.md5(fh.read()).hexdigest()
         return out
 
     with tempfile.TemporaryDirectory() as d:
@@ -211,10 +218,9 @@ def test_ivf_incremental_compact(spark, emb):
         idx.delete([top[0], top[1]])
         idx.insert(emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 403)))
 
-        lists_dir = os.path.join(d, "sealed", "lists")
-        before = content_hashes(lists_dir)
+        before = content_hashes(os.path.join(idx.sealed.path, "lists"))
         idx.compact()
-        after = content_hashes(lists_dir)
+        after = content_hashes(os.path.join(idx.sealed.path, "lists"))
         untouched = [f for f in before if f in after and before[f] == after[f]]
         assert untouched, "some list partitions must survive compaction untouched"
         assert any(f not in after or before[f] != after[f] for f in before), (
@@ -279,9 +285,11 @@ def test_crash_mid_append_leaves_index_consistent(spark, emb):
 
 
 def test_crash_mid_compact_keeps_old_sealed(spark, emb):
-    """compact() builds sealed_new and swaps via rename; a crash before
-    the swap leaves sealed_new debris that reopen must ignore, and a
-    retried compact() must complete."""
+    """compact() builds the NEXT generation and commits via an atomic
+    manifest swap; a crash mid-build leaves a half-written gen-NNNNNN
+    above the manifest pointer that reopen must ignore (it serves the
+    committed generation), and a retried compact() must clear the
+    debris and complete."""
     import os
 
     with tempfile.TemporaryDirectory() as d:
@@ -292,10 +300,11 @@ def test_crash_mid_compact_keeps_old_sealed(spark, emb):
         # at the 1e-8 level
         expect = [(r["id"], round(r["distance"], 6)) for r in idx.search(Q64, k=10).collect()]
 
-        # a dead half-built replacement index
-        new_path = os.path.join(d, "sealed_new")
-        os.makedirs(os.path.join(new_path, "rows"))
-        with open(os.path.join(new_path, "rows", "part-00000-dead.parquet"), "wb") as f:
+        # a dead half-built next generation (crash before manifest swap)
+        debris = os.path.join(d, "gen-000001", "sealed", "rows")
+        os.makedirs(debris)
+        dead_file = os.path.join(debris, "part-00000-dead.parquet")
+        with open(dead_file, "wb") as f:
             f.write(b"PAR1 torn")
 
         reopened = FreshVectorIndex.open(spark, d)
@@ -303,7 +312,7 @@ def test_crash_mid_compact_keeps_old_sealed(spark, emb):
         assert got == expect, "old sealed index must still serve"
 
         reopened.compact()
-        assert not os.path.exists(new_path), "retry must complete the swap"
+        assert not os.path.exists(dead_file), "retry must discard the debris"
         got2 = [(r["id"], round(r["distance"], 6)) for r in reopened.search(Q64, k=10).collect()]
         assert got2 == expect
 
@@ -417,13 +426,15 @@ def test_optimizer_active_segment_not_sealed_then_seals_when_idle(spark, emb):
         idx = make(spark, emb, d)
         idx.insert(emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)))
         opt = IndexOptimizer(idx, sealing_secs=3600, optimizing_secs=3600)
-        # tick 1: first=True -> seals only if stamp deemed stable; the
-        # reference seals on the FIRST tick too (first || stamp==check),
-        # so simulate activity between construction and the first tick
-        # by driving ticks manually around inserts
-        assert opt.tick_sealing() is True  # first tick, idle -> seals
+        # tick 1: first tick only RECORDS the stamp (mod.rs seals only a
+        # segment unchanged since the previous tick) — an actively-
+        # written segment is never compacted at optimizer start
+        assert opt.tick_sealing() is False
+        assert idx.stat()["idx_growing"], "first tick records, never seals"
+        # tick 2: idle since tick 1 -> stamp unchanged -> seals
+        assert opt.tick_sealing() is True
         assert idx.stat()["idx_growing"] == []
-        # new writes arrive; then a tick observes a CHANGED stamp (the
+        # new writes arrive; the next tick observes a CHANGED stamp (the
         # previous check was from the sealed state) -> no seal
         idx.insert(emb.where((F.col("vec_id") >= 450) & (F.col("vec_id") < 500)))
         assert opt.tick_sealing() is False
@@ -496,3 +507,45 @@ def test_streaming_ingest_with_background_optimizer(spark, emb, tmp_path):
             assert sealed_got == got
         finally:
             opt.stop()
+
+
+def test_concurrent_search_during_compaction_stress(spark, emb):
+    """The round-5 race regression test: queries planned against the
+    previous generation must keep valid files while the background
+    optimizer compacts (generation grace GC — the old generation is
+    deleted only when the NEXT one commits).  Before the generational
+    manifest, compact() rmtree'd delta/tombstones under in-flight
+    FileScan tasks and this pattern intermittently threw
+    FileNotFoundException."""
+    from pgvecto_rs_spark.streaming import run_optimizer
+
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)
+        # aggressive cadence: seal whenever the segment sat idle one tick
+        opt = run_optimizer(idx, sealing_secs=0.05, optimizing_secs=0.2,
+                            max_growing_rows=20)
+        errors = []
+        try:
+            for i in range(12):
+                lo = 400 + i * 15
+                idx.insert(
+                    emb.where((F.col("vec_id") >= lo) & (F.col("vec_id") < lo + 15))
+                )
+                if i % 3 == 2:
+                    idx.delete([lo, lo + 1])
+                # hammer searches between writes; any missing-file error
+                # from a retired generation surfaces here
+                for _ in range(3):
+                    try:
+                        rows = idx.search(Q64, k=10).collect()
+                        assert len(rows) == 10
+                        idx.range_search(Q64, 2.5).count()
+                    except Exception as e:  # noqa: BLE001
+                        errors.append(e)
+        finally:
+            opt.stop()
+        assert not errors, f"search failed during concurrent compaction: {errors[0]}"
+        assert opt.stats["compactions"] >= 1, "stress must actually compact"
+        # converged state is consistent: every live id exactly once
+        st = idx.stat()
+        assert st["idx_tuples"] == idx.search(Q64, k=10**6).count()
