@@ -199,9 +199,15 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
     return h.reshape(8, 8) / 255.0
 
 
-def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     """PCM WAV decode via the stdlib wave module: returns (mono float64
-    waveform in [-1, 1], sample_rate)."""
+    waveform in [-1, 1], sample_rate, sample_width_bytes, n_channels).
+
+    The sample width and channel count come from the header so integer-
+    exact consumers can pick the PCM scale (128 for 8-bit, 32768 for
+    16-bit) without inferring it from content — a 16-bit clip whose
+    samples all happen to be multiples of 256 (quiet/quantized audio,
+    including -32768) would otherwise be mis-scaled by 2^8."""
     with wave.open(io.BytesIO(payload), "rb") as w:
         rate = w.getframerate()
         n = w.getnframes()
@@ -216,7 +222,23 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         raise NotImplementedError(f"{8 * width}-bit WAV not supported")
     if channels > 1:
         x = x.reshape(-1, channels).mean(axis=1)
-    return x, rate
+    return x, rate, width, channels
+
+
+def _pcm_int_samples(x: np.ndarray, width: int, channels: int) -> np.ndarray:
+    """Exact integer PCM samples from the [-1, 1] float waveform, scale
+    chosen by the HEADER sample width (width==1 -> s/128, width==2 ->
+    s/32768).  Multi-channel clips are rejected: the mean downmix of
+    integer channel samples need not be an integer at that scale, which
+    would silently break the integer-exact oracle contract."""
+    if channels > 1:
+        raise NotImplementedError(
+            "integer-exact audio stats require mono PCM; "
+            f"got {channels} channels (downmixed means are not integers)"
+        )
+    scale = 128.0 if width == 1 else 32768.0
+    s = x * scale
+    return np.rint(s).astype(np.int64)
 
 
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
@@ -277,7 +299,7 @@ def decode_audio_features(
             for mid, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
-                x, rate = _decode_wav(bytes(b))
+                x, rate, _w, _c = _decode_wav(bytes(b))
                 n = len(x)
                 rms = float(np.sqrt(np.mean(x**2))) if n else 0.0
                 zcr = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) if n > 1 else 0.0
@@ -327,15 +349,12 @@ def decode_audio_stats(
             for mid, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
-                x, rate = _decode_wav(bytes(b))
-                # exact integer reconstruction: mono 8-bit samples are
-                # s/128, 16-bit s/32768 — pick the smallest scale that
-                # lands every sample on an integer (dyadic, so the
-                # check is exact, not a tolerance)
-                s = x * 128.0
-                if not np.array_equal(s, np.rint(s)):
-                    s = x * 32768.0
-                s = np.rint(s).astype(np.int64)
+                x, rate, width, channels = _decode_wav(bytes(b))
+                # exact integer reconstruction with the scale read from
+                # the WAV header (8-bit: s/128, 16-bit: s/32768) — never
+                # inferred from content, which mis-scales quiet 16-bit
+                # clips whose samples are all multiples of 256
+                s = _pcm_int_samples(x, width, channels)
                 ids.append(int(mid))
                 rates.append(int(rate))
                 ns.append(int(x.size))
@@ -466,13 +485,10 @@ def audio_hashes_df(
             for mid, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
-                x, _rate = _decode_wav(bytes(b))
+                x, _rate, width, channels = _decode_wav(bytes(b))
                 if x.size == 0:
                     continue
-                s = x * 128.0
-                if not np.array_equal(s, np.rint(s)):
-                    s = x * 32768.0
-                s = np.rint(s).astype(np.int64)
+                s = _pcm_int_samples(x, width, channels)
                 n = s.size
                 f = (np.arange(n, dtype=np.int64) * 64) // n
                 e = np.zeros(64, dtype=np.int64)

@@ -104,11 +104,24 @@ def top_k(
     filter: Column | None = None,
     dist_col: str = "distance",
     tiebreaker: str | None = None,
+    descending: bool = False,
 ) -> DataFrame:
     """``SELECT ... ORDER BY col <op> query LIMIT k`` — exact path.
 
     NULL vectors are skipped, matching the reference's index behavior
     (src/index/am.rs:199-211: NULLs are never indexed/returned).
+
+    Non-finite distances order TOTALLY and deterministically: the
+    reference sorts distances through an order-preserving f32 -> i32
+    bijection (crates/base/src/distance.rs:17-44) giving
+    ``-Inf < finite < +Inf < NaN`` (sign-positive NaN bit patterns — the
+    only kind IEEE arithmetic produces); Spark's double ordering places
+    NaN greater than every value including +Inf, and DuckDB does the
+    same, so all three engines agree on which candidates survive the
+    LIMIT when vectors contain NaN/Inf elements.  ``descending=True``
+    serves the farthest-k shape (ORDER BY dist DESC), where that
+    agreement is observable: NaN rows fill the window first, then +Inf,
+    then the largest finite distances.
 
     Residual ``filter`` is applied BEFORE the limit — this is the VBASE
     exact-k guarantee (README.md:25): Spark evaluates the filter in the
@@ -123,7 +136,7 @@ def top_k(
     if filter is not None:
         out = out.where(filter)
     out = out.withColumn(dist_col, d)
-    order = [F.col(dist_col).asc()]
+    order = [F.col(dist_col).desc() if descending else F.col(dist_col).asc()]
     if tiebreaker:
         order.append(F.col(tiebreaker).asc())
     return out.orderBy(*order).limit(k)

@@ -277,6 +277,73 @@ def topk_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select("vec_id", _r4(F.col("distance")).alias("dist"))
 
 
+@register(
+    "nan_inf_topk_order",
+    f"""
+    WITH c AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 500 = 7 THEN 'NaN'::DOUBLE
+                  WHEN vec_id % 500 = 11 THEN 'Infinity'::DOUBLE
+                  ELSE CAST(embedding[1] AS DOUBLE) END AS e1,
+             embedding
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id,
+             (e1 - ({Q64_SQL})[1]) ^ 2
+             + list_sum(list_transform(range(2, {DIMS + 1}),
+                 i -> (CAST(embedding[i] AS DOUBLE) - ({Q64_SQL})[i]) ^ 2)) AS dd
+      FROM c
+    )
+    SELECT vec_id,
+           CASE WHEN isnan(dd) THEN 'nan'
+                WHEN isinf(dd) THEN 'inf'
+                ELSE 'finite' END AS kind,
+           CASE WHEN isnan(dd) OR isinf(dd) THEN -1.0
+                ELSE FLOOR(dd * 10000 + 0.5) / 10000.0 END AS dist
+    FROM s
+    ORDER BY dd DESC, vec_id LIMIT 30
+    """,
+)
+def nan_inf_topk_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total-order parity for non-finite distances: the reference sorts
+    distances through an order-preserving f32->i32 bijection
+    (crates/base/src/distance.rs:17-44) so NaN/Inf order
+    deterministically (-Inf < finite < +Inf < NaN); Spark and DuckDB
+    both place NaN above +Inf in double ordering, so the farthest-k
+    window over a corpus with injected NaN/Inf elements must contain
+    exactly the same rows: every NaN row, then every +Inf row, then the
+    largest finite distances.  Non-finite distances are surfaced as a
+    `kind` tag with a -1.0 dist sentinel so the
+    value-hash carries no NaN/NULL (pandas turns SQL NULL doubles into
+    NaN on fetch)."""
+    emb = _emb(spark, sf_dir)
+    nan, inf = F.lit(float("nan")), F.lit(float("inf"))
+    e1 = (
+        F.when(F.col("vec_id") % 500 == 7, nan)
+        .when(F.col("vec_id") % 500 == 11, inf)
+        .otherwise(F.col("embedding").getItem(0).cast("double"))
+    )
+    corrupted = emb.withColumn(
+        "embedding",
+        F.concat(F.array(e1.cast("float")), F.slice("embedding", 2, DIMS - 1)),
+    )
+    df = SR.top_k(
+        corrupted, "embedding", Q64, 30, metric="l2",
+        tiebreaker="vec_id", descending=True,
+    )
+    d = F.col("distance")
+    return df.select(
+        "vec_id",
+        F.when(F.isnan(d), F.lit("nan"))
+        .when(d == inf, F.lit("inf"))
+        .otherwise(F.lit("finite"))
+        .alias("kind"),
+        F.when(F.isnan(d) | (d == inf), F.lit(-1.0))
+        .otherwise(_r4t(d))
+        .alias("dist"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # 2. range ("sphere") search — WHERE v <<->> sphere(q, r)
 # ---------------------------------------------------------------------------

@@ -41,6 +41,7 @@ produce the same admitted set as one pass.
 from __future__ import annotations
 
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,6 +62,27 @@ class StreamingNearDup:
     Parameters mirror the batch LSH pipeline: ``num_perm`` hash
     permutations split into ``bands`` bands (``num_perm % bands == 0``),
     ``k``-shingle Jaccard verified at ``threshold``.
+
+    **Ordering contract**: the documented streaming-vs-batch equivalence
+    (any arrival split reproduces :meth:`admit_all`'s admitted set)
+    requires doc ids to be NONDECREASING across micro-batches — greedy
+    admission sorts ids within a batch, but a later batch carrying an id
+    smaller than an already-admitted doc is evaluated after it, which
+    the one-shot oracle would have evaluated first.  The instance tracks
+    the max id seen and emits a ``UserWarning`` when a batch violates
+    this (out-of-order arrivals still get a deterministic, just not
+    batch-equivalent, admission).
+
+    **Driver-memory bound**: exact-duplicate texts are collapsed to one
+    representative per sha2(text) BEFORE signatures/LSH (provably
+    admission-equivalent: a non-representative's neighbors include
+    everything its representative's do, so whatever blocks — or would
+    admit — the representative blocks the duplicate), which makes the
+    pathological all-duplicates batch cost one edge, not O(n^2).  The
+    residual verified-edge fetch is capped at ``max_driver_edges``
+    (mirroring ``dedup.neardup_components``); a batch of >cap true
+    *near*-dup (non-exact) pairs raises rather than silently exhausting
+    driver memory.
     """
 
     def __init__(
@@ -74,6 +96,7 @@ class StreamingNearDup:
         seed: int = 42,
         text_col: str = "text",
         id_col: str = "doc_id",
+        max_driver_edges: int = 200_000,
     ) -> None:
         if num_perm % bands:
             raise ValueError("num_perm must divide evenly into bands")
@@ -86,6 +109,8 @@ class StreamingNearDup:
         self.seed = seed
         self.text_col = text_col
         self.id_col = id_col
+        self.max_driver_edges = max_driver_edges
+        self._max_seen_id: int | None = None
         os.makedirs(path, exist_ok=True)
 
     # -- store ---------------------------------------------------------
@@ -147,16 +172,44 @@ class StreamingNearDup:
     def process_batch(self, batch_df: DataFrame) -> list[int]:
         """Admit one micro-batch; returns the admitted ids (sorted).
 
-        Contract: ids are unique across the whole stream (ingest keys);
-        a re-sent id is the caller's bug, not a duplicate to detect —
-        content duplicates are what this operator detects.
+        Contract: ids are unique across the whole stream (ingest keys) —
+        a re-sent id is the caller's bug, not a duplicate to detect
+        (content duplicates are what this operator detects) — and
+        nondecreasing across batches for batch-equivalence (see class
+        docstring; violations warn, not raise).
         """
-        batch = batch_df.select(self.id_col, self.text_col).cache()
+        full_batch = batch_df.select(self.id_col, self.text_col).cache()
+        batch = None
         try:
+            # exact-duplicate collapse: one representative (min id) per
+            # text.  Admission-equivalent (class docstring) and the
+            # reason a pathologically-duplicated batch stays O(distinct)
+            # rather than O(n^2) in candidate pairs.  sha2-256 keyed so
+            # the shuffle carries a 32-byte digest, not document text.
+            reps = (
+                full_batch.withColumn("__h", F.sha2(F.col(self.text_col), 256))
+                .groupBy("__h")
+                .agg(F.min(self.id_col).alias(self.id_col))
+                .select(self.id_col)
+            )
+            batch = full_batch.join(F.broadcast(reps), self.id_col, "left_semi").cache()
             codes = self._band_codes(batch).cache()
+            all_ids = [r[0] for r in full_batch.select(self.id_col).collect()]
             ids = [r[0] for r in batch.select(self.id_col).collect()]
             if not ids:
                 return []
+            if self._max_seen_id is not None and min(all_ids) <= self._max_seen_id:
+                warnings.warn(
+                    f"StreamingNearDup: batch contains id {min(all_ids)} <= "
+                    f"max previously seen id {self._max_seen_id}; out-of-order "
+                    "arrival breaks streaming-vs-batch admission equivalence "
+                    "(see class docstring)",
+                    UserWarning,
+                    stacklevel=2,
+                )
+            self._max_seen_id = max(
+                max(all_ids), self._max_seen_id if self._max_seen_id is not None else -(1 << 62)
+            )
 
             # 2. cross-batch candidates: batch codes vs admitted codes
             stored = self._stored_bands()
@@ -206,8 +259,21 @@ class StreamingNearDup:
                 self.threshold,
             )
             # bounded driver fetch: true near-dup pairs touching this
-            # batch (see module docstring)
-            edges = [(r["id_a"], r["id_b"]) for r in verified.collect()]
+            # batch (see module docstring).  Exact dups were collapsed
+            # above, so only genuine near-dup (non-identical) pairs land
+            # here; the explicit cap turns a pathological batch into a
+            # loud error instead of silent driver-memory exhaustion.
+            edges = [
+                (r["id_a"], r["id_b"])
+                for r in verified.limit(self.max_driver_edges + 1).collect()
+            ]
+            if len(edges) > self.max_driver_edges:
+                raise RuntimeError(
+                    f"StreamingNearDup: batch produced more than "
+                    f"max_driver_edges={self.max_driver_edges} verified near-dup "
+                    "pairs; split the batch or raise the cap (greedy sequential "
+                    "admission requires the edge list on the driver)"
+                )
 
             # 5. greedy sequential admission in id order
             batch_ids = set(ids)
@@ -243,10 +309,11 @@ class StreamingNearDup:
                 ).write.mode("append").parquet(self._bands_path())
             return admitted
         finally:
-            batch.unpersist()
+            full_batch.unpersist()
             try:
+                batch.unpersist()
                 codes.unpersist()
-            except Exception:  # noqa: BLE001 — codes may not exist yet
+            except Exception:  # noqa: BLE001 — batch/codes may not exist yet
                 pass
 
     def admit_all(self, df: DataFrame) -> list[int]:

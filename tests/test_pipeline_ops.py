@@ -370,6 +370,45 @@ class TestMultimodal:
             assert r["energy"] == int((a * a).sum())
             assert r["zero_crossings"] == int(((a[:-1] * a[1:]) < 0).sum())
 
+    def test_audio_stats_scale_from_header_not_content(self, spark):
+        """The PCM scale comes from the WAV header, never inferred from
+        content: a quiet/quantized 16-bit clip whose samples are ALL
+        multiples of 256 decodes to floats that also land on integers at
+        the 8-bit scale — content inference would shrink its energy by
+        2^16.  Multi-channel clips are rejected in the integer-exact
+        path (the mean downmix need not be an integer)."""
+        import io
+        import wave as wavemod
+
+        import numpy as np
+        import pytest
+
+        from pgvecto_rs_spark.operators.multimodal import decode_audio_stats
+
+        s16 = np.array([256, -512, 0, 2560, -32768, 7680], dtype="<i2")
+        buf = io.BytesIO()
+        with wavemod.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(s16.tobytes())
+        df = spark.createDataFrame([(1, buf.getvalue())], "media_id long, payload binary")
+        r = decode_audio_stats(df).collect()[0]
+        a = s16.astype(np.int64)
+        assert r["energy"] == int((a * a).sum()), "must use the 16-bit header scale"
+        assert r["zero_crossings"] == int(((a[:-1] * a[1:]) < 0).sum())
+
+        stereo = io.BytesIO()
+        with wavemod.open(stereo, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(8000)
+            w.writeframes(np.array([100, 101, -5, 3], dtype="<i2").tobytes())
+        df2 = spark.createDataFrame([(2, stereo.getvalue())], "media_id long, payload binary")
+        with pytest.raises(Exception) as ei:
+            decode_audio_stats(df2).collect()
+        assert "mono" in str(ei.value) or "NotImplementedError" in str(ei.value)
+
     def test_image_hashes_integer_exact(self, spark):
         """aHash/dHash from the real decode path match a pure-python
         integer model (strict mean compare / wraparound row gradient)."""

@@ -145,3 +145,44 @@ class TestStreamingEqualsBatch:
         for i in all_ids - got:
             assert neighbors.get(i, set()) & got, f"{i} rejected without cause"
         corpus.unpersist()
+
+
+class TestDriverMemoryBounds:
+    def test_pathological_duplicate_batch_bounded(self, spark, tmp_path):
+        """A 100k-doc batch that is ~all exact duplicates must not
+        materialize O(n^2) verified pairs on the driver: exact dups
+        collapse to one representative per text BEFORE LSH, so the edge
+        fetch sees only representative-level pairs.  Admission equals
+        the semantic truth: min id per distinct text (texts mutually
+        non-similar)."""
+        n, n_texts = 100_000, 8
+        # mutually dissimilar: disjoint token vocabularies per text
+        texts = [
+            " ".join(f"t{t}word{i:02d}" for i in range(40)) for t in range(n_texts)
+        ]
+        df = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.element_at(
+                F.array(*[F.lit(t) for t in texts]),
+                (F.col("id") % n_texts + 1).cast("int"),
+            ).alias("text"),
+        )
+        snd = StreamingNearDup(
+            spark, str(tmp_path / "snd"), threshold=0.9, max_driver_edges=5_000
+        )
+        admitted = snd.process_batch(df)
+        # min id of text-group t is t itself (id % n_texts == t)
+        assert sorted(admitted) == list(range(n_texts))
+
+    def test_near_dup_edge_cap_raises(self, spark, tmp_path):
+        """Non-exact near-dup floods can't be collapsed; past
+        max_driver_edges the batch fails loudly instead of exhausting
+        driver memory."""
+        base = " ".join(f"tok{i:03d}" for i in range(80))
+        rows = [(i, base + f" suffix{i}") for i in range(120)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        snd = StreamingNearDup(
+            spark, str(tmp_path / "snd2"), threshold=0.9, max_driver_edges=100
+        )
+        with pytest.raises(RuntimeError, match="max_driver_edges"):
+            snd.process_batch(df)
