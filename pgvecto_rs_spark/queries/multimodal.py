@@ -1,0 +1,516 @@
+"""Multimodal queries over deterministic synthetic media: real
+PPM/WAV/AVI codec paths reduced to integer-exact stats, knn and
+perceptual near-dup."""
+
+from __future__ import annotations
+
+import math
+import os
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from pgvecto_rs_spark.functions import binary as VB
+from pgvecto_rs_spark.functions import dense as VD
+from pgvecto_rs_spark.functions import sparse as VS
+from pgvecto_rs_spark.operators import asof as OA
+from pgvecto_rs_spark.operators import clustering as CL
+from pgvecto_rs_spark.operators import curation as CU
+from pgvecto_rs_spark.operators import dedup as DD
+from pgvecto_rs_spark.operators import retrieval as RT
+from pgvecto_rs_spark.operators import search as SR
+from pgvecto_rs_spark.operators import textanalysis as TA
+
+from pgvecto_rs_spark.queries._core import (  # noqa: F401
+    DIMS,
+    Q64,
+    Q64_SQL,
+    SPARSE_THRESHOLD,
+    RANGE_RADIUS,
+    STOPWORDS_SQL,
+    QueryFn,
+    register,
+    _REGISTRY,
+    _q_col,
+    _tune,
+    _emb,
+    _docs,
+    _events,
+    _r4,
+    _r4t,
+    _scaled_sum,
+    _SQL_L2,
+    _SQL_DOT,
+    _SQL_NORMSQ_E,
+    _Q_NORM,
+    _tmp_index_dir,
+    _open_cached,
+)
+
+
+
+
+# ---------------------------------------------------------------------------
+# 8m. multimodal (operators/multimodal.py): deterministic synthetic media
+# payloads (PPM image / PCM WAV / MJPEG AVI, derived from doc_id alone) are
+# pushed through the REAL codec paths — PPM decode + nearest-neighbor
+# resize, stdlib-wave PCM decode, RIFF walk + baseline-JPEG decode — and the
+# decoded values reduce to integer statistics a SQL oracle reproduces
+# exactly.  This proves the Spark-side plumbing (binary columns, Arrow
+# mapInPandas batches, fan-out schemas) end-to-end, not just in unit tests.
+# Payload synthesis happens executor-side inside the same mapInPandas batch
+# discipline, so nothing media-sized ever crosses the driver.
+# ---------------------------------------------------------------------------
+
+
+def _synth_ppm_op(it):
+    """(doc_id) -> (doc_id, payload): 8x8 P6 PPM, pixel v_i =
+    (doc_id*31 + i*7 + 13) % 256, r=g=b (so gray == v/255 exactly in
+    float32 — see mm_image_stats oracle-boundary note)."""
+    import numpy as np
+    import pandas as pd
+
+    idx = np.arange(64)
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            v = ((int(did) * 31 + idx * 7 + 13) % 256).astype(np.uint8)
+            payloads.append(b"P6\n8 8\n255\n" + bytes(np.repeat(v, 3)))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_image_stats",
+    r"""
+    WITH px AS (
+      SELECT d.doc_id, d.source,
+             CAST(FLOOR(((d.doc_id*31 + i*7 + 13) % 256) / 255.0 * 10000 + 0.5)
+                  AS BIGINT) AS q
+      FROM documents d, range(64) r(i)
+    ), per_doc AS (
+      SELECT doc_id, source, SUM(q) AS s, MAX(q) AS m
+      FROM px GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_images,
+           CAST(SUM(s) AS BIGINT) AS sum_gray_q,
+           CAST(MAX(m) AS BIGINT) AS max_gray_q
+    FROM per_doc GROUP BY source
+    """,
+)
+def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image pipeline end-to-end: synthesize a deterministic 8x8 PPM per
+    document, decode through the REAL codec path
+    (multimodal.decode_image_features: P6 parse -> gray -> resize), and
+    aggregate per-pixel grayscale quantized at 1e4 per source.
+
+    Oracle-boundary safety: with r=g=b=v the decoded gray is
+    float32(v/255); the exact value v*10000/255 is a multiple of 1/51,
+    so its distance to any FLOOR(x+0.5) boundary is >= 1/102 ~ 9.8e-3
+    while the float32 representation error is <= 6e-4 — both engines
+    round identically for every v in 0..255 (verified exhaustively)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    media = docs.select("doc_id").mapInPandas(
+        _synth_ppm_op, "doc_id bigint, payload binary"
+    )
+    feats = MM.decode_image_features(media, id_col="doc_id")
+    q = F.expr(
+        "transform(feature, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    per_doc = feats.select(
+        "doc_id",
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
+        F.array_max(q).alias("m"),
+    )
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("s").cast("long").alias("sum_gray_q"),
+            F.max("m").cast("long").alias("max_gray_q"),
+        )
+    )
+
+
+@register(
+    "mm_image_knn",
+    r"""
+    WITH px AS (
+      SELECT d.doc_id,
+             CAST(FLOOR(((d.doc_id*31 + i*7 + 13) % 256) / 255.0 * 10000 + 0.5)
+                  AS BIGINT)
+             - CAST(FLOOR(((123457*31 + i*7 + 13) % 256) / 255.0 * 10000 + 0.5)
+                    AS BIGINT) AS dq
+      FROM documents d, range(64) r(i)
+    )
+    SELECT doc_id, CAST(SUM(dq*dq) AS BIGINT) AS dist_q
+    FROM px GROUP BY doc_id
+    ORDER BY dist_q, doc_id LIMIT 10
+    """,
+)
+def mm_image_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal -> ANN handoff: decode every document's synthetic PPM
+    through the REAL codec path, quantize the 64-dim grayscale feature
+    to integers (the same 1e4 grid as mm_image_stats, so parity is
+    exact), and run squared-L2 top-10 against a fixed query image
+    (doc_id 123457's pixel formula) — decoded features are directly
+    usable by the search layer, and the plan is the engine's top-k
+    shape (TakeOrderedAndProject over a scan-fused projection, no
+    shuffle before the limit)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.mapInPandas(_synth_ppm_op, "doc_id bigint, payload binary")
+    feats = MM.decode_image_features(media, id_col="doc_id")
+    qpx = [
+        int(math.floor((123457 * 31 + i * 7 + 13) % 256 / 255.0 * 10000 + 0.5))
+        for i in range(64)
+    ]
+    q = F.array(*[F.lit(int(x)).cast("long") for x in qpx])
+    pq = F.expr(
+        "transform(feature, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    dist = F.aggregate(
+        F.zip_with(pq, q, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        feats.select("doc_id", dist.alias("dist_q"))
+        .orderBy("dist_q", "doc_id")
+        .limit(10)
+    )
+
+
+def _synth_wav_op(it):
+    """(doc_id) -> (doc_id, payload): mono 8-bit PCM WAV at 8 kHz,
+    n = 64 + doc_id%32 samples, byte u_i = (doc_id*17 + i*29 + 5) % 256."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    rate = 8000
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            n = 64 + did % 32
+            u = ((did * 17 + np.arange(n) * 29 + 5) % 256).astype(np.uint8)
+            data = bytes(u)
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+                + b"data"
+                + struct.pack("<I", len(data))
+            )
+            payloads.append(hdr + data)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_audio_stats",
+    r"""
+    WITH sm AS (
+      SELECT d.doc_id, i,
+             (((d.doc_id*17 + i*29 + 5) % 256) - 128) AS s,
+             (64 + d.doc_id % 32) AS n
+      FROM documents d, range(96) r(i)
+      WHERE i < 64 + d.doc_id % 32
+    ), zz AS (
+      SELECT doc_id, n, s,
+             LEAD(s) OVER (PARTITION BY doc_id ORDER BY i) AS s2
+      FROM sm
+    )
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(FLOOR(MAX(n) * 1000.0 / 8000.0) AS INT) AS duration_ms,
+           CAST(SUM(s*s) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN s*s2 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings
+    FROM zz GROUP BY doc_id
+    """,
+)
+def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio pipeline end-to-end: synthesize a deterministic 8-bit PCM
+    WAV per document, decode through the REAL stdlib-wave path, and
+    emit exact integer statistics (energy = sum s^2, strict sign-flip
+    zero crossings).  8-bit PCM decodes to (u-128)/128 — dyadic — so
+    the integer sample is recovered exactly and the oracle needs no
+    floating-point tolerance at all (the multimodal analogue of the
+    scaled-integer SUM discipline used by the TPC-H oracles)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.mapInPandas(_synth_wav_op, "doc_id bigint, payload binary")
+    return MM.decode_audio_stats(media, id_col="doc_id")
+
+
+def _synth_wav_groups_op(it):
+    """(doc_id) -> (doc_id, payload): mono 8-bit PCM WAVs in near-dup
+    groups of 4 (base g = doc_id - doc_id%4, variant d = doc_id%4),
+    all group members n = 64 + g%32 samples:
+    d in {0,1}: u_i = (g*17 + i*29 + 5 + (16 if d==1 and i==0 else 0)) % 256
+    d == 2:     u_i = (g*23 + i*31 + 97) % 256
+    d == 3:     u_i = (g*29 + i*37 + 201) % 256."""
+    import struct
+
+    import numpy as np
+    import pandas as pd
+
+    rate = 8000
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            g, d = did - did % 4, did % 4
+            n = 64 + g % 32
+            i = np.arange(n)
+            if d == 2:
+                u = (g * 23 + i * 31 + 97) % 256
+            elif d == 3:
+                u = (g * 29 + i * 37 + 201) % 256
+            else:
+                u = (g * 17 + i * 29 + 5) % 256
+                if d == 1:
+                    u = u.copy()
+                    u[0] = (u[0] + 16) % 256
+            data = bytes(u.astype(np.uint8))
+            hdr = (
+                b"RIFF"
+                + struct.pack("<I", 36 + len(data))
+                + b"WAVEfmt "
+                + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate, 1, 8)
+                + b"data"
+                + struct.pack("<I", len(data))
+            )
+            payloads.append(hdr + data)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_audio_neardup",
+    r"""
+    WITH sm AS (
+      SELECT d.doc_id, (d.doc_id - d.doc_id % 4) AS g, r.i,
+             (64 + (d.doc_id - d.doc_id % 4) % 32) AS n
+      FROM documents d, range(96) r(i)
+      WHERE r.i < 64 + (d.doc_id - d.doc_id % 4) % 32
+    ), sv AS (
+      SELECT doc_id, i, n,
+        (CASE
+           WHEN doc_id % 4 = 2 THEN (g*23 + i*31 + 97) % 256
+           WHEN doc_id % 4 = 3 THEN (g*29 + i*37 + 201) % 256
+           ELSE (g*17 + i*29 + 5
+                 + CASE WHEN doc_id % 4 = 1 AND i = 0 THEN 16 ELSE 0 END) % 256
+         END) - 128 AS s
+      FROM sm
+    ), fe AS (
+      SELECT doc_id, (i*64)//n AS f, SUM(s*s) AS e
+      FROM sv GROUP BY doc_id, (i*64)//n
+    ), te AS (
+      SELECT doc_id, SUM(e) AS tot FROM fe GROUP BY doc_id
+    ), sig AS (
+      SELECT fe.doc_id,
+        CAST(SUM(CASE WHEN 64*e > tot AND f < 32
+                      THEN (CAST(1 AS BIGINT) << f) ELSE 0 END) AS BIGINT) AS lo,
+        CAST(SUM(CASE WHEN 64*e > tot AND f >= 32
+                      THEN (CAST(1 AS BIGINT) << (f-32)) ELSE 0 END) AS BIGINT) AS hi
+      FROM fe JOIN te ON fe.doc_id = te.doc_id GROUP BY fe.doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+             AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """,
+)
+def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup end-to-end: synthesize grouped 8-bit PCM WAVs
+    (each group of 4 doc_ids shares a base signal; one variant perturbs
+    a single sample, two are unrelated), decode through the REAL
+    stdlib-wave path, fingerprint with the integer-exact 64-frame
+    energy-envelope hash (multimodal.audio_hashes_df), and find every
+    pair within Hamming distance 3 via the shared banded-pigeonhole
+    join (dedup.hamming_candidate_pairs).  The oracle replays the full
+    pipeline in integer SQL (samples -> frame energies via
+    f = i*64 // n -> strict cross-multiplied mean bits -> two 32-bit
+    halves -> XOR popcount all-pairs), so parity is exact and
+    deterministic — certifying the banding join finds EVERY pair
+    within the radius on audio fingerprints too.  max_bucket sits
+    above the corpus's worst band bucket so none is dropped; the only
+    shuffle is the band-key exchange on 64-bit signatures, never on
+    samples."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.mapInPandas(_synth_wav_groups_op, "doc_id bigint, payload binary")
+    return MM.audio_neardup_pairs(
+        media, id_col="doc_id", max_hamming=3, max_bucket=100_000
+    )
+
+
+def _synth_avi_op(it):
+    """(doc_id) -> (doc_id, payload): MJPEG AVI with 1 + doc_id%4
+    constant-gray 8x8 frames (fill value 32*frame_no+16), real
+    baseline-JPEG encode per frame (operators/jpeg.py)."""
+    import numpy as np
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.video import encode_mjpeg_avi
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            nf = 1 + int(did) % 4
+            frames = [
+                np.full((8, 8), 32 * f + 16, dtype=np.uint8) for f in range(nf)
+            ]
+            payloads.append(encode_mjpeg_avi(frames))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_video_frames",
+    r"""
+    WITH v AS (SELECT doc_id, (1 + doc_id % 4) AS nf FROM documents)
+    SELECT doc_id,
+           CAST((nf + 1) // 2 AS BIGINT) AS n_sampled,
+           CAST(((nf - 1) // 2) * 2 AS INT) AS max_frame_no,
+           CAST(((nf + 1) // 2) * 64 AS BIGINT) AS n_px
+    FROM v
+    """,
+)
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video pipeline end-to-end: synthesize an MJPEG AVI per document
+    (real baseline-JPEG frames), frame-sample every 2nd frame through
+    the REAL RIFF walk (multimodal.sample_video_frames), then decode
+    every sampled frame through the REAL JPEG path
+    (decode_image_features) and count decoded pixels.  The oracle
+    checks the structural invariants that are SQL-expressible exactly
+    (sampled-frame count, max sampled frame index, total decoded
+    pixels); pixel values round-trip a lossy DCT so they are covered by
+    unit tests, not the SQL oracle."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.mapInPandas(_synth_avi_op, "doc_id bigint, payload binary")
+    sampled = MM.sample_video_frames(media, id_col="doc_id", every_n=2)
+    counts = sampled.groupBy("doc_id").agg(
+        F.count("*").alias("n_sampled"),
+        F.max("frame_no").cast("int").alias("max_frame_no"),
+    )
+    feats = MM.decode_image_features(
+        sampled.select("doc_id", F.col("frame_payload").alias("payload")),
+        id_col="doc_id",
+    )
+    px = feats.groupBy("doc_id").agg(
+        F.sum(F.size("feature")).cast("long").alias("n_px")
+    )
+    return counts.join(px, "doc_id").select(
+        "doc_id", "n_sampled", "max_frame_no", "n_px"
+    )
+
+
+def _synth_ppm_groups_op(it):
+    """(doc_id) -> (doc_id, payload): 8x8 P6 PPM in near-dup groups of
+    4 (base g = doc_id - doc_id%4, variant d = doc_id%4):
+    d in {0,1}: v_i = (g*31 + i*7 + 13 + (128 if d==1 and i==0 else 0)) % 256
+    d == 2:     v_i = (g*37 + i*11 + 57) % 256
+    d == 3:     v_i = (g*41 + i*23 + 191) % 256      (r=g=b)."""
+    import numpy as np
+    import pandas as pd
+
+    idx = np.arange(64)
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            g, d = did - did % 4, did % 4
+            if d == 2:
+                v = (g * 37 + idx * 11 + 57) % 256
+            elif d == 3:
+                v = (g * 41 + idx * 23 + 191) % 256
+            else:
+                v = (g * 31 + idx * 7 + 13) % 256
+                if d == 1:
+                    v = v.copy()
+                    v[0] = (v[0] + 128) % 256
+            payloads.append(b"P6\n8 8\n255\n" + bytes(np.repeat(v.astype(np.uint8), 3)))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_image_neardup",
+    r"""
+    WITH px AS (
+      SELECT d.doc_id, r.i,
+        CASE
+          WHEN d.doc_id % 4 = 2
+            THEN ((d.doc_id - d.doc_id % 4)*37 + r.i*11 + 57) % 256
+          WHEN d.doc_id % 4 = 3
+            THEN ((d.doc_id - d.doc_id % 4)*41 + r.i*23 + 191) % 256
+          ELSE ((d.doc_id - d.doc_id % 4)*31 + r.i*7 + 13
+                + CASE WHEN d.doc_id % 4 = 1 AND r.i = 0 THEN 128 ELSE 0 END)
+               % 256
+        END AS v
+      FROM documents d, range(64) r(i)
+    ), s AS (
+      SELECT doc_id, i, v, SUM(v) OVER (PARTITION BY doc_id) AS sv FROM px
+    ), sig AS (
+      SELECT doc_id,
+        CAST(SUM(CASE WHEN 64*v > sv AND i < 32
+                      THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS lo,
+        CAST(SUM(CASE WHEN 64*v > sv AND i >= 32
+                      THEN (CAST(1 AS BIGINT) << (i-32)) ELSE 0 END) AS BIGINT) AS hi
+      FROM s GROUP BY doc_id
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT)
+             AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+    """,
+)
+def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup end-to-end: synthesize grouped 8x8 PPMs (each
+    group of 4 doc_ids shares a base image; one variant perturbs a
+    single pixel, two are unrelated), decode through the REAL codec
+    path, fingerprint with the integer-exact 64-bit aHash
+    (multimodal.image_hashes_df), and find every pair within Hamming
+    distance 3 via the shared banded-pigeonhole join
+    (dedup.hamming_candidate_pairs — the same engine as SimHash text
+    near-dup, complete within the radius).  The oracle replays the
+    full pipeline in integer SQL (pixels -> strict-mean bits -> two
+    32-bit halves -> XOR popcount all-pairs), so parity is exact and
+    deterministic — this certifies the banding join itself finds
+    EVERY pair, not just the planted ones.  max_bucket is set above
+    the corpus's worst observed band-bucket (371 at 5k docs) so no
+    bucket is dropped; the only shuffle is the band-key exchange on
+    64-bit signatures, never on pixels."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = docs.mapInPandas(_synth_ppm_groups_op, "doc_id bigint, payload binary")
+    return MM.image_neardup_pairs(
+        media, id_col="doc_id", max_hamming=3, method="ahash", max_bucket=100_000
+    )
