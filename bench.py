@@ -200,6 +200,29 @@ def _batch_speedup(spark) -> dict:
     return out
 
 
+def _release_storage(spark) -> None:
+    """Release per-query localCheckpoint blocks between timings.
+
+    Several operators localCheckpoint intermediates (lineage
+    truncation); the blocks stay in executor storage until the RDD's
+    JVM reference is collected, so an 89-query bench accumulates
+    storage pressure that inflates later queries (measured:
+    mm_image_neardup 7.7 s inside the full run vs 3.2 s isolated).
+    A python gc pass drops the py4j proxies of DataFrames the finished
+    query no longer references; Spark's ContextCleaner then unpersists
+    those RDDs asynchronously.  DataFrames pinned in module-level
+    caches (embedded chunks/docs, kmeans centroids) keep strong refs
+    and are untouched — blindly unpersisting everything would destroy
+    them (a localCheckpointed RDD cannot be recomputed)."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()  # nudge the ContextCleaner
+    except Exception:  # noqa: BLE001 - cleanup is best-effort
+        pass
+
+
 def main() -> None:
     from pgvecto_rs_spark.session import get_spark
     from pgvecto_rs_spark import queries as Q
@@ -244,6 +267,7 @@ def main() -> None:
             timings[n] = round(best, 4)
         except Exception as e:  # noqa: BLE001
             errors[n] = f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
+        _release_storage(spark)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     detail = {
