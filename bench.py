@@ -259,7 +259,9 @@ def main() -> None:
         best = float("inf")
         try:
             for rep in range(5):
-                if rep >= 2 and best >= 1.0:
+                if rep >= 3 and best >= 1.0:
+                    break
+                if rep >= 2 and best >= 5.0:
                     break
                 t0 = time.perf_counter()
                 registry[n](spark, SF_DIR).collect()

@@ -28,12 +28,20 @@ shared with operators/search.py (crates/base/src/distance.rs:5-10).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pgvecto_rs_spark.operators import search as SR
 
 __all__ = ["batch_hard_triplets"]
+
+# Above this anchor count the gemm path's driver collect + task closure
+# would be unreasonably large (65k anchors x 64 dims x 8 B = 33 MB);
+# fall back to the broadcast-join expression path, which streams the
+# anchor table through Spark's own broadcast machinery.
+MAX_GEMM_ANCHORS = 65_536
 
 
 def batch_hard_triplets(
@@ -54,6 +62,13 @@ def batch_hard_triplets(
     exists for them).  One broadcast + one corpus scan + one
     |anchors|-row shuffle; NULL corpus vectors are skipped, matching
     index semantics (src/index/am.rs:199-211)."""
+    if metric in ("l2", "dot", "cos"):
+        n_anchors = anchors.count()
+        if 0 < n_anchors <= MAX_GEMM_ANCHORS:
+            return _gemm_triplets(
+                anchors, corpus, anchor_id, anchor_label, anchor_vec,
+                corpus_id, corpus_label, corpus_vec, metric,
+            )
     j = corpus.join(
         F.broadcast(anchors), F.col(corpus_id) != F.col(anchor_id)
     ).where(F.col(corpus_vec).isNotNull())
@@ -73,6 +88,131 @@ def batch_hard_triplets(
             F.when(
                 ~same,
                 F.struct(F.col("__d").alias("d"), F.col(corpus_id).alias("id")),
+            )
+        ).alias("__n"),
+    )
+    return (
+        agg.where(F.col("__p").isNotNull() & F.col("__n").isNotNull())
+        .select(
+            F.col(anchor_id),
+            (-F.col("__p.nid")).alias("pos_id"),
+            F.col("__p.d").alias("pos_dist"),
+            F.col("__n.id").alias("neg_id"),
+            F.col("__n.d").alias("neg_dist"),
+        )
+    )
+
+
+def _gemm_triplets(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    anchor_id: str,
+    anchor_label: str,
+    anchor_vec: str,
+    corpus_id: str,
+    corpus_label: str,
+    corpus_vec: str,
+    metric: str,
+) -> DataFrame:
+    """Dense-metric fast path: one gemm per corpus Arrow batch.
+
+    The expression path evaluates the distance as a higher-order-
+    function fold per (corpus x anchor) pair — interpreted, outside
+    whole-stage codegen, and the dominant cost of the operator (5.2 s
+    for a 2k x 200 x 64-dim mining run).  Here each mapInPandas batch
+    computes the full distance block with one matmul (||c||^2 +
+    ||a||^2 - 2 C@A^T for L2, clamped at 0) and reduces it to ONE
+    partial (hardest-pos, hardest-neg) row per anchor, so the shuffle
+    still carries only |anchors| rows per partition and the final
+    combine is the same struct-argmax/argmin aggregate.  Selection is
+    unchanged for any candidate gap wider than gemm round-off
+    (~1e-12 relative — far below real embedding gaps; exact duplicate
+    vectors still tie exactly and resolve by id).  Ties break on the
+    smallest candidate id, as in the expression path.
+    """
+    rows = anchors.select(anchor_id, anchor_label, anchor_vec).collect()
+    aids = np.asarray([r[0] for r in rows], dtype=np.int64)
+    albls = np.asarray([r[1] for r in rows])
+    amat = np.asarray([list(r[2]) for r in rows], dtype=np.float64)
+    a_sq = np.einsum("ij,ij->i", amat, amat)
+
+    out_schema = (
+        f"{anchor_id} long, pd double, pnid long, nd double, nid long"
+    )
+
+    def part(batches):
+        for pdf in batches:
+            vec_ok = pdf[corpus_vec].notna()
+            pdf = pdf[vec_ok]
+            if not len(pdf):
+                continue
+            cids = pdf[corpus_id].to_numpy(dtype=np.int64)
+            clbls = pdf[corpus_label].to_numpy()
+            cmat = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[corpus_vec]]
+            )
+            dots = cmat @ amat.T
+            if metric == "l2":
+                c_sq = np.einsum("ij,ij->i", cmat, cmat)
+                dist = np.maximum(
+                    c_sq[:, None] + a_sq[None, :] - 2.0 * dots, 0.0
+                )
+            elif metric == "dot":
+                dist = -dots
+            else:  # cos
+                c_sq = np.einsum("ij,ij->i", cmat, cmat)
+                dist = 1.0 - dots / np.sqrt(c_sq[:, None] * a_sq[None, :])
+            same = clbls[:, None] == albls[None, :]
+            selfp = cids[:, None] == aids[None, :]
+            res = {anchor_id: [], "pd": [], "pnid": [], "nd": [], "nid": []}
+            for j in range(len(aids)):
+                dcol = dist[:, j]
+                ok = ~selfp[:, j]
+                pm = same[:, j] & ok
+                nm = ~same[:, j] & ok
+                p_d = p_nid = n_d = n_id = None
+                if pm.any():
+                    dm = dcol[pm]
+                    p_d = dm.max()
+                    p_nid = -int(cids[pm][dm == p_d].min())
+                if nm.any():
+                    dm = dcol[nm]
+                    n_d = dm.min()
+                    n_id = int(cids[nm][dm == n_d].min())
+                if p_d is None and n_d is None:
+                    continue
+                res[anchor_id].append(int(aids[j]))
+                res["pd"].append(p_d)
+                res["pnid"].append(p_nid)
+                res["nd"].append(n_d)
+                res["nid"].append(n_id)
+            if res[anchor_id]:
+                # Missing sides ride as nulls: the id columns use the
+                # pandas nullable Int64 dtype (a float None would become
+                # NaN, which Spark's ordering treats as LARGEST and
+                # would beat every real distance in the max).
+                yield pd.DataFrame(
+                    {
+                        anchor_id: pd.array(res[anchor_id], dtype="Int64"),
+                        "pd": pd.array(res["pd"], dtype="Float64"),
+                        "pnid": pd.array(res["pnid"], dtype="Int64"),
+                        "nd": pd.array(res["nd"], dtype="Float64"),
+                        "nid": pd.array(res["nid"], dtype="Int64"),
+                    }
+                )
+
+    partials = corpus.mapInPandas(part, schema=out_schema)
+    agg = partials.groupBy(anchor_id).agg(
+        F.max(
+            F.when(
+                F.col("pd").isNotNull(),
+                F.struct(F.col("pd").alias("d"), F.col("pnid").alias("nid")),
+            )
+        ).alias("__p"),
+        F.min(
+            F.when(
+                F.col("nd").isNotNull(),
+                F.struct(F.col("nd").alias("d"), F.col("nid").alias("id")),
             )
         ).alias("__n"),
     )

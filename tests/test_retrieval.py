@@ -232,3 +232,49 @@ class TestBatchHardTriplets:
         )
         got = {r["aid"] for r in batch_hard_triplets(anchors, cand).collect()}
         assert got == {0, 1}
+
+    def test_gemm_path_matches_expression_path(self, spark):
+        """The mapInPandas gemm fast path and the broadcast-join
+        expression path must select identical triplets — including when
+        the corpus is split so that a partition holds only one side
+        (same-label-only or diff-label-only) of some anchor, exercising
+        the nullable per-batch partials."""
+        from pyspark.sql import functions as F
+
+        import pgvecto_rs_spark.operators.mining as M
+        from pgvecto_rs_spark.operators.mining import batch_hard_triplets
+
+        df, _, _ = self._tables(spark)
+        # many tiny partitions -> most batches miss one side per anchor
+        df = df.repartition(7)
+        anchors = df.where(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("aid"),
+            F.col("label").alias("albl"),
+            F.col("embedding").alias("avec"),
+        )
+        cand = df.select(
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clbl"),
+            F.col("embedding").alias("cvec"),
+        )
+        for metric in ("l2", "dot", "cos"):
+            gemm = sorted(
+                tuple(r)
+                for r in batch_hard_triplets(anchors, cand, metric=metric).collect()
+            )
+            cap = M.MAX_GEMM_ANCHORS
+            M.MAX_GEMM_ANCHORS = 0  # force the expression path
+            try:
+                expr = sorted(
+                    tuple(r)
+                    for r in batch_hard_triplets(
+                        anchors, cand, metric=metric
+                    ).collect()
+                )
+            finally:
+                M.MAX_GEMM_ANCHORS = cap
+            assert len(gemm) > 0
+            ids = lambda rows: [(a, p, n) for a, p, _, n, _ in rows]
+            assert ids(gemm) == ids(expr), metric
+            for g, e in zip(gemm, expr):
+                assert abs(g[2] - e[2]) < 1e-9 and abs(g[4] - e[4]) < 1e-9
