@@ -58,7 +58,19 @@ def _norm_tokens(text: Column) -> Column:
 
 def ngram_strings(text: Column, n: int) -> Column:
     """Array of space-joined token n-grams of ``text`` (shorter docs → [])."""
-    toks = _norm_tokens(text)
+    return token_ngram_strings(_norm_tokens(text), n)
+
+
+def token_ngram_strings(toks: Column, n: int) -> Column:
+    """N-grams over an ALREADY-TOKENIZED array column.
+
+    Callers that need several n-gram sizes should project
+    ``_norm_tokens`` into a named column once and build each size from
+    that attribute: inlining the tokenizer expression into every size
+    multiplies the Catalyst tree (the regex subtree appears ~3x per
+    size), and analysis/codegen of the resulting tree — pure
+    driver-side planning — was 90% of repetition_signals' wall time.
+    """
     # positions 1 .. len-n+1 (1-based slice); sequence(1, 0) would error,
     # so clamp the upper bound and return [] for short docs
     return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
@@ -687,11 +699,13 @@ def repetition_signals(
     def _tagger(n: int):
         return lambda g: F.struct(F.lit(n).alias("n"), g.alias("gram"))
 
+    toks = F.col("__toks")
     tagged = F.concat(
-        *[F.transform(ngram_strings(text, n), _tagger(n)) for n in all_ns]
+        *[F.transform(token_ngram_strings(toks, n), _tagger(n)) for n in all_ns]
     )
     counts = (
         _spread(df)
+        .select(F.col(id_col), _norm_tokens(text).alias("__toks"))
         .select(F.col(id_col), F.explode(tagged).alias("g"))
         .groupBy(id_col, "g")
         .agg(F.count("*").alias("c"))
