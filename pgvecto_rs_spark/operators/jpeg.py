@@ -184,6 +184,43 @@ def _build_decode_table(bits: list[int], values: list[int]) -> dict[tuple[int, i
     return table
 
 
+_LUT_CACHE: dict[bytes, tuple[list[int], list[int]]] = {}
+
+
+def _build_lut(bits: list[int], values: list[int]) -> tuple[list[int], list[int]]:
+    """Flat 16-bit-prefix lookup: (value[win16], length[win16]).
+
+    Every canonical code of length L owns the 2^(16-L) windows whose
+    first L bits equal the code, so one table index replaces the
+    bit-serial walk of the code tree (length 0 = invalid prefix).
+    Built with numpy slice fills, served as plain Python lists (scalar
+    list indexing is ~3x faster than numpy scalar indexing, and the
+    decode loop does one lookup per symbol).  Cached by table bytes —
+    MJPEG frames and Annex-K encoders reuse identical tables, so the
+    1 ms build is paid once per distinct table, not per image."""
+    key = bytes(bits) + bytes(values)
+    hit = _LUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    lv = np.zeros(65536, dtype=np.int64)
+    ll = np.zeros(65536, dtype=np.int64)
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        span = 1 << (16 - length)
+        for _ in range(bits[length - 1]):
+            lo = code << (16 - length)
+            lv[lo : lo + span] = values[k]
+            ll[lo : lo + span] = length
+            code += 1
+            k += 1
+        code <<= 1
+    lut = (lv.tolist(), ll.tolist())
+    if len(_LUT_CACHE) < 64:  # bound worst-case memory on adversarial streams
+        _LUT_CACHE[key] = lut
+    return lut
+
+
 # ---------------------------------------------------------------------------
 # bit IO
 
@@ -212,64 +249,142 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Reads the entropy-coded segment with 0xFF00 unstuffing; stops at
-    any non-RST marker.  Restart markers reset the bit position and are
-    consumed by ``restart()``."""
+    """Bulk entropy reader: one pass unstuffs the whole scan (0xFF00 ->
+    0xFF), records restart-marker byte boundaries, and stops at the
+    first real marker; bits are then served from big-endian uint64
+    words with O(1) 16-bit window peeks instead of per-bit calls (the
+    bit-serial predecessor spent 97% of decode wall in read_bit — see
+    BENCHNOTES).  Reads past the current restart segment's end yield
+    zero bits, exactly like the old reader's zero-padding at a marker;
+    ``restart()`` jumps to the next recorded boundary."""
 
     def __init__(self, data: bytes, pos: int) -> None:
-        self.data = data
-        self.pos = pos
-        self._acc = 0
-        self._nbits = 0
+        buf = bytearray()
+        boundaries: list[int] = []  # bit offsets where post-RSTn segments start
+        n = len(data)
+        i = pos
+        # bulk path: most scans have no 0xFF at all between markers
+        while i < n:
+            j = data.find(b"\xff", i)
+            if j < 0:
+                buf += data[i:]
+                i = n
+                break
+            buf += data[i:j]
+            nxt = data[j + 1] if j + 1 < n else 0xD9
+            if nxt == 0x00:
+                buf.append(0xFF)
+                i = j + 2
+            elif 0xD0 <= nxt <= 0xD7:
+                boundaries.append(len(buf) * 8)
+                i = j + 2
+            else:
+                break  # EOI or other marker: end of entropy data
+        self._end_bits = len(buf) * 8
+        pad = (-len(buf)) % 8 + 16  # two spare zero words for window reads
+        self._w: list[int] = np.frombuffer(
+            bytes(buf) + b"\x00" * pad, dtype=">u8"
+        ).tolist()
+        self._boundaries = boundaries
+        self._bseg = 0  # index of the next unconsumed boundary
+        self._seg_end = boundaries[0] if boundaries else self._end_bits
+        self.bitpos = 0
 
-    def _fill(self) -> None:
-        d = self.data
-        while self._nbits <= 24:
-            if self.pos >= len(d):
-                self._acc = (self._acc << 8) | 0
-                self._nbits += 8
-                continue
-            byte = d[self.pos]
-            if byte == 0xFF:
-                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
-                if nxt == 0x00:
-                    self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:
-                    break  # restart marker: leave for restart()
-                else:
-                    break  # EOI or other marker: pad with zeros
-                self._acc = (self._acc << 8) | byte
-                self._nbits += 8
-                continue
-            self.pos += 1
-            self._acc = (self._acc << 8) | byte
-            self._nbits += 8
+    def _peek16(self) -> int:
+        """Next 16 bits at ``bitpos``, zero-filled past the current
+        segment end (matching the old reader's zero padding)."""
+        p = self.bitpos
+        end = self._seg_end
+        if p + 16 <= end:
+            i, off = divmod(p, 64)
+            w = self._w
+            x = (w[i] << off) & 0xFFFFFFFFFFFFFFFF
+            if off:
+                x |= w[i + 1] >> (64 - off)
+            return x >> 48
+        valid = end - p
+        if valid <= 0:
+            return 0
+        i, off = divmod(p, 64)
+        w = self._w
+        x = (w[i] << off) & 0xFFFFFFFFFFFFFFFF
+        if off:
+            x |= w[i + 1] >> (64 - off)
+        x >>= 48
+        return x & ~((1 << (16 - valid)) - 1)
 
-    def read_bit(self) -> int:
-        if self._nbits == 0:
-            self._fill()
-            if self._nbits == 0:
-                self._acc = 0
-                self._nbits = 8
-        self._nbits -= 1
-        return (self._acc >> self._nbits) & 1
+    def decode(self, lut: tuple[list[int], list[int]]) -> int:
+        """Table-driven Huffman symbol decode: one window peek + one
+        list index per symbol."""
+        win = self._peek16()
+        length = lut[1][win]
+        if length == 0:
+            raise ValueError("jpeg: invalid huffman code")
+        self.bitpos += length
+        return lut[0][win]
+
+    def _peek32(self) -> int:
+        """Next 32 bits at ``bitpos``, zero-filled past the segment end —
+        wide enough for one Huffman code (<=16 bits) plus its magnitude
+        bits (<=16), so a whole coefficient needs ONE peek."""
+        p = self.bitpos
+        i, off = divmod(p, 64)
+        w = self._w
+        x = (w[i] << off) & 0xFFFFFFFFFFFFFFFF
+        if off:
+            x |= w[i + 1] >> (64 - off)
+        x >>= 32
+        valid = self._seg_end - p
+        if valid >= 32:
+            return x
+        if valid <= 0:
+            return 0
+        return x & ~((1 << (32 - valid)) - 1)
+
+    def decode_coef(self, lut: tuple[list[int], list[int]], dc: bool) -> tuple[int, int]:
+        """Decode one (run/size symbol, sign-extended coefficient) pair
+        with a single 32-bit window: Huffman code, then the T.81 F.2.2.1
+        magnitude bits, then EXTEND — all from the same peek.  For DC
+        tables the symbol IS the size; for AC the low nibble is."""
+        win = self._peek32()
+        idx = win >> 16
+        length = lut[1][idx]
+        if length == 0:
+            raise ValueError("jpeg: invalid huffman code")
+        rs = lut[0][idx]
+        size = rs if dc else rs & 0xF
+        raw = (win >> (32 - length - size)) & ((1 << size) - 1)
+        self.bitpos += length + size
+        if size and raw < (1 << (size - 1)):
+            raw -= (1 << size) - 1
+        return rs, raw
 
     def receive(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        v = self._peek16() >> (16 - n)
+        self.bitpos += n
         return v
 
+    def read_bit(self) -> int:
+        return self.receive(1)
+
     def restart(self) -> None:
-        """Align to byte boundary and consume an RSTn marker."""
-        self._acc = 0
-        self._nbits = 0
-        d = self.data
-        while self.pos + 1 < len(d):
-            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
-                self.pos += 2
-                return
-            self.pos += 1
+        """Jump to the next restart boundary (byte-aligned, RSTn consumed
+        during the unstuffing pass).  Boundaries are consumed strictly in
+        stream order — one per restart() call — which matches the old
+        reader's forward marker scan on well-formed streams and stays
+        correct even if a corrupt segment's decode overran into the
+        zero-fill region."""
+        if self._bseg < len(self._boundaries):
+            self.bitpos = self._boundaries[self._bseg]
+            self._bseg += 1
+        else:
+            self.bitpos = self._end_bits
+        nxt = self._bseg
+        self._seg_end = (
+            self._boundaries[nxt] if nxt < len(self._boundaries) else self._end_bits
+        )
 
 
 def _extend(v: int, n: int) -> int:
@@ -292,6 +407,8 @@ def _magnitude(v: int) -> tuple[int, int]:
 
 
 def _decode_huffman_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    """Bit-serial fallback decode (kept for the dict-table API; the hot
+    path uses ``_BitReader.decode`` with a ``_build_lut`` table)."""
     code = 0
     for length in range(1, 17):
         code = (code << 1) | r.read_bit()
@@ -313,8 +430,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise ValueError("not a jpeg")
     pos = 2
     qt: dict[int, np.ndarray] = {}
-    huff_dc: dict[int, dict[tuple[int, int], int]] = {}
-    huff_ac: dict[int, dict[tuple[int, int], int]] = {}
+    huff_dc: dict[int, tuple[list[int], list[int]]] = {}
+    huff_ac: dict[int, tuple[list[int], list[int]]] = {}
     frame = None  # (h, w, components) where component = (cid, hs, vs, tq)
     restart_interval = 0
     while pos + 4 <= len(payload):
@@ -336,7 +453,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 nvals = sum(bits)
                 values = list(seg[p + 17 : p + 17 + nvals])
-                table = _build_decode_table(bits, values)
+                table = _build_lut(bits, values)
                 if tc_th >> 4 == 0:
                     huff_dc[tc_th & 0xF] = table
                 else:
@@ -386,10 +503,12 @@ def _decode_scan(payload, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_in
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     r = _BitReader(payload, pos)
-    # per-component coefficient planes (block grids)
-    planes = []
-    for _cid, hs, vs, _tq in comps:
-        planes.append(np.zeros((mcuy * vs, mcux * hs, 8, 8), dtype=np.int32))
+    # per-component zigzag-order coefficient blocks as plain Python
+    # lists, appended in (my, mx, by, bx) order — per-coefficient numpy
+    # scalar writes and per-block view creation were ~30% of scan wall;
+    # the de-zigzag scatter and dequantize run vectorized once per plane
+    blocks: list[list[list[int]]] = [[] for _ in comps]
+    zero64 = [0] * 64
     pred = [0] * len(comps)
     mcu_count = 0
     for my in range(mcuy):
@@ -401,37 +520,39 @@ def _decode_scan(payload, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_in
                 td, ta = scan_sel[cid]
                 dct = huff_dc[td]
                 act = huff_ac[ta]
-                for by in range(vs):
-                    for bx in range(hs):
-                        blk = planes[ci][my * vs + by, mx * hs + bx]
-                        # DC
-                        t = _decode_huffman_symbol(r, dct)
-                        diff = _extend(r.receive(t), t)
-                        pred[ci] += diff
-                        blk.flat[0] = pred[ci]
-                        # AC
-                        k = 1
-                        while k < 64:
-                            rs = _decode_huffman_symbol(r, act)
-                            rlen, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if rlen == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += rlen
-                            if k > 63:
-                                raise ValueError("jpeg: AC index overflow")
-                            blk.flat[_ZIGZAG[k]] = _extend(r.receive(size), size)
-                            k += 1
+                app = blocks[ci].append
+                p = pred[ci]
+                for _ in range(vs * hs):
+                    zz = zero64.copy()
+                    _t, diff = r.decode_coef(dct, True)
+                    p += diff
+                    zz[0] = p
+                    k = 1
+                    while k < 64:
+                        rs, coef = r.decode_coef(act, False)
+                        if rs & 0xF == 0:
+                            if rs >> 4 == 15:
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += rs >> 4
+                        if k > 63:
+                            raise ValueError("jpeg: AC index overflow")
+                        zz[k] = coef
+                        k += 1
+                    app(zz)
+                pred[ci] = p
             mcu_count += 1
-    # dequantize + IDCT + assemble each component plane
+    # de-zigzag + dequantize + IDCT + assemble each component plane
     out_planes = []
     for ci, (_cid, hs, vs, tq) in enumerate(comps):
-        coefs = planes[ci].reshape(-1, 8, 8) * qt[tq][None, :, :]
+        arr = np.asarray(blocks[ci], dtype=np.int32)
+        nat = np.zeros_like(arr)
+        nat[:, _ZIGZAG] = arr  # one vectorized scatter for every block
+        coefs = nat.reshape(-1, 8, 8) * qt[tq][None, :, :]
         px = _idct2(coefs.astype(np.float64)) + 128.0
-        grid = px.reshape(mcuy * vs, mcux * hs, 8, 8)
-        plane = grid.transpose(0, 2, 1, 3).reshape(mcuy * vs * 8, mcux * hs * 8)
+        grid = px.reshape(mcuy, mcux, vs, hs, 8, 8)
+        plane = grid.transpose(0, 2, 4, 1, 3, 5).reshape(mcuy * vs * 8, mcux * hs * 8)
         # upsample to full resolution then crop
         plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
         out_planes.append(plane[:h, :w])

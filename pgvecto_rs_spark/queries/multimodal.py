@@ -64,6 +64,20 @@ from pgvecto_rs_spark.queries._core import (  # noqa: F401
 # ---------------------------------------------------------------------------
 
 
+def _spread_ids(df: DataFrame) -> DataFrame:
+    """Repartition the ids-only synth input so payload synthesis and the
+    codec decode that follows parallelize: the sf-scale documents table
+    arrives as ONE parquet file -> one partition, which would serialize
+    the entire decode pipeline on a single core.  The exchange moves
+    bare int64 ids (bytes never cross a shuffle), and at real scale —
+    where inputs already have many partitions — it is a no-op-sized
+    hedge, same rationale as dedup._spread."""
+    sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() < max(2, sc.defaultParallelism // 2):
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def _synth_ppm_op(it):
     """(doc_id) -> (doc_id, payload): 8x8 P6 PPM, pixel v_i =
     (doc_id*31 + i*7 + 13) % 256, r=g=b (so gray == v/255 exactly in
@@ -115,7 +129,7 @@ def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id", "source")
-    media = docs.select("doc_id").mapInPandas(
+    media = _spread_ids(docs.select("doc_id")).mapInPandas(
         _synth_ppm_op, "doc_id bigint, payload binary"
     )
     feats = MM.decode_image_features(media, id_col="doc_id")
@@ -167,7 +181,7 @@ def mm_image_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = docs.mapInPandas(_synth_ppm_op, "doc_id bigint, payload binary")
+    media = _spread_ids(docs).mapInPandas(_synth_ppm_op, "doc_id bigint, payload binary")
     feats = MM.decode_image_features(media, id_col="doc_id")
     qpx = [
         int(math.floor((123457 * 31 + i * 7 + 13) % 256 / 255.0 * 10000 + 0.5))
@@ -255,7 +269,7 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = docs.mapInPandas(_synth_wav_op, "doc_id bigint, payload binary")
+    media = _spread_ids(docs).mapInPandas(_synth_wav_op, "doc_id bigint, payload binary")
     return MM.decode_audio_stats(media, id_col="doc_id")
 
 
@@ -359,7 +373,7 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = docs.mapInPandas(_synth_wav_groups_op, "doc_id bigint, payload binary")
+    media = _spread_ids(docs).mapInPandas(_synth_wav_groups_op, "doc_id bigint, payload binary")
     return MM.audio_neardup_pairs(
         media, id_col="doc_id", max_hamming=3, max_bucket=100_000
     )
@@ -411,7 +425,7 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = docs.mapInPandas(_synth_avi_op, "doc_id bigint, payload binary")
+    media = _spread_ids(docs).mapInPandas(_synth_avi_op, "doc_id bigint, payload binary")
     sampled = MM.sample_video_frames(media, id_col="doc_id", every_n=2)
     counts = sampled.groupBy("doc_id").agg(
         F.count("*").alias("n_sampled"),
@@ -510,7 +524,7 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = docs.mapInPandas(_synth_ppm_groups_op, "doc_id bigint, payload binary")
+    media = _spread_ids(docs).mapInPandas(_synth_ppm_groups_op, "doc_id bigint, payload binary")
     return MM.image_neardup_pairs(
         media, id_col="doc_id", max_hamming=3, method="ahash", max_bucket=100_000
     )

@@ -227,6 +227,59 @@ class TestMultimodal:
         with pytest.raises(NotImplementedError):
             decode_jpeg(bytes(enc))
 
+    def test_jpeg_lut_decode_matches_bit_serial(self):
+        """The table-driven entropy decoder (_BitReader.decode over a
+        16-bit-prefix LUT) yields the exact symbol sequence of the
+        bit-serial canonical-code walk (_decode_huffman_symbol) on
+        random canonical Huffman tables and random bitstreams —
+        pinning the fast path the codec hot loop now uses."""
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.jpeg import (
+            _BitReader,
+            _build_decode_table,
+            _build_lut,
+            _decode_huffman_symbol,
+        )
+
+        rng = np.random.default_rng(3)
+        for trial in range(20):
+            # random canonical table: n_k codes of length k with the
+            # Kraft inequality kept strict so every 16-bit window is
+            # decodable (complete codes would never leave length-0 gaps)
+            bits = [0] * 16
+            budget = 1.0
+            nvals = 0
+            for length in range(1, 17):
+                cap = int(budget * (1 << length)) - 1
+                take = int(rng.integers(0, min(cap, 4) + 1)) if cap > 0 else 0
+                bits[length - 1] = take
+                budget -= take / (1 << length)
+                nvals += take
+            if nvals == 0:
+                bits[0] = 1
+                nvals = 1
+            values = list(rng.integers(0, 256, nvals))
+            lut = _build_lut(bits, values)
+            dict_table = _build_decode_table(bits, values)
+            payload = rng.integers(0, 256, 256, dtype=np.uint8)
+            payload[payload == 0xFF] = 0xFE  # keep the stream marker-free
+            ra = _BitReader(bytes(payload), 0)
+            rb = _BitReader(bytes(payload), 0)
+            for _ in range(300):
+                try:
+                    a = ra.decode(lut)
+                except ValueError:
+                    a = "invalid"
+                try:
+                    b = _decode_huffman_symbol(rb, dict_table)
+                except ValueError:
+                    b = "invalid"
+                assert a == b
+                if a == "invalid":
+                    break
+                assert ra.bitpos == rb.bitpos
+
     def test_real_jpeg_through_operators(self, spark):
         """JPEG payloads flow through decode_image_features /
         resize_images with fake=False — the codec boundary the module
