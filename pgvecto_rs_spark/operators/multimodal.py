@@ -124,37 +124,47 @@ def _decode_png(payload: bytes) -> np.ndarray:
     raw = zlib.decompress(idat)
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = arr[:, 0]
-    out = np.zeros((h, stride), dtype=np.int32)
-    prev = np.zeros(stride, dtype=np.int32)
+    out = np.zeros((h, stride), dtype=np.uint8)
     bpp = nch
+    # None (0) / Up (2) are whole-row numpy ops (uint8 addition wraps
+    # mod 256 by definition); Sub (1) is a per-channel cumulative sum
+    # mod 256, exact in int64 then masked.  Average (3) / Paeth (4) are
+    # per-byte sequential by definition (each byte needs the
+    # reconstructed left neighbor through a >>1 / min — no prefix-sum
+    # form), so they run as Python-list loops: scalar list ops are ~15x
+    # faster than the numpy-scalar indexing this used previously.
     for y in range(h):
-        rec = arr[y, 1:].astype(np.int32)
         ft = int(ftypes[y])
+        raw_row = arr[y, 1:]
         if ft == 0:
-            pass
-        elif ft == 1:  # Sub
-            for x in range(bpp, stride):
-                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+            out[y] = raw_row
+        elif ft == 1:  # Sub: cumsum over pixels within each channel
+            ch = raw_row.astype(np.int64).reshape(w, bpp)
+            out[y] = (np.cumsum(ch, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
         elif ft == 2:  # Up
-            rec = (rec + prev) & 0xFF
+            out[y] = raw_row + (out[y - 1] if y else 0)
         elif ft == 3:  # Average
+            rec = raw_row.tolist()
+            prev = out[y - 1].tolist() if y else [0] * stride
             for x in range(stride):
                 a = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (rec[x] + ((a + prev[x]) >> 1)) & 0xFF
+            out[y] = rec
         elif ft == 4:  # Paeth
+            rec = raw_row.tolist()
+            prev = out[y - 1].tolist() if y else [0] * stride
             for x in range(stride):
                 a = rec[x - bpp] if x >= bpp else 0
-                b = int(prev[x])
-                c = int(prev[x - bpp]) if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
                 rec[x] = (rec[x] + pr) & 0xFF
+            out[y] = rec
         else:
             raise ValueError(f"png: bad filter type {ft}")
-        out[y] = rec
-        prev = rec
-    px = out.astype(np.uint8).reshape(h, w, nch)
+    px = out.reshape(h, w, nch)
     if ctype == 3:
         if palette is None:
             raise ValueError("png: palette image without PLTE")
