@@ -623,7 +623,19 @@ def dup_ngram_fraction(
     inst = _spread(docs).select(
         F.col(id_col), F.explode(gram).alias("__gram")
     )
-    pair = inst.groupBy(id_col, "__gram").agg(F.count("*").alias("__c"))
+    # three consumers branch off pair (gram document-frequency, per-doc
+    # totals, per-doc dup sums); AQE's ReuseExchange only deduplicated
+    # one of the three identical explode+agg subtrees (measured), so the
+    # n-gram explode ran ~3x.  Materialize once: localCheckpoint keeps
+    # the (id, gram-hash, count) relation — token-order cardinality, the
+    # same order as doc_dedup_keep's checkpointed candidate set — on
+    # executor block storage, released by GC like every other
+    # checkpointed intermediate.
+    pair = (
+        inst.groupBy(id_col, "__gram")
+        .agg(F.count("*").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
     dup_grams = (
         pair.groupBy("__gram")
         .agg(F.count("*").alias("__df"))
@@ -1042,13 +1054,14 @@ def dsir_importance_weights(
     n_doc[b] · floor(1e6·ln(p_target[b]/p_raw[b]) + 0.5), with
     add-one-smoothed bucket unigram models over the hashed trigrams.
 
-    Scale shape: the trigram explode is built ONCE (raw ∪ target with a
-    side tag) and feeds exactly two aggregations — the per-bucket model
-    counts (n_buckets rows, broadcastable at any corpus size; the model
-    TOTALS fall out of the same table, no extra scan) and the per-(doc,
-    bucket) feature counts.  The 2·n_buckets log-ratio table broadcast-
-    joins the features; no shuffle carries more than (doc, bucket)
-    pairs.  Engine-exact: bucket ids are integer arithmetic, and the
+    Scale shape: the trigram explode runs ONCE (raw ∪ target with a
+    side tag), reduced immediately to a materialized (doc, side,
+    bucket, count) relation — doc x bucket cardinality — from which the
+    per-bucket model counts, the model totals, and the per-doc features
+    all derive (they shuffle on different keys, so without the
+    materialization no exchange reuse is possible and the explode would
+    run 3x).  The 2·n_buckets log-ratio table broadcast-joins the
+    features; no shuffle carries more than (doc, bucket) pairs.  Engine-exact: bucket ids are integer arithmetic, and the
     only transcendental (ln of a ratio of exact integers) quantizes to
     a scaled int BEFORE any multi-row sum."""
     from .dedup import _spread
@@ -1062,9 +1075,20 @@ def dsir_importance_weights(
     # single-file inputs arrive as 1-2 partitions; the trigram fan-out
     # multiplies rows ~n_chars-fold, so spread BEFORE the explode
     tri = _spread(both).select(F.col(id_col), "__tgt", F.explode(buckets).alias("b"))
-    stats = tri.groupBy("b").agg(
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0)).alias("c_t"),
-        F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)).alias("c_r"),
+    # one pass over the trigram stream: reduce to (doc, side, bucket, n)
+    # — doc x bucket cardinality, far below the token stream — and
+    # materialize it, since the model counts (groupBy b) and the doc
+    # features (groupBy id, b) shuffle on DIFFERENT keys, so no exchange
+    # reuse is possible and the explode would otherwise run 3x (model,
+    # totals, features)
+    pairs = (
+        tri.groupBy(id_col, "__tgt", "b")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .localCheckpoint(eager=True)
+    )
+    stats = pairs.groupBy("b").agg(
+        F.sum(F.when(F.col("__tgt"), F.col("__n")).otherwise(0)).alias("c_t"),
+        F.sum(F.when(~F.col("__tgt"), F.col("__n")).otherwise(0)).alias("c_r"),
     )
     tots = stats.agg(
         F.sum("c_t").alias("tt"), F.sum("c_r").alias("tr")
@@ -1089,10 +1113,8 @@ def dsir_importance_weights(
             .alias("lr_u"),
         )
     )
-    doc_feats = (
-        tri.where(~F.col("__tgt"))
-        .groupBy(id_col, "b")
-        .agg(F.count(F.lit(1)).alias("n"))
+    doc_feats = pairs.where(~F.col("__tgt")).select(
+        F.col(id_col), "b", F.col("__n").alias("n")
     )
     return (
         doc_feats.join(F.broadcast(lr), "b")
