@@ -57,12 +57,24 @@ def bm25_score(
     contribution is floored to a scaled integer, so the total is exact
     integer arithmetic.
     """
-    toks = _norm_tokens(F.col(text_col))
-    with_tf = df.select(
+    # tokenize ONCE into a named column: inlining the regex tokenizer
+    # into every term's tf expression multiplied the Catalyst tree
+    # (n_terms + 1 copies to analyze/codegen — see curation.
+    # token_ngram_strings for the same planning-tax pattern)
+    toks = F.col("__toks")
+    tokened = df.select(
+        F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks")
+    )
+    # (id, dl, per-term tf) is consumed twice — corpus stats and the
+    # per-doc scoring — on different shapes (global agg vs projection),
+    # so without materialization the corpus scan + tokenization would
+    # run twice; the checkpointed relation is narrow (one long per
+    # term) while the input carries full text
+    with_tf = tokened.select(
         F.col(id_col),
         F.size(toks).cast("long").alias("dl"),
         *[_tf(toks, t).cast("long").alias(f"__tf_{i}") for i, t in enumerate(query_terms)],
-    )
+    ).localCheckpoint(eager=True)
     stats = with_tf.agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.sum("dl").alias("__sum_dl"),
