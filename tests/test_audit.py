@@ -28,3 +28,51 @@ class TestAudit:
         a = audit_plan(df)
         assert a["shuffle_exchanges"] == 1
         assert a["partial_aggregation"]
+
+    def test_dup_ngram_fraction_materializes_the_gram_relation(
+        self, spark, sf_dir
+    ):
+        """dup_ngram_fraction's three consumers shuffle on different
+        keys, so AQE cannot dedupe the explode subtrees (measured: one
+        of three reused); the (id, gram, count) relation must therefore
+        be checkpointed — the final plan reads the materialized RDD and
+        contains NO Generate (explode) node."""
+        from pgvecto_rs_spark.operators.curation import dup_ngram_fraction
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = dup_ngram_fraction(docs)
+        df.collect()
+        a = audit_plan(df)
+        assert "Generate" not in a["plan"]
+        assert "ExistingRDD" in a["plan"]
+
+    def test_dsir_materializes_the_bucket_relation(self, spark, sf_dir):
+        """DSIR's trigram explode must run once: model counts, totals
+        and doc features all derive from the checkpointed (doc, side,
+        bucket, n) relation, so the final plan has no Generate node."""
+        from pyspark.sql import functions as F
+
+        from pgvecto_rs_spark.operators.curation import dsir_importance_weights
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        raw = docs.where(F.col("doc_id") % 10 != 0)
+        target = docs.where(F.col("doc_id") % 10 == 0)
+        df = dsir_importance_weights(raw, target)
+        df.collect()
+        a = audit_plan(df)
+        assert "Generate" not in a["plan"]
+        assert "ExistingRDD" in a["plan"]
+
+    def test_bm25_materializes_the_tf_relation(self, spark, sf_dir):
+        """BM25 scores read the checkpointed (id, dl, tf...) relation;
+        the final plan must not re-tokenize (no regexp over the text
+        column) nor re-scan the parquet text."""
+        from pgvecto_rs_spark.operators.retrieval import bm25_topk
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        df = bm25_topk(docs, ["the", "data", "model"], k=5)
+        df.collect()
+        a = audit_plan(df)
+        assert "regexp" not in a["plan"].lower()
+        assert "ExistingRDD" in a["plan"]
+        assert a["take_ordered"]
