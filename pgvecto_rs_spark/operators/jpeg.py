@@ -202,12 +202,16 @@ def _build_lut(bits: list[int], values: list[int]) -> tuple[list[int], list[int]
     hit = _LUT_CACHE.get(key)
     if hit is not None:
         return hit
+    if sum(bits) > len(values):
+        raise ValueError("jpeg: DHT values shorter than BITS counts")
     lv = np.zeros(65536, dtype=np.int64)
     ll = np.zeros(65536, dtype=np.int64)
     code = 0
     k = 0
     for length in range(1, 17):
         span = 1 << (16 - length)
+        if code + bits[length - 1] > (1 << length):
+            raise ValueError("jpeg: DHT BITS exceed the code space")
         for _ in range(bits[length - 1]):
             lo = code << (16 - length)
             lv[lo : lo + span] = values[k]
@@ -328,17 +332,20 @@ class _BitReader:
         wide enough for one Huffman code (<=16 bits) plus its magnitude
         bits (<=16), so a whole coefficient needs ONE peek."""
         p = self.bitpos
+        valid = self._seg_end - p
+        if valid <= 0:
+            # overrun reads yield zero bits without touching the word
+            # list (bitpos keeps advancing on corrupt streams, so the
+            # bound check must precede any indexing)
+            return 0
         i, off = divmod(p, 64)
         w = self._w
         x = (w[i] << off) & 0xFFFFFFFFFFFFFFFF
         if off:
             x |= w[i + 1] >> (64 - off)
         x >>= 32
-        valid = self._seg_end - p
         if valid >= 32:
             return x
-        if valid <= 0:
-            return 0
         return x & ~((1 << (32 - valid)) - 1)
 
     def decode_coef(self, lut: tuple[list[int], list[int]], dc: bool) -> tuple[int, int]:
@@ -449,9 +456,13 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("jpeg: truncated DHT segment")
                 tc_th = seg[p]
                 bits = list(seg[p + 1 : p + 17])
                 nvals = sum(bits)
+                if p + 17 + nvals > len(seg):
+                    raise ValueError("jpeg: truncated DHT segment")
                 values = list(seg[p + 17 : p + 17 + nvals])
                 table = _build_lut(bits, values)
                 if tc_th >> 4 == 0:
@@ -462,6 +473,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         elif marker == 0xDB:  # DQT
             p = 0
             while p < len(seg):
+                if p + 65 > len(seg):
+                    raise ValueError("jpeg: truncated DQT segment")
                 pq_tq = seg[p]
                 if pq_tq >> 4 != 0:
                     raise NotImplementedError("jpeg: 16-bit quant tables")
@@ -471,20 +484,32 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 qt[pq_tq & 0xF] = tab.reshape(8, 8)
                 p += 65
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            if len(seg) < 6:
+                raise ValueError("jpeg: truncated SOF segment")
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if h == 0 or w == 0 or nc == 0 or len(seg) < 6 + 3 * nc:
+                raise ValueError("jpeg: malformed SOF segment")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                if hv >> 4 == 0 or hv & 0xF == 0:
+                    raise ValueError("jpeg: zero sampling factor")
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("jpeg: only baseline (SOF0/SOF1) supported")
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("jpeg: truncated DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("jpeg: SOS before SOF")
+            if len(seg) < 1:
+                raise ValueError("jpeg: truncated SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("jpeg: truncated SOS segment")
             scan_sel = {}
             for i in range(ns):
                 cs, td_ta = seg[1 + 2 * i : 3 + 2 * i]
@@ -517,7 +542,11 @@ def _decode_scan(payload, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_in
                 r.restart()
                 pred = [0] * len(comps)
             for ci, (cid, hs, vs, _tq) in enumerate(comps):
+                if cid not in scan_sel:
+                    raise ValueError("jpeg: scan references unknown component")
                 td, ta = scan_sel[cid]
+                if td not in huff_dc or ta not in huff_ac:
+                    raise ValueError("jpeg: scan references missing huffman table")
                 dct = huff_dc[td]
                 act = huff_ac[ta]
                 app = blocks[ci].append
@@ -546,6 +575,8 @@ def _decode_scan(payload, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_in
     # de-zigzag + dequantize + IDCT + assemble each component plane
     out_planes = []
     for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        if tq not in qt:
+            raise ValueError("jpeg: frame references missing quant table")
         arr = np.asarray(blocks[ci], dtype=np.int32)
         nat = np.zeros_like(arr)
         nat[:, _ZIGZAG] = arr  # one vectorized scatter for every block

@@ -25,6 +25,7 @@ only the ``_decode_*`` functions.
 from __future__ import annotations
 
 import io
+import struct
 import wave
 from collections.abc import Iterator
 
@@ -108,7 +109,11 @@ def _decode_png(payload: bytes) -> np.ndarray:
         data = payload[pos : pos + ln]
         pos += ln + 4  # skip CRC
         if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(">IIBBBBB", data)
+            if len(data) < 13:
+                raise ValueError("png: truncated IHDR")
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data[:13]
+            )
         elif typ == b"PLTE":
             palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
@@ -119,9 +124,16 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raise ValueError("png: missing IHDR")
     if depth != 8 or interlace != 0:
         raise NotImplementedError("png: only 8-bit non-interlaced supported")
-    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None:
+        raise ValueError(f"png: bad color type {ctype}")
     stride = w * nch
-    raw = zlib.decompress(idat)
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as e:
+        raise ValueError(f"png: corrupt IDAT stream ({e})") from e
+    if len(raw) != h * (stride + 1):
+        raise ValueError("png: IDAT length does not match dimensions")
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = arr[:, 0]
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -168,6 +180,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
     if ctype == 3:
         if palette is None:
             raise ValueError("png: palette image without PLTE")
+        if px.size and int(px[:, :, 0].max()) >= len(palette):
+            raise ValueError("png: palette index out of range")
         px = palette[px[:, :, 0]]
         nch = 3
     if nch >= 3:
@@ -218,12 +232,18 @@ def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
     16-bit) without inferring it from content — a 16-bit clip whose
     samples all happen to be multiples of 256 (quiet/quantized audio,
     including -32768) would otherwise be mis-scaled by 2^8."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        rate = w.getframerate()
-        n = w.getnframes()
-        width = w.getsampwidth()
-        channels = w.getnchannels()
-        raw = w.readframes(n)
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            rate = w.getframerate()
+            n = w.getnframes()
+            width = w.getsampwidth()
+            channels = w.getnchannels()
+            raw = w.readframes(n)
+    except (wave.Error, EOFError, RuntimeError, struct.error) as e:
+        # the stdlib wave module leaks a zoo of exception types on
+        # malformed RIFF structure; ingest-side callers need the
+        # single documented ValueError contract
+        raise ValueError(f"wav: malformed payload ({e})") from e
     if width == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:

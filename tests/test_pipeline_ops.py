@@ -280,6 +280,82 @@ class TestMultimodal:
                     break
                 assert ra.bitpos == rb.bitpos
 
+    def test_codec_fuzz_exception_contract(self):
+        """Malformed media must raise ValueError / NotImplementedError
+        (or decode to garbage), never leak stdlib internals (KeyError /
+        IndexError / struct.error / zlib.error / wave.Error / EOFError /
+        RuntimeError) — a 100 TB ingest hits corrupt payloads
+        constantly and the mapInPandas operators catch exactly the
+        documented types.  Deterministic corruption of valid payloads
+        plus header-prefixed garbage, every codec."""
+        import io
+        import random
+        import struct
+        import wave
+        import zlib
+
+        import numpy as np
+
+        from pgvecto_rs_spark.operators import multimodal as MM
+        from pgvecto_rs_spark.operators.jpeg import decode_jpeg, encode_jpeg
+        from pgvecto_rs_spark.operators.video import (
+            decode_avi_frame_arrays,
+            encode_mjpeg_avi,
+        )
+
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        jpg = encode_jpeg(np.tile(img, (4, 4)), restart_interval=2)
+
+        def _chunk(typ, data):
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        raw = b"".join(b"\x00" + bytes(img[y]) for y in range(8))
+        png = (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        buf = io.BytesIO()
+        wf = wave.open(buf, "wb")
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes(range(200)))
+        wf.close()
+        wav = buf.getvalue()
+        avi = encode_mjpeg_avi([img, 255 - img])
+
+        rng = random.Random(42)
+        for decoder, valid in (
+            (decode_jpeg, jpg),
+            (MM._decode_png, png),
+            (MM._decode_wav, wav),
+            (decode_avi_frame_arrays, avi),
+        ):
+            for trial in range(1200):
+                mode = trial % 3
+                if mode == 0:
+                    data = valid[:8] + bytes(
+                        rng.randrange(256) for _ in range(rng.randrange(150))
+                    )
+                elif mode == 1:
+                    b = bytearray(valid)
+                    for _ in range(rng.randrange(1, 8)):
+                        b[rng.randrange(len(b))] = rng.randrange(256)
+                    data = bytes(b)
+                else:
+                    data = valid[: rng.randrange(1, len(valid))]
+                try:
+                    decoder(data)
+                except (ValueError, NotImplementedError):
+                    pass  # the documented contract
+
     def test_real_jpeg_through_operators(self, spark):
         """JPEG payloads flow through decode_image_features /
         resize_images with fake=False — the codec boundary the module
