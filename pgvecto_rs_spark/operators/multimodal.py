@@ -290,22 +290,37 @@ def decode_image_features(
     payload_col: str = "payload",
     id_col: str = "media_id",
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id, feature vector) per image: decode -> 8x8 gray -> 64-dim
     feature (flattened), as a mapInPandas batch operator.  Output
     feature column is ``array<float>`` — directly indexable by the ANN
-    layer (the batch-embedding north star)."""
+    layer (the batch-embedding north star).
 
+    ``on_error``: "raise" (default) propagates decode errors and fails
+    the task — right for curated corpora where corruption means a bug;
+    "null" emits a NULL feature for malformed payloads (the codecs'
+    documented ValueError / NotImplementedError only) so web-scale
+    ingest survives the corrupt rows every real crawl contains —
+    filter ``feature IS NOT NULL`` downstream."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     out_schema = f"{id_col} bigint, feature array<float>"
+    skip = on_error == "null"
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(b):
+            if b is None:
+                return None
+            if skip:
+                try:
+                    return _decode_image_bytes(bytes(b), fake).reshape(-1).tolist()
+                except (ValueError, NotImplementedError):
+                    return None
+            return _decode_image_bytes(bytes(b), fake).reshape(-1).tolist()
+
         for pdf in it:
-            feats = [
-                None
-                if b is None
-                else _decode_image_bytes(bytes(b), fake).reshape(-1).tolist()
-                for b in pdf[payload_col]
-            ]
+            feats = [one(b) for b in pdf[payload_col]]
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "feature": feats})
 
     return df.mapInPandas(op, out_schema)
@@ -315,13 +330,20 @@ def decode_audio_features(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id, duration_ms, sample_rate, feature): REAL PCM WAV decode
     (stdlib wave + numpy) producing a 16-dim spectral feature — rms,
     zero-crossing rate, and 14 log-energy FFT bands — as a mapInPandas
     batch operator.  The feature column is array<float>, directly
-    indexable by the ANN layer."""
+    indexable by the ANN layer.  ``on_error``: "raise" (default) fails
+    the task on a malformed payload; "null" drops the row (same
+    semantics as a NULL payload), so web-scale ingest survives corrupt
+    clips."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     out_schema = f"{id_col} bigint, duration_ms int, sample_rate int, feature array<float>"
+    skip = on_error == "null"
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -329,7 +351,12 @@ def decode_audio_features(
             for mid, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
-                x, rate, _w, _c = _decode_wav(bytes(b))
+                try:
+                    x, rate, _w, _c = _decode_wav(bytes(b))
+                except (ValueError, NotImplementedError):
+                    if skip:
+                        continue
+                    raise
                 n = len(x)
                 rms = float(np.sqrt(np.mean(x**2))) if n else 0.0
                 zcr = float(np.mean(np.abs(np.diff(np.sign(x))) > 0)) if n > 1 else 0.0
@@ -345,7 +372,10 @@ def decode_audio_features(
                     id_col: pd.Series(ids, dtype="int64"),
                     "duration_ms": pd.Series(durs, dtype="int32"),
                     "sample_rate": pd.Series(rates, dtype="int32"),
-                    "feature": feats,
+                    # dtype=object: an all-dropped batch would otherwise
+                    # type the empty column float64, which Arrow cannot
+                    # convert to array<float>
+                    "feature": pd.Series(feats, dtype="object"),
                 }
             )
 

@@ -356,6 +356,51 @@ class TestMultimodal:
                 except (ValueError, NotImplementedError):
                     pass  # the documented contract
 
+    def test_decode_on_error_null_survives_corrupt_payloads(self, spark):
+        """on_error='null' keeps the job alive through corrupt media:
+        valid rows decode, malformed rows get NULL features (image) or
+        drop (audio); the default on_error='raise' fails the task."""
+        import io
+        import wave
+
+        import numpy as np
+        import pytest
+        from pyspark.errors.exceptions.captured import PythonException
+
+        import pgvecto_rs_spark.operators.multimodal as MM
+
+        img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        good_img = b"P6\n8 8\n255\n" + bytes(np.repeat(img.reshape(-1), 3))
+        bad_img = b"P6\n8 8\n255\nshort"
+        media = spark.createDataFrame(
+            [(1, bytearray(good_img)), (2, bytearray(bad_img))],
+            "media_id long, payload binary",
+        )
+        out = MM.decode_image_features(media, on_error="null").collect()
+        got = {r["media_id"]: r["feature"] for r in out}
+        assert got[1] is not None and len(got[1]) == 64
+        assert got[2] is None
+        with pytest.raises(PythonException):
+            MM.decode_image_features(media).collect()
+
+        buf = io.BytesIO()
+        wf = wave.open(buf, "wb")
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(8000)
+        wf.writeframes(bytes(range(64)))
+        wf.close()
+        audio = spark.createDataFrame(
+            [(1, bytearray(buf.getvalue())), (2, bytearray(b"RIFFgarbage"))],
+            "media_id long, payload binary",
+        )
+        rows = MM.decode_audio_features(audio, on_error="null").collect()
+        assert [r["media_id"] for r in rows] == [1]
+        with pytest.raises(PythonException):
+            MM.decode_audio_features(audio).collect()
+        with pytest.raises(ValueError):
+            MM.decode_image_features(media, on_error="bogus")
+
     def test_real_jpeg_through_operators(self, spark):
         """JPEG payloads flow through decode_image_features /
         resize_images with fake=False — the codec boundary the module
