@@ -441,6 +441,7 @@ def image_hashes_df(
     id_col: str = "media_id",
     method: str = "ahash",
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """(__id, __sig): 64-bit perceptual hash per image, decoded through
     the REAL codec path (PPM/PNG/baseline JPEG -> 8x8 gray).  Both
@@ -459,10 +460,16 @@ def image_hashes_df(
 
     Output feeds ``dedup.hamming_candidate_pairs`` (same banded
     pigeonhole join as SimHash text near-dup) — signatures are a
-    per-row map, NO shuffle here."""
+    per-row map, NO shuffle here.  ``on_error``: "raise" (default)
+    fails on malformed payloads; "null" drops them (no signature, like
+    a NULL payload) so web-scale near-dup ingest survives corrupt
+    media."""
     if method not in ("ahash", "dhash"):
         raise ValueError(f"unknown image hash method: {method!r}")
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     use_ahash = method == "ahash"
+    skip = on_error == "null"
     weights = 1 << np.arange(64, dtype=np.uint64)
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -471,7 +478,12 @@ def image_hashes_df(
             for mid, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
-                g = _decode_image_bytes(bytes(b), fake)
+                try:
+                    g = _decode_image_bytes(bytes(b), fake)
+                except (ValueError, NotImplementedError):
+                    if skip:
+                        continue
+                    raise
                 v = np.rint(g.astype(np.float64) * 255.0).astype(np.int64)
                 if use_ahash:
                     bits = (64 * v.reshape(-1)) > v.sum()
@@ -500,6 +512,7 @@ def image_neardup_pairs(
     method: str = "ahash",
     max_bucket: int = 1000,
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id_a, id_b, hamming): near-duplicate image pairs by perceptual
     hash — decode through the real codec path, 64-bit integer-exact
@@ -512,7 +525,12 @@ def image_neardup_pairs(
     from .dedup import hamming_candidate_pairs
 
     sig = image_hashes_df(
-        df, payload_col=payload_col, id_col=id_col, method=method, fake=fake
+        df,
+        payload_col=payload_col,
+        id_col=id_col,
+        method=method,
+        fake=fake,
+        on_error=on_error,
     )
     return hamming_candidate_pairs(
         sig, max_hamming=max_hamming, max_bucket=max_bucket
@@ -523,6 +541,7 @@ def audio_hashes_df(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    on_error: str = "raise",
 ) -> DataFrame:
     """(__id, __sig): 64-bit energy-profile fingerprint per audio clip,
     decoded through the REAL PCM WAV path.  The clip's integer samples
@@ -536,7 +555,12 @@ def audio_hashes_df(
 
     Output feeds ``dedup.hamming_candidate_pairs`` — the same banded
     pigeonhole join as SimHash text near-dup and perceptual-image
-    near-dup; signatures are a per-row map, NO shuffle here."""
+    near-dup; signatures are a per-row map, NO shuffle here.
+    ``on_error``: "raise" (default) fails on malformed payloads;
+    "null" drops them (no signature, like a NULL payload)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    skip = on_error == "null"
     weights = 1 << np.arange(64, dtype=np.uint64)
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -545,7 +569,12 @@ def audio_hashes_df(
             for mid, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
-                x, _rate, width, channels = _decode_wav(bytes(b))
+                try:
+                    x, _rate, width, channels = _decode_wav(bytes(b))
+                except (ValueError, NotImplementedError):
+                    if skip:
+                        continue
+                    raise
                 if x.size == 0:
                     continue
                 s = _pcm_int_samples(x, width, channels)
@@ -575,6 +604,7 @@ def audio_neardup_pairs(
     id_col: str = "media_id",
     max_hamming: int = 3,
     max_bucket: int = 1000,
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id_a, id_b, hamming): near-duplicate audio pairs by
     energy-envelope fingerprint — real WAV decode, integer-exact
@@ -584,7 +614,7 @@ def audio_neardup_pairs(
     exchange on 64-bit signatures, never on samples."""
     from .dedup import hamming_candidate_pairs
 
-    sig = audio_hashes_df(df, payload_col=payload_col, id_col=id_col)
+    sig = audio_hashes_df(df, payload_col=payload_col, id_col=id_col, on_error=on_error)
     return hamming_candidate_pairs(sig, max_hamming=max_hamming, max_bucket=max_bucket)
 
 

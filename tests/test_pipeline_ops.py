@@ -401,6 +401,14 @@ class TestMultimodal:
         with pytest.raises(ValueError):
             MM.decode_image_features(media, on_error="bogus")
 
+        # fingerprint ops honor the same policy (near-dup ingest path)
+        sigs = MM.image_hashes_df(media, id_col="media_id", on_error="null").collect()
+        assert [r["__id"] for r in sigs] == [1]
+        asigs = MM.audio_hashes_df(audio, id_col="media_id", on_error="null").collect()
+        assert [r["__id"] for r in asigs] == [1]
+        with pytest.raises(PythonException):
+            MM.image_hashes_df(media, id_col="media_id").collect()
+
     def test_real_jpeg_through_operators(self, spark):
         """JPEG payloads flow through decode_image_features /
         resize_images with fake=False — the codec boundary the module
