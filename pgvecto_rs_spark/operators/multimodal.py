@@ -624,11 +624,16 @@ def resize_images(
     out_w: int,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id, height, width, pixels): REAL PPM (P6) / PNG / baseline-JPEG
     decode + nearest-neighbor resize in numpy, emitting the resized
     grayscale raster as array<float> — the resize stage of a
-    vision-training pipeline."""
+    vision-training pipeline.  ``on_error``: "raise" (default) or
+    "null" (drop malformed payloads, like NULL payloads)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    skip = on_error == "null"
     out_schema = f"{id_col} bigint, height int, width int, pixels array<float>"
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -640,12 +645,17 @@ def resize_images(
                 if b is None:
                     continue
                 raw = bytes(b)
-                if raw[:8] == b"\x89PNG\r\n\x1a\n":
-                    dec = _decode_png(raw)
-                elif raw[:2] == b"\xff\xd8":
-                    dec = decode_jpeg(raw)
-                else:
-                    dec = _decode_ppm(raw)
+                try:
+                    if raw[:8] == b"\x89PNG\r\n\x1a\n":
+                        dec = _decode_png(raw)
+                    elif raw[:2] == b"\xff\xd8":
+                        dec = decode_jpeg(raw)
+                    else:
+                        dec = _decode_ppm(raw)
+                except (ValueError, NotImplementedError):
+                    if skip:
+                        continue
+                    raise
                 img = _resize_nn(dec, out_h, out_w)
                 ids.append(int(mid))
                 pix.append(img.reshape(-1).astype(np.float32).tolist())
@@ -667,6 +677,7 @@ def sample_video_frames(
     id_col: str = "media_id",
     every_n: int = 10,
     fake: bool = False,
+    on_error: str = "raise",
 ) -> DataFrame:
     """(id, frame_no, frame_payload): frame sampling.  MJPEG AVI
     payloads decode for REAL (stdlib RIFF walk, ``operators.video``) —
@@ -675,7 +686,11 @@ def sample_video_frames(
     (H.264/MP4) need ffmpeg and raise unless ``fake=True`` treats the
     payload as concatenated 64-byte 'frames'.  One input row fans out
     to n_frames/every_n rows; mapInPandas keeps the fan-out inside
-    Arrow batches."""
+    Arrow batches.  ``on_error``: "raise" (default) or "null" (drop
+    malformed/unsupported payloads, like NULL payloads)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    skip = on_error == "null"
     out_schema = f"{id_col} bigint, frame_no int, frame_payload binary"
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -688,13 +703,21 @@ def sample_video_frames(
                     continue
                 raw = bytes(b)
                 if is_avi(raw):
-                    for fno, jpeg in enumerate(decode_avi_frames(raw)):
+                    try:
+                        avi_frames = decode_avi_frames(raw)
+                    except (ValueError, NotImplementedError):
+                        if skip:
+                            continue
+                        raise
+                    for fno, jpeg in enumerate(avi_frames):
                         if fno % every_n == 0:
                             ids.append(int(mid))
                             frames.append(fno)
                             payloads.append(jpeg)
                     continue
                 if not fake:
+                    if skip:
+                        continue
                     raise NotImplementedError(
                         "only MJPEG AVI decodes without ffmpeg; use fake=True "
                         "for other containers"
