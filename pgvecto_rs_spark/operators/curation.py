@@ -595,9 +595,17 @@ def dup_ngram_fraction(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_grams: bool = True,
+    materialize: bool = True,
 ) -> DataFrame:
     """Cross-document duplicate n-gram fraction per doc:
     (id, n_grams, n_dup, dup_frac).
+
+    SIDE EFFECT: ``materialize=True`` (default) eagerly
+    ``localCheckpoint``-s the (id, gram, count) relation — a Spark job
+    runs at call time and the blocks stay pinned on executors until the
+    returned DataFrame is GC-ed on the driver; it saves the n-gram
+    explode running 3x (AQE reuses only one of the three identical
+    subtrees — measured).  ``materialize=False`` keeps the call lazy.
 
     An n-gram INSTANCE counts as duplicated when its gram occurs in at
     least 2 distinct documents (document frequency >= 2) — the
@@ -631,11 +639,9 @@ def dup_ngram_fraction(
     # same order as doc_dedup_keep's checkpointed candidate set — on
     # executor block storage, released by GC like every other
     # checkpointed intermediate.
-    pair = (
-        inst.groupBy(id_col, "__gram")
-        .agg(F.count("*").alias("__c"))
-        .localCheckpoint(eager=True)
-    )
+    pair = inst.groupBy(id_col, "__gram").agg(F.count("*").alias("__c"))
+    if materialize:
+        pair = pair.localCheckpoint(eager=True)
     dup_grams = (
         pair.groupBy("__gram")
         .agg(F.count("*").alias("__df"))
@@ -1049,6 +1055,7 @@ def dsir_importance_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
+    materialize: bool = True,
 ) -> DataFrame:
     """(id, n_feat, weight_u) per raw document: weight_u = Σ_b
     n_doc[b] · floor(1e6·ln(p_target[b]/p_raw[b]) + 0.5), with
@@ -1063,7 +1070,14 @@ def dsir_importance_weights(
     run 3x).  The 2·n_buckets log-ratio table broadcast-joins the
     features; no shuffle carries more than (doc, bucket) pairs.  Engine-exact: bucket ids are integer arithmetic, and the
     only transcendental (ln of a ratio of exact integers) quantizes to
-    a scaled int BEFORE any multi-row sum."""
+    a scaled int BEFORE any multi-row sum.
+
+    SIDE EFFECT: ``materialize=True`` (default) eagerly
+    ``localCheckpoint``-s the (doc, side, bucket, count) relation — a
+    Spark job runs at call time; blocks stay pinned on executors until
+    the returned DataFrame is GC-ed on the driver.
+    ``materialize=False`` keeps the call lazy (the trigram explode then
+    runs 3x when executed)."""
     from .dedup import _spread
 
     buckets = _dsir_trigram_buckets(F.col(text_col))
@@ -1081,11 +1095,9 @@ def dsir_importance_weights(
     # features (groupBy id, b) shuffle on DIFFERENT keys, so no exchange
     # reuse is possible and the explode would otherwise run 3x (model,
     # totals, features)
-    pairs = (
-        tri.groupBy(id_col, "__tgt", "b")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .localCheckpoint(eager=True)
-    )
+    pairs = tri.groupBy(id_col, "__tgt", "b").agg(F.count(F.lit(1)).alias("__n"))
+    if materialize:
+        pairs = pairs.localCheckpoint(eager=True)
     stats = pairs.groupBy("b").agg(
         F.sum(F.when(F.col("__tgt"), F.col("__n")).otherwise(0)).alias("c_t"),
         F.sum(F.when(~F.col("__tgt"), F.col("__n")).otherwise(0)).alias("c_r"),

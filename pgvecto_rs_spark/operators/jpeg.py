@@ -275,6 +275,11 @@ class _BitReader:
                 i = n
                 break
             buf += data[i:j]
+            # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+            # marker (e.g. FF FF D0) — skip them before classifying, as
+            # the bit-serial reader's forward-scan resynchronization did.
+            while j + 1 < n and data[j + 1] == 0xFF:
+                j += 1
             nxt = data[j + 1] if j + 1 < n else 0xD9
             if nxt == 0x00:
                 buf.append(0xFF)

@@ -61,7 +61,23 @@ def batch_hard_triplets(
     no same-label or no different-label peer are dropped (no triplet
     exists for them).  One broadcast + one corpus scan + one
     |anchors|-row shuffle; NULL corpus vectors are skipped, matching
-    index semantics (src/index/am.rs:199-211)."""
+    index semantics (src/index/am.rs:199-211).
+
+    NULL labels are excluded from BOTH sides on BOTH paths: under SQL
+    semantics ``NULL == x`` is NULL, so a NULL-label row is neither a
+    positive nor a negative — we filter such rows (and NULL-label /
+    NULL-vector anchors, which can never yield a triplet) up front so
+    the gemm fast path agrees with the expression path exactly.  NaN
+    float labels follow Spark's NaN == NaN = TRUE ordering semantics
+    on both paths."""
+    # Symmetric pre-filters keep the two execution paths semantically
+    # identical regardless of which one the anchor count selects.
+    anchors = anchors.where(
+        F.col(anchor_vec).isNotNull() & F.col(anchor_label).isNotNull()
+    )
+    corpus = corpus.where(
+        F.col(corpus_vec).isNotNull() & F.col(corpus_label).isNotNull()
+    )
     if metric in ("l2", "dot", "cos"):
         n_anchors = anchors.count()
         if 0 < n_anchors <= MAX_GEMM_ANCHORS:
@@ -71,7 +87,7 @@ def batch_hard_triplets(
             )
     j = corpus.join(
         F.broadcast(anchors), F.col(corpus_id) != F.col(anchor_id)
-    ).where(F.col(corpus_vec).isNotNull())
+    )
     d = SR.distance(F.col(corpus_vec), F.col(anchor_vec), metric)
     j = j.withColumn("__d", d)
     same = F.col(corpus_label) == F.col(anchor_label)
@@ -163,6 +179,13 @@ def _gemm_triplets(
                 c_sq = np.einsum("ij,ij->i", cmat, cmat)
                 dist = 1.0 - dots / np.sqrt(c_sq[:, None] * a_sq[None, :])
             same = clbls[:, None] == albls[None, :]
+            # Spark orders NaN = NaN as TRUE; numpy says False — align
+            # with the expression path for float labels.
+            if (
+                np.issubdtype(clbls.dtype, np.floating)
+                and np.issubdtype(albls.dtype, np.floating)
+            ):
+                same |= np.isnan(clbls)[:, None] & np.isnan(albls)[None, :]
             selfp = cids[:, None] == aids[None, :]
             res = {anchor_id: [], "pd": [], "pnid": [], "nd": [], "nid": []}
             for j in range(len(aids)):

@@ -48,6 +48,7 @@ def bm25_score(
     id_col: str = "doc_id",
     k1: float = 1.2,
     b: float = 0.75,
+    materialize: bool = True,
 ) -> DataFrame:
     """Adds ``score_u`` (1e-6-scaled integer BM25 score vs the literal
     ``query_terms``) and ``dl`` (doc length in tokens) to every row.
@@ -56,6 +57,16 @@ def bm25_score(
     idf_t = ln((N − df_t + 0.5)/(df_t + 0.5) + 1); each term's
     contribution is floored to a scaled integer, so the total is exact
     integer arithmetic.
+
+    SIDE EFFECT: with ``materialize=True`` (the default) the tokenized
+    per-term tf relation is eagerly ``localCheckpoint``-ed — a Spark
+    job runs AT CALL TIME and the narrow intermediate is pinned on
+    executor block storage until the returned DataFrame is
+    garbage-collected on the driver.  This halves the corpus scans
+    (stats + scoring reuse one tokenization).  Pass
+    ``materialize=False`` for a fully lazy plan (plan inspection,
+    composition into a larger checkpointed pipeline) at the cost of
+    tokenizing the corpus twice when executed.
     """
     # tokenize ONCE into a named column: inlining the regex tokenizer
     # into every term's tf expression multiplied the Catalyst tree
@@ -74,7 +85,9 @@ def bm25_score(
         F.col(id_col),
         F.size(toks).cast("long").alias("dl"),
         *[_tf(toks, t).cast("long").alias(f"__tf_{i}") for i, t in enumerate(query_terms)],
-    ).localCheckpoint(eager=True)
+    )
+    if materialize:
+        with_tf = with_tf.localCheckpoint(eager=True)
     stats = with_tf.agg(
         F.count(F.lit(1)).alias("__n_docs"),
         F.sum("dl").alias("__sum_dl"),

@@ -68,6 +68,20 @@ def _gen_name(n: int) -> str:
     return f"gen-{n:06d}"
 
 
+def _publish_manifest(path: str, gen: int) -> None:
+    """Atomically publish the manifest: write-temp + flush + fsync +
+    ``os.replace``.  The fsync matters — without it a crash between the
+    replace and the data reaching disk can publish an empty/partial
+    manifest that makes every subsequent ``open()`` fail (FileAtomic
+    parity, crates/index/src/lib.rs:128-211)."""
+    tmp = os.path.join(path, _MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump({"generation": gen}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(path, _MANIFEST))
+
+
 def _link_or_copy_tree(src: str, dst: str) -> None:
     """Clone a directory tree cheaply: hardlink immutable data files
     (Spark never rewrites a committed parquet file in place — overwrite
@@ -123,12 +137,7 @@ class FreshVectorIndex:
             return int(json.load(f)["generation"])
 
     def _write_manifest(self, gen: int) -> None:
-        tmp = os.path.join(self.path, _MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump({"generation": gen}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.path, _MANIFEST))
+        _publish_manifest(self.path, gen)
 
     def _gen_dir(self, gen: int | None = None) -> str:
         return os.path.join(self.path, _gen_name(self._gen if gen is None else gen))
@@ -198,10 +207,7 @@ class FreshVectorIndex:
         base.write_meta(path, meta)
         os.makedirs(os.path.join(g0, "delta"), exist_ok=True)
         os.makedirs(os.path.join(g0, "tombstones"), exist_ok=True)
-        tmp = os.path.join(path, _MANIFEST + ".tmp")
-        with open(tmp, "w") as f:
-            json.dump({"generation": 0}, f)
-        os.replace(tmp, os.path.join(path, _MANIFEST))
+        _publish_manifest(path, 0)
         return cls(spark, path)
 
     open = classmethod(lambda cls, spark, path: cls(spark, path))

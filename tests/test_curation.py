@@ -105,6 +105,15 @@ class TestDupNgramFraction:
         b = sorted(map(tuple, dup_ngram_fraction(docs, n=4, hash_grams=False).collect()))
         assert a == b
 
+    def test_materialize_false_equal(self, spark):
+        docs = _docs(
+            spark,
+            [(i, f"w{i % 3} a b c d w{i % 5} a b c d") for i in range(12)],
+        )
+        a = sorted(map(tuple, dup_ngram_fraction(docs, n=4).collect()))
+        b = sorted(map(tuple, dup_ngram_fraction(docs, n=4, materialize=False).collect()))
+        assert a == b
+
 
 class TestPiiRedact:
     def test_counts_and_redaction(self, spark):
@@ -518,6 +527,12 @@ def test_dsir_importance_weights_semantics(spark):
         for r in dsir_importance_weights(raw.repartition(7), target.repartition(5)).collect()
     }
     assert again == {k: v["weight_u"] for k, v in rows.items()}
+    # lazy variant (materialize=False) yields identical weights
+    lazy = {
+        r["doc_id"]: r["weight_u"]
+        for r in dsir_importance_weights(raw, target, materialize=False).collect()
+    }
+    assert lazy == {k: v["weight_u"] for k, v in rows.items()}
 
 
 class TestDedupPassages:

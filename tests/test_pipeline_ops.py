@@ -220,12 +220,33 @@ class TestMultimodal:
         # chroma subsampling actually shrinks the payload
         assert sizes[("420", 0)] < sizes[("444", 0)]
 
-        # progressive (SOF2) rejected honestly
-        enc = bytearray(encode_jpeg(img))
-        sof = enc.find(b"\xff\xc0")
-        enc[sof + 1] = 0xC2
-        with pytest.raises(NotImplementedError):
-            decode_jpeg(bytes(enc))
+    def test_jpeg_fill_bytes_before_rst_markers(self):
+        """T.81 B.1.1.2 permits 0xFF fill bytes before any marker
+        (FF FF D0 == RST0).  The bulk unstuffing pass must skip them
+        instead of treating the fill byte as end-of-entropy-data —
+        the r6 advice found such streams silently decoding the
+        remaining MCUs as zeros."""
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (24, 40), dtype=np.uint8)
+        enc = encode_jpeg(img, restart_interval=1)
+        clean = decode_jpeg(enc)
+        # inject one (and for D1 two) fill bytes before each RST marker;
+        # entropy-coded FFs are always stuffed as FF 00, so a raw FF Dn
+        # pair can only be a restart marker
+        padded = bytearray()
+        i = 0
+        while i < len(enc):
+            if enc[i] == 0xFF and i + 1 < len(enc) and 0xD0 <= enc[i + 1] <= 0xD7:
+                padded += b"\xff" * (2 if enc[i + 1] == 0xD1 else 1)
+            padded.append(enc[i])
+            i += 1
+        assert len(padded) > len(enc)  # fill bytes actually injected
+        dec = decode_jpeg(bytes(padded))
+        assert np.array_equal(dec, clean)
 
     def test_jpeg_lut_decode_matches_bit_serial(self):
         """The table-driven entropy decoder (_BitReader.decode over a

@@ -62,6 +62,18 @@ class TestBM25:
         }
         assert set(got.values()) == {0}
 
+    def test_materialize_false_is_lazy_and_equal(self, spark):
+        """materialize=False must defer all execution (no eager
+        localCheckpoint job at call time) and yield identical scores."""
+        terms = ["a", "c"]
+        tracker = spark.sparkContext.statusTracker()
+        before = set(tracker.getJobIdsForGroup(None) or [])
+        lazy = bm25_score(self._df(spark), terms, materialize=False)
+        after = set(tracker.getJobIdsForGroup(None) or [])
+        assert after == before  # plan-only: no job ran at call time
+        got = {r["doc_id"]: r["score_u"] for r in lazy.collect()}
+        assert got == _ref_bm25(self.CORPUS, terms)
+
 
 class TestMMR:
     """mmr_topk vs a pure-Python greedy reference (λ=1/2 integer form)."""
@@ -278,3 +290,96 @@ class TestBatchHardTriplets:
             assert ids(gemm) == ids(expr), metric
             for g, e in zip(gemm, expr):
                 assert abs(g[2] - e[2]) < 1e-9 and abs(g[4] - e[4]) < 1e-9
+
+    def test_null_labels_and_vectors_agree_across_paths(self, spark):
+        """NULL-label corpus rows are neither positive nor negative
+        (SQL NULL == x is NULL); NULL-label / NULL-vector anchors yield
+        no triplet.  Both paths must agree — the r6 advice found the
+        gemm path treating a NULL label as a negative."""
+        from pyspark.sql import functions as F
+
+        import pgvecto_rs_spark.operators.mining as M
+        from pgvecto_rs_spark.operators.mining import batch_hard_triplets
+
+        rows = [
+            (0, 1, [0.0, 0.0]),     # anchor
+            (1, 1, [1.0, 0.0]),     # positive
+            (2, None, [0.1, 0.0]),  # NULL label: closest row, but excluded
+            (3, None, [0.2, 0.0]),  # NULL label
+            (4, 2, [3.0, 0.0]),     # the only legal negative
+            (5, 2, None),           # NULL vector: skipped
+            (6, None, None),        # NULL label + vector anchor: no triplet
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+        anchors = df.where(F.col("vec_id").isin(0, 2, 6)).select(
+            F.col("vec_id").alias("aid"),
+            F.col("label").alias("albl"),
+            F.col("embedding").alias("avec"),
+        )
+        cand = df.select(
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clbl"),
+            F.col("embedding").alias("cvec"),
+        )
+
+        def run():
+            return sorted(
+                tuple(r) for r in batch_hard_triplets(anchors, cand).collect()
+            )
+
+        gemm = run()
+        cap = M.MAX_GEMM_ANCHORS
+        M.MAX_GEMM_ANCHORS = 0
+        try:
+            expr = run()
+        finally:
+            M.MAX_GEMM_ANCHORS = cap
+        assert gemm == expr
+        # only anchor 0 survives, and its negative is id 4, not the
+        # nearer NULL-label id 2
+        assert [(a, p, n) for a, p, _, n, _ in gemm] == [(0, 1, 4)]
+
+    def test_nan_float_labels_agree_across_paths(self, spark):
+        """Spark orders NaN = NaN as TRUE; the gemm path must mirror
+        that for float label columns (numpy NaN != NaN)."""
+        from pyspark.sql import functions as F
+
+        import pgvecto_rs_spark.operators.mining as M
+        from pgvecto_rs_spark.operators.mining import batch_hard_triplets
+
+        nan = float("nan")
+        rows = [
+            (0, nan, [0.0, 0.0]),  # anchor, NaN label
+            (1, nan, [1.0, 0.0]),  # NaN label -> positive under Spark
+            (2, 2.0, [0.5, 0.0]),  # real label -> negative
+        ]
+        df = spark.createDataFrame(
+            rows, "vec_id long, label double, embedding array<float>"
+        )
+        anchors = df.where(F.col("vec_id") == 0).select(
+            F.col("vec_id").alias("aid"),
+            F.col("label").alias("albl"),
+            F.col("embedding").alias("avec"),
+        )
+        cand = df.select(
+            F.col("vec_id").alias("cid"),
+            F.col("label").alias("clbl"),
+            F.col("embedding").alias("cvec"),
+        )
+
+        def run():
+            return sorted(
+                tuple(r) for r in batch_hard_triplets(anchors, cand).collect()
+            )
+
+        gemm = run()
+        cap = M.MAX_GEMM_ANCHORS
+        M.MAX_GEMM_ANCHORS = 0
+        try:
+            expr = run()
+        finally:
+            M.MAX_GEMM_ANCHORS = cap
+        assert gemm == expr
+        assert [(a, p, n) for a, p, _, n, _ in gemm] == [(0, 1, 2)]
