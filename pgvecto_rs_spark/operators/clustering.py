@@ -66,9 +66,26 @@ def _dist_to(c: list[int]) -> Column:
     )
 
 
+# Hard cap on centroid-literal cells in the expression path: the
+# Catalyst tree embeds k·dims literals (plus a fold per centroid), so
+# analysis/codegen cost grows with k·dims — past ~64·1024 cells a plan
+# takes minutes to analyze or trips Janino's 64KB method limit.  The
+# numpy path is bit-identical (see _assign_numpy) and O(1) plan size;
+# "auto" already routes anything >= 128 cells there, so this cap only
+# guards an explicit impl="expr" at unreasonable scale.
+MAX_EXPR_LITERAL_CELLS = 65536
+
+
 def _assign_expr(qdf: DataFrame, centroids: list[list[int]]) -> DataFrame:
     """Adds cluster (argmin, ties -> smallest index) and dist_u columns.
     Pure projection: k integer fold expressions + one array_min."""
+    cells = len(centroids) * len(centroids[0])
+    if cells > MAX_EXPR_LITERAL_CELLS:
+        raise ValueError(
+            f"impl='expr' embeds k*dims = {cells} centroid literals in the "
+            f"Catalyst plan (cap {MAX_EXPR_LITERAL_CELLS}); use impl='numpy' "
+            "or 'auto' — bit-identical results with O(1) plan size"
+        )
     best = F.array_min(
         F.array(
             *[

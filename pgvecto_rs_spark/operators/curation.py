@@ -795,10 +795,34 @@ def repetition_signals(
     return joined.select(*out_cols)
 
 
+def _bpe_compatible(
+    cand: tuple[str, str], accepted: list[tuple[str, str]]
+) -> bool:
+    """A candidate pair (c, d) may join a batch of already-accepted
+    merges iff, for every accepted (a, b) with product p = a+b, neither
+    c nor d is in {a, b, p}.  Disjoint symbols mean applying (a, b)
+    destroys no (c, d) occurrence (only pairs containing a or b lose
+    instances), and c, d != p means it creates none (new adjacencies
+    all involve p) — so the candidate's pre-batch count is EXACT after
+    the earlier merges apply."""
+    c, d = cand
+    for a, b in accepted:
+        p = a + b
+        if c in (a, b, p) or d in (a, b, p):
+            return False
+    return True
+
+
+# Introspection for tests: driver round-trips of the last bpe_train call.
+LAST_BPE_TRAIN_STATS: dict = {}
+
+
 def bpe_train(
     df: DataFrame,
     rounds: int = 3,
     text_col: str = "text",
+    batch: int = 1,
+    scan: int = 64,
 ) -> list[tuple[int, str, str, int]]:
     """Distributed BPE tokenizer training: learn ``rounds`` merge rules
     (the byte-pair-encoding vocabulary induction step of an LLM data
@@ -806,20 +830,42 @@ def bpe_train(
 
     Algorithm (Sennrich et al. 2016), distributed the standard way:
     train on the DISTINCT-WORD + frequency table, not the corpus — the
-    vocabulary is orders smaller than the text.  Each round:
+    vocabulary is orders smaller than the text.  Each driver round:
 
     1. adjacent-symbol pair counts weighted by word frequency — one
        pair-keyed aggregation with map-side combine over vocab rows;
-    2. argmax pair (count DESC, pair ASC tie-break) — ONE row to the
-       driver;
-    3. merge applied to every word's symbol sequence as a native
-       ``aggregate`` fold (greedy left-to-right non-overlapping, the
-       reference BPE semantics) — a pure projection, no shuffle.
+    2. the top ``scan`` pairs (count DESC, pair ASC tie-break) —
+       ONE ``scan``-row collect to the driver;
+    3. accept up to ``batch`` candidates scanning that list in order,
+       keeping a candidate iff it is compatible with every merge
+       already accepted this round (see ``_bpe_compatible`` — the
+       compatibility rule guarantees the accepted candidates' counts
+       are exact even after the earlier in-batch merges apply);
+    4. accepted merges applied to every word's symbol sequence as
+       chained native ``aggregate`` folds (greedy left-to-right
+       non-overlapping, the reference BPE semantics) — pure
+       projections, no shuffle.
 
-    Driver state is one (a, b) pair per round; everything heavy stays
-    on executors.  Integer pair counts make every round's argmax
-    engine- and partitioning-exact.
+    ``batch=1`` (default) is classic sequential BPE — each rule is the
+    global argmax of the live pair counts.  ``batch=K`` cuts driver
+    round-trips (and Spark job count) ~K-fold: a production 32k-merge
+    vocabulary at K=256 is ~128 driver rounds instead of 32k.  The
+    learned schedule may differ from sequential BPE only where a
+    skipped conflicting pair would have out-counted a later accepted
+    one — the schedule is deterministic either way, and the
+    ``doc_bpe_batched`` driver query replays it rule-for-rule in pure
+    DuckDB SQL.  ``batch`` is capped at 16; within a batch the folds
+    chain into one projection whose expression tree grows ~4x per
+    level (bpe_encode_counts' checkpoint note), so lineage is truncated
+    with an eager localCheckpoint every 4 folds.
+
+    Driver state is ``scan`` rows per round; everything heavy stays on
+    executors.  Integer pair counts make every round's selection
+    engine- and partitioning-exact.  ``LAST_BPE_TRAIN_STATS`` records
+    {"round_trips", "rules"} of the latest call for tests/telemetry.
     """
+    if not 1 <= batch <= 16:
+        raise ValueError("bpe_train: batch must be in [1, 16]")
     words = (
         df.select(F.explode(_norm_tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
@@ -835,7 +881,8 @@ def bpe_train(
     ).cache()
 
     merges: list[tuple[int, str, str, int]] = []
-    for r in range(rounds):
+    round_trips = 0
+    while len(merges) < rounds:
         pair = F.transform(
             F.sequence(F.lit(0), F.size("seq") - 2),
             lambda i: F.struct(
@@ -848,19 +895,39 @@ def bpe_train(
             .groupBy(F.col("pr.a").alias("a"), F.col("pr.b").alias("b"))
             .agg(F.sum("freq").alias("c"))
         )
-        top = counts.orderBy(F.desc("c"), "a", "b").limit(1).collect()
+        cap = min(batch, rounds - len(merges))
+        top = (
+            counts.orderBy(F.desc("c"), "a", "b")
+            .limit(1 if batch == 1 else scan)
+            .collect()
+        )
+        round_trips += 1
         if not top:
             break
-        a, b, c = top[0]["a"], top[0]["b"], int(top[0]["c"])
-        merges.append((r, a, b, c))
-        nxt = seqs.select(
-            "word",
-            "freq",
-            _bpe_merge_fold(F.col("seq"), a, b).alias("seq"),
-        ).cache()
+        accepted: list[tuple[str, str]] = []
+        for row in top:
+            if len(accepted) == cap:
+                break
+            a, b, c = row["a"], row["b"], int(row["c"])
+            if not _bpe_compatible((a, b), accepted):
+                continue
+            merges.append((len(merges), a, b, c))
+            accepted.append((a, b))
+        nxt = seqs
+        for i, (a, b) in enumerate(accepted):
+            nxt = nxt.select(
+                "word", "freq", _bpe_merge_fold(F.col("seq"), a, b).alias("seq")
+            )
+            # chained folds collapse into one ~4^k-node projection;
+            # truncate lineage every 4 folds (no rows reach the driver)
+            if (i + 1) % 4 == 0 and i + 1 < len(accepted):
+                nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.cache()
         seqs.unpersist()
         seqs = nxt
     seqs.unpersist()
+    LAST_BPE_TRAIN_STATS.clear()
+    LAST_BPE_TRAIN_STATS.update({"round_trips": round_trips, "rules": len(merges)})
     return merges
 
 

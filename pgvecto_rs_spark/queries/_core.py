@@ -188,35 +188,36 @@ def register(name: str, oracle: str | None):
 # round introduced no regression.  Everything not listed follows in
 # registration order — nothing is ever dropped.
 _DRIVER_WINDOW: list[str] = [
-    # -- never driver-green as of CORRECTNESS_r05 (45) --
-    "doc_dsir_weights",
-    "tpch_q2", "tpch_q11", "tpch_q20", "tpch_q21", "tpch_q22",
-    "tpch_q4", "tpch_q9", "tpch_q16", "tpch_q12", "tpch_q19",
-    "ivf_range_l2", "hnsw_range_l2", "fresh_range_l2",
-    "flat_sq8_range_l2", "sparse_inv_range_dot",
-    "batch_topk_l2", "vec_order_ops",
-    "ivf_vecf16_topk_l2", "hnsw_vecf16_topk_l2",
-    "doc_embed_hash_topk",
-    "chunk_embed_pool", "chunk_embed_topk",
-    "doc_bpe_merges", "doc_bpe_tokens",
-    "doc_mixture_sample",
-    "events_quantiles",
-    "doc_maxsim_topk",
-    "events_funnel", "events_retention", "events_rolling",
-    "topk_l2_by_label",
-    "emb_kmeans", "emb_mmr_topk", "emb_outliers", "emb_semdedup",
-    "doc_bm25_topk", "doc_hybrid_rrf",
-    "events_asof",
-    "mm_image_stats", "mm_image_knn", "mm_audio_stats",
-    "mm_audio_neardup", "mm_video_frames", "mm_image_neardup",
-    # -- last driver verdict was FAIL (r3), fixed in r4, never re-picked --
-    "events_sessions",
-    # -- new this round: NaN/Inf distance total-order parity --
-    "nan_inf_topk_order",
-    # -- stable anchors (regression canaries inside the window) --
-    "fresh_topk_l2",   # streaming path; freshness.py changes this round
-    "topk_l2",
-    "doc_dedup_exact",
+    # r7 rotation policy: oldest-green-first.  After r6 every one of the
+    # 115 registered queries has a green driver row; the window now
+    # cycles the queries whose LAST green row is oldest (r3: 12, r4: 5,
+    # then r5 in registration order), plus the queries whose code
+    # changes THIS round (must be re-proved), plus 2 stable anchors.
+    # The ~22 r5 queries that don't fit roll into the r8 window.
+    # -- last green r3 (12) --
+    "agg_sum_svector", "ivf_topk_l2", "hnsw_topk_l2",
+    "sparse_inv_topk_dot", "ivf_pq_topk_l2", "flat_sq8_topk_l2",
+    "planner_topk_sphere", "text_roundtrip", "sql_surface_topk",
+    "vecf16_topk_l2", "knn_join_ivf_l2", "events_props_json",
+    # -- last green r4 (5) --
+    "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q18", "tpch_q17",
+    # -- code changes this round: batched BPE merges, k-means literal
+    #    guard, progressive-JPEG-capable image stats, freshness manifest
+    #    fsync (5) --
+    "doc_bpe_merges", "doc_bpe_tokens", "doc_bpe_batched", "emb_kmeans",
+    "mm_image_stats", "fresh_topk_l2",
+    # -- stable anchors (regression canaries) (2) --
+    "topk_l2", "doc_dedup_exact",
+    # -- last green r5, registration order (26) --
+    "topk_dot", "topk_cos", "range_l2", "knn_join_l2",
+    "emb_knn_classify", "emb_triplets",
+    "vector_norms", "slice_arith", "agg_sum_vector", "agg_avg_vector",
+    "sparse_topk_dot", "sparse_norm",
+    "bin_hamming_topk", "bin_hamming_ivf_topk", "bin_hamming_hnsw_topk",
+    "bin_jaccard_topk",
+    "doc_token_count", "doc_stats", "doc_language", "doc_fingerprint",
+    "doc_decontaminate", "doc_dup_ngrams", "doc_pii_redact",
+    "doc_train_split", "doc_top_terms",
 ]
 
 

@@ -371,6 +371,89 @@ def _bpe_oracle_sql(rounds: int = 3) -> str:
     return "WITH " + ",\n    ".join(parts) + "\n    " + selects
 
 
+def _bpe_pair_counts_sql(src: str, dst: str) -> str:
+    return f"""{dst} AS (
+      SELECT pr.a AS a, pr.b AS b, CAST(SUM(freq) AS BIGINT) AS c
+      FROM (SELECT freq, unnest(list_transform(range(1, len(seq)),
+                      i -> struct_pack(a := seq[i], b := seq[i+1]))) AS pr
+            FROM {src} WHERE len(seq) >= 2)
+      GROUP BY 1, 2
+    )"""
+
+
+def _bpe_apply_sql(src: str, dst: str, m: str) -> str:
+    """CTE applying merge-rule CTE ``m`` (1 row: a, b) to seq table
+    ``src`` — same greedy list_reduce fold as _bpe_round_ctes."""
+    return f"""{dst} AS (
+      SELECT word, freq,
+             CASE WHEN len(seq) < 2 THEN seq ELSE
+               string_split(list_reduce(seq, (acc, s) -> CASE
+                 WHEN array_extract(string_split(acc, chr(31)), -1) = {m}.a AND s = {m}.b
+                 THEN substr(acc, 1, length(acc) - length({m}.a)) || {m}.a || {m}.b
+                 ELSE acc || chr(31) || s END), chr(31)) END AS seq
+      FROM {src} CROSS JOIN {m}
+    )"""
+
+
+def _bpe_batched_oracle_sql(rounds: int, batch: int, scan: int = 64) -> str:
+    """Statically-unrolled replay of curation.bpe_train(batch=K): per
+    driver round, rank pair counts (c DESC, a, b), scan the top
+    ``scan`` in order and accept the first K candidates compatible
+    with every already-accepted merge of the round
+    (curation._bpe_compatible: neither symbol may be an accepted
+    merge's left, right, or product), then apply the K folds in
+    acceptance order.  ``rounds`` must be a multiple of ``batch`` so
+    the batch count unrolls statically."""
+    assert rounds % batch == 0, "static unroll needs rounds % batch == 0"
+    n_batches = rounds // batch
+    parts = _bpe_round_ctes(0, apply_last=False)  # just w + s0
+
+    def compat(t: str, m: str) -> str:
+        return (
+            f"{t}.a NOT IN ({m}.a, {m}.b, {m}.a || {m}.b) "
+            f"AND {t}.b NOT IN ({m}.a, {m}.b, {m}.a || {m}.b)"
+        )
+
+    rule_selects: list[str] = []
+    for r in range(n_batches):
+        parts.append(_bpe_pair_counts_sql(f"s{r}", f"p{r}"))
+        parts.append(
+            f"""t{r} AS (
+      SELECT a, b, c, ROW_NUMBER() OVER (ORDER BY c DESC, a, b) AS rn
+      FROM p{r} QUALIFY rn <= {scan}
+    )"""
+        )
+        for j in range(batch):
+            m = f"m{r}_{j}"
+            if j == 0:
+                parts.append(f"{m} AS (SELECT a, b, c, rn FROM t{r} WHERE rn = 1)")
+            else:
+                prevs = [f"m{r}_{i}" for i in range(j)]
+                froms = ", ".join([f"t{r} t"] + [f"{p} {p}x" for p in prevs])
+                conds = " AND ".join(
+                    [f"t.rn > m{r}_{j - 1}x.rn"]
+                    + [compat("t", f"{p}x") for p in prevs]
+                )
+                parts.append(
+                    f"""{m} AS (
+      SELECT t.a, t.b, t.c, t.rn FROM {froms}
+      WHERE {conds} ORDER BY t.rn LIMIT 1
+    )"""
+                )
+            src = f"s{r}" if j == 0 else f"s{r}_a{j - 1}"
+            dst = f"s{r + 1}" if j == batch - 1 else f"s{r}_a{j}"
+            parts.append(_bpe_apply_sql(src, dst, m))
+            rule_selects.append(
+                f"SELECT {r * batch + j} AS rule, a, b, c FROM m{r}_{j}"
+            )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + "\n    "
+        + "\n    UNION ALL\n    ".join(rule_selects)
+    )
+
+
 def _bpe_encode_oracle_sql(rounds: int) -> str:
     """Train in SQL (same CTE chain as the merges oracle), then encode:
     apply all learned rules to the vocabulary and join the word →
@@ -434,6 +517,22 @@ def doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact."""
     merges = _bpe_merges_cached(spark, sf_dir, rounds=6)
     return CU.bpe_encode_counts(_docs(spark, sf_dir), merges)
+
+
+@register("doc_bpe_batched", _bpe_batched_oracle_sql(rounds=6, batch=3))
+def doc_bpe_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE training (curation.bpe_train batch=3): 6 merge
+    rules learned in TWO driver round-trips instead of six — each round
+    collects the top-64 pair counts once and accepts the first 3
+    mutually-compatible candidates (disjoint symbols, neither equal to
+    an earlier accepted product, so accepted counts stay exact within
+    the batch).  The oracle statically unrolls the same schedule in
+    DuckDB (ROW_NUMBER ranking + the same compatibility predicate +
+    chained list_reduce folds), proving the batched schedule
+    rule-for-rule.  This is the latency fix for 32k-merge production
+    vocabularies (≈rounds/batch Spark jobs instead of rounds)."""
+    merges = CU.bpe_train(_docs(spark, sf_dir), rounds=6, batch=3)
+    return spark.createDataFrame(merges, "rule int, a string, b string, c long")
 
 
 # doc_mixture_sample oracle: quotas are an INPUT to the distributed

@@ -606,3 +606,133 @@ class FreshVectorIndex:
             "idx_tombstones": tomb.count() if tomb is not None else 0,
             "idx_options": {"sealed_kind": self.meta["sealed_kind"], "metric": self.meta["metric"]},
         }
+
+    # ------------------------------------------------------------------
+    def begin(self) -> "IndexTransaction":
+        """Open a transaction: writes staged through it are INVISIBLE to
+        every reader (including this handle) until ``commit()``;
+        ``rollback()`` discards them without a trace — the mirror of the
+        reference's xact commit/abort hooks (src/index/hooks.rs:76-106,
+        tests/transaction/test.sql: an aborted transaction leaves the
+        index exactly as it was).
+
+        Usable as a context manager: commit on clean exit, rollback on
+        exception."""
+        return IndexTransaction(self)
+
+
+class IndexTransaction:
+    """Transaction-scoped write batch for :class:`FreshVectorIndex`.
+
+    Staged rows live in a ``txn-<id>/`` directory next to the ``gen-*``
+    generations; readers only ever resolve files through the manifest's
+    generation directory, so staged files are structurally invisible —
+    no flag checks on the read path.  ``commit()`` publishes by
+    hardlinking the staged parquet parts into the live generation's
+    delta/tombstones under the writer lock (same per-file granularity
+    as a plain ``insert()`` append), so a compaction racing the commit
+    either folds the files or carries them forward, exactly like any
+    other append.  ``rollback()`` removes the staging directory.
+
+    Versions are assigned at STAGE time from the index's global version
+    counter: the write's serialization point is when it is staged, the
+    commit only makes the batch visible atomically-per-file.  (A
+    non-transactional delete of the same id issued between stage and
+    commit therefore shadows the staged insert — a documented
+    divergence from Postgres snapshot semantics, where the delete could
+    not have seen the uncommitted row.)
+    """
+
+    def __init__(self, idx: FreshVectorIndex):
+        import uuid
+
+        self._idx = idx
+        self._dir = os.path.join(idx.path, f"txn-{uuid.uuid4().hex[:12]}")
+        self._open = True
+        os.makedirs(os.path.join(self._dir, "delta", "rows"), exist_ok=True)
+        os.makedirs(os.path.join(self._dir, "tombstones", "rows"), exist_ok=True)
+
+    def _check_open(self) -> None:
+        if not self._open:
+            raise RuntimeError("transaction already committed or rolled back")
+
+    def _next_version(self) -> int:
+        idx = self._idx
+        with idx._write_lock:
+            idx._refresh()
+            return idx._bump()
+
+    def insert(self, df: DataFrame) -> None:
+        """Stage (id, vector) rows — the transactional ``aminsert``."""
+        self._check_open()
+        idx = self._idx
+        v = self._next_version()
+        kernel, do_norm = base.resolve_metric(idx.meta["metric"])
+        vec = base.normalized_col(idx.meta["vector_col"], do_norm).cast("array<float>")
+        (
+            df.where(F.col(idx.meta["vector_col"]).isNotNull())
+            .select(
+                F.col(idx.meta["id_col"]).cast("long").alias("id"),
+                vec.alias("vec"),
+                F.lit(v).alias("version"),
+            )
+            .write.mode("append")
+            .parquet(os.path.join(self._dir, "delta", "rows"))
+        )
+
+    def delete(self, ids: Sequence[int]) -> None:
+        self._check_open()
+        v = self._next_version()
+        self._idx.spark.createDataFrame(
+            [(int(i), v) for i in ids], "id long, version int"
+        ).write.mode("append").parquet(
+            os.path.join(self._dir, "tombstones", "rows")
+        )
+
+    def delete_df(self, ids_df: DataFrame, id_col: str = "id") -> None:
+        self._check_open()
+        v = self._next_version()
+        (
+            ids_df.select(
+                F.col(id_col).cast("long").alias("id"), F.lit(v).alias("version")
+            )
+            .write.mode("append")
+            .parquet(os.path.join(self._dir, "tombstones", "rows"))
+        )
+
+    def commit(self) -> None:
+        """Publish the staged batch into the live generation."""
+        self._check_open()
+        idx = self._idx
+        with idx._write_lock:
+            idx._refresh()
+            for sub in ("delta", "tombstones"):
+                files = sorted(
+                    glob.glob(os.path.join(self._dir, sub, "rows", "*.parquet"))
+                )
+                if not files:
+                    continue
+                dst = os.path.join(idx._gen_dir(), sub, "rows")
+                os.makedirs(dst, exist_ok=True)
+                for f in files:
+                    os.link(f, os.path.join(dst, os.path.basename(f)))
+            idx._df_cache.clear()
+        self._open = False
+        shutil.rmtree(self._dir, ignore_errors=True)
+
+    def rollback(self) -> None:
+        """Discard the staged batch — the index is untouched."""
+        self._check_open()
+        self._open = False
+        shutil.rmtree(self._dir, ignore_errors=True)
+
+    def __enter__(self) -> "IndexTransaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if not self._open:
+            return
+        if exc_type is None:
+            self.commit()
+        else:
+            self.rollback()

@@ -54,6 +54,41 @@ class TestKMeans:
         cents = kmeans_fit(df, k=3, iters=2)
         assert len(cents) == 3
 
+    def test_plan_size_bounded_at_large_k(self, spark):
+        """k=64, dims=64: auto routes to the Arrow path, so the
+        physical plan must NOT embed the 4096 centroid literals — plan
+        size stays within a small constant factor of the k=2 plan (a
+        literal tree would be ~1000x bigger and hit the Catalyst
+        analyzer wall at k=1024)."""
+        import random
+
+        rng = random.Random(3)
+        rows = [
+            (i, [rng.uniform(-0.5, 0.5) for _ in range(64)])
+            for i in range(200)
+        ]
+        df = _vecs(spark, rows)
+        big = kmeans_fit(df, k=64, iters=1)
+        assert len(big) == 64
+        plan_big = kmeans_assign(df, big)._jdf.queryExecution().toString()
+        plan_small = kmeans_assign(
+            df, [[0] * 64, [1] * 64]
+        )._jdf.queryExecution().toString()
+        # 64x the centroids, ~same plan text (no k*dims literal growth)
+        assert len(plan_big) < 4 * len(plan_small)
+        got = kmeans_assign(df, big).limit(5).collect()
+        assert len(got) == 5
+
+    def test_expr_literal_cap_raises(self, spark):
+        import pytest
+
+        from pgvecto_rs_spark.operators import clustering as CL
+
+        df = _vecs(spark, [(0, [0.0] * 4)])
+        too_many = [[0] * 4 for _ in range(CL.MAX_EXPR_LITERAL_CELLS // 4 + 1)]
+        with pytest.raises(ValueError, match="impl='numpy'"):
+            kmeans_assign(df, too_many, impl="expr")
+
 
 class TestSemDedup:
     def test_drops_planted_near_duplicate(self, spark):

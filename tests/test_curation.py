@@ -395,6 +395,94 @@ class TestBPETrain:
         assert merges[0] == (0, "a", "a", 9)
         assert merges[1] == (1, "aa", "aa", 3)
 
+    @staticmethod
+    def _model_batched(words: list[str], rounds: int, batch: int, scan: int = 64):
+        """Pure-Python replay of bpe_train's batched schedule."""
+        from collections import Counter
+
+        freq = Counter(words)
+        seqs = {w: list(w) for w in freq}
+        merges, trips = [], 0
+        while len(merges) < rounds:
+            counts: Counter = Counter()
+            for w, f in freq.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] += f
+            top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            top = top[: scan if batch > 1 else 1]
+            trips += 1
+            if not top:
+                break
+            cap = min(batch, rounds - len(merges))
+            accepted: list[tuple[str, str]] = []
+            for (a, b), c in top:
+                if len(accepted) == cap:
+                    break
+                if any(
+                    a in (x, y, x + y) or b in (x, y, x + y)
+                    for x, y in accepted
+                ):
+                    continue
+                merges.append((len(merges), a, b, c))
+                accepted.append((a, b))
+            for a, b in accepted:
+                for w in seqs:
+                    s, out, i = seqs[w], [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                            out.append(a + b)
+                            i += 2
+                        else:
+                            out.append(s[i])
+                            i += 1
+                    seqs[w] = out
+        return merges, trips
+
+    def test_batched_schedule_and_round_trips(self, spark):
+        """batch=K: ceil(rounds/K) driver round-trips, schedule matches
+        the pure-Python replay — including a conflicting candidate
+        being skipped (shared symbol with an accepted merge) and
+        re-surfacing with a recomputed count in the next round."""
+        from pgvecto_rs_spark.operators.curation import (
+            LAST_BPE_TRAIN_STATS,
+            bpe_train,
+        )
+
+        # (a,b) dominates; (b,c)/(b,d) conflict with it via 'b'
+        words = ["abc"] * 10 + ["abd"] * 9 + ["xyz"] * 8 + ["uvw"] * 3
+        docs = _docs(spark, [(1, " ".join(words))])
+        for rounds, batch in ((4, 2), (3, 3), (5, 2)):
+            got = bpe_train(docs, rounds=rounds, batch=batch)
+            want, trips = self._model_batched(words, rounds, batch)
+            assert got == want, (rounds, batch)
+            assert LAST_BPE_TRAIN_STATS["round_trips"] == trips
+            assert trips == -(-rounds // batch)  # ceil
+            assert LAST_BPE_TRAIN_STATS["rules"] == rounds
+
+    def test_batch_one_matches_batched_code_path(self, spark):
+        """batch=1 through the unified loop == the classic sequence."""
+        from pgvecto_rs_spark.operators.curation import (
+            LAST_BPE_TRAIN_STATS,
+            bpe_train,
+        )
+
+        text = " ".join(
+            ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+        )
+        docs = _docs(spark, [(1, text)])
+        merges = bpe_train(docs, rounds=3, batch=1)
+        assert merges == [(0, "e", "s", 9), (1, "es", "t", 9), (2, "l", "o", 7)]
+        assert LAST_BPE_TRAIN_STATS["round_trips"] == 3
+
+    def test_batch_validation(self, spark):
+        from pgvecto_rs_spark.operators.curation import bpe_train
+
+        docs = _docs(spark, [(1, "ab ab")])
+        for bad in (0, 17, -1):
+            with pytest.raises(ValueError):
+                bpe_train(docs, rounds=1, batch=bad)
+
 
 class TestBPEEncode:
     def test_counts_match_naive_encoder(self, spark):

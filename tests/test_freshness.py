@@ -549,3 +549,94 @@ def test_concurrent_search_during_compaction_stress(spark, emb):
         # converged state is consistent: every live id exactly once
         st = idx.stat()
         assert st["idx_tuples"] == idx.search(Q64, k=10**6).count()
+
+
+class TestTransactions:
+    """Transaction-scoped visibility (tests/transaction/test.sql,
+    src/index/hooks.rs:76-106): staged writes invisible until commit;
+    rollback leaves the index byte-identically unchanged."""
+
+    def test_insert_rollback_sees_nothing(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = make(spark, emb, d)
+            before = [tuple(r) for r in idx.search(Q64, k=10).collect()]
+            txn = idx.begin()
+            txn.insert(emb.where(F.col("vec_id") >= 400))
+            # staged rows invisible pre-commit, even to this handle
+            mid = [tuple(r) for r in idx.search(Q64, k=10).collect()]
+            assert mid == before
+            assert idx.stat()["idx_growing"] == []
+            txn.rollback()
+            after = [tuple(r) for r in idx.search(Q64, k=10).collect()]
+            assert after == before
+            # no staging debris
+            import glob as _g
+            import os as _o
+
+            assert not _g.glob(_o.path.join(d, "txn-*"))
+
+    def test_insert_commit_becomes_visible(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = make(spark, emb, d)
+            with idx.begin() as txn:
+                txn.insert(emb.where(F.col("vec_id") >= 400))
+            got = {r["id"] for r in idx.search(Q64, k=10).collect()}
+            assert any(i >= 400 for i in got)
+            # all 100 staged rows present
+            assert idx.stat()["idx_growing"][0] == emb.where(
+                F.col("vec_id") >= 400
+            ).count()
+
+    def test_delete_rollback_keeps_row(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = make(spark, emb, d)
+            victim = idx.search(Q64, k=1).collect()[0]["id"]
+            txn = idx.begin()
+            txn.delete([victim])
+            assert victim in {r["id"] for r in idx.search(Q64, k=5).collect()}
+            txn.rollback()
+            assert victim in {r["id"] for r in idx.search(Q64, k=5).collect()}
+
+    def test_delete_commit_applies(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = make(spark, emb, d)
+            victim = idx.search(Q64, k=1).collect()[0]["id"]
+            with idx.begin() as txn:
+                txn.delete([victim])
+            assert victim not in {r["id"] for r in idx.search(Q64, k=10).collect()}
+
+    def test_exception_in_context_rolls_back(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = make(spark, emb, d)
+            before = [tuple(r) for r in idx.search(Q64, k=10).collect()]
+            with pytest.raises(RuntimeError, match="boom"):
+                with idx.begin() as txn:
+                    txn.insert(emb.where(F.col("vec_id") >= 400))
+                    raise RuntimeError("boom")
+            assert [tuple(r) for r in idx.search(Q64, k=10).collect()] == before
+
+    def test_closed_txn_raises(self, spark, emb):
+        with tempfile.TemporaryDirectory() as d:
+            idx = make(spark, emb, d)
+            txn = idx.begin()
+            txn.rollback()
+            with pytest.raises(RuntimeError, match="committed or rolled back"):
+                txn.insert(emb.where(F.col("vec_id") >= 400))
+            with pytest.raises(RuntimeError):
+                txn.commit()
+
+    def test_committed_txn_survives_compaction(self, spark, emb):
+        """Committed staged rows fold into the sealed index like any
+        append; an uncommitted txn is unaffected by a compaction that
+        runs between stage and commit."""
+        with tempfile.TemporaryDirectory() as d:
+            idx = make(spark, emb, d)
+            txn = idx.begin()
+            txn.insert(emb.where((F.col("vec_id") >= 400) & (F.col("vec_id") < 450)))
+            idx.compact()  # runs mid-transaction
+            assert idx.stat()["idx_growing"] == []
+            txn.commit()
+            n = idx.search(Q64, k=10**6).count()
+            assert n == 450
+            idx.compact()
+            assert idx.search(Q64, k=10**6).count() == 450

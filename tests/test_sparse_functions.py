@@ -241,3 +241,50 @@ class TestOrdering:
 
         got_sorted = sorted(rows, key=functools.cmp_to_key(pair))
         assert [r[0] for r in got_sorted] == [r[0] for r in ref]
+
+
+class TestNearLimitDims:
+    """svector dims limit is 1,048,575 (svect.rs:22); a near-limit
+    vector must flow through to_svector -> inverted index -> top-k
+    exactly (r6 verdict gap #3)."""
+
+    def test_to_svector_and_inverted_index_at_max_dims(self, spark, tmp_path):
+        import pyspark.sql.functions as F
+
+        from pgvecto_rs_spark.functions.sparse import to_svector
+        from pgvecto_rs_spark.indexes.sparse_inverted import SparseInvertedIndex
+        from pgvecto_rs_spark.types import MAX_SPARSE_DIMS
+
+        dims = MAX_SPARSE_DIMS  # 1_048_575
+        hi = dims - 1            # the last legal index
+        rows = [
+            (1, [0, hi], [1.0, 2.0]),
+            (2, [hi], [3.0]),
+            (3, [0, 5, hi - 1], [1.0, 1.0, 1.0]),
+            (4, [7], [9.0]),          # no overlap with the query
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, idx array<int>, val array<float>"
+        ).select(
+            "doc_id", to_svector(dims, "idx", "val").alias("svec")
+        )
+        got = {r["doc_id"]: r["svec"] for r in df.collect()}
+        assert got[1]["dims"] == dims
+        assert list(got[1]["indexes"]) == [0, hi]
+        # an index AT dims must be rejected (0-based bound, svect.rs:33)
+        bad = spark.createDataFrame(
+            [(9, [dims], [1.0])], "doc_id long, idx array<int>, val array<float>"
+        ).select(to_svector(dims, "idx", "val").alias("svec"))
+        with pytest.raises(Exception):
+            bad.collect()
+
+        idx = SparseInvertedIndex.create(
+            spark, df, str(tmp_path / "nearlimit"), svector_col="svec",
+            id_col="doc_id",
+        )
+        # query touches the extreme term ids; expected neg-dot by hand
+        q = {0: 1.0, hi: 1.0}
+        out = {r["id"]: r["distance"] for r in idx.search(q, k=4).collect()}
+        assert out == {1: -3.0, 2: -3.0, 3: -1.0}
+        rng = {r["id"] for r in idx.range_search(q, radius=-2.0).collect()}
+        assert rng == {1, 2}
