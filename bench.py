@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "doc_hybrid_rrf",
     "doc_bpe_merges",
     "doc_bpe_tokens",
+    "doc_bpe_batched",
     "doc_mixture_sample",
     "doc_dsir_weights",
     "doc_dup_passages",
@@ -81,6 +82,7 @@ BENCH_QUERIES = [
     "chunk_embed_pool",
     "doc_maxsim_topk",
     "mm_image_stats",
+    "mm_image_progressive",
     "mm_image_knn",
     "mm_image_neardup",
     "mm_audio_stats",
@@ -317,13 +319,29 @@ def main() -> None:
         out["batch_speedup_32q"] = detail["batch_speedup_32q"]
     try:  # geomean vs the r1 first-measurement contract, when available
         with open(os.path.join(here, "BENCH_r01.json")) as f:
-            r1 = (json.load(f).get("parsed") or {}).get("queries") or {}
+            r1p = json.load(f).get("parsed") or {}
+        r1 = r1p.get("queries") or {}
         import math
+
+        def _gm(rs):
+            return math.exp(sum(math.log(r) for r in rs) / len(rs))
 
         ratios = [timings[n] / r1[n] for n in timings if r1.get(n)]
         if ratios:
-            out["geomean_vs_r1"] = round(
-                math.exp(sum(math.log(r) for r in ratios) / len(ratios)), 4
+            out["geomean_vs_r1"] = round(_gm(ratios), 4)
+        # Load canary: pure-Catalyst queries no vector-code change
+        # touches — their ratio vs r1 measures MACHINE LOAD, not plan
+        # quality (the r6 driver run was a uniform 1.58x slower than
+        # the builder run of the identical tree, including tpch_q6).
+        # geomean_vs_r1_loadnorm divides that out so round-over-round
+        # comparisons aren't polluted by sandbox load.  Only computed
+        # at r1's scale factor (ratios across sf are meaningless).
+        canaries = ["tpch_q1", "events_hourly", "doc_token_count", "doc_dedup_exact"]
+        cr = [timings[c] / r1[c] for c in canaries if r1.get(c) and timings.get(c)]
+        if cr and ratios and r1p.get("sf") == detail["sf"]:
+            out["canary_load_ratio"] = round(_gm(cr), 4)
+            out["geomean_vs_r1_loadnorm"] = round(
+                _gm(ratios) / out["canary_load_ratio"], 4
             )
     except Exception:  # noqa: BLE001
         pass

@@ -1,14 +1,23 @@
-"""Baseline JPEG codec in pure numpy + stdlib — no imaging library.
+"""Baseline + progressive JPEG codec in pure numpy + stdlib — no
+imaging library.
 
 Closes the last stubbed codec surface in ``operators.multimodal``: the
 reference treats media as opaque bytes plus typed metadata; here the
-decode step itself is real for baseline (SOF0) 8-bit JPEG, grayscale or
-YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, with restart-marker support.
-Progressive (SOF2) and arithmetic coding raise ``NotImplementedError``.
+decode step itself is real for baseline (SOF0/1) and progressive (SOF2)
+8-bit JPEG, grayscale or YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling,
+with restart-marker support.  Progressive covers spectral selection,
+successive approximation, EOB runs and refinement correction bits
+(T.81 Annex G.1.2) — real web-crawl corpora are majority-progressive,
+so an ingest path that nulls SOF2 would drop most of the data.
+Hierarchical and arithmetic coding raise ``NotImplementedError``.
 
 The encoder exists so tests and pipelines can produce valid JPEG
-fixtures without PIL: standard Annex-K quantization + Huffman tables,
-4:4:4 color or single-component grayscale.
+fixtures without PIL: standard Annex-K quantization + Huffman tables
+(plus a generated EOBn-complete AC table for progressive scans),
+4:4:4 color or single-component grayscale, baseline or a 4-stage
+progressive scan script that quantizes identically to baseline — the
+round-trip equality tests pin decode(progressive) == decode(baseline)
+bit-for-bit.
 
 Huffman bit IO is sequential by definition; DCT/IDCT, dequantization,
 level shift and color conversion are vectorized numpy.  At 100 TB-scale
@@ -132,6 +141,21 @@ _HUFF_AC_CHROMA = (
         0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
         0xF9, 0xFA,
     ],
+)
+
+# AC table for progressive scans: the Annex-K baseline tables define no
+# EOBn symbols (r<<4 for r >= 1), which progressive end-of-band runs
+# require (G.1.2.2).  One flat canonical table — every symbol we can
+# emit at code length 8 (240 symbols in the 256-slot space; valid by
+# Kraft, deliberately simple rather than optimal) — shared by luma and
+# chroma progressive AC scans as table id 2.
+_HUFF_AC_PROGRESSIVE = (
+    [0, 0, 0, 0, 0, 0, 0, 240, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted(
+        [r << 4 for r in range(15)]          # EOB0..EOB14 (0x00 = EOB)
+        + [0xF0]                              # ZRL
+        + [(r << 4) | s for r in range(16) for s in range(1, 15)]
+    ),
 )
 
 # 8-point DCT-II basis matrix: _DCT[u, x] = c(u)/2 * cos((2x+1)u*pi/16)
@@ -288,7 +312,12 @@ class _BitReader:
                 boundaries.append(len(buf) * 8)
                 i = j + 2
             else:
+                i = j  # position of the terminating marker's first 0xFF
                 break  # EOI or other marker: end of entropy data
+        # byte offset of the marker that ended the scan (== len(data)
+        # when the stream ran out) — progressive decoding resumes the
+        # marker parse here for the next scan
+        self.end_pos = i
         self._end_bits = len(buf) * 8
         pad = (-len(buf)) % 8 + 16  # two spare zero words for window reads
         self._w: list[int] = np.frombuffer(
@@ -431,12 +460,17 @@ def _decode_huffman_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> 
 
 
 def decode_jpeg(payload: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to float32 grayscale HxW in [0, 1].
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to float32
+    grayscale HxW in [0, 1].
 
     Color images are converted YCbCr -> luma (the multimodal feature
     path is grayscale); sampling factors 4:4:4 / 4:2:2 / 4:2:0 and
-    restart intervals are honored.  Progressive / arithmetic coding
-    raise NotImplementedError.
+    restart intervals are honored.  Progressive streams decode all
+    spectral-selection and successive-approximation scans (T.81 Annex
+    G.1.2 — the reference itself ships no codecs; this extends our
+    multimodal surface to the majority-progressive web-crawl corpus).
+    Hierarchical (SOF3+) and arithmetic coding raise
+    NotImplementedError.
     """
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a jpeg")
@@ -446,6 +480,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff_ac: dict[int, tuple[list[int], list[int]]] = {}
     frame = None  # (h, w, components) where component = (cid, hs, vs, tq)
     restart_interval = 0
+    progressive = False
+    coef: list[np.ndarray] | None = None  # per-comp (BH, BW, 64) zigzag coefs
+    scanned = False
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             pos += 1
@@ -488,7 +525,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tab[_ZIGZAG] = zz
                 qt[pq_tq & 0xF] = tab.reshape(8, 8)
                 p += 65
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             if len(seg) < 6:
                 raise ValueError("jpeg: truncated SOF segment")
             _prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
@@ -501,8 +538,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     raise ValueError("jpeg: zero sampling factor")
                 comps.append((cid, hv >> 4, hv & 0xF, tq))
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise NotImplementedError("jpeg: only baseline (SOF0/SOF1) supported")
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "jpeg: only baseline (SOF0/1) and progressive (SOF2) supported"
+            )
         elif marker == 0xDD:  # DRI
             if len(seg) < 2:
                 raise ValueError("jpeg: truncated DRI segment")
@@ -513,16 +553,32 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if len(seg) < 1:
                 raise ValueError("jpeg: truncated SOS segment")
             ns = seg[0]
-            if len(seg) < 1 + 2 * ns:
+            if len(seg) < 4 + 2 * ns:
                 raise ValueError("jpeg: truncated SOS segment")
             scan_sel = {}
+            scan_order = []
             for i in range(ns):
                 cs, td_ta = seg[1 + 2 * i : 3 + 2 * i]
                 scan_sel[cs] = (td_ta >> 4, td_ta & 0xF)
-            return _decode_scan(
-                payload, pos + seglen, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval
+                scan_order.append(cs)
+            if not progressive:
+                return _decode_scan(
+                    payload, pos + seglen, frame, scan_sel, qt, huff_dc, huff_ac, restart_interval
+                )
+            ss, se, ahal = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            if coef is None:
+                coef = _alloc_progressive_coefs(frame)
+            r = _BitReader(payload, pos + seglen)
+            _decode_progressive_scan(
+                r, frame, scan_order, scan_sel, ss, se, ahal >> 4, ahal & 0xF,
+                huff_dc, huff_ac, restart_interval, coef,
             )
+            scanned = True
+            pos = r.end_pos
+            continue
         pos += seglen
+    if progressive and scanned:
+        return _assemble_planes(frame, coef, qt)
     raise ValueError("jpeg: no scan found")
 
 
@@ -577,26 +633,233 @@ def _decode_scan(payload, pos, frame, scan_sel, qt, huff_dc, huff_ac, restart_in
                     app(zz)
                 pred[ci] = p
             mcu_count += 1
-    # de-zigzag + dequantize + IDCT + assemble each component plane
-    out_planes = []
+    # de-zigzag + dequantize + IDCT + assemble the luma plane (the
+    # multimodal feature path is grayscale — chroma blocks must be
+    # entropy-decoded to keep the stream in sync, but their IDCT is
+    # skipped); table presence is still validated for every component
+    grids = []
+    for ci, (_cid, hs, vs, tq) in enumerate(comps):
+        arr = np.asarray(blocks[ci], dtype=np.int32)
+        grids.append(
+            arr.reshape(mcuy, mcux, vs, hs, 64)
+            .transpose(0, 2, 1, 3, 4)
+            .reshape(mcuy * vs, mcux * hs, 64)
+        )
+    return _assemble_planes(frame, grids, qt)
+
+
+def _assemble_planes(frame, coef: list[np.ndarray], qt) -> np.ndarray:
+    """Dequantize + IDCT the luma component from per-component
+    (block_rows, block_cols, 64) zigzag-order coefficient grids; shared
+    by the baseline and progressive decode paths."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    y = None
     for ci, (_cid, hs, vs, tq) in enumerate(comps):
         if tq not in qt:
             raise ValueError("jpeg: frame references missing quant table")
-        arr = np.asarray(blocks[ci], dtype=np.int32)
+        if ci != 0:
+            continue  # luma-only output; chroma needs no IDCT
+        arr = coef[ci]
+        bh, bw = arr.shape[:2]
         nat = np.zeros_like(arr)
-        nat[:, _ZIGZAG] = arr  # one vectorized scatter for every block
+        nat[:, :, _ZIGZAG] = arr  # one vectorized de-zigzag scatter
         coefs = nat.reshape(-1, 8, 8) * qt[tq][None, :, :]
         px = _idct2(coefs.astype(np.float64)) + 128.0
-        grid = px.reshape(mcuy, mcux, vs, hs, 8, 8)
-        plane = grid.transpose(0, 2, 4, 1, 3, 5).reshape(mcuy * vs * 8, mcux * hs * 8)
-        # upsample to full resolution then crop
+        plane = px.reshape(bh, bw, 8, 8).transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
         plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
-        out_planes.append(plane[:h, :w])
-    if len(out_planes) == 1:
-        y = out_planes[0]
-    else:
-        y = out_planes[0]  # luma is Y directly in YCbCr
+        y = plane[:h, :w]
     return np.clip(y, 0.0, 255.0).astype(np.float32) / 255.0
+
+
+# ---------------------------------------------------------------------------
+# progressive decoding (T.81 Annex G.1.2)
+
+
+def _alloc_progressive_coefs(frame) -> list[np.ndarray]:
+    """Per-component (block_rows, block_cols, 64) zigzag coefficient
+    grids sized to the MCU-padded frame, accumulated across scans."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return [
+        np.zeros((mcuy * vs, mcux * hs, 64), dtype=np.int32)
+        for (_cid, hs, vs, _tq) in comps
+    ]
+
+
+def _nonintl_block_dims(h: int, w: int, hs: int, vs: int, hmax: int, vmax: int):
+    """True (non-MCU-padded) block grid of a component — the traversal
+    of non-interleaved progressive scans (T.81 A.2.2)."""
+    cw = (w * hs + hmax - 1) // hmax
+    ch = (h * vs + vmax - 1) // vmax
+    return (ch + 7) // 8, (cw + 7) // 8
+
+
+def _decode_progressive_scan(
+    r: _BitReader,
+    frame,
+    scan_order,
+    scan_sel,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    huff_dc,
+    huff_ac,
+    restart_interval: int,
+    coef: list[np.ndarray],
+) -> None:
+    """Decode one progressive scan into the coefficient grids.
+
+    Handles all four scan kinds: DC first (diff-coded, value << Al),
+    DC refinement (one appended bit per block), AC first (spectral band
+    with EOB runs), AC refinement (correction-bit algorithm of
+    G.1.2.3, the libjpeg decode_mcu_AC_refine logic)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    sel = []
+    for cs in scan_order:
+        if cs not in cid_to_ci:
+            raise ValueError("jpeg: scan references unknown component")
+        sel.append(cid_to_ci[cs])
+    if ss > 63 or se > 63 or ss > se or al > 13 or ah > 13:
+        raise ValueError("jpeg: bad progressive scan parameters")
+    dc_scan = ss == 0
+    if dc_scan and se != 0:
+        raise ValueError("jpeg: DC scan with Se != 0")
+    if not dc_scan and len(sel) != 1:
+        raise ValueError("jpeg: AC scans must be non-interleaved")
+
+    tabs = {}
+    for ci in sel:
+        td, ta = scan_sel[comps[ci][0]]
+        if dc_scan and ah == 0:
+            if td not in huff_dc:
+                raise ValueError("jpeg: scan references missing huffman table")
+            tabs[ci] = huff_dc[td]
+        elif not dc_scan:
+            if ta not in huff_ac:
+                raise ValueError("jpeg: scan references missing huffman table")
+            tabs[ci] = huff_ac[ta]
+
+    pred = [0] * len(comps)
+    state = {"eobrun": 0}
+
+    def dc_first(ci: int, gy: int, gx: int) -> None:
+        _t, diff = r.decode_coef(tabs[ci], True)
+        pred[ci] += diff
+        coef[ci][gy, gx, 0] = pred[ci] << al
+
+    def dc_refine(ci: int, gy: int, gx: int) -> None:
+        if r.read_bit():
+            coef[ci][gy, gx, 0] = int(coef[ci][gy, gx, 0]) | (1 << al)
+
+    def ac_first(ci: int, gy: int, gx: int) -> None:
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        zz = coef[ci][gy, gx]
+        act = tabs[ci]
+        k = ss
+        while k <= se:
+            rs, val = r.decode_coef(act, False)
+            rr, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if rr < 15:  # EOBn: run of (1<<rr)+ext end-of-band blocks
+                    state["eobrun"] = (1 << rr) - 1 + r.receive(rr)
+                    return
+                k += 16  # ZRL
+                continue
+            k += rr
+            if k > se:
+                raise ValueError("jpeg: AC index overflow")
+            zz[k] = val << al
+            k += 1
+
+    def ac_refine(ci: int, gy: int, gx: int) -> None:
+        p1 = 1 << al
+        m1 = -1 << al
+        zz = coef[ci][gy, gx].tolist()
+        act = tabs[ci]
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = r.decode(act)
+                rr, s = rs >> 4, rs & 0xF
+                val = 0
+                if s == 0:
+                    if rr < 15:
+                        state["eobrun"] = (1 << rr) + r.receive(rr)
+                        break
+                    # rr == 15: skip 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("jpeg: bad refinement magnitude")
+                    val = p1 if r.read_bit() else m1
+                while k <= se:
+                    c = zz[k]
+                    if c != 0:
+                        if r.read_bit() and (c & p1) == 0:
+                            zz[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if rr == 0:
+                            break
+                        rr -= 1
+                    k += 1
+                if val:
+                    if k > se:
+                        raise ValueError("jpeg: AC index overflow")
+                    zz[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            # inside an end-of-band run: corrections only
+            while k <= se:
+                c = zz[k]
+                if c != 0 and r.read_bit() and (c & p1) == 0:
+                    zz[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            state["eobrun"] -= 1
+        coef[ci][gy, gx] = zz
+
+    if dc_scan:
+        op = dc_first if ah == 0 else dc_refine
+    else:
+        op = ac_first if ah == 0 else ac_refine
+
+    count = 0
+    if len(sel) > 1:  # interleaved (DC scans only)
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if restart_interval and count and count % restart_interval == 0:
+                    r.restart()
+                    pred[:] = [0] * len(comps)
+                    state["eobrun"] = 0
+                for ci in sel:
+                    _cid, hs, vs, _tq = comps[ci]
+                    for by in range(vs):
+                        for bx in range(hs):
+                            op(ci, my * vs + by, mx * hs + bx)
+                count += 1
+    else:
+        ci = sel[0]
+        _cid, hs, vs, _tq = comps[ci]
+        bh_i, bw_i = _nonintl_block_dims(h, w, hs, vs, hmax, vmax)
+        for gy in range(bh_i):
+            for gx in range(bw_i):
+                if restart_interval and count and count % restart_interval == 0:
+                    r.restart()
+                    pred[:] = [0] * len(comps)
+                    state["eobrun"] = 0
+                op(ci, gy, gx)
+                count += 1
 
 
 # ---------------------------------------------------------------------------
@@ -666,13 +929,23 @@ def _block_mean_downsample(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
 
 
 def encode_jpeg(
-    img: np.ndarray, subsample: str = "444", restart_interval: int = 0
+    img: np.ndarray,
+    subsample: str = "444",
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
-    """Encode to baseline JPEG.  ``img`` is uint8 HxW (grayscale) or
-    HxWx3 (RGB, converted to YCbCr).  Annex-K tables (quality ~50).
+    """Encode to baseline (SOF0) or progressive (SOF2) JPEG.  ``img``
+    is uint8 HxW (grayscale) or HxWx3 (RGB, converted to YCbCr).
+    Annex-K tables (quality ~50).
 
     ``subsample``: "444", "422", or "420" chroma sampling (color only).
-    ``restart_interval``: emit DRI + RSTn markers every N MCUs (0 = off).
+    ``restart_interval``: emit DRI + RSTn markers every N units (0 = off).
+    ``progressive``: emit a 4-stage scan script — DC first (Al=1), one
+    AC spectral scan per component (Ss=1..63, Al=1), DC refinement,
+    one AC refinement scan per component — exercising spectral
+    selection, successive approximation, EOB runs and correction bits
+    (T.81 Annex G.1.2).  The quantized coefficients are identical to
+    the baseline encoding, so both decode to identical pixels.
     """
     img = np.asarray(img)
     gray = img.ndim == 2
@@ -707,7 +980,7 @@ def encode_jpeg(
     for i in range(nc):
         hs, vs = samps[i]
         sof += bytes([i + 1, (hs << 4) | vs, 0 if i == 0 else 1])
-    out += _seg(0xC0, sof)
+    out += _seg(0xC2 if progressive else 0xC0, sof)
     out += _seg(0xC4, _dht_body(0, 0, _HUFF_DC_LUMA))
     out += _seg(0xC4, _dht_body(1, 0, _HUFF_AC_LUMA))
     if not gray:
@@ -715,12 +988,6 @@ def encode_jpeg(
         out += _seg(0xC4, _dht_body(1, 1, _HUFF_AC_CHROMA))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
-    sos = bytes([nc])
-    for i in range(nc):
-        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
-    sos += b"\x00\x3f\x00"
-    out += _seg(0xDA, sos)
-
     dc_luma = _build_codes(*_HUFF_DC_LUMA)
     ac_luma = _build_codes(*_HUFF_AC_LUMA)
     dc_chroma = _build_codes(*_HUFF_DC_CHROMA)
@@ -734,6 +1001,21 @@ def encode_jpeg(
     for p, (hs, vs) in zip(planes, samps):
         th, tw = mcuy * vs * 8, mcux * hs * 8
         padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"))
+
+    if progressive:
+        _emit_progressive_scans(
+            out, padded, quants, samps, h, wd, restart_interval,
+            [dc_luma, dc_chroma, dc_chroma][:nc],
+            [ac_luma, ac_chroma, ac_chroma][:nc],
+        )
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    sos = bytes([nc])
+    for i in range(nc):
+        sos += bytes([i + 1, 0x00 if i == 0 else 0x11])
+    sos += b"\x00\x3f\x00"
+    out += _seg(0xDA, sos)
     bw = _BitWriter()
     preds = [0] * nc
     mcu_count = 0
@@ -758,3 +1040,232 @@ def encode_jpeg(
     out += bw.out
     out += b"\xff\xd9"  # EOI
     return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# progressive encoding (T.81 Annex G.1.2) — the scan script and the
+# EOB-run / correction-bit emitters (libjpeg encode_mcu_AC_first /
+# encode_mcu_AC_refine logic)
+
+
+def _quantized_coef_grids(padded, quants, samps, mcux, mcuy):
+    """Per-component (block_rows, block_cols, 64) zigzag quantized
+    coefficients — identical values to the baseline _encode_block path
+    (same DCT, same np.round), computed vectorized."""
+    grids = []
+    for p, q, (hs, vs) in zip(padded, quants, samps):
+        bh, bw = mcuy * vs, mcux * hs
+        blocks = (
+            p.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+        coefs = np.round(_dct2(blocks - 128.0) / q).astype(np.int64)
+        grids.append(coefs.reshape(-1, 64)[:, _ZIGZAG].reshape(bh, bw, 64))
+    return grids
+
+
+def _sos_header(comp_specs, ss, se, ah, al):
+    body = bytes([len(comp_specs)])
+    for cid, td, ta in comp_specs:
+        body += bytes([cid, (td << 4) | ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return _seg(0xDA, body)
+
+
+def _ac_pt(v: int, al: int) -> int:
+    """AC successive-approximation point transform: magnitude shift
+    toward zero (G.1.2.2) — NOT an arithmetic shift."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+class _EobRun:
+    """End-of-band run accumulator shared by the AC scan emitters; for
+    refinement scans it also buffers the runs' correction bits, emitted
+    right after the EOBn symbol (libjpeg's BE buffer)."""
+
+    def __init__(self, w: _BitWriter, ac_codes) -> None:
+        self.w = w
+        self.ac = ac_codes
+        self.run = 0
+        self.bits: list[int] = []
+
+    def add(self, correction_bits=()) -> None:
+        self.run += 1
+        self.bits.extend(correction_bits)
+        if self.run == 32767:  # EOBn maximum (t <= 14)
+            self.flush()
+
+    def flush(self) -> None:
+        if self.run > 0:
+            t = self.run.bit_length() - 1
+            code, length = self.ac[t << 4]
+            self.w.write(code, length)
+            if t:
+                self.w.write(self.run - (1 << t), t)
+            self.run = 0
+        for b in self.bits:
+            self.w.write(b, 1)
+        self.bits.clear()
+
+
+def _emit_dc_scan(out, grids, samps, dc_codes, al, ah, ri, mcux, mcuy, cids):
+    """Interleaved DC scan: first pass (diff-coded arithmetic-shifted
+    values) when ah == 0, else one appended bit per block."""
+    nc = len(grids)
+    out.extend(_sos_header([(cids[i], i and 1, 0) for i in range(nc)], 0, 0, ah, al))
+    w = _BitWriter()
+    preds = [0] * nc
+    count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if ri and count and count % ri == 0:
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + (count // ri - 1) % 8])
+                preds = [0] * nc
+            for ci in range(nc):
+                hs, vs = samps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        v = int(grids[ci][my * vs + by, mx * hs + bx, 0])
+                        if ah == 0:
+                            pt = v >> al  # arithmetic shift (G.1.2.1)
+                            diff = pt - preds[ci]
+                            preds[ci] = pt
+                            n, bitsv = _magnitude(diff) if diff else (0, 0)
+                            code, length = dc_codes[ci][n]
+                            w.write(code, length)
+                            if n:
+                                w.write(bitsv, n)
+                        else:
+                            w.write((v >> al) & 1, 1)
+            count += 1
+    w.flush()
+    out.extend(w.out)
+
+
+def _emit_ac_first_scan(out, zz, ac_codes, cid, td_ta, ss, se, al, ri, bh_i, bw_i):
+    """Non-interleaved AC spectral scan, first pass (ah == 0)."""
+    out.extend(_sos_header([(cid, td_ta[0], td_ta[1])], ss, se, 0, al))
+    w = _BitWriter()
+    eob = _EobRun(w, ac_codes)
+    count = 0
+    for gy in range(bh_i):
+        for gx in range(bw_i):
+            if ri and count and count % ri == 0:
+                eob.flush()
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + (count // ri - 1) % 8])
+            band = [_ac_pt(int(v), al) for v in zz[gy, gx, ss : se + 1]]
+            if not any(band):
+                eob.add()
+            else:
+                eob.flush()
+                run = 0
+                last_nz = max(i for i, v in enumerate(band) if v)
+                for i in range(last_nz + 1):
+                    v = band[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]
+                        w.write(code, length)
+                        run -= 16
+                    n, bitsv = _magnitude(v)
+                    code, length = ac_codes[(run << 4) | n]
+                    w.write(code, length)
+                    w.write(bitsv, n)
+                    run = 0
+                if last_nz < se - ss:
+                    eob.add()  # trailing zeros: this block joins an EOB run
+            count += 1
+    eob.flush()
+    w.flush()
+    out.extend(w.out)
+
+
+def _emit_ac_refine_scan(out, zz, ac_codes, cid, td_ta, ss, se, ah, al, ri, bh_i, bw_i):
+    """Non-interleaved AC refinement scan (libjpeg encode_mcu_AC_refine):
+    newly-nonzero coefficients emit (run<<4)|1 + a sign bit; coefficients
+    already nonzero at the previous precision contribute one buffered
+    correction bit each, emitted after the symbol (or after the EOBn
+    covering their block)."""
+    out.extend(_sos_header([(cid, td_ta[0], td_ta[1])], ss, se, ah, al))
+    w = _BitWriter()
+    eob = _EobRun(w, ac_codes)
+    count = 0
+    for gy in range(bh_i):
+        for gx in range(bw_i):
+            if ri and count and count % ri == 0:
+                eob.flush()
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + (count // ri - 1) % 8])
+            vals = [int(v) for v in zz[gy, gx, ss : se + 1]]
+            mags = [_ac_pt(abs(v), al) for v in vals]  # |v| >> al
+            eobpos = -1  # last newly-nonzero coefficient
+            for i, m in enumerate(mags):
+                if m == 1:
+                    eobpos = i
+            run = 0
+            br: list[int] = []
+            for i, m in enumerate(mags):
+                if m == 0:
+                    run += 1
+                    continue
+                while run > 15 and i <= eobpos:
+                    eob.flush()
+                    code, length = ac_codes[0xF0]
+                    w.write(code, length)
+                    run -= 16
+                    for b in br:
+                        w.write(b, 1)
+                    br = []
+                if m > 1:  # already nonzero: one correction bit
+                    br.append(m & 1)
+                    continue
+                eob.flush()
+                code, length = ac_codes[(run << 4) | 1]
+                w.write(code, length)
+                w.write(1 if vals[i] > 0 else 0, 1)
+                for b in br:
+                    w.write(b, 1)
+                br = []
+                run = 0
+            if run > 0 or br:
+                eob.add(br)
+            count += 1
+    eob.flush()
+    w.flush()
+    out.extend(w.out)
+
+
+def _emit_progressive_scans(out, padded, quants, samps, h, wd, ri, dc_codes, ac_codes):
+    """The 4-stage scan script: DC(Al=1) -> per-component AC(Al=1) ->
+    DC refine -> per-component AC refine.  AC scans use the shared
+    progressive AC table (id 2) — the baseline tables lack the EOBn
+    symbols end-of-band runs need."""
+    nc = len(padded)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = (wd + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    grids = _quantized_coef_grids(padded, quants, samps, mcux, mcuy)
+    cids = [i + 1 for i in range(nc)]
+    dims = [
+        _nonintl_block_dims(h, wd, hs, vs, hmax, vmax) for hs, vs in samps
+    ]
+    out.extend(_seg(0xC4, _dht_body(1, 2, _HUFF_AC_PROGRESSIVE)))
+    ac_prog = _build_codes(*_HUFF_AC_PROGRESSIVE)
+    _emit_dc_scan(out, grids, samps, dc_codes, 1, 0, ri, mcux, mcuy, cids)
+    for ci in range(nc):
+        bh_i, bw_i = dims[ci]
+        _emit_ac_first_scan(
+            out, grids[ci], ac_prog, cids[ci], (0, 2),
+            1, 63, 1, ri, bh_i, bw_i,
+        )
+    _emit_dc_scan(out, grids, samps, dc_codes, 0, 1, ri, mcux, mcuy, cids)
+    for ci in range(nc):
+        bh_i, bw_i = dims[ci]
+        _emit_ac_refine_scan(
+            out, grids[ci], ac_prog, cids[ci], (0, 2),
+            1, 63, 1, 0, ri, bh_i, bw_i,
+        )

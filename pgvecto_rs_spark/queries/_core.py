@@ -205,7 +205,7 @@ _DRIVER_WINDOW: list[str] = [
     #    guard, progressive-JPEG-capable image stats, freshness manifest
     #    fsync (5) --
     "doc_bpe_merges", "doc_bpe_tokens", "doc_bpe_batched", "emb_kmeans",
-    "mm_image_stats", "fresh_topk_l2",
+    "mm_image_stats", "mm_image_progressive", "fresh_topk_l2",
     # -- stable anchors (regression canaries) (2) --
     "topk_l2", "doc_dedup_exact",
     # -- last green r5, registration order (26) --
@@ -217,7 +217,7 @@ _DRIVER_WINDOW: list[str] = [
     "bin_jaccard_topk",
     "doc_token_count", "doc_stats", "doc_language", "doc_fingerprint",
     "doc_decontaminate", "doc_dup_ngrams", "doc_pii_redact",
-    "doc_train_split", "doc_top_terms",
+    "doc_train_split",
 ]
 
 

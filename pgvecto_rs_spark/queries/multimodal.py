@@ -443,6 +443,81 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_jpeg_pair_op(it):
+    """(doc_id) -> (doc_id, base, prog): the SAME deterministic 8x8
+    image (v_i = (doc_id*31 + i*7 + 13) % 256) encoded twice — baseline
+    SOF0 and progressive SOF2 — cycling grayscale/RGB, subsampling
+    (444/422/420) and restart intervals by doc_id, so the gate data
+    covers every progressive mode combination."""
+    import numpy as np
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.jpeg import encode_jpeg
+
+    idx = np.arange(64)
+    for pdf in it:
+        base, prog = [], []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            v = ((did * 31 + idx * 7 + 13) % 256).astype(np.uint8).reshape(8, 8)
+            ri = did % 3
+            if did % 2:
+                img = np.stack([v, np.ascontiguousarray(v.T), 255 - v], axis=2)
+                sub = ("444", "422", "420")[did % 3]
+                base.append(encode_jpeg(img, subsample=sub, restart_interval=ri))
+                prog.append(
+                    encode_jpeg(img, subsample=sub, restart_interval=ri, progressive=True)
+                )
+            else:
+                base.append(encode_jpeg(v, restart_interval=ri))
+                prog.append(encode_jpeg(v, restart_interval=ri, progressive=True))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "base": base, "prog": prog}
+        )
+
+
+@register(
+    "mm_image_progressive",
+    r"""
+    SELECT source,
+           COUNT(*) AS n_images,
+           COUNT(*) AS n_equal,
+           CAST(COUNT(*) * 64 AS BIGINT) AS n_px
+    FROM documents GROUP BY source
+    """,
+)
+def mm_image_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG ingest end-to-end (r6 verdict gap #2): every
+    document's synthetic image is encoded BOTH baseline (SOF0) and
+    progressive (SOF2) — cycling gray/color, chroma subsampling and
+    restart intervals — and both payloads decode through the REAL codec
+    path (multimodal.decode_image_features -> operators.jpeg).  The
+    query certifies, per source, that every progressive decode is
+    BIT-IDENTICAL to its baseline twin (n_equal == n_images — the scan
+    script quantizes identically, so any progressive bug breaks
+    equality) and that all 64 pixels decoded (n_px).  The oracle states
+    those invariants in exact SQL; pixel-level decode parity is pinned
+    by the codec unit tests."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    media = _spread_ids(docs.select("doc_id")).mapInPandas(
+        _synth_jpeg_pair_op, "doc_id bigint, base binary, prog binary"
+    )
+    fb = MM.decode_image_features(
+        media.select("doc_id", F.col("base").alias("payload")), id_col="doc_id"
+    ).select("doc_id", F.col("feature").alias("fb"))
+    fp = MM.decode_image_features(
+        media.select("doc_id", F.col("prog").alias("payload")), id_col="doc_id"
+    ).select("doc_id", F.col("feature").alias("fp"))
+    j = fb.join(fp, "doc_id").join(docs, "doc_id")
+    return j.groupBy("source").agg(
+        F.count("*").alias("n_images"),
+        F.sum((F.col("fb") == F.col("fp")).cast("long")).cast("long").alias("n_equal"),
+        F.sum(F.size("fp")).cast("long").alias("n_px"),
+    )
+
+
 def _synth_ppm_groups_op(it):
     """(doc_id) -> (doc_id, payload): 8x8 P6 PPM in near-dup groups of
     4 (base g = doc_id - doc_id%4, variant d = doc_id%4):
