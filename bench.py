@@ -297,6 +297,14 @@ def main() -> None:
     # timing map starts the captured tail mid-JSON and parses as null
     # (BENCH_r04/r05 regression).
     here = os.path.dirname(os.path.abspath(__file__))
+    # snapshot the COMMITTED previous run before overwriting: its frozen
+    # canary queries are the machine-load reference for this run
+    prev_detail: dict = {}
+    try:
+        with open(os.path.join(here, "BENCHDETAIL.json")) as f:
+            prev_detail = json.load(f)
+    except Exception:  # noqa: BLE001 - first run / corrupt file
+        prev_detail = {}
     with open(os.path.join(here, "BENCHDETAIL.json"), "w") as f:
         json.dump(detail, f, indent=1)
 
@@ -329,16 +337,20 @@ def main() -> None:
         ratios = [timings[n] / r1[n] for n in timings if r1.get(n)]
         if ratios:
             out["geomean_vs_r1"] = round(_gm(ratios), 4)
-        # Load canary: pure-Catalyst queries no vector-code change
-        # touches — their ratio vs r1 measures MACHINE LOAD, not plan
-        # quality (the r6 driver run was a uniform 1.58x slower than
-        # the builder run of the identical tree, including tpch_q6).
-        # geomean_vs_r1_loadnorm divides that out so round-over-round
-        # comparisons aren't polluted by sandbox load.  Only computed
-        # at r1's scale factor (ratios across sf are meaningless).
-        canaries = ["tpch_q1", "events_hourly", "doc_token_count", "doc_dedup_exact"]
-        cr = [timings[c] / r1[c] for c in canaries if r1.get(c) and timings.get(c)]
-        if cr and ratios and r1p.get("sf") == detail["sf"]:
+        # Load canary: pure-Catalyst queries measured against the
+        # COMMITTED previous run (BENCHDETAIL.json at process start —
+        # the builder's run of this tree).  Their ratio isolates
+        # MACHINE LOAD, not plan quality: the r6 driver re-run was a
+        # uniform ~1.58x slower than the builder's run of the identical
+        # tree, including pure-scan tpch_q6.  (Not vs r1 — the r1
+        # harness lacked warmup/min-of-repeats, so r1 ratios embed
+        # harness fixes, not load.)  geomean_vs_r1_loadnorm rescales
+        # geomean_vs_r1 to the previous run's load conditions.
+        canaries = ["tpch_q1", "tpch_q6", "events_hourly",
+                    "doc_token_count", "doc_dedup_exact"]
+        prevq = prev_detail.get("queries") or {}
+        cr = [timings[c] / prevq[c] for c in canaries if prevq.get(c) and timings.get(c)]
+        if cr and ratios and prev_detail.get("sf") == detail["sf"]:
             out["canary_load_ratio"] = round(_gm(cr), 4)
             out["geomean_vs_r1_loadnorm"] = round(
                 _gm(ratios) / out["canary_load_ratio"], 4

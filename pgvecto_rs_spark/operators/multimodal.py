@@ -84,12 +84,73 @@ def _decode_ppm(payload: bytes) -> np.ndarray:
     return rgb.mean(axis=2) / float(maxval)
 
 
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step) — PNG
+# spec 8.2.  Each pass is an independently-filtered sub-image.
+_ADAM7_PASSES = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
+    """Reverse PNG scanline filtering for an (h, w, nch) image whose
+    raw stream is h rows of [filter_type | w*nch bytes].  Returns the
+    reconstructed (h, w*nch) uint8 array.
+
+    None (0) / Up (2) are whole-row numpy ops (uint8 addition wraps
+    mod 256 by definition); Sub (1) is a per-channel cumulative sum
+    mod 256, exact in int64 then masked.  Average (3) / Paeth (4) are
+    per-byte sequential by definition (each byte needs the
+    reconstructed left neighbor through a >>1 / min — no prefix-sum
+    form), so they run as Python-list loops: scalar list ops are ~15x
+    faster than the numpy-scalar indexing this used previously."""
+    stride = w * nch
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = nch
+    for y in range(h):
+        ft = int(ftypes[y])
+        raw_row = arr[y, 1:]
+        if ft == 0:
+            out[y] = raw_row
+        elif ft == 1:  # Sub: cumsum over pixels within each channel
+            ch = raw_row.astype(np.int64).reshape(w, bpp)
+            out[y] = (np.cumsum(ch, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
+        elif ft == 2:  # Up
+            out[y] = raw_row + (out[y - 1] if y else 0)
+        elif ft == 3:  # Average
+            rec = raw_row.tolist()
+            prev = out[y - 1].tolist() if y else [0] * stride
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((a + prev[x]) >> 1)) & 0xFF
+            out[y] = rec
+        elif ft == 4:  # Paeth
+            rec = raw_row.tolist()
+            prev = out[y - 1].tolist() if y else [0] * stride
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (rec[x] + pr) & 0xFF
+            out[y] = rec
+        else:
+            raise ValueError(f"png: bad filter type {ft}")
+    return out
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
     """PNG decode, stdlib zlib + numpy — a REAL compressed-image codec
     (no external imaging library): chunk walk -> inflate IDAT ->
     per-scanline unfilter (types 0-4) -> float32 grayscale in [0, 1].
     Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), non-interlaced.  Sub/Average/Paeth
+    4 (gray+alpha), 6 (RGBA), both non-interlaced and Adam7-interlaced
+    (7 independently-filtered passes scattered back — the web-crawl
+    long tail, same rationale as progressive JPEG).  Sub/Average/Paeth
     unfiltering is per-pixel sequential by definition (each byte depends
     on the reconstructed left neighbor) — correctness over speed here;
     bulk image pipelines at scale would swap in a compiled codec at this
@@ -122,8 +183,8 @@ def _decode_png(payload: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("png: missing IHDR")
-    if depth != 8 or interlace != 0:
-        raise NotImplementedError("png: only 8-bit non-interlaced supported")
+    if depth != 8 or interlace not in (0, 1):
+        raise NotImplementedError("png: only 8-bit depth supported")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise ValueError(f"png: bad color type {ctype}")
@@ -132,51 +193,27 @@ def _decode_png(payload: bytes) -> np.ndarray:
         raw = zlib.decompress(idat)
     except zlib.error as e:
         raise ValueError(f"png: corrupt IDAT stream ({e})") from e
-    if len(raw) != h * (stride + 1):
-        raise ValueError("png: IDAT length does not match dimensions")
-    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
-    ftypes = arr[:, 0]
-    out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = nch
-    # None (0) / Up (2) are whole-row numpy ops (uint8 addition wraps
-    # mod 256 by definition); Sub (1) is a per-channel cumulative sum
-    # mod 256, exact in int64 then masked.  Average (3) / Paeth (4) are
-    # per-byte sequential by definition (each byte needs the
-    # reconstructed left neighbor through a >>1 / min — no prefix-sum
-    # form), so they run as Python-list loops: scalar list ops are ~15x
-    # faster than the numpy-scalar indexing this used previously.
-    for y in range(h):
-        ft = int(ftypes[y])
-        raw_row = arr[y, 1:]
-        if ft == 0:
-            out[y] = raw_row
-        elif ft == 1:  # Sub: cumsum over pixels within each channel
-            ch = raw_row.astype(np.int64).reshape(w, bpp)
-            out[y] = (np.cumsum(ch, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
-        elif ft == 2:  # Up
-            out[y] = raw_row + (out[y - 1] if y else 0)
-        elif ft == 3:  # Average
-            rec = raw_row.tolist()
-            prev = out[y - 1].tolist() if y else [0] * stride
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                rec[x] = (rec[x] + ((a + prev[x]) >> 1)) & 0xFF
-            out[y] = rec
-        elif ft == 4:  # Paeth
-            rec = raw_row.tolist()
-            prev = out[y - 1].tolist() if y else [0] * stride
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                rec[x] = (rec[x] + pr) & 0xFF
-            out[y] = rec
-        else:
-            raise ValueError(f"png: bad filter type {ft}")
-    px = out.reshape(h, w, nch)
+    if interlace == 0:
+        if len(raw) != h * (stride + 1):
+            raise ValueError("png: IDAT length does not match dimensions")
+        px = _png_unfilter(raw, h, w, nch).reshape(h, w, nch)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        px = np.zeros((h, w, nch), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            need = ph * (pw * nch + 1)
+            sub = raw[off : off + need]
+            off += need
+            if len(sub) != need:
+                raise ValueError("png: IDAT length does not match dimensions")
+            rec = _png_unfilter(sub, ph, pw, nch)
+            px[y0::dy, x0::dx] = rec.reshape(ph, pw, nch)
+        if off != len(raw):
+            raise ValueError("png: IDAT length does not match dimensions")
     if ctype == 3:
         if palette is None:
             raise ValueError("png: palette image without PLTE")

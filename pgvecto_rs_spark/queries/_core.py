@@ -188,42 +188,73 @@ def register(name: str, oracle: str | None):
 # round introduced no regression.  Everything not listed follows in
 # registration order — nothing is ever dropped.
 _DRIVER_WINDOW: list[str] = [
-    # r7 rotation policy: oldest-green-first.  After r6 every one of the
-    # 115 registered queries has a green driver row; the window now
-    # cycles the queries whose LAST green row is oldest (r3: 12, r4: 5,
-    # then r5 in registration order), plus the queries whose code
-    # changes THIS round (must be re-proved), plus 2 stable anchors.
-    # The ~22 r5 queries that don't fit roll into the r8 window.
-    # -- last green r3 (12) --
-    "agg_sum_svector", "ivf_topk_l2", "hnsw_topk_l2",
-    "sparse_inv_topk_dot", "ivf_pq_topk_l2", "flat_sq8_topk_l2",
-    "planner_topk_sphere", "text_roundtrip", "sql_surface_topk",
-    "vecf16_topk_l2", "knn_join_ivf_l2", "events_props_json",
-    # -- last green r4 (5) --
-    "tpch_q8", "tpch_q13", "tpch_q15", "tpch_q18", "tpch_q17",
-    # -- code changes this round: batched BPE merges, k-means literal
-    #    guard, progressive-JPEG-capable image stats, freshness manifest
-    #    fsync (5) --
-    "doc_bpe_merges", "doc_bpe_tokens", "doc_bpe_batched", "emb_kmeans",
-    "mm_image_stats", "mm_image_progressive", "fresh_topk_l2",
-    # -- stable anchors (regression canaries) (2) --
+    # PINS ONLY.  The rest of the 50-query gate window self-fills
+    # oldest-driver-green-first from the CORRECTNESS_r*.json ledgers
+    # (never-verified queries lead) — see _ordered().  Pin here:
+    # (a) queries whose CODE changed this round and therefore must be
+    #     re-proved even though their last row is green, and
+    # (b) a couple of stable anchors as regression canaries.
+    # -- (a) code changed in r7: batched BPE train loop, k-means plan
+    #    guard, progressive-JPEG codec path, freshness manifest fsync,
+    #    triplet null/NaN-label fix --
+    "doc_bpe_merges", "doc_bpe_tokens", "emb_kmeans",
+    "mm_image_stats", "mm_image_neardup", "fresh_topk_l2",
+    "emb_triplets",
+    # -- (b) stable anchors --
     "topk_l2", "doc_dedup_exact",
-    # -- last green r5, registration order (26) --
-    "topk_dot", "topk_cos", "range_l2", "knn_join_l2",
-    "emb_knn_classify", "emb_triplets",
-    "vector_norms", "slice_arith", "agg_sum_vector", "agg_avg_vector",
-    "sparse_topk_dot", "sparse_norm",
-    "bin_hamming_topk", "bin_hamming_ivf_topk", "bin_hamming_hnsw_topk",
-    "bin_jaccard_topk",
-    "doc_token_count", "doc_stats", "doc_language", "doc_fingerprint",
-    "doc_decontaminate", "doc_dup_ngrams", "doc_pii_redact",
-    "doc_train_split",
 ]
 
 
+def _last_green_rounds() -> dict[str, int]:
+    """name -> latest round with a fully-green driver row, parsed from
+    the committed CORRECTNESS_r*.json ledgers.  Unknown names (new
+    queries) are absent — they sort first.  Returns {} when no ledger
+    is readable (fresh clone), which degrades to registration order."""
+    import glob as _glob
+    import json as _json
+
+    here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    last: dict[str, int] = {}
+    try:
+        for f in sorted(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+            tag = os.path.basename(f).split("_r")[-1].split(".")[0]
+            if not tag.isdigit():
+                continue
+            rnd = int(tag)
+            with open(f) as fh:
+                rows = _json.load(fh)
+            if not isinstance(rows, dict):
+                continue
+            for q, v in rows.items():
+                if not isinstance(v, dict):
+                    continue
+                ok = (
+                    v.get("rows_match") is True
+                    and v.get("schema_match") is True
+                    and v.get("hash_match") in (True, None)
+                )
+                if ok:
+                    last[q] = max(last.get(q, 0), rnd)
+    except Exception:  # noqa: BLE001 - ordering is best-effort hygiene
+        return {}
+    return last
+
+
 def _ordered() -> list[str]:
+    """Driver iteration order: the pinned window first (this round's
+    changed queries + stable anchors), then every other query sorted
+    OLDEST-DRIVER-GREEN-FIRST (never-verified queries lead), ties in
+    registration order.  The driver checks the first 50 names, so this
+    self-rotates the proof window every round as new CORRECTNESS
+    ledgers land — no manual list refresh needed (r6 advice)."""
     front = [n for n in _DRIVER_WINDOW if n in _REGISTRY]
-    rest = [n for n in _REGISTRY if n not in set(front)]
+    seen = set(front)
+    last = _last_green_rounds()
+    reg_idx = {n: i for i, n in enumerate(_REGISTRY)}
+    rest = sorted(
+        (n for n in _REGISTRY if n not in seen),
+        key=lambda n: (last.get(n, -1), reg_idx[n]),
+    )
     return front + rest
 
 

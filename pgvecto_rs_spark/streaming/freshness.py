@@ -607,6 +607,27 @@ class FreshVectorIndex:
             "idx_options": {"sealed_kind": self.meta["sealed_kind"], "metric": self.meta["metric"]},
         }
 
+    def cleanup_stale_transactions(self, max_age_seconds: float = 86_400.0) -> int:
+        """Disk GC for crash-abandoned transactions: remove ``txn-*``
+        staging directories whose mtime is older than
+        ``max_age_seconds``.  Staged batches are invisible to readers
+        until commit, so this can never lose committed data — it only
+        reclaims the space a process that died mid-transaction left
+        behind (Postgres reclaims the same way via vacuum after an
+        aborted xact).  Returns the number of directories removed."""
+        import time
+
+        n = 0
+        now = time.time()
+        for d in glob.glob(os.path.join(self.path, "txn-*")):
+            try:
+                if os.path.isdir(d) and now - os.path.getmtime(d) >= max_age_seconds:
+                    shutil.rmtree(d, ignore_errors=True)
+                    n += 1
+            except OSError:
+                continue
+        return n
+
     # ------------------------------------------------------------------
     def begin(self) -> "IndexTransaction":
         """Open a transaction: writes staged through it are INVISIBLE to

@@ -76,3 +76,33 @@ class TestAudit:
         assert "regexp" not in a["plan"].lower()
         assert "ExistingRDD" in a["plan"]
         assert a["take_ordered"]
+
+
+class TestDriverWindowRotation:
+    """queries._core._ordered(): the driver gate window must
+    self-rotate oldest-green-first from the CORRECTNESS ledgers."""
+
+    def test_pins_first_then_never_green_then_oldest(self):
+        from pgvecto_rs_spark.queries import _core as C
+
+        names = C._ordered()
+        npins = len([n for n in C._DRIVER_WINDOW if n in C._REGISTRY])
+        assert names[:npins] == [
+            n for n in C._DRIVER_WINDOW if n in C._REGISTRY
+        ]
+        last = C._last_green_rounds()
+        rest = names[npins:]
+        # never-green queries lead the auto-filled tail
+        ranks = [last.get(n, -1) for n in rest]
+        assert ranks == sorted(ranks), "tail must be oldest-green-first"
+        # nothing dropped, nothing duplicated
+        assert sorted(names) == sorted(C._REGISTRY)
+
+    def test_ledger_parse_shape(self):
+        from pgvecto_rs_spark.queries import _core as C
+
+        last = C._last_green_rounds()
+        # the repo ships r1-r6 ledgers; every value is a known round
+        assert last and all(1 <= r <= 99 for r in last.values())
+        # a query green in r6's ledger must map to >= 6
+        assert last.get("topk_l2", 0) >= 6

@@ -640,3 +640,24 @@ class TestTransactions:
             assert n == 450
             idx.compact()
             assert idx.search(Q64, k=10**6).count() == 450
+
+    def test_stale_transaction_gc(self, spark, emb):
+        import os
+        import os as _o
+
+        with tempfile.TemporaryDirectory() as d:
+            idx = make(spark, emb, d)
+            old_txn = idx.begin()
+            old_txn.insert(emb.where(F.col("vec_id") >= 400))
+            fresh_txn = idx.begin()
+            # backdate the first txn's staging dir
+            past = time.time() - 100_000
+            os.utime(old_txn._dir, (past, past))
+            removed = idx.cleanup_stale_transactions(max_age_seconds=86_400)
+            assert removed == 1
+            assert not _o.path.isdir(old_txn._dir)
+            assert _o.path.isdir(fresh_txn._dir)
+            # the fresh transaction still commits normally
+            fresh_txn.insert(emb.where(F.col("vec_id") == 0))
+            fresh_txn.commit()
+            assert idx.search(Q64, k=10).count() == 10

@@ -262,6 +262,50 @@ class TestMultimodal:
             decode_jpeg(encode_jpeg(big, progressive=True)),
         )
 
+    def test_progressive_multiband_chained_refinement(self):
+        """libjpeg-style scan script — DC(Al=1), split AC bands 1-5 /
+        6-63 at Al=2, AC refine 2->1, DC refine, AC refine 1->0 —
+        decodes bit-identically to baseline: chained successive
+        approximation and multi-band spectral selection are what real
+        web-crawl progressive JPEGs use."""
+        import struct
+
+        import numpy as np
+
+        import pgvecto_rs_spark.operators.jpeg as J
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (29, 45), dtype=np.uint8)
+        base = J.decode_jpeg(J.encode_jpeg(img))
+
+        h, wd = img.shape
+        out = bytearray(b"\xff\xd8")
+        zz_l = J._QUANT_LUMA.reshape(-1)[J._ZIGZAG].astype(np.uint8).tobytes()
+        out += J._seg(0xDB, b"\x00" + zz_l)
+        out += J._seg(0xC2, struct.pack(">BHHB", 8, h, wd, 1) + bytes([1, 0x11, 0]))
+        out += J._seg(0xC4, J._dht_body(0, 0, J._HUFF_DC_LUMA))
+        out += J._seg(0xC4, J._dht_body(1, 2, J._HUFF_AC_PROGRESSIVE))
+        mcux, mcuy = (wd + 7) // 8, (h + 7) // 8
+        padded = [
+            np.pad(
+                img.astype(np.float64),
+                ((0, mcuy * 8 - h), (0, mcux * 8 - wd)),
+                mode="edge",
+            )
+        ]
+        grids = J._quantized_coef_grids(padded, [J._QUANT_LUMA], [(1, 1)], mcux, mcuy)
+        dc = J._build_codes(*J._HUFF_DC_LUMA)
+        acp = J._build_codes(*J._HUFF_AC_PROGRESSIVE)
+        bh_i, bw_i = J._nonintl_block_dims(h, wd, 1, 1, 1, 1)
+        J._emit_dc_scan(out, grids, [(1, 1)], [dc], 1, 0, 0, mcux, mcuy, [1])
+        J._emit_ac_first_scan(out, grids[0], acp, 1, (0, 2), 1, 5, 2, 0, bh_i, bw_i)
+        J._emit_ac_first_scan(out, grids[0], acp, 1, (0, 2), 6, 63, 2, 0, bh_i, bw_i)
+        J._emit_ac_refine_scan(out, grids[0], acp, 1, (0, 2), 1, 63, 2, 1, 0, bh_i, bw_i)
+        J._emit_dc_scan(out, grids, [(1, 1)], [dc], 0, 1, 0, mcux, mcuy, [1])
+        J._emit_ac_refine_scan(out, grids[0], acp, 1, (0, 2), 1, 63, 1, 0, 0, bh_i, bw_i)
+        out += b"\xff\xd9"
+        assert np.array_equal(base, J.decode_jpeg(bytes(out)))
+
     def test_unsupported_sof_still_rejected(self):
         """Lossless/hierarchical/arithmetic SOFs stay honest
         NotImplementedError boundaries (progressive no longer is)."""
@@ -1102,3 +1146,121 @@ class TestEmbeddingOptions:
 
         with _pytest.raises(KeyError):
             E.set_option("openai_timeout", "1")
+
+
+class TestAdam7PNG:
+    """Adam7-interlaced PNG decode (PNG spec 8.2): the 7 independently
+    filtered passes must reconstruct the identical image the plain
+    encoding decodes to — the web-crawl long-tail twin of progressive
+    JPEG."""
+
+    @staticmethod
+    def _chunk(typ, data):
+        import struct
+        import zlib
+
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    @classmethod
+    def _make_png(cls, px, ctype, interlace, palette=None, filt=0):
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _ADAM7_PASSES
+
+        h, w = px.shape[:2]
+        nch = 1 if px.ndim == 2 else px.shape[2]
+        px3 = px.reshape(h, w, nch)
+
+        def rows(sub):
+            out = bytearray()
+            for y in range(sub.shape[0]):
+                if filt == 0:
+                    out += b"\x00" + sub[y].tobytes()
+                else:  # Sub filter exercises the unfilter path per pass
+                    row = sub[y].reshape(-1, nch).astype(np.int64)
+                    d = np.diff(
+                        row, axis=0, prepend=np.zeros((1, nch), np.int64)
+                    ) & 0xFF
+                    out += b"\x01" + d.astype(np.uint8).tobytes()
+            return bytes(out)
+
+        if interlace == 0:
+            raw = rows(px3.reshape(h, w * nch))
+        else:
+            raw = b""
+            for x0, y0, dx, dy in _ADAM7_PASSES:
+                sub = px3[y0::dy, x0::dx]
+                if sub.shape[0] == 0 or sub.shape[1] == 0:
+                    continue
+                raw += rows(sub.reshape(sub.shape[0], sub.shape[1] * nch))
+        out = b"\x89PNG\r\n\x1a\n" + cls._chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, interlace)
+        )
+        if palette is not None:
+            out += cls._chunk(b"PLTE", palette.tobytes())
+        return out + cls._chunk(b"IDAT", zlib.compress(raw)) + cls._chunk(b"IEND", b"")
+
+    def test_interlaced_equals_plain(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_png
+
+        rng = np.random.default_rng(5)
+        cases = [((13, 17), 0), ((13, 17, 3), 2), ((8, 8, 4), 6),
+                 ((5, 3), 0), ((1, 1), 0), ((16, 16, 2), 4)]
+        for shape, ctype in cases:
+            px = rng.integers(0, 256, shape, dtype=np.uint8)
+            for filt in (0, 1):
+                a = _decode_png(self._make_png(px, ctype, 0, filt=filt))
+                b = _decode_png(self._make_png(px, ctype, 1, filt=filt))
+                assert np.array_equal(a, b), (shape, ctype, filt)
+
+    def test_interlaced_palette(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_png
+
+        rng = np.random.default_rng(6)
+        pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+        idxs = rng.integers(0, 16, (9, 11), dtype=np.uint8)
+        a = _decode_png(self._make_png(idxs, 3, 0, palette=pal))
+        b = _decode_png(self._make_png(idxs, 3, 1, palette=pal))
+        assert np.array_equal(a, b)
+
+    def test_truncated_interlaced_rejected(self):
+        import numpy as np
+        import pytest
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_png
+
+        px = np.arange(13 * 17, dtype=np.uint8).reshape(13, 17)
+        good = self._make_png(px, 0, 1)
+        # rebuild with one pass's bytes chopped inside the zlib stream
+        import struct
+        import zlib
+
+        raw = zlib.compress(zlib.decompress(self._idat(good))[:-5])
+        out = good[: good.find(b"IDAT") - 4]
+        out += self._chunk(b"IDAT", raw) + self._chunk(b"IEND", b"")
+        with pytest.raises(ValueError):
+            _decode_png(bytes(out))
+
+    @staticmethod
+    def _idat(png):
+        import struct
+
+        pos = 8
+        while pos + 8 <= len(png):
+            ln, typ = struct.unpack(">I4s", png[pos : pos + 8])
+            if typ == b"IDAT":
+                return png[pos + 8 : pos + 8 + ln]
+            pos += 8 + ln + 4
+        raise AssertionError("no IDAT")
