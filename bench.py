@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "doc_maxsim_topk",
     "mm_image_stats",
     "mm_image_progressive",
+    "mm_image_gif",
     "mm_image_knn",
     "mm_image_neardup",
     "mm_audio_stats",

@@ -226,6 +226,262 @@ def _decode_png(payload: bytes) -> np.ndarray:
     return px[:, :, 0].astype(np.float32) / 255.0
 
 
+# GIF row-interlace passes (GIF89a spec appendix E): row starts/steps
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]:
+    """GIF variable-width LZW decompression (GIF89a appendix F).
+    Returns exactly ``n_pixels`` palette indices or raises ValueError.
+    Per-code Python loop — same correctness-over-speed stance as the
+    PNG Paeth unfilter; the compiled-codec swap boundary is
+    ``_decode_gif``."""
+    if not 2 <= min_code_size <= 11:
+        raise ValueError("gif: bad LZW minimum code size")
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out: list[int] = []
+    # bit reader over the concatenated sub-block data (LSB-first)
+    acc = 0
+    nbits = 0
+    pos = 0
+    width = min_code_size + 1
+    table: list[list[int]] = [[i] for i in range(clear)] + [[], []]
+    prev: list[int] | None = None
+    n = len(data)
+    while True:
+        while nbits < width:
+            if pos >= n:
+                raise ValueError("gif: truncated LZW stream")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [[i] for i in range(clear)] + [[], []]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: bad first LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # the KwKwK case
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("gif: LZW code out of range")
+        out.extend(entry)
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if len(out) >= n_pixels:
+            break
+    if len(out) < n_pixels:
+        raise ValueError("gif: LZW stream ended short of the image")
+    return out[:n_pixels]
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a decode (first image frame), stdlib-free pure Python +
+    numpy: header -> logical screen descriptor -> skip extensions ->
+    image descriptor -> variable-width LZW -> optional 4-pass row
+    de-interlace -> palette lookup -> float32 grayscale in [0, 1].
+    Animated GIFs yield frame 1 (the feature path is one image per
+    payload); later frames are sampling territory, like MJPEG."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a gif")
+    if len(payload) < 13:
+        raise ValueError("gif: truncated header")
+    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        ncol = 2 << (packed & 0x07)
+        end = pos + 3 * ncol
+        if end > len(payload):
+            raise ValueError("gif: truncated global color table")
+        gct = np.frombuffer(payload[pos:end], dtype=np.uint8).reshape(ncol, 3)
+        pos = end
+
+    def _skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("gif: truncated sub-blocks")
+            ln = payload[p]
+            p += 1
+            if ln == 0:
+                return p
+            p += ln
+
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("gif: truncated extension")
+            pos = _skip_subblocks(pos + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"gif: unexpected block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("gif: truncated image descriptor")
+        _l, _t, w, h, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        pos += 9
+        if w == 0 or h == 0:
+            raise ValueError("gif: empty image")
+        pal = gct
+        if ipacked & 0x80:  # local color table
+            ncol = 2 << (ipacked & 0x07)
+            end = pos + 3 * ncol
+            if end > len(payload):
+                raise ValueError("gif: truncated local color table")
+            pal = np.frombuffer(payload[pos:end], dtype=np.uint8).reshape(ncol, 3)
+            pos = end
+        if pal is None:
+            raise ValueError("gif: image without a color table")
+        if pos >= len(payload):
+            raise ValueError("gif: missing LZW code size")
+        min_code = payload[pos]
+        pos += 1
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("gif: truncated image data")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            chunks.append(payload[pos : pos + ln])
+            pos += ln
+        idx = np.asarray(
+            _gif_lzw_decode(min_code, b"".join(chunks), w * h), dtype=np.int64
+        )
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("gif: palette index out of range")
+        rows = idx.reshape(h, w)
+        if ipacked & 0x40:  # 4-pass row interlace
+            out_rows = np.zeros_like(rows)
+            r = 0
+            for start, step in _GIF_INTERLACE:
+                for y in range(start, h, step):
+                    out_rows[y] = rows[r]
+                    r += 1
+            rows = out_rows
+        rgb = pal[rows]
+        return rgb.astype(np.float32).mean(axis=2) / 255.0
+    raise ValueError("gif: no image block")
+
+
+def _gif_lzw_encode(min_code_size: int, indices) -> bytes:
+    """GIF variable-width LZW compression — the encoder twin of
+    ``_gif_lzw_decode``, used to synthesize real GIF fixtures without
+    an imaging library (same role as ``jpeg.encode_jpeg``).  The
+    decoder completes each table entry one code later than the encoder
+    creates it, so the width grows at next_code == (1<<width)+1."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    res = bytearray()
+    acc = nbits = 0
+    width = min_code_size + 1
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            res.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear)
+    prev: tuple = ()
+    for px in indices:
+        cand = prev + (int(px),)
+        if cand in table:
+            prev = cand
+            continue
+        emit(table[prev])
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4096:  # table full: reset mid-stream
+            emit(clear)
+            table = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prev = (int(px),)
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if nbits:
+        res.append(acc & 0xFF)
+    return bytes(res)
+
+
+def encode_gif(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    interlace: bool = False,
+    local_palette: bool = False,
+    version: bytes = b"GIF89a",
+) -> bytes:
+    """Encode an (h, w) palette-index image + (n, 3) palette to a real
+    single-frame GIF (variable-width LZW, optional 4-pass row
+    interlace, global or local color table)."""
+    import struct
+
+    idxs = np.asarray(indices, dtype=np.uint8)
+    palette = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    h, w = idxs.shape
+    ncol = len(palette)
+    size_bits = 0
+    while (2 << size_bits) < ncol:
+        size_bits += 1
+    pal = np.zeros((2 << size_bits, 3), dtype=np.uint8)
+    pal[:ncol] = palette
+    out = bytearray(version)
+    out += struct.pack(
+        "<HHBBB", w, h, 0 if local_palette else (0x80 | size_bits), 0, 0
+    )
+    if not local_palette:
+        out += pal.tobytes()
+    ipacked = (0x40 if interlace else 0) | (
+        (0x80 | size_bits) if local_palette else 0
+    )
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, ipacked)
+    if local_palette:
+        out += pal.tobytes()
+    rows = idxs
+    if interlace:
+        order: list[int] = []
+        for start, step in _GIF_INTERLACE:
+            order.extend(range(start, h, step))
+        rows = idxs[order]
+    min_code = max(2, size_bits + 1)
+    data = _gif_lzw_encode(min_code, rows.reshape(-1).tolist())
+    out.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
 def _resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize, pure numpy."""
     ys = (np.arange(out_h) * img.shape[0] // out_h).clip(0, img.shape[0] - 1)
@@ -234,15 +490,18 @@ def _resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
 
 
 def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
-    """Codec boundary.  PPM (P6), PNG, and baseline JPEG decode for real
-    (numpy + stdlib — see ``operators.jpeg``); anything else raises
-    unless ``fake=True`` derives a deterministic 8x8 gray image from the
-    payload bytes (pipelines stay testable end-to-end)."""
+    """Codec boundary.  PPM (P6), PNG (plain + Adam7), GIF, and JPEG
+    (baseline + progressive) decode for real (numpy + stdlib — see
+    ``operators.jpeg``); anything else raises unless ``fake=True``
+    derives a deterministic 8x8 gray image from the payload bytes
+    (pipelines stay testable end-to-end)."""
     try:
         if payload[:2] == b"P6":
             return _resize_nn(_decode_ppm(payload), 8, 8)
         if payload[:8] == b"\x89PNG\r\n\x1a\n":
             return _resize_nn(_decode_png(payload), 8, 8)
+        if payload[:6] in (b"GIF87a", b"GIF89a"):
+            return _resize_nn(_decode_gif(payload), 8, 8)
         if payload[:2] == b"\xff\xd8":
             from .jpeg import decode_jpeg
 
@@ -253,7 +512,7 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
     else:
         if not fake:
             raise NotImplementedError(
-                "unrecognized image format: supply PPM (P6), PNG, or baseline "
+                "unrecognized image format: supply PPM (P6), PNG, GIF, or "
                 "JPEG payloads, or use fake=True"
             )
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
@@ -316,6 +575,7 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
     mime = (
         F.when(magic.startswith("FFD8"), F.lit("image/jpeg"))
         .when(magic.startswith("89504E47"), F.lit("image/png"))
+        .when(magic.startswith("47494638"), F.lit("image/gif"))
         .when(magic.startswith("52494646"), F.lit("audio/wav"))
         .otherwise(F.lit("application/octet-stream"))
     )

@@ -518,6 +518,94 @@ def mm_image_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_gif_op(it):
+    """(doc_id) -> (doc_id, payload): 8x8 single-frame GIF with a
+    16-color grayscale palette g(j) = (j*17 + 5) % 256 (r=g=b) and
+    indices idx_i = (doc_id*13 + i*5 + 3) % 16; interlace and
+    local-palette modes cycle by doc_id, so the gate covers every
+    container variant (values are identical across them — GIF is
+    lossless)."""
+    import numpy as np
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.multimodal import encode_gif
+
+    pal = np.stack([(np.arange(16) * 17 + 5) % 256] * 3, axis=1).astype(np.uint8)
+    i64 = np.arange(64)
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            idxs = ((did * 13 + i64 * 5 + 3) % 16).astype(np.uint8).reshape(8, 8)
+            payloads.append(
+                encode_gif(
+                    idxs, pal,
+                    interlace=bool(did % 2),
+                    local_palette=did % 3 == 0,
+                )
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_image_gif",
+    r"""
+    WITH px AS (
+      SELECT d.doc_id, d.source,
+             CAST(FLOOR((((d.doc_id*13 + i*5 + 3) % 16) * 17 + 5) % 256
+                        / 255.0 * 10000 + 0.5) AS BIGINT) AS q
+      FROM documents d, range(64) r(i)
+    ), per_doc AS (
+      SELECT doc_id, source, SUM(q) AS s, MAX(q) AS m
+      FROM px GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_images,
+           CAST(SUM(s) AS BIGINT) AS sum_gray_q,
+           CAST(MAX(m) AS BIGINT) AS max_gray_q
+    FROM per_doc GROUP BY source
+    """,
+)
+def mm_image_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF ingest end-to-end: a deterministic single-frame GIF per
+    document (variable-width LZW for real; interlace and local-palette
+    variants cycled by doc_id) decoded through the REAL codec path
+    (multimodal._decode_gif), aggregated per source on the same 1e4
+    quantization grid as mm_image_stats.  GIF is LOSSLESS, so the
+    oracle replays the exact pixel function in SQL — the value-exact
+    counterpart to mm_image_progressive's structural oracle.  Oracle
+    boundary safety: identical r=g=b mean argument as mm_image_stats
+    (values are multiples of 1/51 on the 1e4 grid, boundary distance
+    >= 1/102 vs <= 6e-4 float32 error)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    media = _spread_ids(docs.select("doc_id")).mapInPandas(
+        _synth_gif_op, "doc_id bigint, payload binary"
+    )
+    feats = MM.decode_image_features(media, id_col="doc_id")
+    q = F.expr(
+        "transform(feature, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    per_doc = feats.select(
+        "doc_id",
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
+        F.array_max(q).alias("m"),
+    )
+    return (
+        per_doc.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.sum("s").cast("long").alias("sum_gray_q"),
+            F.max("m").cast("long").alias("max_gray_q"),
+        )
+    )
+
+
 def _synth_ppm_groups_op(it):
     """(doc_id) -> (doc_id, payload): 8x8 P6 PPM in near-dup groups of
     4 (base g = doc_id - doc_id%4, variant d = doc_id%4):

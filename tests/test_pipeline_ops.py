@@ -453,12 +453,16 @@ class TestMultimodal:
         avi = encode_mjpeg_avi([img, 255 - img])
 
         pjpg = encode_jpeg(np.tile(img, (4, 4)), restart_interval=2, progressive=True)
+        gif = TestGifDecode._make_gif(
+            (img % 8).astype(np.uint8), np.arange(24, dtype=np.uint8).reshape(8, 3)
+        )
 
         rng = random.Random(42)
         for decoder, valid in (
             (decode_jpeg, jpg),
             (decode_jpeg, pjpg),  # progressive path: same exception contract
             (MM._decode_png, png),
+            (MM._decode_gif, gif),
             (MM._decode_wav, wav),
             (decode_avi_frame_arrays, avi),
         ):
@@ -1264,3 +1268,102 @@ class TestAdam7PNG:
                 return png[pos + 8 : pos + 8 + ln]
             pos += 8 + ln + 4
         raise AssertionError("no IDAT")
+
+
+class TestGifDecode:
+    """GIF87a/89a decode (operators/multimodal._decode_gif): real
+    variable-width LZW, global/local palettes, 4-pass row interlace,
+    extension skipping — built against a from-scratch LZW encoder so
+    the round-trip is a genuine compression round-trip."""
+
+    @classmethod
+    def _make_gif(cls, idxs, palette, interlace=False, local=False,
+                  with_ext=False, version=b"GIF89a"):
+        """Wrap the library encoder (multimodal.encode_gif), optionally
+        splicing a graphic-control extension before the image
+        descriptor so the decoder's extension-skip path is covered."""
+        from pgvecto_rs_spark.operators.multimodal import encode_gif
+
+        out = encode_gif(
+            idxs, palette, interlace=interlace, local_palette=local,
+            version=version,
+        )
+        if with_ext:
+            size_bits = 0
+            while (2 << size_bits) < len(palette):
+                size_bits += 1
+            pos = 13 + (0 if local else 3 * (2 << size_bits))
+            out = out[:pos] + b"\x21\xf9\x04\x00\x00\x00\x00\x00" + out[pos:]
+        return out
+
+    def test_roundtrip_plain_and_interlaced(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_gif
+
+        rng = np.random.default_rng(9)
+        for shape in ((13, 17), (8, 8), (1, 1), (31, 5)):
+            pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+            idxs = rng.integers(0, 16, shape, dtype=np.uint8)
+            want = pal[idxs].astype(np.float32).mean(axis=2) / 255.0
+            for interlace in (False, True):
+                for local in (False, True):
+                    got = _decode_gif(
+                        self._make_gif(idxs, pal, interlace=interlace,
+                                       local=local, with_ext=True)
+                    )
+                    assert got.shape == shape
+                    assert np.allclose(got, want), (shape, interlace, local)
+
+    def test_gif87a_and_long_runs(self):
+        """GIF87a version tag + a constant image (maximal LZW run
+        compression, multiple width growths on a 64x64)."""
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_gif
+
+        pal = np.array([[0, 0, 0], [255, 255, 255], [8, 8, 8], [9, 9, 9]], np.uint8)
+        idxs = np.ones((64, 64), dtype=np.uint8)
+        got = _decode_gif(self._make_gif(idxs, pal, version=b"GIF87a"))
+        assert np.allclose(got, 1.0)
+
+    def test_through_spark_operators(self, spark):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import (
+            attach_media_metadata,
+            decode_image_features,
+        )
+
+        rng = np.random.default_rng(4)
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        idxs = rng.integers(0, 8, (8, 8), dtype=np.uint8)
+        gif = self._make_gif(idxs, pal)
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(gif))],
+            "media_id long, kind string, payload binary",
+        )
+        meta = attach_media_metadata(df).collect()[0]
+        assert meta["sniffed_mime"] == "image/gif"
+        feats = decode_image_features(df).collect()
+        assert len(feats[0]["feature"]) == 64
+        want = pal[idxs].astype(np.float32).mean(axis=2) / 255.0
+        assert feats[0]["feature"][0] == pytest.approx(float(want[0, 0]), abs=1e-6)
+
+    def test_malformed_rejected(self):
+        import numpy as np
+        import pytest
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_gif
+
+        pal = np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+        idxs = np.zeros((4, 4), dtype=np.uint8)
+        good = self._make_gif(idxs, pal)
+        for bad in (
+            b"GIF89a",                      # truncated header
+            good[:20],                      # truncated mid-stream
+            good[:6] + b"\x00" * (len(good) - 6),  # zeroed body
+            good[:-10],                     # chopped data blocks
+        ):
+            with pytest.raises(ValueError):
+                _decode_gif(bad)

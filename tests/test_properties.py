@@ -394,3 +394,113 @@ class TestGlobalRankProperties:
             )
         }
         assert got == want
+
+
+class TestProgressiveJpegProperty:
+    """Random images, sizes, modes: decode(progressive) must equal
+    decode(baseline) bit-for-bit (the scan script quantizes
+    identically) — the hypothesis twin of the fixed-case codec tests."""
+
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        color=st.booleans(),
+        sub=st.sampled_from(["444", "422", "420"]),
+        ri=st.integers(0, 3),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(**{**_SETTINGS, "max_examples": 15})
+    def test_progressive_equals_baseline(self, h, w, color, sub, ri, seed):
+        from pgvecto_rs_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+        rng = np.random.default_rng(seed)
+        img = rng.integers(
+            0, 256, (h, w, 3) if color else (h, w), dtype=np.uint8
+        )
+        kw = {"restart_interval": ri}
+        if color:
+            kw["subsample"] = sub
+        base = decode_jpeg(encode_jpeg(img, **kw))
+        prog = decode_jpeg(encode_jpeg(img, progressive=True, **kw))
+        assert base.shape == (h, w)
+        assert np.array_equal(base, prog)
+
+
+class TestAdam7Property:
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        ctype=st.sampled_from([0, 2, 4, 6]),
+        filt=st.integers(0, 1),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(**{**_SETTINGS, "max_examples": 15})
+    def test_interlaced_equals_plain(self, h, w, ctype, filt, seed):
+        from tests.test_pipeline_ops import TestAdam7PNG
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_png
+
+        nch = {0: 1, 2: 3, 4: 2, 6: 4}[ctype]
+        rng = np.random.default_rng(seed)
+        px = rng.integers(
+            0, 256, (h, w) if nch == 1 else (h, w, nch), dtype=np.uint8
+        )
+        a = _decode_png(TestAdam7PNG._make_png(px, ctype, 0, filt=filt))
+        b = _decode_png(TestAdam7PNG._make_png(px, ctype, 1, filt=filt))
+        assert np.array_equal(a, b)
+
+
+class TestBatchedBpeProperty:
+    """Random tiny corpora: bpe_train(batch=K) must match the pure-
+    Python batched-schedule model for every (rounds, K)."""
+
+    @given(
+        seed=st.integers(0, 2**31 - 1),
+        rounds=st.integers(1, 5),
+        batch=st.integers(1, 4),
+    )
+    @settings(**{**_SETTINGS, "max_examples": 6})
+    def test_matches_model(self, spark, seed, rounds, batch):
+        import random as _random
+
+        from tests.test_curation import TestBPETrain
+
+        from pgvecto_rs_spark.operators.curation import bpe_train
+
+        rng = _random.Random(seed)
+        alphabet = "abcdxyz"
+        words = [
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 25))
+        ]
+        docs = spark.createDataFrame(
+            [(1, " ".join(words))], "doc_id long, text string"
+        )
+        got = bpe_train(docs, rounds=rounds, batch=batch)
+        want, _trips = TestBPETrain._model_batched(words, rounds, batch)
+        assert got == want
+
+
+class TestGifProperty:
+    @given(
+        h=st.integers(1, 20),
+        w=st.integers(1, 20),
+        ncol=st.integers(2, 64),
+        interlace=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(**{**_SETTINGS, "max_examples": 15})
+    def test_lzw_roundtrip(self, h, w, ncol, interlace, seed):
+        from tests.test_pipeline_ops import TestGifDecode
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_gif
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+        idxs = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+        want = pal[idxs].astype(np.float32).mean(axis=2) / 255.0
+        got = _decode_gif(
+            TestGifDecode._make_gif(idxs, pal, interlace=interlace)
+        )
+        assert got.shape == (h, w)
+        assert np.allclose(got, want)
