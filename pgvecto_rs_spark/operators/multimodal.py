@@ -92,10 +92,13 @@ _ADAM7_PASSES = (
 )
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
-    """Reverse PNG scanline filtering for an (h, w, nch) image whose
-    raw stream is h rows of [filter_type | w*nch bytes].  Returns the
-    reconstructed (h, w*nch) uint8 array.
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering: ``h`` rows of
+    [filter_type | ``stride`` bytes], where ``bpp`` is the filter's
+    byte distance to the pixel to the left (ceil(channels*depth/8),
+    min 1 — PNG spec 9.2).  Returns the reconstructed (h, stride)
+    uint8 byte array; sample unpacking (sub-byte depths, 16-bit) is
+    the caller's job.
 
     None (0) / Up (2) are whole-row numpy ops (uint8 addition wraps
     mod 256 by definition); Sub (1) is a per-channel cumulative sum
@@ -104,18 +107,16 @@ def _png_unfilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
     reconstructed left neighbor through a >>1 / min — no prefix-sum
     form), so they run as Python-list loops: scalar list ops are ~15x
     faster than the numpy-scalar indexing this used previously."""
-    stride = w * nch
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     ftypes = arr[:, 0]
     out = np.zeros((h, stride), dtype=np.uint8)
-    bpp = nch
     for y in range(h):
         ft = int(ftypes[y])
         raw_row = arr[y, 1:]
         if ft == 0:
             out[y] = raw_row
-        elif ft == 1:  # Sub: cumsum over pixels within each channel
-            ch = raw_row.astype(np.int64).reshape(w, bpp)
+        elif ft == 1:  # Sub: cumsum over pixels within each byte lane
+            ch = raw_row.astype(np.int64).reshape(-1, bpp)
             out[y] = (np.cumsum(ch, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
         elif ft == 2:  # Up
             out[y] = raw_row + (out[y - 1] if y else 0)
@@ -143,18 +144,54 @@ def _png_unfilter(raw: bytes, h: int, w: int, nch: int) -> np.ndarray:
     return out
 
 
+def _png_subimage(raw: bytes, h: int, w: int, nch: int, depth: int) -> np.ndarray:
+    """Unfilter + unpack one (sub-)image: returns (h, w, nch) samples —
+    uint8 for depths 1/2/4/8, uint16 for depth 16.  Scanlines are
+    ceil(w*nch*depth/8) bytes; sub-byte rows pad to a byte boundary
+    (PNG spec 7.2) and the pad bits are discarded here."""
+    sl_bytes = (w * nch * depth + 7) // 8
+    bpp = max(1, (nch * depth + 7) // 8)
+    if len(raw) != h * (sl_bytes + 1):
+        raise ValueError("png: IDAT length does not match dimensions")
+    out = _png_unfilter(raw, h, sl_bytes, bpp)
+    if depth == 8:
+        return out.reshape(h, w, nch)
+    if depth == 16:
+        wide = (out[:, 0::2].astype(np.uint16) << 8) | out[:, 1::2]
+        return wide.reshape(h, w, nch)
+    # depths 1/2/4: MSB-first bit groups, row-padded to whole bytes
+    bits = np.unpackbits(out, axis=1)[:, : w * nch * depth]
+    groups = bits.reshape(h, w * nch, depth).astype(np.uint8)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (groups * weights[None, None, :]).sum(axis=2, dtype=np.uint8).reshape(
+        h, w, nch
+    )
+
+
+# legal (color type -> bit depths) combinations, PNG spec table 11.1
+_PNG_DEPTHS = {
+    0: (1, 2, 4, 8, 16),
+    2: (8, 16),
+    3: (1, 2, 4, 8),
+    4: (8, 16),
+    6: (8, 16),
+}
+
+
 def _decode_png(payload: bytes) -> np.ndarray:
     """PNG decode, stdlib zlib + numpy — a REAL compressed-image codec
     (no external imaging library): chunk walk -> inflate IDAT ->
     per-scanline unfilter (types 0-4) -> float32 grayscale in [0, 1].
-    Supports bit depth 8, color types 0 (gray), 2 (RGB), 3 (palette),
-    4 (gray+alpha), 6 (RGBA), both non-interlaced and Adam7-interlaced
-    (7 independently-filtered passes scattered back — the web-crawl
-    long tail, same rationale as progressive JPEG).  Sub/Average/Paeth
-    unfiltering is per-pixel sequential by definition (each byte depends
-    on the reconstructed left neighbor) — correctness over speed here;
-    bulk image pipelines at scale would swap in a compiled codec at this
-    function boundary exactly as the module docstring describes."""
+    Supports every legal (color type, bit depth) combination of the
+    spec — gray 1/2/4/8/16, RGB 8/16, palette 1/2/4/8, gray+alpha and
+    RGBA 8/16 — both non-interlaced and Adam7-interlaced (7
+    independently-filtered passes scattered back; interlace and
+    sub-byte depths are the web-crawl long tail, same rationale as
+    progressive JPEG).  Sub/Average/Paeth unfiltering is per-pixel
+    sequential by definition (each byte depends on the reconstructed
+    left neighbor) — correctness over speed here; bulk image pipelines
+    at scale would swap in a compiled codec at this function boundary
+    exactly as the module docstring describes."""
     import struct
     import zlib
 
@@ -183,35 +220,31 @@ def _decode_png(payload: bytes) -> np.ndarray:
             break
     if w is None:
         raise ValueError("png: missing IHDR")
-    if depth != 8 or interlace not in (0, 1):
-        raise NotImplementedError("png: only 8-bit depth supported")
+    if interlace not in (0, 1):
+        raise NotImplementedError(f"png: unknown interlace method {interlace}")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None:
         raise ValueError(f"png: bad color type {ctype}")
-    stride = w * nch
+    if depth not in _PNG_DEPTHS[ctype]:
+        raise ValueError(f"png: illegal depth {depth} for color type {ctype}")
     try:
         raw = zlib.decompress(idat)
     except zlib.error as e:
         raise ValueError(f"png: corrupt IDAT stream ({e})") from e
     if interlace == 0:
-        if len(raw) != h * (stride + 1):
-            raise ValueError("png: IDAT length does not match dimensions")
-        px = _png_unfilter(raw, h, w, nch).reshape(h, w, nch)
+        px = _png_subimage(raw, h, w, nch, depth)
     else:  # Adam7: 7 independently-filtered sub-images, scattered back
-        px = np.zeros((h, w, nch), dtype=np.uint8)
+        px = np.zeros((h, w, nch), dtype=np.uint16 if depth == 16 else np.uint8)
         off = 0
         for x0, y0, dx, dy in _ADAM7_PASSES:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue
-            need = ph * (pw * nch + 1)
+            need = ph * (((pw * nch * depth + 7) // 8) + 1)
             sub = raw[off : off + need]
             off += need
-            if len(sub) != need:
-                raise ValueError("png: IDAT length does not match dimensions")
-            rec = _png_unfilter(sub, ph, pw, nch)
-            px[y0::dy, x0::dx] = rec.reshape(ph, pw, nch)
+            px[y0::dy, x0::dx] = _png_subimage(sub, ph, pw, nch, depth)
         if off != len(raw):
             raise ValueError("png: IDAT length does not match dimensions")
     if ctype == 3:
@@ -219,11 +252,14 @@ def _decode_png(payload: bytes) -> np.ndarray:
             raise ValueError("png: palette image without PLTE")
         if px.size and int(px[:, :, 0].max()) >= len(palette):
             raise ValueError("png: palette index out of range")
-        px = palette[px[:, :, 0]]
+        px = palette[px[:, :, 0]]  # palette entries are 8-bit RGB
         nch = 3
+        maxv = 255.0
+    else:
+        maxv = float((1 << depth) - 1)
     if nch >= 3:
-        return px[:, :, :3].astype(np.float32).mean(axis=2) / 255.0
-    return px[:, :, 0].astype(np.float32) / 255.0
+        return px[:, :, :3].astype(np.float32).mean(axis=2) / np.float32(maxv)
+    return px[:, :, 0].astype(np.float32) / np.float32(maxv)
 
 
 # GIF row-interlace passes (GIF89a spec appendix E): row starts/steps

@@ -1367,3 +1367,153 @@ class TestGifDecode:
         ):
             with pytest.raises(ValueError):
                 _decode_gif(bad)
+
+
+class TestPngBitDepths:
+    """PNG bit depths beyond 8 (spec table 11.1): gray 1/2/4/16,
+    RGB/RGBA 16, palette 1/2/4 — unfilter runs on bytes with
+    bpp = ceil(channels*depth/8), samples unpack MSB-first."""
+
+    @staticmethod
+    def _chunk(typ, data):
+        import struct
+        import zlib
+
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    @classmethod
+    def _make_png(cls, samples, ctype, depth, palette=None, filters=(0,)):
+        """samples: (h, w, nch) ints < 2^depth; rows filtered with
+        ``filters[y % len]`` (0=None, 1=Sub, 2=Up on raw bytes)."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        h, w, nch = samples.shape
+        bpp = max(1, (nch * depth + 7) // 8)
+        rows = []
+        for y in range(h):
+            flat = samples[y].reshape(-1).astype(np.uint16)
+            if depth == 16:
+                b = np.zeros(len(flat) * 2, dtype=np.uint8)
+                b[0::2] = flat >> 8
+                b[1::2] = flat & 0xFF
+            elif depth == 8:
+                b = flat.astype(np.uint8)
+            else:
+                bits = (
+                    (flat[:, None] >> np.arange(depth - 1, -1, -1)[None, :]) & 1
+                ).reshape(-1).astype(np.uint8)
+                b = np.packbits(bits)
+            rows.append(b)
+        raw = bytearray()
+        prev = np.zeros(len(rows[0]), dtype=np.int32)
+        for y, b in enumerate(rows):
+            ft = filters[y % len(filters)]
+            line = b.astype(np.int32)
+            if ft == 0:
+                enc = line
+            elif ft == 1:
+                enc = line.copy()
+                enc[bpp:] = (line[bpp:] - line[:-bpp]) % 256
+            else:
+                enc = (line - prev) % 256
+            raw += bytes([ft]) + enc.astype(np.uint8).tobytes()
+            prev = line
+        out = b"\x89PNG\r\n\x1a\n" + cls._chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 0)
+        )
+        if palette is not None:
+            out += cls._chunk(b"PLTE", palette.astype(np.uint8).tobytes())
+        return out + cls._chunk(b"IDAT", zlib.compress(bytes(raw))) + cls._chunk(b"IEND", b"")
+
+    def test_gray_subbyte_and_16bit(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_png
+
+        rng = np.random.default_rng(11)
+        for depth in (1, 2, 4, 16):
+            maxv = (1 << depth) - 1
+            px = rng.integers(0, maxv + 1, (9, 13, 1)).astype(np.uint16)
+            for filters in ((0,), (0, 2), (1, 2)) if depth == 16 else ((0,), (0, 2), (1,)):
+                got = _decode_png(self._make_png(px, 0, depth, filters=filters))
+                want = px[:, :, 0].astype(np.float32) / np.float32(maxv)
+                assert got.shape == (9, 13)
+                assert np.allclose(got, want), (depth, filters)
+
+    def test_rgb_and_rgba_16bit(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_png
+
+        rng = np.random.default_rng(12)
+        for ctype, nch in ((2, 3), (6, 4)):
+            px = rng.integers(0, 65536, (7, 5, nch)).astype(np.uint16)
+            got = _decode_png(self._make_png(px, ctype, 16, filters=(0, 1, 2)))
+            want = px[:, :, :3].astype(np.float32).mean(axis=2) / np.float32(65535)
+            assert np.allclose(got, want, atol=1e-6), ctype
+
+    def test_palette_subbyte(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_png
+
+        rng = np.random.default_rng(13)
+        for depth in (1, 2, 4):
+            ncol = 1 << depth
+            pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+            idxs = rng.integers(0, ncol, (6, 11, 1)).astype(np.uint16)
+            got = _decode_png(self._make_png(idxs, 3, depth, palette=pal))
+            want = pal[idxs[:, :, 0]].astype(np.float32).mean(axis=2) / 255.0
+            assert np.allclose(got, want, atol=1e-6), depth
+
+    def test_illegal_combination_rejected(self):
+        import numpy as np
+        import pytest
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_png
+
+        px = np.zeros((4, 4, 3), dtype=np.uint16)
+        with pytest.raises(ValueError, match="illegal depth"):
+            _decode_png(self._make_png(px, 2, 4))  # RGB at depth 4
+
+    def test_interlaced_subbyte_gray(self):
+        """Adam7 x depth-4 gray: each pass's scanlines pack and pad to
+        byte boundaries independently."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import (
+            _ADAM7_PASSES,
+            _decode_png,
+        )
+
+        rng = np.random.default_rng(14)
+        h, w, depth = 11, 13, 4
+        px = rng.integers(0, 16, (h, w), dtype=np.uint8)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for y in range(sub.shape[0]):
+                bits = (
+                    (sub[y][:, None] >> np.arange(depth - 1, -1, -1)[None, :]) & 1
+                ).reshape(-1).astype(np.uint8)
+                raw += b"\x00" + np.packbits(bits).tobytes()
+        out = b"\x89PNG\r\n\x1a\n" + self._chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 1)
+        )
+        out += self._chunk(b"IDAT", zlib.compress(bytes(raw)))
+        out += self._chunk(b"IEND", b"")
+        got = _decode_png(out)
+        assert np.allclose(got, px.astype(np.float32) / np.float32(15))
