@@ -8,15 +8,18 @@ objects one at a time, and partition sizing (``target_batch_bytes``)
 keeps executor memory bounded at 100 TB.
 
 Codec layer: formats decodable without external libraries are REAL —
-PPM (P6) images decode and resize in numpy, PNG decodes via stdlib
-zlib + numpy scanline unfiltering (8-bit gray/RGB/palette/alpha),
-baseline JPEG decodes via ``operators.jpeg`` (pure numpy Huffman +
-IDCT, 4:4:4/4:2:2/4:2:0, restart markers), PCM WAV audio decodes via
-the stdlib ``wave`` module with numpy spectral features, and MJPEG AVI
-video frame-samples via a stdlib RIFF walk (``operators.video``).
-Inter-frame codecs (H.264/MP4) need ffmpeg — absent from this
-runtime — and raise ``NotImplementedError`` unless a deterministic
-fake is requested; the
+PPM (P6) images decode and resize in numpy; PNG decodes via stdlib
+zlib + numpy scanline unfiltering (every legal color-type x bit-depth
+pair, plain and Adam7-interlaced); GIF87a/89a decodes via a pure
+variable-width LZW (global/local palettes, row interlace); JPEG —
+baseline AND progressive (SOF2) — decodes via ``operators.jpeg``
+(pure numpy Huffman + IDCT, 4:4:4/4:2:2/4:2:0, restart markers); WAV
+audio decodes via an own RIFF walk (integer PCM 8/16/24/32, IEEE
+float 32/64, G.711 mu-law/A-law, WAVE_FORMAT_EXTENSIBLE) with numpy
+spectral features; and MJPEG AVI video frame-samples via a stdlib
+RIFF walk (``operators.video``).  Inter-frame codecs (H.264/MP4)
+need ffmpeg — absent from this runtime — and raise
+``NotImplementedError`` unless a deterministic fake is requested; the
 Spark-side contract — schemas, batching, UDF signatures, partitioning —
 is identical either way, so swapping in a compiled codec later touches
 only the ``_decode_*`` functions.
@@ -24,9 +27,7 @@ only the ``_decode_*`` functions.
 
 from __future__ import annotations
 
-import io
 import struct
-import wave
 from collections.abc import Iterator
 
 import numpy as np
@@ -555,50 +556,136 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
     return h.reshape(8, 8) / 255.0
 
 
+def _g711_luts() -> tuple[np.ndarray, np.ndarray]:
+    """(mu-law, A-law) 256-entry decode tables to linear int16 —
+    canonical CCITT G.711 expansion."""
+    mu = np.empty(256, dtype=np.int64)
+    al = np.empty(256, dtype=np.int64)
+    for i in range(256):
+        u = ~i & 0xFF
+        t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+        mu[i] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+        a = i ^ 0x55
+        s = (a & 0x0F) << 4
+        seg = (a & 0x70) >> 4
+        if seg == 0:
+            s += 8
+        elif seg == 1:
+            s += 0x108
+        else:
+            s = (s + 0x108) << (seg - 1)
+        al[i] = s if (a & 0x80) else -s
+    return mu, al
+
+
+_MULAW_LUT, _ALAW_LUT = _g711_luts()
+
+
 def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int, int]:
-    """PCM WAV decode via the stdlib wave module: returns (mono float64
+    """WAV decode (own RIFF walk, numpy): returns (mono float64
     waveform in [-1, 1], sample_rate, sample_width_bytes, n_channels).
 
-    The sample width and channel count come from the header so integer-
-    exact consumers can pick the PCM scale (128 for 8-bit, 32768 for
-    16-bit) without inferring it from content — a 16-bit clip whose
+    Formats: PCM (tag 1; 8/16/24/32-bit), IEEE float (tag 3; 32/64),
+    G.711 mu-law / A-law (tags 7/6), and WAVE_FORMAT_EXTENSIBLE
+    (tag 0xFFFE) wrapping any of those — the real-corpus audio
+    container zoo; anything else raises NotImplementedError.
+
+    The returned width drives integer-exact consumers
+    (``_pcm_int_samples``): bytes-per-sample for PCM, 2 for the G.711
+    codecs (they expand to exact int16), and 0 for float formats
+    (samples are not exact at any integer scale).  A 16-bit clip whose
     samples all happen to be multiples of 256 (quiet/quantized audio,
-    including -32768) would otherwise be mis-scaled by 2^8."""
-    try:
-        with wave.open(io.BytesIO(payload), "rb") as w:
-            rate = w.getframerate()
-            n = w.getnframes()
-            width = w.getsampwidth()
-            channels = w.getnchannels()
-            raw = w.readframes(n)
-    except (wave.Error, EOFError, RuntimeError, struct.error) as e:
-        # the stdlib wave module leaks a zoo of exception types on
-        # malformed RIFF structure; ingest-side callers need the
-        # single documented ValueError contract
-        raise ValueError(f"wav: malformed payload ({e})") from e
-    if width == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    elif width == 1:
-        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    including -32768) would be mis-scaled by any content-based
+    inference — the header decides."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (ln,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + ln]
+        if len(body) < ln:
+            raise ValueError("wav: truncated chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt/data chunk")
+    if len(fmt) < 16:
+        raise ValueError("wav: truncated fmt chunk")
+    tag, channels, rate, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if tag == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE: real tag leads the GUID
+        if len(fmt) < 26:
+            raise ValueError("wav: truncated extensible fmt chunk")
+        (tag,) = struct.unpack("<H", fmt[24:26])
+    if channels < 1 or rate < 1:
+        raise ValueError("wav: bad fmt fields")
+    if tag == 1:  # integer PCM
+        width = bits // 8
+        if bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+        elif bits == 16:
+            n = len(data) // 2
+            x = np.frombuffer(data[: 2 * n], dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            n = len(data) // 3
+            b = np.frombuffer(data[: 3 * n], dtype=np.uint8).reshape(n, 3).astype(np.int64)
+            v = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)
+            v -= (v >> 23) << 24  # sign-extend
+            x = v.astype(np.float64) / float(1 << 23)
+        elif bits == 32:
+            n = len(data) // 4
+            x = np.frombuffer(data[: 4 * n], dtype="<i4").astype(np.float64) / float(1 << 31)
+        else:
+            raise NotImplementedError(f"{bits}-bit PCM WAV not supported")
+    elif tag == 3:  # IEEE float
+        width = 0  # not integer-exact at any scale
+        if bits == 32:
+            n = len(data) // 4
+            x = np.frombuffer(data[: 4 * n], dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            n = len(data) // 8
+            x = np.frombuffer(data[: 8 * n], dtype="<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"{bits}-bit float WAV not supported")
+        x = np.clip(x, -1.0, 1.0)
+    elif tag in (6, 7):  # G.711 A-law / mu-law
+        if bits not in (0, 8):
+            raise ValueError("wav: G.711 requires 8-bit samples")
+        lut = _ALAW_LUT if tag == 6 else _MULAW_LUT
+        x = lut[np.frombuffer(data, dtype=np.uint8)].astype(np.float64) / 32768.0
+        width = 2  # expands to exact int16
     else:
-        raise NotImplementedError(f"{8 * width}-bit WAV not supported")
+        raise NotImplementedError(f"wav: format tag {tag} not supported")
     if channels > 1:
-        x = x.reshape(-1, channels).mean(axis=1)
+        frames = len(x) // channels
+        x = x[: frames * channels].reshape(-1, channels).mean(axis=1)
     return x, rate, width, channels
 
 
 def _pcm_int_samples(x: np.ndarray, width: int, channels: int) -> np.ndarray:
     """Exact integer PCM samples from the [-1, 1] float waveform, scale
-    chosen by the HEADER sample width (width==1 -> s/128, width==2 ->
-    s/32768).  Multi-channel clips are rejected: the mean downmix of
-    integer channel samples need not be an integer at that scale, which
-    would silently break the integer-exact oracle contract."""
+    chosen by the HEADER sample width (width==1 -> s/128, else
+    s/2^(8*width-1); G.711 decodes report width 2 and are exact at
+    32768).  Float WAVs report width 0 and are rejected — their samples
+    are not exact at any integer scale.  Multi-channel clips are
+    rejected: the mean downmix of integer channel samples need not be
+    an integer at that scale, which would silently break the
+    integer-exact oracle contract."""
     if channels > 1:
         raise NotImplementedError(
             "integer-exact audio stats require mono PCM; "
             f"got {channels} channels (downmixed means are not integers)"
         )
-    scale = 128.0 if width == 1 else 32768.0
+    if width < 1:
+        raise NotImplementedError(
+            "integer-exact audio stats require integer PCM (float WAV given)"
+        )
+    scale = 128.0 if width == 1 else float(1 << (8 * width - 1))
     s = x * scale
     return np.rint(s).astype(np.int64)
 

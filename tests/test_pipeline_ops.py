@@ -1517,3 +1517,125 @@ class TestPngBitDepths:
         out += self._chunk(b"IEND", b"")
         got = _decode_png(out)
         assert np.allclose(got, px.astype(np.float32) / np.float32(15))
+
+
+class TestWavFormats:
+    """_decode_wav's own RIFF walk: integer PCM 8/16/24/32, IEEE float
+    32/64, G.711 mu-law/A-law (vs stdlib audioop as the independent
+    oracle), WAVE_FORMAT_EXTENSIBLE, word-aligned odd chunks."""
+
+    @staticmethod
+    def _wav(tag, channels, rate, bits, data, extensible=False):
+        import struct
+
+        if extensible:
+            ext = struct.pack("<HHIIHH", 0xFFFE, channels, rate,
+                              rate * channels * max(1, bits // 8),
+                              channels * max(1, bits // 8), bits)
+            # cbSize, wValidBitsPerSample, dwChannelMask, then the
+            # SubFormat GUID whose first two bytes are the real tag
+            ext += struct.pack("<HHIH", 22, bits, (1 << channels) - 1, tag)
+            ext += b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+            fmt = ext
+        else:
+            fmt = struct.pack("<HHIIHH", tag, channels, rate,
+                              rate * channels * max(1, bits // 8),
+                              channels * max(1, bits // 8), bits)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if len(fmt) % 2:
+            chunks += b"\x00"
+        chunks += b"data" + struct.pack("<I", len(data)) + data
+        if len(data) % 2:
+            chunks += b"\x00"
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def test_pcm_widths(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_wav
+
+        vals = [-32768, -256, -1, 0, 1, 255, 32767]
+        x, rate, width, ch = _decode_wav(
+            self._wav(1, 1, 8000, 16, np.array(vals, "<i2").tobytes())
+        )
+        assert (rate, width, ch) == (8000, 2, 1)
+        assert np.allclose(x, np.array(vals) / 32768.0)
+
+        v24 = [-(1 << 23), -1, 0, 1, (1 << 23) - 1]
+        raw = b"".join(int(v).to_bytes(3, "little", signed=True) for v in v24)
+        x, _r, width, _c = _decode_wav(self._wav(1, 1, 8000, 24, raw))
+        assert width == 3
+        assert np.allclose(x, np.array(v24) / float(1 << 23))
+
+        v32 = [-(1 << 31), 0, (1 << 31) - 1]
+        x, _r, width, _c = _decode_wav(
+            self._wav(1, 1, 8000, 32, np.array(v32, "<i4").tobytes())
+        )
+        assert width == 4
+        assert np.allclose(x, np.array(v32) / float(1 << 31))
+
+    def test_ieee_float(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import (
+            _decode_wav,
+            _pcm_int_samples,
+        )
+
+        vals = np.array([-1.5, -0.25, 0.0, 0.5, 2.0], dtype="<f4")
+        x, _r, width, ch = _decode_wav(self._wav(3, 1, 16000, 32, vals.tobytes()))
+        assert width == 0
+        assert np.allclose(x, np.clip(vals.astype(np.float64), -1, 1))
+        import pytest
+
+        with pytest.raises(NotImplementedError, match="float WAV"):
+            _pcm_int_samples(x, width, ch)
+        x64, _r, w64, _c = _decode_wav(
+            self._wav(3, 1, 16000, 64, vals.astype("<f8").tobytes())
+        )
+        assert w64 == 0 and np.allclose(x64, np.clip(vals, -1, 1))
+
+    def test_g711_vs_audioop(self):
+        """Every code point 0..255 of both laws against the stdlib
+        audioop expansion (deprecated but present on 3.11)."""
+        import numpy as np
+        import pytest
+
+        audioop = pytest.importorskip("audioop")
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_wav
+
+        codes = bytes(range(256))
+        for tag, fn in ((7, audioop.ulaw2lin), (6, audioop.alaw2lin)):
+            x, _r, width, _c = _decode_wav(self._wav(tag, 1, 8000, 8, codes))
+            assert width == 2
+            want = np.frombuffer(fn(codes, 2), dtype="<i2").astype(np.float64)
+            assert np.array_equal(x * 32768.0, want), tag
+
+    def test_extensible_and_stereo(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_wav
+
+        vals = np.array([0, 16384, -16384, 32767], "<i2")  # L R L R
+        x, _r, width, ch = _decode_wav(
+            self._wav(1, 2, 44100, 16, vals.tobytes(), extensible=True)
+        )
+        assert (width, ch) == (2, 2)
+        assert np.allclose(x, [(0 + 16384) / 32768.0 / 2, (-16384 + 32767) / 32768.0 / 2])
+
+    def test_malformed_and_unsupported(self):
+        import pytest
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_wav
+
+        with pytest.raises(ValueError):
+            _decode_wav(b"RIFFxxxxWAVE")  # no chunks
+        with pytest.raises(ValueError):
+            _decode_wav(b"OggS" + b"\x00" * 40)
+        with pytest.raises(NotImplementedError, match="format tag"):
+            _decode_wav(self._wav(2, 1, 8000, 4, b"\x00\x00"))  # ADPCM
+        # truncated chunk body
+        good = self._wav(1, 1, 8000, 16, b"\x00\x00\x01\x00")
+        with pytest.raises(ValueError):
+            _decode_wav(good[:-3])
