@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "mm_audio_stats",
     "mm_audio_neardup",
     "mm_video_frames",
+    "mm_gif_frames",
     "events_hourly",
     "events_sessions",
     "events_asof",

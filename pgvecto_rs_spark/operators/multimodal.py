@@ -326,20 +326,24 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> list[int]
     return out[:n_pixels]
 
 
-def _decode_gif(payload: bytes) -> np.ndarray:
-    """GIF87a/89a decode (first image frame), stdlib-free pure Python +
-    numpy: header -> logical screen descriptor -> skip extensions ->
-    image descriptor -> variable-width LZW -> optional 4-pass row
-    de-interlace -> palette lookup -> float32 grayscale in [0, 1].
-    Animated GIFs yield frame 1 (the feature path is one image per
-    payload); later frames are sampling territory, like MJPEG."""
+def _gif_frames(payload: bytes):
+    """Yield (frame_no, composited full-canvas RGB uint8 array) for a
+    GIF87a/89a still or animation, stdlib-free pure Python + numpy:
+    variable-width LZW per image block, optional 4-pass row
+    de-interlace, graphic-control-extension transparency, and disposal
+    methods 0/1 (leave), 2 (restore background), 3 (restore previous)
+    — GIF89a spec 23.  The canvas starts as the background color (or
+    black when the screen has no global color table), a documented
+    deterministic choice where renderers differ."""
     import struct
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a gif")
     if len(payload) < 13:
         raise ValueError("gif: truncated header")
-    _sw, _sh, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    sw, sh, packed, bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    if sw == 0 or sh == 0:
+        raise ValueError("gif: empty logical screen")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -349,35 +353,51 @@ def _decode_gif(payload: bytes) -> np.ndarray:
             raise ValueError("gif: truncated global color table")
         gct = np.frombuffer(payload[pos:end], dtype=np.uint8).reshape(ncol, 3)
         pos = end
-
-    def _skip_subblocks(p: int) -> int:
-        while True:
-            if p >= len(payload):
-                raise ValueError("gif: truncated sub-blocks")
-            ln = payload[p]
-            p += 1
-            if ln == 0:
-                return p
-            p += ln
+    bg_rgb = (
+        gct[bg] if gct is not None and bg < len(gct) else np.zeros(3, np.uint8)
+    )
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    disposal = 0
+    transparent: int | None = None
+    frame_no = 0
 
     while pos < len(payload):
         block = payload[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
-            break
+        if block == 0x3B:  # trailer
+            return
         if block == 0x21:  # extension: label + sub-blocks
             if pos >= len(payload):
                 raise ValueError("gif: truncated extension")
-            pos = _skip_subblocks(pos + 1)
+            label = payload[pos]
+            p = pos + 1
+            first = True
+            while True:
+                if p >= len(payload):
+                    raise ValueError("gif: truncated sub-blocks")
+                ln = payload[p]
+                p += 1
+                if ln == 0:
+                    break
+                if label == 0xF9 and first and ln >= 4:
+                    gpacked = payload[p]
+                    disposal = (gpacked >> 2) & 0x7
+                    transparent = payload[p + 3] if gpacked & 1 else None
+                first = False
+                p += ln
+            pos = p
             continue
         if block != 0x2C:
             raise ValueError(f"gif: unexpected block 0x{block:02x}")
         if pos + 9 > len(payload):
             raise ValueError("gif: truncated image descriptor")
-        _l, _t, w, h, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", payload[pos : pos + 9])
         pos += 9
         if w == 0 or h == 0:
             raise ValueError("gif: empty image")
+        if left + w > sw or top + h > sh:
+            raise ValueError("gif: image escapes the logical screen")
         pal = gct
         if ipacked & 0x80:  # local color table
             ncol = 2 << (ipacked & 0x07)
@@ -416,8 +436,31 @@ def _decode_gif(payload: bytes) -> np.ndarray:
                     out_rows[y] = rows[r]
                     r += 1
             rows = out_rows
+        prev_canvas = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
         rgb = pal[rows]
-        return rgb.astype(np.float32).mean(axis=2) / 255.0
+        if transparent is not None:
+            mask = rows != transparent
+            region[mask] = rgb[mask]
+        else:
+            region[:] = rgb
+        yield frame_no, canvas.copy()
+        frame_no += 1
+        if disposal == 2:
+            canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3 and prev_canvas is not None:
+            canvas = prev_canvas
+        disposal = 0
+        transparent = None
+    raise ValueError("gif: missing trailer")
+
+
+def _decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a decode (first composited frame) -> float32 grayscale
+    in [0, 1].  Later frames of an animation are sampling territory
+    (``sample_video_frames`` handles GIF payloads), like MJPEG."""
+    for _no, canvas in _gif_frames(payload):
+        return canvas.astype(np.float32).mean(axis=2) / 255.0
     raise ValueError("gif: no image block")
 
 
@@ -516,6 +559,57 @@ def encode_gif(
         out.append(len(chunk))
         out += chunk
     out += b"\x00\x3b"
+    return bytes(out)
+
+
+def encode_gif_animation(
+    frames: "list[dict]",
+    palette: np.ndarray,
+    screen_hw: tuple[int, int],
+    bg_index: int = 0,
+) -> bytes:
+    """Encode a multi-frame GIF89a animation for fixtures.  Each frame
+    is a dict: ``indices`` (h, w) palette indices, optional ``left`` /
+    ``top`` placement (default 0), ``disposal`` (0/1/2/3, default 0),
+    ``transparent`` index (default None), ``delay_cs`` (default 4).
+    One global color table; every frame gets a graphic control
+    extension."""
+    import struct
+
+    palette = np.asarray(palette, dtype=np.uint8).reshape(-1, 3)
+    ncol = len(palette)
+    size_bits = 0
+    while (2 << size_bits) < ncol:
+        size_bits += 1
+    pal = np.zeros((2 << size_bits, 3), dtype=np.uint8)
+    pal[:ncol] = palette
+    sh, sw = screen_hw
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | size_bits, bg_index, 0)
+    out += pal.tobytes()
+    min_code = max(2, size_bits + 1)
+    for fr in frames:
+        idxs = np.asarray(fr["indices"], dtype=np.uint8)
+        h, w = idxs.shape
+        transparent = fr.get("transparent")
+        gpacked = ((fr.get("disposal", 0) & 0x7) << 2) | (
+            1 if transparent is not None else 0
+        )
+        out += b"\x21\xf9\x04" + struct.pack(
+            "<BHB", gpacked, fr.get("delay_cs", 4),
+            transparent if transparent is not None else 0,
+        ) + b"\x00"
+        out += b"\x2c" + struct.pack(
+            "<HHHHB", fr.get("left", 0), fr.get("top", 0), w, h, 0
+        )
+        data = _gif_lzw_encode(min_code, idxs.reshape(-1).tolist())
+        out.append(min_code)
+        for i in range(0, len(data), 255):
+            chunk = data[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
     return bytes(out)
 
 
@@ -1101,13 +1195,16 @@ def sample_video_frames(
 ) -> DataFrame:
     """(id, frame_no, frame_payload): frame sampling.  MJPEG AVI
     payloads decode for REAL (stdlib RIFF walk, ``operators.video``) —
-    each emitted frame_payload is an independent baseline JPEG that
-    ``decode_image_features`` can consume downstream.  Other containers
-    (H.264/MP4) need ffmpeg and raise unless ``fake=True`` treats the
-    payload as concatenated 64-byte 'frames'.  One input row fans out
-    to n_frames/every_n rows; mapInPandas keeps the fan-out inside
-    Arrow batches.  ``on_error``: "raise" (default) or "null" (drop
-    malformed/unsupported payloads, like NULL payloads)."""
+    each emitted frame_payload is an independent baseline JPEG — and so
+    do animated GIFs: frames composite through disposal/transparency
+    (``_gif_frames``) and each sampled full-canvas frame is emitted as
+    a P6 PPM payload; either way ``decode_image_features`` consumes the
+    output downstream.  Other containers (H.264/MP4) need ffmpeg and
+    raise unless ``fake=True`` treats the payload as concatenated
+    64-byte 'frames'.  One input row fans out to n_frames/every_n rows;
+    mapInPandas keeps the fan-out inside Arrow batches.  ``on_error``:
+    "raise" (default) or "null" (drop malformed/unsupported payloads,
+    like NULL payloads)."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     skip = on_error == "null"
@@ -1135,12 +1232,32 @@ def sample_video_frames(
                             frames.append(fno)
                             payloads.append(jpeg)
                     continue
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    got: list[tuple[int, bytes]] = []
+                    try:
+                        for fno, canvas in _gif_frames(raw):
+                            if fno % every_n == 0:
+                                fh, fw = canvas.shape[:2]
+                                got.append((
+                                    fno,
+                                    f"P6\n{fw} {fh}\n255\n".encode()
+                                    + canvas.tobytes(),
+                                ))
+                    except (ValueError, NotImplementedError):
+                        if skip:
+                            continue  # drop the whole payload, not half
+                        raise
+                    for fno, ppm in got:
+                        ids.append(int(mid))
+                        frames.append(fno)
+                        payloads.append(ppm)
+                    continue
                 if not fake:
                     if skip:
                         continue
                     raise NotImplementedError(
-                        "only MJPEG AVI decodes without ffmpeg; use fake=True "
-                        "for other containers"
+                        "only MJPEG AVI and animated GIF decode without "
+                        "ffmpeg; use fake=True for other containers"
                     )
                 n_frames = max(1, len(raw) // 64)
                 for fno in range(0, n_frames, every_n):

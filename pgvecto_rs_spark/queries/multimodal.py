@@ -606,6 +606,100 @@ def mm_image_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_gif_anim_op(it):
+    """(doc_id) -> (doc_id, payload): animated GIF with
+    nf = 1 + doc_id % 4 full-screen 8x8 frames; frame f's indices are
+    (doc_id*13 + f*7 + i*5 + 3) % 16 over the same 16-gray palette as
+    _synth_gif_op.  Full-screen opaque frames make every composited
+    canvas equal its own frame — value-exact under sampling."""
+    import numpy as np
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.multimodal import encode_gif_animation
+
+    pal = np.stack([(np.arange(16) * 17 + 5) % 256] * 3, axis=1).astype(np.uint8)
+    i64 = np.arange(64)
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            nf = 1 + did % 4
+            frames = [
+                {
+                    "indices": ((did * 13 + f * 7 + i64 * 5 + 3) % 16)
+                    .astype(np.uint8)
+                    .reshape(8, 8)
+                }
+                for f in range(nf)
+            ]
+            payloads.append(encode_gif_animation(frames, pal, (8, 8)))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_gif_frames",
+    r"""
+    WITH v AS (SELECT doc_id, (1 + doc_id % 4) AS nf FROM documents),
+    sampled AS (
+      SELECT v.doc_id, f.f
+      FROM v, range(4) f(f)
+      WHERE f.f < v.nf AND f.f % 2 = 0
+    ), px AS (
+      SELECT s.doc_id, s.f,
+             CAST(FLOOR((((s.doc_id*13 + s.f*7 + i*5 + 3) % 16) * 17 + 5) % 256
+                        / 255.0 * 10000 + 0.5) AS BIGINT) AS q
+      FROM sampled s, range(64) r(i)
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT f) AS BIGINT) AS n_sampled,
+           CAST(MAX(f) AS INT) AS max_frame_no,
+           CAST(SUM(q) AS BIGINT) AS sum_gray_q
+    FROM px GROUP BY doc_id
+    """,
+)
+def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Animated-GIF sampling end-to-end: per document an animation of
+    1 + doc_id%4 full-screen frames, every 2nd frame sampled through
+    the REAL compositing path (multimodal._gif_frames via
+    sample_video_frames, re-emitted as PPM), decoded through the REAL
+    image path, and reduced to per-doc (n_sampled, max_frame_no,
+    sum_gray_q).  GIF is lossless and the frames are full-screen
+    opaque, so the oracle replays the exact per-frame pixel function —
+    the value-exact animated counterpart to mm_video_frames' structural
+    oracle (MJPEG is lossy)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = _spread_ids(docs).mapInPandas(
+        _synth_gif_anim_op, "doc_id bigint, payload binary"
+    )
+    sampled = MM.sample_video_frames(media, id_col="doc_id", every_n=2)
+    # decode_image_features keeps only (id, feature); carry frame_no
+    # through the decode by packing it into the id (frame_no < 1000)
+    q = F.expr(
+        "transform(feature, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5)"
+        " AS BIGINT))"
+    )
+    per_frame = MM.decode_image_features(
+        sampled.select(
+            (F.col("doc_id") * 1000 + F.col("frame_no")).alias("doc_id"),
+            F.col("frame_payload").alias("payload"),
+        ),
+        id_col="doc_id",
+    ).select(
+        F.floor(F.col("doc_id") / 1000).cast("long").alias("doc_id"),
+        (F.col("doc_id") % 1000).cast("int").alias("frame_no"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
+    )
+    return per_frame.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.max("frame_no").cast("int").alias("max_frame_no"),
+        F.sum("s").cast("long").alias("sum_gray_q"),
+    )
+
+
 def _synth_ppm_groups_op(it):
     """(doc_id) -> (doc_id, payload): 8x8 P6 PPM in near-dup groups of
     4 (base g = doc_id - doc_id%4, variant d = doc_id%4):

@@ -1639,3 +1639,127 @@ class TestWavFormats:
         good = self._wav(1, 1, 8000, 16, b"\x00\x00\x01\x00")
         with pytest.raises(ValueError):
             _decode_wav(good[:-3])
+
+
+class TestGifAnimation:
+    """Animated GIF compositing (_gif_frames) vs an independent numpy
+    model: disposal 0/1/2/3, transparency, sub-rectangle frames, and
+    the sample_video_frames GIF route (sampled frames re-emitted as
+    PPM payloads decode_image_features can consume)."""
+
+    @staticmethod
+    def _model(pal, screen_hw, bg, frames):
+        """Reference compositor, written independently of _gif_frames."""
+        import numpy as np
+
+        sh, sw = screen_hw
+        canvas = np.empty((sh, sw, 3), np.uint8)
+        canvas[:] = pal[bg]
+        out = []
+        for fr in frames:
+            idxs = np.asarray(fr["indices"])
+            h, w = idxs.shape
+            t, l = fr.get("top", 0), fr.get("left", 0)
+            saved = canvas.copy()
+            rgb = pal[idxs]
+            tr = fr.get("transparent")
+            if tr is None:
+                canvas[t : t + h, l : l + w] = rgb
+            else:
+                m = idxs != tr
+                canvas[t : t + h, l : l + w][m] = rgb[m]
+            out.append(canvas.copy())
+            d = fr.get("disposal", 0)
+            if d == 2:
+                canvas[t : t + h, l : l + w] = pal[bg]
+            elif d == 3:
+                canvas = saved
+        return out
+
+    def _anim(self, rng):
+        import numpy as np
+
+        pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+        frames = [
+            {"indices": rng.integers(0, 8, (10, 12), dtype=np.uint8)},
+            {  # sub-rectangle with transparency, restore-background after
+                "indices": rng.integers(0, 8, (4, 5), dtype=np.uint8),
+                "left": 3, "top": 2, "transparent": 1, "disposal": 2,
+            },
+            {  # restore-previous disposal
+                "indices": rng.integers(0, 8, (6, 6), dtype=np.uint8),
+                "left": 6, "top": 4, "disposal": 3,
+            },
+            {"indices": rng.integers(0, 8, (10, 12), dtype=np.uint8),
+             "transparent": 0},
+        ]
+        return pal, frames
+
+    def test_composited_frames_match_model(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import (
+            _gif_frames,
+            encode_gif_animation,
+        )
+
+        rng = np.random.default_rng(21)
+        pal, frames = self._anim(rng)
+        gif = encode_gif_animation(frames, pal, (10, 12), bg_index=2)
+        want = self._model(pal, (10, 12), 2, frames)
+        got = list(_gif_frames(gif))
+        assert [fno for fno, _ in got] == [0, 1, 2, 3]
+        for (fno, canvas), exp in zip(got, want):
+            assert np.array_equal(canvas, exp), fno
+
+    def test_first_frame_via_decode_gif(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import (
+            _decode_gif,
+            encode_gif_animation,
+        )
+
+        rng = np.random.default_rng(22)
+        pal, frames = self._anim(rng)
+        gif = encode_gif_animation(frames, pal, (10, 12), bg_index=2)
+        want = self._model(pal, (10, 12), 2, frames)[0]
+        got = _decode_gif(gif)
+        assert np.allclose(got, want.astype(np.float32).mean(axis=2) / 255.0)
+
+    def test_sampled_through_spark(self, spark):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import (
+            decode_image_features,
+            encode_gif_animation,
+            sample_video_frames,
+        )
+
+        rng = np.random.default_rng(23)
+        pal, frames = self._anim(rng)
+        gif = encode_gif_animation(frames, pal, (10, 12), bg_index=2)
+        df = spark.createDataFrame(
+            [(1, "video", bytearray(gif)), (2, "video", bytearray(b"GIF89abad")),
+             (3, "video", None)],
+            "media_id long, kind string, payload binary",
+        )
+        # on_error='null': the corrupt GIF drops wholesale
+        out = sample_video_frames(
+            df, every_n=2, on_error="null"
+        ).collect()
+        assert [(r["media_id"], r["frame_no"]) for r in out] == [(1, 0), (1, 2)]
+        want = self._model(pal, (10, 12), 2, frames)
+        feats = decode_image_features(
+            sample_video_frames(df.where("media_id = 1"), every_n=2)
+            .select("media_id", F.col("frame_payload").alias("payload")),
+            id_col="media_id",
+        ).collect()
+        assert len(feats) == 2
+        for r, exp in zip(feats, (want[0], want[2])):
+            gray8 = exp.astype(np.float32).mean(axis=2) / 255.0
+            # decode path resizes to 8x8; compare against the same resize
+            from pgvecto_rs_spark.operators.multimodal import _resize_nn
+
+            assert np.allclose(r["feature"], _resize_nn(gray8, 8, 8).reshape(-1),
+                               atol=1e-6)
