@@ -106,3 +106,26 @@ class TestDriverWindowRotation:
         assert last and all(1 <= r <= 99 for r in last.values())
         # a query green in r6's ledger must map to >= 6
         assert last.get("topk_l2", 0) >= 6
+
+
+class TestNewQueryPlans:
+    """Plan audits for the r7 queries: no cartesian products, no
+    unexpected shuffles — codec work happens inside mapInPandas
+    batches; only keyed joins/aggregations exchange data."""
+
+    def test_mm_image_gif_shape(self, spark, sf_dir):
+        a = audit_query(spark, "mm_image_gif", sf_dir)
+        assert "CartesianProduct" not in a["plan"]
+        # id-spread + join + per-source agg: bounded small shuffle count
+        assert a["shuffle_exchanges"] <= 4
+
+    def test_mm_gif_frames_shape(self, spark, sf_dir):
+        a = audit_query(spark, "mm_gif_frames", sf_dir)
+        assert "CartesianProduct" not in a["plan"]
+        assert a["shuffle_exchanges"] <= 4
+
+    def test_mm_image_progressive_shape(self, spark, sf_dir):
+        a = audit_query(spark, "mm_image_progressive", sf_dir)
+        assert "CartesianProduct" not in a["plan"]
+        # two decode branches join on doc_id + source join + groupBy
+        assert a["shuffle_exchanges"] <= 8
