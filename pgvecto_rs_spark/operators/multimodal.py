@@ -11,7 +11,8 @@ Codec layer: formats decodable without external libraries are REAL —
 PPM (P6) images decode and resize in numpy; PNG decodes via stdlib
 zlib + numpy scanline unfiltering (every legal color-type x bit-depth
 pair, plain and Adam7-interlaced); GIF87a/89a decodes via a pure
-variable-width LZW (global/local palettes, row interlace); JPEG —
+variable-width LZW (global/local palettes, row interlace, animation
+compositing); BMP decodes BI_RGB 1/4/8/24/32 bpp + BI_RLE8; JPEG —
 baseline AND progressive (SOF2) — decodes via ``operators.jpeg``
 (pure numpy Huffman + IDCT, 4:4:4/4:2:2/4:2:0, restart markers); WAV
 audio decodes via an own RIFF walk (integer PCM 8/16/24/32, IEEE
@@ -613,6 +614,105 @@ def encode_gif_animation(
     return bytes(out)
 
 
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """BMP decode (pure numpy): BITMAPINFOHEADER-family DIBs (40/52/
+    56/108/124-byte headers share the first 40 bytes), BI_RGB at
+    1/4/8/24/32 bpp with 4-byte row padding, BI_RLE8, bottom-up and
+    top-down rows, BGRA palettes.  Returns float32 grayscale in
+    [0, 1]."""
+    if payload[:2] != b"BM" or len(payload) < 54:
+        raise ValueError("not a bmp")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (dib,) = struct.unpack("<I", payload[14:18])
+    if dib < 40:
+        raise NotImplementedError("bmp: BITMAPCOREHEADER not supported")
+    w, h, _planes, bpp, comp, _imgsz = struct.unpack("<iiHHII", payload[18:38])
+    (clr_used,) = struct.unpack("<I", payload[46:50])
+    top_down = h < 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError("bmp: bad dimensions")
+    palette = None
+    if bpp <= 8:
+        ncol = clr_used or (1 << bpp)
+        pal_off = 14 + dib
+        raw_pal = payload[pal_off : pal_off + 4 * ncol]
+        if len(raw_pal) < 4 * ncol:
+            raise ValueError("bmp: truncated palette")
+        bgra = np.frombuffer(raw_pal, dtype=np.uint8).reshape(ncol, 4)
+        palette = bgra[:, [2, 1, 0]].copy()  # BGR(A) -> RGB
+    data = payload[data_off:]
+    if comp == 0:  # BI_RGB
+        stride = ((w * bpp + 31) // 32) * 4
+        if len(data) < stride * h:
+            raise ValueError("bmp: truncated pixel data")
+        rows = np.frombuffer(data[: stride * h], dtype=np.uint8).reshape(h, stride)
+        if not top_down:
+            rows = rows[::-1]
+        if bpp == 24:
+            px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
+        elif bpp == 32:
+            px = rows[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]]
+        elif bpp == 8:
+            px = palette[rows[:, :w]]
+        elif bpp in (1, 4):
+            bits = np.unpackbits(rows, axis=1)[:, : w * bpp]
+            groups = bits.reshape(h, w, bpp).astype(np.uint8)
+            weights = (1 << np.arange(bpp - 1, -1, -1)).astype(np.uint8)
+            idx = (groups * weights[None, None, :]).sum(axis=2, dtype=np.uint8)
+            if int(idx.max(initial=0)) >= len(palette):
+                raise ValueError("bmp: palette index out of range")
+            px = palette[idx]
+        else:
+            raise NotImplementedError(f"bmp: {bpp} bpp BI_RGB not supported")
+    elif comp == 1:  # BI_RLE8
+        if bpp != 8:
+            raise ValueError("bmp: BI_RLE8 requires 8 bpp")
+        idx = np.zeros((h, w), dtype=np.uint8)
+        x = y = p = 0
+        n = len(data)
+        while True:
+            if p + 2 > n:
+                raise ValueError("bmp: truncated RLE stream")
+            cnt, val = data[p], data[p + 1]
+            p += 2
+            if cnt:  # encoded run
+                if x + cnt > w or y >= h:
+                    raise ValueError("bmp: RLE run escapes row")
+                idx[y, x : x + cnt] = val
+                x += cnt
+            elif val == 0:  # end of line
+                x, y = 0, y + 1
+            elif val == 1:  # end of bitmap
+                break
+            elif val == 2:  # delta
+                if p + 2 > n:
+                    raise ValueError("bmp: truncated RLE delta")
+                x += data[p]
+                y += data[p + 1]
+                p += 2
+                if x > w or y > h:
+                    raise ValueError("bmp: RLE delta escapes image")
+            else:  # absolute run, word-aligned
+                if x + val > w or y >= h:
+                    raise ValueError("bmp: RLE absolute run escapes row")
+                if p + val > n:
+                    raise ValueError("bmp: truncated RLE absolute run")
+                idx[y, x : x + val] = np.frombuffer(
+                    data[p : p + val], dtype=np.uint8
+                )
+                x += val
+                p += val + (val & 1)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("bmp: palette index out of range")
+        # RLE rows are encoded in storage order: bottom-up unless the
+        # height was negative
+        px = palette[idx if top_down else idx[::-1]]
+    else:
+        raise NotImplementedError(f"bmp: compression {comp} not supported")
+    return px[:, :, :3].astype(np.float32).mean(axis=2) / 255.0
+
+
 def _resize_nn(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     """Nearest-neighbor resize, pure numpy."""
     ys = (np.arange(out_h) * img.shape[0] // out_h).clip(0, img.shape[0] - 1)
@@ -633,6 +733,8 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
             return _resize_nn(_decode_png(payload), 8, 8)
         if payload[:6] in (b"GIF87a", b"GIF89a"):
             return _resize_nn(_decode_gif(payload), 8, 8)
+        if payload[:2] == b"BM":
+            return _resize_nn(_decode_bmp(payload), 8, 8)
         if payload[:2] == b"\xff\xd8":
             from .jpeg import decode_jpeg
 
@@ -643,8 +745,8 @@ def _decode_image_bytes(payload: bytes, fake: bool) -> np.ndarray:
     else:
         if not fake:
             raise NotImplementedError(
-                "unrecognized image format: supply PPM (P6), PNG, GIF, or "
-                "JPEG payloads, or use fake=True"
+                "unrecognized image format: supply PPM (P6), PNG, GIF, BMP, "
+                "or JPEG payloads, or use fake=True"
             )
     h = np.frombuffer(payload[:64].ljust(64, b"\0"), dtype=np.uint8).astype(np.float32)
     return h.reshape(8, 8) / 255.0
@@ -793,6 +895,7 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         F.when(magic.startswith("FFD8"), F.lit("image/jpeg"))
         .when(magic.startswith("89504E47"), F.lit("image/png"))
         .when(magic.startswith("47494638"), F.lit("image/gif"))
+        .when(magic.startswith("424D"), F.lit("image/bmp"))
         .when(magic.startswith("52494646"), F.lit("audio/wav"))
         .otherwise(F.lit("application/octet-stream"))
     )

@@ -463,6 +463,7 @@ class TestMultimodal:
             (decode_jpeg, pjpg),  # progressive path: same exception contract
             (MM._decode_png, png),
             (MM._decode_gif, gif),
+            (MM._decode_bmp, TestBmpDecode._bmp(px_rgb=np.tile(img[:, :, None], (1, 1, 3)))),
             (MM._decode_wav, wav),
             (decode_avi_frame_arrays, avi),
         ):
@@ -1763,3 +1764,165 @@ class TestGifAnimation:
 
             assert np.allclose(r["feature"], _resize_nn(gray8, 8, 8).reshape(-1),
                                atol=1e-6)
+
+
+class TestBmpDecode:
+    """BMP decode: BI_RGB 1/4/8/24/32 bpp (4-byte row padding,
+    bottom-up and top-down), BI_RLE8 (runs, absolute runs, EOL/EOF
+    escapes, deltas), BGRA palettes."""
+
+    @staticmethod
+    def _bmp(px_rgb=None, idxs=None, palette=None, bpp=24, top_down=False,
+             rle=False):
+        import struct
+
+        import numpy as np
+
+        if px_rgb is not None:
+            h, w = px_rgb.shape[:2]
+        else:
+            h, w = idxs.shape
+        pal_bytes = b""
+        ncol = 0
+        if palette is not None:
+            ncol = len(palette)
+            bgra = np.zeros((ncol, 4), np.uint8)
+            bgra[:, :3] = palette[:, ::-1]  # RGB -> BGR
+            pal_bytes = bgra.tobytes()
+        if rle:
+            # encode each storage row: pairs of (count, value) runs,
+            # one absolute run in the middle rows, EOL per row, EOF
+            body = bytearray()
+            order = idxs if top_down else idxs[::-1]
+            for y in range(h):
+                row = order[y]
+                if y % 2 == 1 and w >= 3:
+                    body += bytes([1, int(row[0])])
+                    nabs = min(w - 1, 4)
+                    body += bytes([0, nabs]) + bytes(int(v) for v in row[1 : 1 + nabs])
+                    if nabs & 1:
+                        body += b"\x00"
+                    x = 1 + nabs
+                    while x < w:
+                        run = 1
+                        while x + run < w and row[x + run] == row[x] and run < 255:
+                            run += 1
+                        body += bytes([run, int(row[x])])
+                        x += run
+                else:
+                    x = 0
+                    while x < w:
+                        run = 1
+                        while x + run < w and row[x + run] == row[x] and run < 255:
+                            run += 1
+                        body += bytes([run, int(row[x])])
+                        x += run
+                body += b"\x00\x00"  # EOL
+            body += b"\x00\x01"  # EOF
+            data = bytes(body)
+            comp = 1
+        else:
+            comp = 0
+            stride = ((w * bpp + 31) // 32) * 4
+            rows = []
+            src = (px_rgb if px_rgb is not None else idxs)
+            order = src if top_down else src[::-1]
+            for y in range(h):
+                if bpp == 24:
+                    b = order[y][:, ::-1].astype(np.uint8).tobytes()
+                elif bpp == 32:
+                    r4 = np.zeros((w, 4), np.uint8)
+                    r4[:, :3] = order[y][:, ::-1]
+                    b = r4.tobytes()
+                elif bpp == 8:
+                    b = order[y].astype(np.uint8).tobytes()
+                else:  # 1 / 4 bpp palette
+                    bits = (
+                        (order[y][:, None].astype(np.uint8)
+                         >> np.arange(bpp - 1, -1, -1)[None, :]) & 1
+                    ).reshape(-1).astype(np.uint8)
+                    b = np.packbits(bits).tobytes()
+                rows.append(b + b"\x00" * (stride - len(b)))
+            data = b"".join(rows)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, comp,
+            len(data), 2835, 2835, ncol, 0,
+        )
+        off = 14 + 40 + len(pal_bytes)
+        head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        return head + dib + pal_bytes + data
+
+    def test_truecolor_24_32(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_bmp
+
+        rng = np.random.default_rng(31)
+        px = rng.integers(0, 256, (9, 7, 3), dtype=np.uint8)
+        want = px.astype(np.float32).mean(axis=2) / 255.0
+        for bpp in (24, 32):
+            for td in (False, True):
+                got = _decode_bmp(self._bmp(px_rgb=px, bpp=bpp, top_down=td))
+                assert np.allclose(got, want), (bpp, td)
+
+    def test_palette_depths(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_bmp
+
+        rng = np.random.default_rng(32)
+        for bpp in (1, 4, 8):
+            ncol = 1 << bpp
+            pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+            idxs = rng.integers(0, ncol, (6, 11), dtype=np.uint8)
+            want = pal[idxs].astype(np.float32).mean(axis=2) / 255.0
+            got = _decode_bmp(self._bmp(idxs=idxs, palette=pal, bpp=bpp))
+            assert np.allclose(got, want), bpp
+
+    def test_rle8(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_bmp
+
+        rng = np.random.default_rng(33)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        # runs + noise: exercises encoded runs, absolute runs, EOLs
+        idxs = np.repeat(rng.integers(0, 256, (8, 4), dtype=np.uint8), 3, axis=1)
+        idxs[3] = rng.integers(0, 256, 12, dtype=np.uint8)
+        want = pal[idxs].astype(np.float32).mean(axis=2) / 255.0
+        for td in (False, True):
+            got = _decode_bmp(
+                self._bmp(idxs=idxs, palette=pal, bpp=8, rle=True, top_down=td)
+            )
+            assert np.allclose(got, want), td
+
+    def test_through_spark_and_sniffing(self, spark):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import (
+            attach_media_metadata,
+            decode_image_features,
+        )
+
+        rng = np.random.default_rng(34)
+        px = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        df = spark.createDataFrame(
+            [(1, "image", bytearray(self._bmp(px_rgb=px)))],
+            "media_id long, kind string, payload binary",
+        )
+        assert attach_media_metadata(df).collect()[0]["sniffed_mime"] == "image/bmp"
+        feats = decode_image_features(df).collect()
+        want = px.astype(np.float32).mean(axis=2) / 255.0
+        assert np.allclose(feats[0]["feature"], want.reshape(-1), atol=1e-6)
+
+    def test_malformed_rejected(self):
+        import numpy as np
+        import pytest
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_bmp
+
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        good = self._bmp(px_rgb=px)
+        for bad in (b"BMshort", good[:30], good[:-10], b"XX" + good[2:]):
+            with pytest.raises((ValueError, NotImplementedError)):
+                _decode_bmp(bad)
