@@ -504,3 +504,61 @@ class TestGifProperty:
         )
         assert got.shape == (h, w)
         assert np.allclose(got, want)
+
+
+class TestBmpProperty:
+    @given(
+        h=st.integers(1, 16),
+        w=st.integers(1, 16),
+        bpp=st.sampled_from([1, 4, 8, 24, 32]),
+        top_down=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(**{**_SETTINGS, "max_examples": 15})
+    def test_roundtrip(self, h, w, bpp, top_down, seed):
+        from tests.test_pipeline_ops import TestBmpDecode
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_bmp
+
+        rng = np.random.default_rng(seed)
+        if bpp in (24, 32):
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            want = px.astype(np.float32).mean(axis=2) / 255.0
+            got = _decode_bmp(
+                TestBmpDecode._bmp(px_rgb=px, bpp=bpp, top_down=top_down)
+            )
+        else:
+            ncol = 1 << bpp
+            pal = rng.integers(0, 256, (ncol, 3), dtype=np.uint8)
+            idxs = rng.integers(0, ncol, (h, w), dtype=np.uint8)
+            want = pal[idxs].astype(np.float32).mean(axis=2) / 255.0
+            got = _decode_bmp(
+                TestBmpDecode._bmp(
+                    idxs=idxs, palette=pal, bpp=bpp, top_down=top_down
+                )
+            )
+        assert got.shape == (h, w)
+        assert np.allclose(got, want)
+
+    @given(
+        h=st.integers(1, 12),
+        w=st.integers(1, 20),
+        top_down=st.booleans(),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(**{**_SETTINGS, "max_examples": 10})
+    def test_rle8_roundtrip(self, h, w, top_down, seed):
+        from tests.test_pipeline_ops import TestBmpDecode
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_bmp
+
+        rng = np.random.default_rng(seed)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        idxs = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        want = pal[idxs].astype(np.float32).mean(axis=2) / 255.0
+        got = _decode_bmp(
+            TestBmpDecode._bmp(
+                idxs=idxs, palette=pal, bpp=8, rle=True, top_down=top_down
+            )
+        )
+        assert np.allclose(got, want)
