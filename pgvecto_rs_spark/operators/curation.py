@@ -477,12 +477,20 @@ def dedup_passages(
     ``dedup_text = ''`` — the standard boilerplate/duplicated-span
     scrub applied before training.
 
-    Shape: per-row window fan-out (no shuffle), then ONE shuffle keyed
-    by passage text for the global first-occurrence rank, then a
-    doc-keyed reassembly agg.  Word-count shape twice — the map-side
-    partial agg absorbs head-passage skew.  At 100 TB you'd key the
-    rank shuffle by ``xxhash64(passage)`` and keep the string only in
-    the row payload; the decision logic is unchanged.
+    Shape (skew-proof, r8): per-row window fan-out (no shuffle), then a
+    ``groupBy(win_text).agg(min(struct(id, win_idx)), count)`` — the
+    first-occurrence decision as a MAP-SIDE-COMBINABLE aggregate, so a
+    boilerplate passage repeated across millions of docs collapses to
+    one partial row per input partition instead of landing an entire
+    hot-key partition on a single window task (the r7 plan used
+    ``row_number() OVER (PARTITION BY win_text ...)``, the repo's one
+    skew-sensitive window; a window cannot be AQE-skew-split, an agg
+    never needs to be).  Winners (one row per DISTINCT passage) then
+    regroup by the winning doc id for reassembly, and a doc-keyed
+    unique-key join attaches per-doc window counts.  No join is ever
+    keyed by passage text.  At 100 TB you'd key the agg shuffle by
+    ``xxhash64(passage)`` and keep the string only in the row payload;
+    the decision logic is unchanged.
     """
     w = window_tokens
     toks = _norm_tokens(F.col(text_col))
@@ -495,30 +503,49 @@ def dedup_passages(
             F.concat_ws(" ", F.slice(toks, i * w + 1, w)).alias("win_text"),
         ),
     )
-    from pyspark.sql import Window
-
     exploded = (
         df.where(n > 0)
         .select(F.col(id_col), F.explode(wins).alias("__w"))
         .select(id_col, "__w.win_idx", "__w.win_text")
     )
-    rank_w = Window.partitionBy("win_text").orderBy(id_col, "win_idx")
-    ranked = exploded.withColumn("__keep", F.row_number().over(rank_w) == 1)
-    kept_struct = F.when(
-        F.col("__keep"), F.struct(F.col("win_idx"), F.col("win_text"))
+    # min(struct(id, win_idx)) == the lexicographically-first occurrence,
+    # identical to row_number() OVER (PARTITION BY win_text ORDER BY id,
+    # win_idx) == 1 — but partial-aggregatable, so the hot key is absorbed
+    # map-side before the one passage-keyed shuffle.
+    winners = exploded.groupBy("win_text").agg(
+        F.min(
+            F.struct(
+                F.col(id_col).alias("id"), F.col("win_idx").alias("win_idx")
+            )
+        ).alias("__first")
     )
-    return ranked.groupBy(id_col).agg(
-        F.count("*").cast("long").alias("n_windows"),
-        F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
-        .cast("long")
-        .alias("n_dup_windows"),
+    kept = winners.groupBy(F.col("__first.id").alias(id_col)).agg(
+        F.count("*").cast("long").alias("__n_kept"),
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(kept_struct)),
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("__first.win_idx").alias("win_idx"),
+                            F.col("win_text").alias("win_text"),
+                        )
+                    )
+                ),
                 lambda x: x["win_text"],
             ),
             " ",
         ).alias("dedup_text"),
+    )
+    docs = df.where(n > 0).select(
+        F.col(id_col), n_wins.cast("long").alias("n_windows")
+    )
+    return docs.join(kept, on=id_col, how="left").select(
+        id_col,
+        "n_windows",
+        (F.col("n_windows") - F.coalesce(F.col("__n_kept"), F.lit(0)))
+        .cast("long")
+        .alias("n_dup_windows"),
+        F.coalesce(F.col("dedup_text"), F.lit("")).alias("dedup_text"),
     )
 
 

@@ -56,6 +56,33 @@ def synth_docs(spark, n: int):
     return base.select("doc_id", text.alias("text")).repartition(64)
 
 
+def synth_docs_hotkey(spark, n: int, hot_frac: float = 0.30):
+    """Single-hot-key variant: ONE boilerplate passage appears in
+    ``hot_frac`` of all docs (as the doc's first passage); the rest of
+    the corpus is the uniform pool.  With a window rank partitioned by
+    passage text, that one key's entire partition lands on a single
+    task; the min-struct agg shape must absorb it map-side instead."""
+    base = spark.range(n).select(F.col("id").alias("doc_id"))
+    slots = F.sequence(F.lit(0), F.lit(K_PASSAGES - 1))
+    pid = lambda s: F.pmod(F.xxhash64(F.col("doc_id"), s, F.lit("p")), POOL)  # noqa: E731
+    passage = lambda p: F.concat_ws(  # noqa: E731
+        " ",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(W - 1)),
+            lambda t: F.concat(
+                F.lit("w"), F.pmod(F.xxhash64(p, t, F.lit("t")), 9999).cast("string")
+            ),
+        ),
+    )
+    hot = F.concat_ws(" ", F.transform(F.sequence(F.lit(0), F.lit(W - 1)),
+                                       lambda t: F.concat(F.lit("hot"), t.cast("string"))))
+    is_hot = F.pmod(F.xxhash64(F.col("doc_id"), F.lit("h")), 1000) < int(hot_frac * 1000)
+    first = F.when(is_hot, hot).otherwise(passage(pid(F.lit(0))))
+    rest = F.transform(F.slice(slots, 2, K_PASSAGES - 1), lambda s: passage(pid(s)))
+    text = F.concat_ws(" ", F.concat(F.array(first), rest))
+    return base.select("doc_id", text.alias("text")).repartition(64)
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     from pgvecto_rs_spark.operators.curation import dedup_passages, global_shuffle
@@ -76,6 +103,22 @@ def main() -> None:
 
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, "passage dedup must never go quadratic"
+    assert "Window" not in plan, "first-occurrence must be an agg, not a skewed window"
+
+    # Single-hot-key skew probe: one passage in 30% of docs.  The agg
+    # shape partial-aggregates the hot key map-side, so wall time must
+    # stay within 3x of the uniform corpus (the old window-rank shape
+    # serialized 30% of all windows through one task).
+    hotdocs = synth_docs_hotkey(spark, n)
+    hotdocs.cache().count()
+    t0 = time.time()
+    hot_out = dedup_passages(hotdocs, window_tokens=W)
+    hot_agg = hot_out.agg(
+        F.count("*").alias("docs"), F.sum("n_dup_windows").alias("dups")
+    ).collect()[0]
+    t_hot = time.time() - t0
+    skew_ratio = t_hot / max(t_dedup, 1e-9)
+    assert skew_ratio < 3.0, f"hot-key blowup: {skew_ratio:.2f}x"
 
     t0 = time.time()
     shuf = global_shuffle(docs, seed=7, num_buckets=256).select("shuffle_pos")
@@ -97,6 +140,9 @@ def main() -> None:
                 "dup_windows": agg["dups"],
                 "dup_fraction": round(agg["dups"] / agg["wins"], 4),
                 "dedup_passages_sec": round(t_dedup, 2),
+                "hotkey_dedup_sec": round(t_hot, 2),
+                "hotkey_dup_windows": hot_agg["dups"],
+                "hotkey_skew_ratio": round(skew_ratio, 2),
                 "global_shuffle_sec": round(t_shuffle, 2),
             }
         )

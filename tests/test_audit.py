@@ -46,6 +46,18 @@ class TestAudit:
         assert "Generate" not in a["plan"]
         assert "ExistingRDD" in a["plan"]
 
+    def test_dedup_passages_has_no_skewed_window(self, spark, sf_dir):
+        """The first-occurrence decision must be a map-side-combinable
+        aggregate, NOT a window rank partitioned by passage text: a
+        boilerplate passage repeated across millions of docs is one hot
+        key, and a window (unlike an agg or join) cannot be AQE-skew-
+        split — its whole partition lands on one task (r7 `weak` item).
+        The plan must contain no Window node at all and the win_text
+        groupBy must partial-aggregate."""
+        a = audit_query(spark, "doc_dup_passages", sf_dir)
+        assert "Window" not in a["plan"]
+        assert a["partial_aggregation"]
+
     def test_dsir_materializes_the_bucket_relation(self, spark, sf_dir):
         """DSIR's trigram explode must run once: model counts, totals
         and doc features all derive from the checkpointed (doc, side,
