@@ -622,17 +622,19 @@ def dup_ngram_fraction(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_grams: bool = True,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """Cross-document duplicate n-gram fraction per doc:
     (id, n_grams, n_dup, dup_frac).
 
-    SIDE EFFECT: ``materialize=True`` (default) eagerly
+    ``materialize=False`` (default, r8 — a plain library call must be
+    side-effect-free) keeps the call lazy; the n-gram explode then runs
+    ~3x at execution (AQE reuses only one of the three identical
+    subtrees — measured).  ``materialize=True`` eagerly
     ``localCheckpoint``-s the (id, gram, count) relation — a Spark job
-    runs at call time and the blocks stay pinned on executors until the
-    returned DataFrame is GC-ed on the driver; it saves the n-gram
-    explode running 3x (AQE reuses only one of the three identical
-    subtrees — measured).  ``materialize=False`` keeps the call lazy.
+    runs at CALL time and the blocks stay pinned on executors until the
+    returned DataFrame is GC-ed on the driver; the query layer opts in
+    (queries/documents.py) because it executes immediately.
 
     An n-gram INSTANCE counts as duplicated when its gram occurs in at
     least 2 distinct documents (document frequency >= 2) — the
@@ -881,18 +883,24 @@ def bpe_train(
     skipped conflicting pair would have out-counted a later accepted
     one — the schedule is deterministic either way, and the
     ``doc_bpe_batched`` driver query replays it rule-for-rule in pure
-    DuckDB SQL.  ``batch`` is capped at 16; within a batch the folds
-    chain into one projection whose expression tree grows ~4x per
-    level (bpe_encode_counts' checkpoint note), so lineage is truncated
-    with an eager localCheckpoint every 4 folds.
+    DuckDB SQL.  ``batch`` is capped at 256 (the K=256 operating point
+    above); the folds never chain more than 4 deep in one projection —
+    an eager localCheckpoint truncates lineage every 4 folds, so the
+    per-projection expression tree is bounded at ~4 folds regardless
+    of K (the pre-r8 cap of 16 predated chunked truncation).  A round
+    that finds fewer than ``batch`` compatible candidates in the top
+    ``scan`` accepts what it can and runs another driver round, so the
+    returned schedule always has exactly ``rounds`` rules (corpus
+    permitting).
 
     Driver state is ``scan`` rows per round; everything heavy stays on
     executors.  Integer pair counts make every round's selection
     engine- and partitioning-exact.  ``LAST_BPE_TRAIN_STATS`` records
     {"round_trips", "rules"} of the latest call for tests/telemetry.
     """
-    if not 1 <= batch <= 16:
-        raise ValueError("bpe_train: batch must be in [1, 16]")
+    if not 1 <= batch <= 256:
+        raise ValueError("bpe_train: batch must be in [1, 256]")
+    scan = max(scan, batch)  # a round must be able to see `batch` candidates
     words = (
         df.select(F.explode(_norm_tokens(F.col(text_col))).alias("word"))
         .groupBy("word")
@@ -1149,7 +1157,7 @@ def dsir_importance_weights(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_buckets: int = DSIR_BUCKETS,
-    materialize: bool = True,
+    materialize: bool = False,
 ) -> DataFrame:
     """(id, n_feat, weight_u) per raw document: weight_u = Σ_b
     n_doc[b] · floor(1e6·ln(p_target[b]/p_raw[b]) + 0.5), with
@@ -1166,12 +1174,13 @@ def dsir_importance_weights(
     only transcendental (ln of a ratio of exact integers) quantizes to
     a scaled int BEFORE any multi-row sum.
 
-    SIDE EFFECT: ``materialize=True`` (default) eagerly
+    ``materialize=False`` (default, r8 — a plain library call must be
+    side-effect-free) keeps the call lazy; the trigram explode then
+    runs 3x when executed.  ``materialize=True`` eagerly
     ``localCheckpoint``-s the (doc, side, bucket, count) relation — a
-    Spark job runs at call time; blocks stay pinned on executors until
-    the returned DataFrame is GC-ed on the driver.
-    ``materialize=False`` keeps the call lazy (the trigram explode then
-    runs 3x when executed)."""
+    Spark job runs at CALL time; blocks stay pinned on executors until
+    the returned DataFrame is GC-ed on the driver; the query layer opts
+    in because it executes immediately."""
     from .dedup import _spread
 
     buckets = _dsir_trigram_buckets(F.col(text_col))

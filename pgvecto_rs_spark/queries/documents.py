@@ -226,7 +226,10 @@ def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document duplicate 3-gram fraction per doc (corpus-level
     repetition signal; every shuffle at its natural key)."""
-    return CU.dup_ngram_fraction(_docs(spark, sf_dir), n=3)
+    # materialize: the query executes immediately, so the eager
+    # checkpoint that dedupes the 3x n-gram explode is pure win here
+    # (the library default is lazy/side-effect-free since r8)
+    return CU.dup_ngram_fraction(_docs(spark, sf_dir), n=3, materialize=True)
 
 
 # deterministic synthetic PII appended on BOTH sides so the redaction
@@ -1009,5 +1012,6 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = CU.dsir_importance_weights(
         docs.where(F.col("doc_id") % 10 != 0),
         docs.where(F.col("doc_id") % 10 == 0),
+        materialize=True,  # query executes immediately; dedupe the explode
     )
     return out.orderBy(F.desc("weight_u"), "doc_id").limit(20)

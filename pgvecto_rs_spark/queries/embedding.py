@@ -382,16 +382,25 @@ def _bpe_pair_counts_sql(src: str, dst: str) -> str:
 
 
 def _bpe_apply_sql(src: str, dst: str, m: str) -> str:
-    """CTE applying merge-rule CTE ``m`` (1 row: a, b) to seq table
-    ``src`` — same greedy list_reduce fold as _bpe_round_ctes."""
+    """CTE applying merge-rule CTE ``m`` (0 or 1 rows: a, b) to seq
+    table ``src`` — same greedy list_reduce fold as _bpe_round_ctes.
+
+    Guarded against an EMPTY ``m`` (fewer than ``batch`` compatible
+    candidates in the top-``scan`` ranking): a LEFT JOIN with a NULL
+    pass-through keeps the sequence relation intact where a CROSS JOIN
+    would empty it and corrupt every subsequent round.  (When a round
+    under-fills, bpe_train runs an extra driver round to finish the
+    schedule, so the replayed rule LIST still comes up short — the
+    driver gate then fails loudly on row count instead of silently
+    hashing a corrupted relation.)"""
     return f"""{dst} AS (
       SELECT word, freq,
-             CASE WHEN len(seq) < 2 THEN seq ELSE
+             CASE WHEN mm.a IS NULL OR len(seq) < 2 THEN seq ELSE
                string_split(list_reduce(seq, (acc, s) -> CASE
-                 WHEN array_extract(string_split(acc, chr(31)), -1) = {m}.a AND s = {m}.b
-                 THEN substr(acc, 1, length(acc) - length({m}.a)) || {m}.a || {m}.b
+                 WHEN array_extract(string_split(acc, chr(31)), -1) = mm.a AND s = mm.b
+                 THEN substr(acc, 1, length(acc) - length(mm.a)) || mm.a || mm.b
                  ELSE acc || chr(31) || s END), chr(31)) END AS seq
-      FROM {src} CROSS JOIN {m}
+      FROM {src} LEFT JOIN {m} mm ON TRUE
     )"""
 
 

@@ -623,7 +623,12 @@ class FreshVectorIndex:
             try:
                 if os.path.isdir(d) and now - os.path.getmtime(d) >= max_age_seconds:
                     shutil.rmtree(d, ignore_errors=True)
-                    n += 1
+                    # Count only what actually went away: rmtree with
+                    # ignore_errors can fail (permissions, live writer on
+                    # another mount) and a survivor must not be counted —
+                    # it will be retried, and recounted, next call.
+                    if not os.path.isdir(d):
+                        n += 1
             except OSError:
                 continue
         return n
@@ -670,12 +675,24 @@ class IndexTransaction:
         self._idx = idx
         self._dir = os.path.join(idx.path, f"txn-{uuid.uuid4().hex[:12]}")
         self._open = True
+        self._staged = 0  # stage() calls recorded — commit() cross-checks
         os.makedirs(os.path.join(self._dir, "delta", "rows"), exist_ok=True)
         os.makedirs(os.path.join(self._dir, "tombstones", "rows"), exist_ok=True)
 
     def _check_open(self) -> None:
         if not self._open:
             raise RuntimeError("transaction already committed or rolled back")
+
+    def _touch(self) -> None:
+        """Refresh the staging dir's mtime on every stage: parquet writes
+        land in ``txn-*/delta/rows/`` and do NOT bump the top-level dir,
+        which is what :meth:`FreshVectorIndex.cleanup_stale_transactions`
+        judges staleness by — without this, a long-lived transaction that
+        keeps writing could be GC'd mid-flight."""
+        try:
+            os.utime(self._dir)
+        except OSError:
+            pass
 
     def _next_version(self) -> int:
         idx = self._idx
@@ -700,6 +717,8 @@ class IndexTransaction:
             .write.mode("append")
             .parquet(os.path.join(self._dir, "delta", "rows"))
         )
+        self._staged += 1
+        self._touch()
 
     def delete(self, ids: Sequence[int]) -> None:
         self._check_open()
@@ -709,6 +728,8 @@ class IndexTransaction:
         ).write.mode("append").parquet(
             os.path.join(self._dir, "tombstones", "rows")
         )
+        self._staged += 1
+        self._touch()
 
     def delete_df(self, ids_df: DataFrame, id_col: str = "id") -> None:
         self._check_open()
@@ -720,17 +741,33 @@ class IndexTransaction:
             .write.mode("append")
             .parquet(os.path.join(self._dir, "tombstones", "rows"))
         )
+        self._staged += 1
+        self._touch()
 
     def commit(self) -> None:
-        """Publish the staged batch into the live generation."""
+        """Publish the staged batch into the live generation.
+
+        Raises ``RuntimeError`` instead of silently committing nothing if
+        the staging directory disappeared (e.g. a too-aggressive
+        ``cleanup_stale_transactions`` on another handle, or manual rm) —
+        a stage was recorded, so an empty publish means staged writes
+        were LOST and the caller must know."""
         self._check_open()
         idx = self._idx
+        if self._staged and not os.path.isdir(self._dir):
+            self._open = False
+            raise RuntimeError(
+                f"transaction staging dir {self._dir} vanished before commit "
+                f"({self._staged} staged batch(es) lost) — was it GC'd as stale?"
+            )
+        published = 0
         with idx._write_lock:
             idx._refresh()
             for sub in ("delta", "tombstones"):
                 files = sorted(
                     glob.glob(os.path.join(self._dir, sub, "rows", "*.parquet"))
                 )
+                published += len(files)
                 if not files:
                     continue
                 dst = os.path.join(idx._gen_dir(), sub, "rows")
@@ -738,6 +775,13 @@ class IndexTransaction:
                 for f in files:
                     os.link(f, os.path.join(dst, os.path.basename(f)))
             idx._df_cache.clear()
+        if self._staged and published == 0:
+            self._open = False
+            raise RuntimeError(
+                f"transaction staged {self._staged} batch(es) but no parquet "
+                f"parts were found under {self._dir} at commit — staged "
+                "writes lost"
+            )
         self._open = False
         shutil.rmtree(self._dir, ignore_errors=True)
 

@@ -40,11 +40,24 @@ class TestAudit:
         from pgvecto_rs_spark.operators.curation import dup_ngram_fraction
 
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        df = dup_ngram_fraction(docs)
+        df = dup_ngram_fraction(docs, materialize=True)
         df.collect()
         a = audit_plan(df)
         assert "Generate" not in a["plan"]
         assert "ExistingRDD" in a["plan"]
+
+    def test_dup_ngram_fraction_is_lazy_by_default(self, spark, sf_dir):
+        """r8: a plain library call must be side-effect-free — the
+        default runs NO Spark job at call time (the query layer opts
+        into materialize=True because it executes immediately)."""
+        from pgvecto_rs_spark.operators.curation import dup_ngram_fraction
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        before = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+        df = dup_ngram_fraction(docs)
+        after = spark.sparkContext.statusTracker().getJobIdsForGroup(None)
+        assert len(after) == len(before), "default must not run an eager job"
+        assert df.count() > 0  # still computes correctly when executed
 
     def test_dedup_passages_has_no_skewed_window(self, spark, sf_dir):
         """The first-occurrence decision must be a map-side-combinable
@@ -69,7 +82,7 @@ class TestAudit:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         raw = docs.where(F.col("doc_id") % 10 != 0)
         target = docs.where(F.col("doc_id") % 10 == 0)
-        df = dsir_importance_weights(raw, target)
+        df = dsir_importance_weights(raw, target, materialize=True)
         df.collect()
         a = audit_plan(df)
         assert "Generate" not in a["plan"]

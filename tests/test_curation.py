@@ -479,9 +479,58 @@ class TestBPETrain:
         from pgvecto_rs_spark.operators.curation import bpe_train
 
         docs = _docs(spark, [(1, "ab ab")])
-        for bad in (0, 17, -1):
+        for bad in (0, 257, -1):
             with pytest.raises(ValueError):
                 bpe_train(docs, rounds=1, batch=bad)
+
+    def test_batch_64_round_trip_count(self, spark):
+        """r8: the cap is 256 (lineage is truncated every 4 folds, so
+        the per-projection tree is bounded regardless of K).  K=64 over
+        a 64-rule vocabulary must learn the model-predicted schedule in
+        the model-predicted number of driver round-trips — far fewer
+        than 64 (compatibility, not the old cap of 16, is what bounds a
+        round: each accepted merge consumes 2 fresh symbols)."""
+        import random
+        import string
+
+        from pgvecto_rs_spark.operators.curation import (
+            LAST_BPE_TRAIN_STATS,
+            bpe_train,
+        )
+
+        rng = random.Random(8)
+        vocab = [
+            "".join(rng.choice(string.ascii_lowercase) for _ in range(6))
+            for _ in range(60)
+        ]
+        words = [w for i, w in enumerate(vocab) for _ in range(60 - i)]
+        docs = _docs(spark, [(1, " ".join(words))])
+        got = bpe_train(docs, rounds=64, batch=64, scan=64)
+        want, trips = self._model_batched(words, 64, 64)
+        assert got == want
+        assert trips == 5  # pinned: the model needs 5 rounds, not 64
+        assert LAST_BPE_TRAIN_STATS["round_trips"] == trips
+        assert LAST_BPE_TRAIN_STATS["rules"] == 64
+
+    def test_underfilled_batch_runs_extra_round(self, spark):
+        """Fewer compatible candidates than `batch` in the scan window:
+        accept what's there, recount, finish in a later round — total
+        rules still == rounds."""
+        from pgvecto_rs_spark.operators.curation import (
+            LAST_BPE_TRAIN_STATS,
+            bpe_train,
+        )
+
+        # 'ab' dominates; every other candidate pair shares a symbol
+        # with it, so round 1 of batch=3 accepts fewer than 3.
+        words = ["ab"] * 20 + ["ba"] * 10 + ["abab"] * 5
+        docs = _docs(spark, [(1, " ".join(words))])
+        got = bpe_train(docs, rounds=3, batch=3)
+        want, trips = self._model_batched(words, 3, 3)
+        assert got == want
+        assert LAST_BPE_TRAIN_STATS["rules"] == 3
+        assert LAST_BPE_TRAIN_STATS["round_trips"] == trips
+        assert trips > 1  # the batch really did under-fill
 
 
 class TestBPEEncode:

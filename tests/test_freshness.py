@@ -661,3 +661,64 @@ class TestTransactions:
             fresh_txn.insert(emb.where(F.col("vec_id") == 0))
             fresh_txn.commit()
             assert idx.search(Q64, k=10).count() == 10
+
+    def test_commit_raises_if_staging_dir_vanished(self, spark, emb):
+        """A GC'd (or manually removed) staging dir must make commit()
+        FAIL LOUDLY, never silently publish nothing (r7 advice)."""
+        import shutil as _sh
+
+        with tempfile.TemporaryDirectory() as d:
+            idx = make(spark, emb, d)
+            txn = idx.begin()
+            txn.insert(emb.where(F.col("vec_id") >= 400))
+            _sh.rmtree(txn._dir)
+            with pytest.raises(RuntimeError, match="vanished|lost"):
+                txn.commit()
+            # index unchanged; txn is closed
+            assert idx.stat()["idx_growing"] == []
+            with pytest.raises(RuntimeError, match="committed or rolled back"):
+                txn.commit()
+
+    def test_staging_writes_refresh_txn_mtime(self, spark, emb):
+        """Parquet writes land under txn-*/delta/rows/ and do not bump
+        the top-level dir mtime on their own; insert()/delete() must
+        utime() the txn dir so a still-live transaction never looks
+        stale to cleanup_stale_transactions (r7 advice)."""
+        import os
+
+        with tempfile.TemporaryDirectory() as d:
+            idx = make(spark, emb, d)
+            txn = idx.begin()
+            past = time.time() - 100_000
+            os.utime(txn._dir, (past, past))
+            txn.insert(emb.where(F.col("vec_id") >= 400))
+            assert time.time() - os.path.getmtime(txn._dir) < 3_600
+            removed = idx.cleanup_stale_transactions(max_age_seconds=86_400)
+            assert removed == 0
+            txn.commit()
+            assert idx.search(Q64, k=10**6).count() == 500
+
+    def test_cleanup_counts_only_removed_dirs(self, spark, emb):
+        """cleanup_stale_transactions must not count a directory that
+        rmtree failed to remove (r7 advice): make one stale dir
+        undeletable via permissions, expect count of the other only."""
+        import os
+        import stat as _stat
+
+        with tempfile.TemporaryDirectory() as d:
+            idx = make(spark, emb, d)
+            t1, t2 = idx.begin(), idx.begin()
+            past = time.time() - 100_000
+            os.utime(t1._dir, (past, past))
+            os.utime(t2._dir, (past, past))
+            if os.geteuid() == 0:
+                # root ignores permission bits — only assert the happy path
+                assert idx.cleanup_stale_transactions(max_age_seconds=86_400) == 2
+                return
+            os.chmod(t1._dir, _stat.S_IRUSR | _stat.S_IXUSR)  # no write → rmtree fails
+            try:
+                removed = idx.cleanup_stale_transactions(max_age_seconds=86_400)
+                assert removed == 1
+                assert os.path.isdir(t1._dir) and not os.path.isdir(t2._dir)
+            finally:
+                os.chmod(t1._dir, _stat.S_IRWXU)
