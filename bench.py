@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "mm_audio_neardup",
     "mm_video_frames",
     "mm_gif_frames",
+    "mm_mp4_index",
+    "mm_mp4_sample",
     "events_hourly",
     "events_sessions",
     "events_asof",
@@ -204,6 +206,40 @@ def _batch_speedup(spark) -> dict:
     return out
 
 
+def _canary_heavy(spark, sf_dir):
+    """~2 s pure-Catalyst load canary (r7 advice: the five sub-second
+    canaries are jitter-bound).  Two fixed shapes over lineitem ⋈
+    orders, deliberately un-pruned: a high-cardinality (orderkey,
+    linenumber) aggregation, and a full range-partitioned sort folded
+    to a bit_xor checksum.  No engine code paths of ours — machine +
+    JVM throughput only, so its builder-vs-driver ratio isolates load.
+    Returns a 1-row DataFrame so the bench loop can time it like any
+    registered query."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    g = j.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum("l_extendedprice").alias("s"), F.sum("o_totalprice").alias("t")
+    )
+    a = g.agg(
+        F.count("*").alias("n"), F.sum("s").alias("ss"), F.sum("t").alias("st")
+    )
+    srt = (
+        j.select("l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice")
+        .repartitionByRange(32, "l_extendedprice")
+        .sortWithinPartitions("l_extendedprice", "l_orderkey", "l_linenumber")
+        .select(
+            F.xxhash64(
+                "l_orderkey", "l_linenumber", "l_extendedprice", "o_totalprice"
+            ).alias("h")
+        )
+        .agg(F.expr("bit_xor(h)").alias("cksum"))
+    )
+    return a.crossJoin(srt)  # 1x1 — both shapes execute
+
+
 def _release_storage(spark) -> None:
     """Release per-query localCheckpoint blocks between timings.
 
@@ -235,7 +271,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     registry = Q.queries()
-    names = [n for n in BENCH_QUERIES if n in registry]
+    registry["canary_heavy"] = _canary_heavy  # bench-local load canary
+    names = [n for n in BENCH_QUERIES if n in registry] + ["canary_heavy"]
 
     # Warm-up: materialize JVM/codegen paths, index builds and OS page
     # cache, excluded from timing (the reference excludes build/IO too).
@@ -349,7 +386,7 @@ def main() -> None:
         # harness fixes, not load.)  geomean_vs_r1_loadnorm rescales
         # geomean_vs_r1 to the previous run's load conditions.
         canaries = ["tpch_q1", "tpch_q6", "events_hourly",
-                    "doc_token_count", "doc_dedup_exact"]
+                    "doc_token_count", "doc_dedup_exact", "canary_heavy"]
         prevq = prev_detail.get("queries") or {}
         cr = [timings[c] / prevq[c] for c in canaries if prevq.get(c) and timings.get(c)]
         if cr and ratios and prev_detail.get("sf") == detail["sf"]:

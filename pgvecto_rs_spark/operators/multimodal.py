@@ -18,12 +18,17 @@ baseline AND progressive (SOF2) — decodes via ``operators.jpeg``
 audio decodes via an own RIFF walk (integer PCM 8/16/24/32, IEEE
 float 32/64, G.711 mu-law/A-law, WAVE_FORMAT_EXTENSIBLE) with numpy
 spectral features; and MJPEG AVI video frame-samples via a stdlib
-RIFF walk (``operators.video``).  Inter-frame codecs (H.264/MP4)
-need ffmpeg — absent from this runtime — and raise
-``NotImplementedError`` unless a deterministic fake is requested; the
-Spark-side contract — schemas, batching, UDF signatures, partitioning —
-is identical either way, so swapping in a compiled codec later touches
-only the ``_decode_*`` functions.
+RIFF walk (``operators.video``).  MP4 (ISO BMFF) is REAL at the
+CONTAINER level (``operators.mp4``): the full ``moov/stbl`` sample
+index — per-sample dts/pts, byte extents, keyframes, codec/geometry —
+parses exactly, so frame *sampling* slices genuine AVC access units
+out of mdat (``index_video_samples`` / ``sample_video_frames``); only
+the PIXEL decode of those H.264 access units needs ffmpeg — absent
+from this runtime — and raises ``NotImplementedError`` unless a
+deterministic fake is requested.  The Spark-side contract — schemas,
+batching, UDF signatures, partitioning — is identical either way, so
+swapping in a compiled codec later touches only the ``_decode_*``
+functions.
 """
 
 from __future__ import annotations
@@ -47,6 +52,7 @@ __all__ = [
     "audio_neardup_pairs",
     "image_hashes_df",
     "image_neardup_pairs",
+    "index_video_samples",
     "resize_images",
     "sample_video_frames",
 ]
@@ -616,31 +622,45 @@ def encode_gif_animation(
 
 def _decode_bmp(payload: bytes) -> np.ndarray:
     """BMP decode (pure numpy): BITMAPINFOHEADER-family DIBs (40/52/
-    56/108/124-byte headers share the first 40 bytes), BI_RGB at
-    1/4/8/24/32 bpp with 4-byte row padding, BI_RLE8, bottom-up and
-    top-down rows, BGRA palettes.  Returns float32 grayscale in
-    [0, 1]."""
-    if payload[:2] != b"BM" or len(payload) < 54:
+    56/108/124-byte headers share the first 40 bytes) plus the OS/2
+    BITMAPCOREHEADER (dib=12, u16 dims, 3-byte palette triples);
+    BI_RGB at 1/4/8/16(X1R5G5B5)/24/32 bpp with 4-byte row padding,
+    BI_RLE8, BI_BITFIELDS (arbitrary 16/32 bpp masks — 565 is the wild
+    norm), bottom-up and top-down rows, BGRA palettes.  Returns
+    float32 grayscale in [0, 1]."""
+    # 26 = file header + BITMAPCOREHEADER, the smallest legal DIB
+    if payload[:2] != b"BM" or len(payload) < 26:
         raise ValueError("not a bmp")
     (data_off,) = struct.unpack("<I", payload[10:14])
     (dib,) = struct.unpack("<I", payload[14:18])
     if dib < 40:
-        raise NotImplementedError("bmp: BITMAPCOREHEADER not supported")
-    w, h, _planes, bpp, comp, _imgsz = struct.unpack("<iiHHII", payload[18:38])
-    (clr_used,) = struct.unpack("<I", payload[46:50])
-    top_down = h < 0
-    h = abs(h)
+        if dib != 12:
+            raise ValueError(f"bmp: unknown DIB header size {dib}")
+        # BITMAPCOREHEADER (OS/2 1.x): u16 dims, always bottom-up,
+        # BI_RGB only, 3-byte RGB palette triples
+        w, h, _planes, bpp = struct.unpack("<HHHH", payload[18:26])
+        comp, clr_used, top_down, core = 0, 0, False, True
+        w, h = int(w), int(h)
+    else:
+        if len(payload) < 54:
+            raise ValueError("bmp: truncated BITMAPINFOHEADER")
+        w, h, _planes, bpp, comp, _imgsz = struct.unpack("<iiHHII", payload[18:38])
+        (clr_used,) = struct.unpack("<I", payload[46:50])
+        top_down = h < 0
+        h = abs(h)
+        core = False
     if w <= 0 or h == 0:
         raise ValueError("bmp: bad dimensions")
     palette = None
     if bpp <= 8:
+        entry = 3 if core else 4  # core palettes are BGR, later BGRA
         ncol = clr_used or (1 << bpp)
         pal_off = 14 + dib
-        raw_pal = payload[pal_off : pal_off + 4 * ncol]
-        if len(raw_pal) < 4 * ncol:
+        raw_pal = payload[pal_off : pal_off + entry * ncol]
+        if len(raw_pal) < entry * ncol:
             raise ValueError("bmp: truncated palette")
-        bgra = np.frombuffer(raw_pal, dtype=np.uint8).reshape(ncol, 4)
-        palette = bgra[:, [2, 1, 0]].copy()  # BGR(A) -> RGB
+        bgrx = np.frombuffer(raw_pal, dtype=np.uint8).reshape(ncol, entry)
+        palette = bgrx[:, [2, 1, 0]].copy()  # BGR(A|void) -> RGB
     data = payload[data_off:]
     if comp == 0:  # BI_RGB
         stride = ((w * bpp + 31) // 32) * 4
@@ -653,6 +673,18 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
             px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR->RGB
         elif bpp == 32:
             px = rows[:, : w * 4].reshape(h, w, 4)[:, :, [2, 1, 0]]
+        elif bpp == 16:
+            # BI_RGB 16 bpp is X1R5G5B5 little-endian by spec
+            pair = rows[:, : w * 2].reshape(h, w, 2).astype(np.uint16)
+            v = pair[:, :, 0] | (pair[:, :, 1] << 8)
+            px = np.stack(
+                [
+                    (((v >> 10) & 31) * 255 // 31),
+                    (((v >> 5) & 31) * 255 // 31),
+                    ((v & 31) * 255 // 31),
+                ],
+                axis=2,
+            ).astype(np.uint8)
         elif bpp == 8:
             px = palette[rows[:, :w]]
         elif bpp in (1, 4):
@@ -708,6 +740,36 @@ def _decode_bmp(payload: bytes) -> np.ndarray:
         # RLE rows are encoded in storage order: bottom-up unless the
         # height was negative
         px = palette[idx if top_down else idx[::-1]]
+    elif comp == 3:  # BI_BITFIELDS — arbitrary RGB masks (565 is the wild norm)
+        if bpp not in (16, 32):
+            raise ValueError("bmp: BI_BITFIELDS requires 16 or 32 bpp")
+        # dib 40: the three masks FOLLOW the header; dib >= 52/56/108/124
+        # carries them at the same byte positions inside the header
+        if len(payload) < 14 + 40 + 12:
+            raise ValueError("bmp: truncated bitfields masks")
+        masks = struct.unpack("<III", payload[54:66])
+        stride = ((w * bpp + 31) // 32) * 4
+        if len(data) < stride * h:
+            raise ValueError("bmp: truncated pixel data")
+        rows = np.frombuffer(data[: stride * h], dtype=np.uint8).reshape(h, stride)
+        if not top_down:
+            rows = rows[::-1]
+        nb = bpp // 8
+        b0 = rows[:, : w * nb].reshape(h, w, nb).astype(np.uint32)
+        v = b0[:, :, 0]
+        for k in range(1, nb):
+            v = v | (b0[:, :, k] << (8 * k))
+        chans = []
+        for m in masks:
+            if m == 0:
+                chans.append(np.zeros((h, w), dtype=np.uint8))
+                continue
+            shift = (m & -m).bit_length() - 1
+            top = m >> shift
+            if top == 0 or top > 0xFFFF:
+                raise ValueError("bmp: bad bitfields mask")
+            chans.append((((v >> shift) & top) * 255 // top).astype(np.uint8))
+        px = np.stack(chans, axis=2)
     else:
         raise NotImplementedError(f"bmp: compression {comp} not supported")
     return px[:, :, :3].astype(np.float32).mean(axis=2) / 255.0
@@ -1302,18 +1364,24 @@ def sample_video_frames(
     do animated GIFs: frames composite through disposal/transparency
     (``_gif_frames``) and each sampled full-canvas frame is emitted as
     a P6 PPM payload; either way ``decode_image_features`` consumes the
-    output downstream.  Other containers (H.264/MP4) need ffmpeg and
-    raise unless ``fake=True`` treats the payload as concatenated
-    64-byte 'frames'.  One input row fans out to n_frames/every_n rows;
-    mapInPandas keeps the fan-out inside Arrow batches.  ``on_error``:
-    "raise" (default) or "null" (drop malformed/unsupported payloads,
-    like NULL payloads)."""
+    output downstream.  MP4 (ISO BMFF) payloads frame-sample for REAL
+    at the CONTAINER level (``operators.mp4`` sample tables): every
+    ``every_n``-th sample's bytes are sliced out of mdat at its exact
+    (offset, size) — each emitted frame_payload is a genuine AVC access
+    unit, whose PIXEL decode (not extraction) is what still needs a
+    compiled codec downstream.  Other containers raise unless
+    ``fake=True`` treats the payload as concatenated 64-byte 'frames'.
+    One input row fans out to n_frames/every_n rows; mapInPandas keeps
+    the fan-out inside Arrow batches.  ``on_error``: "raise" (default)
+    or "null" (drop malformed/unsupported payloads, like NULL
+    payloads)."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     skip = on_error == "null"
     out_schema = f"{id_col} bigint, frame_no int, frame_payload binary"
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import index_mp4_samples, is_mp4
         from .video import decode_avi_frames, is_avi
 
         for pdf in it:
@@ -1322,6 +1390,20 @@ def sample_video_frames(
                 if b is None:
                     continue
                 raw = bytes(b)
+                if is_mp4(raw):
+                    try:
+                        samples = index_mp4_samples(raw)["samples"]
+                    except (ValueError, NotImplementedError):
+                        if skip:
+                            continue
+                        raise
+                    for no, _dts, _pts, off, size, _kf in samples:
+                        fno = no - 1
+                        if fno % every_n == 0:
+                            ids.append(int(mid))
+                            frames.append(fno)
+                            payloads.append(raw[off : off + size])
+                    continue
                 if is_avi(raw):
                     try:
                         avi_frames = decode_avi_frames(raw)
@@ -1359,8 +1441,9 @@ def sample_video_frames(
                     if skip:
                         continue
                     raise NotImplementedError(
-                        "only MJPEG AVI and animated GIF decode without "
-                        "ffmpeg; use fake=True for other containers"
+                        "only MJPEG AVI, animated GIF and MP4 (container "
+                        "level) sample without ffmpeg; use fake=True for "
+                        "other containers"
                     )
                 n_frames = max(1, len(raw) // 64)
                 for fno in range(0, n_frames, every_n):
@@ -1369,6 +1452,81 @@ def sample_video_frames(
                     payloads.append(raw[fno * 64 : (fno + 1) * 64])
             yield pd.DataFrame(
                 {id_col: pd.Series(ids, dtype="int64"), "frame_no": pd.Series(frames, dtype="int32"), "frame_payload": payloads}
+            )
+
+    return df.mapInPandas(op, out_schema)
+
+
+def index_video_samples(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> DataFrame:
+    """Container-level MP4 sample index: one row per video sample with
+    its exact decode/presentation timestamps, byte extent, and sync
+    flag, straight from the ``moov/stbl`` tables (``operators.mp4``).
+
+    Output: (id, sample_no, dts, pts, offset, size, keyframe, codec,
+    width, height, timescale, duration) — dts/pts/duration in
+    ``timescale`` units, offset/size in bytes into the payload.  All
+    integers, so oracles compare value-exactly.
+
+    This is the honest scale path for real web-video corpora: frame
+    SELECTION (keyframes only, every Nth, time-range) and byte-range
+    fetch planning need exactly this index and no pixel decode; the
+    pixel step stays behind the documented ffmpeg seam.  Arrow-batched
+    ``mapInPandas``, bytes never row-trip Python; the ~100-byte index
+    rows are what shuffles, never the media.  ``on_error``: "raise"
+    (default) or "null" (drop malformed payloads, like NULL payloads —
+    the uniform ingest policy of every codec here)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    skip = on_error == "null"
+    out_schema = (
+        f"{id_col} bigint, sample_no int, dts bigint, pts bigint, "
+        "offset bigint, size bigint, keyframe boolean, codec string, "
+        "width int, height int, timescale bigint, duration bigint"
+    )
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import index_mp4_samples
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                try:
+                    idx = index_mp4_samples(bytes(b))
+                except (ValueError, NotImplementedError):
+                    if skip:
+                        continue
+                    raise
+                meta = (
+                    idx["codec"], idx["width"], idx["height"],
+                    idx["timescale"], idx["duration"],
+                )
+                rows.extend(
+                    (int(mid), no, dts, pts, off, size, kf) + meta
+                    for no, dts, pts, off, size, kf in idx["samples"]
+                )
+            cols = list(zip(*rows)) if rows else [[] for _ in range(12)]
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(cols[0], dtype="int64"),
+                    "sample_no": pd.Series(cols[1], dtype="int32"),
+                    "dts": pd.Series(cols[2], dtype="int64"),
+                    "pts": pd.Series(cols[3], dtype="int64"),
+                    "offset": pd.Series(cols[4], dtype="int64"),
+                    "size": pd.Series(cols[5], dtype="int64"),
+                    "keyframe": pd.Series(cols[6], dtype="bool"),
+                    "codec": pd.Series(cols[7], dtype="object"),
+                    "width": pd.Series(cols[8], dtype="int32"),
+                    "height": pd.Series(cols[9], dtype="int32"),
+                    "timescale": pd.Series(cols[10], dtype="int64"),
+                    "duration": pd.Series(cols[11], dtype="int64"),
+                }
             )
 
     return df.mapInPandas(op, out_schema)

@@ -194,12 +194,14 @@ _DRIVER_WINDOW: list[str] = [
     # (a) queries whose CODE changed this round and therefore must be
     #     re-proved even though their last row is green, and
     # (b) a couple of stable anchors as regression canaries.
-    # -- (a) code changed in r7: batched BPE train loop, k-means plan
-    #    guard, progressive-JPEG codec path, freshness manifest fsync,
-    #    triplet null/NaN-label fix --
-    "doc_bpe_merges", "doc_bpe_tokens", "emb_kmeans",
-    "mm_image_stats", "mm_image_neardup", "fresh_topk_l2",
-    "emb_triplets",
+    # -- (a) code changed in r8: dedup_passages skew-proof agg shape,
+    #    batched-BPE apply-guard oracle + 256 cap, materialize opt-in
+    #    at the query layer (dup_ngrams / dsir), txn commit hardening
+    #    behind fresh_*; mm_mp4_* are new (never verified — they'd
+    #    lead the self-fill anyway, pinned for determinism) --
+    "doc_dup_passages", "doc_bpe_batched", "doc_dup_ngrams",
+    "doc_dsir_weights", "mm_mp4_index", "mm_mp4_sample",
+    "fresh_topk_l2",
     # -- (b) stable anchors --
     "topk_l2", "doc_dedup_exact",
 ]

@@ -785,3 +785,158 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.image_neardup_pairs(
         media, id_col="doc_id", max_hamming=3, method="ahash", max_bucket=100_000
     )
+
+
+def _synth_mp4_op(it):
+    """(doc_id) -> (doc_id, payload): structurally standard MP4
+    (operators/mp4.encode_mp4) with 1 + doc_id%5 fake-AVC samples;
+    sizes, durations, composition offsets, keyframe pattern, timescale
+    and geometry are all integer functions of (doc_id, sample index)
+    so a SQL oracle recomputes the whole sample index exactly:
+      size_i = 16 + (doc_id*7 + i*11) % 32
+      dur_i  = 100 + 20*((doc_id + i) % 3)
+      cts_i  = 40*(i % 2);  keyframe_i = (i % 3 == 0)
+      timescale = 600 + 100*(doc_id % 3)
+      width = 160 + 16*(doc_id % 4); height = 120 + 8*(doc_id % 3)
+    Chunking is 2 samples/chunk; every 7th doc uses co64 offsets so
+    both chunk-offset widths stay exercised."""
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.mp4 import encode_mp4
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            nf = 1 + did % 5
+            sizes = [16 + (did * 7 + i * 11) % 32 for i in range(nf)]
+            pls = [
+                bytes(((did + i + k) % 256) for k in range(sz))
+                for i, sz in enumerate(sizes)
+            ]
+            payloads.append(
+                encode_mp4(
+                    pls,
+                    durations=[100 + 20 * ((did + i) % 3) for i in range(nf)],
+                    cts_offsets=[40 * (i % 2) for i in range(nf)],
+                    keyframes=[i % 3 == 0 for i in range(nf)],
+                    timescale=600 + 100 * (did % 3),
+                    width=160 + 16 * (did % 4),
+                    height=120 + 8 * (did % 3),
+                    samples_per_chunk=2,
+                    co64=(did % 7 == 0),
+                )
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+_MP4_SAMPLE_CTE = r"""
+    WITH v AS (SELECT doc_id, (1 + doc_id % 5) AS nf FROM documents),
+    s AS (
+      SELECT v.doc_id, v.nf, CAST(u.i AS INT) AS i,
+             CAST(16 + (v.doc_id*7 + u.i*11) % 32 AS BIGINT) AS byte_len,
+             CAST(100 + 20*((v.doc_id + u.i) % 3) AS BIGINT) AS dur,
+             CAST(40*(u.i % 2) AS BIGINT) AS cts
+      FROM v, unnest(range(0, v.nf)) AS u(i)
+    ), w AS (
+      SELECT doc_id, nf, i, byte_len, cts,
+             CAST(COALESCE(SUM(dur) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS dts,
+             CAST(32 + COALESCE(SUM(byte_len) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS byte_off,
+             CAST(SUM(dur) OVER (PARTITION BY doc_id) AS BIGINT) AS duration
+      FROM s
+    )
+"""
+
+
+@register(
+    "mm_mp4_index",
+    _MP4_SAMPLE_CTE
+    + r"""
+    SELECT doc_id,
+           CAST(i + 1 AS INT) AS sample_no,
+           dts,
+           CAST(dts + cts AS BIGINT) AS pts,
+           byte_off,
+           byte_len,
+           (i % 3 = 0) AS keyframe,
+           'avc1' AS codec,
+           CAST(160 + 16*(doc_id % 4) AS INT) AS width,
+           CAST(120 + 8*(doc_id % 3) AS INT) AS height,
+           CAST(600 + 100*(doc_id % 3) AS BIGINT) AS timescale,
+           duration
+    FROM w
+    """,
+)
+def mm_mp4_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 container indexing end-to-end: synthesize a structurally
+    standard single-track MP4 per document (real ftyp/mdat/moov with
+    full stts/ctts/stss/stsc/stsz/stco|co64 tables), then recover the
+    complete per-sample index — decode and presentation timestamps,
+    byte extents, sync flags, codec/geometry/timescale — through the
+    REAL box walk (multimodal.index_video_samples over operators/
+    mp4.py).  Every output is an integer the oracle recomputes from
+    the synthesis formulas, so parity is value-exact: this certifies
+    the stts run-length expansion, ctts composition offsets, the
+    stsc x stco/co64 chunk walk (2 samples/chunk, both offset widths),
+    and stss keyframe resolution — everything frame sampling at 100 TB
+    needs short of pixel decode (the documented ffmpeg seam).
+    Reference parity: N/A (no media surface in the reference)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = _spread_ids(docs).mapInPandas(
+        _synth_mp4_op, "doc_id bigint, payload binary"
+    )
+    idx = MM.index_video_samples(media, id_col="doc_id")
+    return idx.select(
+        "doc_id",
+        "sample_no",
+        "dts",
+        "pts",
+        F.col("offset").alias("byte_off"),
+        F.col("size").alias("byte_len"),
+        "keyframe",
+        "codec",
+        "width",
+        "height",
+        "timescale",
+        "duration",
+    )
+
+
+@register(
+    "mm_mp4_sample",
+    _MP4_SAMPLE_CTE
+    + r"""
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(MAX(i) AS INT) AS max_frame_no,
+           CAST(SUM(byte_len) AS BIGINT) AS sum_bytes
+    FROM w WHERE i % 2 = 0 GROUP BY doc_id
+    """,
+)
+def mm_mp4_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 frame sampling end-to-end: every 2nd sample of each
+    synthetic MP4 is extracted through the REAL container path
+    (sample_video_frames slices each sampled access unit out of mdat
+    at its stbl-resolved offset/size).  The oracle recomputes sampled
+    counts, last sampled index, and total extracted bytes from the
+    synthesis formulas — value-exact, certifying the sampling stride
+    and the byte-extent slicing; the unit tests additionally pin the
+    extracted BYTES to the synthesized access units."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = _spread_ids(docs).mapInPandas(
+        _synth_mp4_op, "doc_id bigint, payload binary"
+    )
+    sampled = MM.sample_video_frames(media, id_col="doc_id", every_n=2)
+    return sampled.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.max("frame_no").cast("int").alias("max_frame_no"),
+        F.sum(F.length("frame_payload")).cast("long").alias("sum_bytes"),
+    )

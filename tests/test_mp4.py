@@ -1,0 +1,264 @@
+"""MP4 (ISO BMFF) container indexing: operators/mp4.py + the Spark
+operators over it (multimodal.index_video_samples / the MP4 path of
+sample_video_frames).
+
+Reference parity: N/A — /root/reference has no media surface; this is
+engine-extension coverage like the other codec suites."""
+
+from __future__ import annotations
+
+import random
+import struct
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pgvecto_rs_spark.operators.mp4 import (
+    MP4_MDAT_DATA_START,
+    encode_mp4,
+    index_mp4_samples,
+    is_mp4,
+)
+
+
+def _payloads(n: int, seed: int = 7) -> list[bytes]:
+    rng = random.Random(seed)
+    return [bytes(rng.randrange(256) for _ in range(rng.randrange(5, 60))) for _ in range(n)]
+
+
+class TestMp4Index:
+    def test_round_trip_exact(self):
+        pl = _payloads(7)
+        durs = [100, 100, 120, 90, 90, 90, 150]
+        cts = [0, 80, 40, 0, 80, 40, 0]
+        kfs = [True, False, False, True, False, False, True]
+        b = encode_mp4(
+            pl, durations=durs, cts_offsets=cts, keyframes=kfs,
+            timescale=600, width=320, height=240, samples_per_chunk=3,
+        )
+        assert is_mp4(b)
+        idx = index_mp4_samples(b)
+        assert (idx["codec"], idx["width"], idx["height"]) == ("avc1", 320, 240)
+        assert idx["timescale"] == 600 and idx["duration"] == sum(durs)
+        dts = 0
+        off = MP4_MDAT_DATA_START
+        for i, s in enumerate(idx["samples"]):
+            assert s == (i + 1, dts, dts + cts[i], off, len(pl[i]), kfs[i])
+            # the indexed extent really is the access unit
+            assert b[s[3] : s[3] + s[4]] == pl[i]
+            dts += durs[i]
+            off += len(pl[i])
+
+    def test_co64_matches_stco(self):
+        pl = _payloads(5, seed=9)
+        a = index_mp4_samples(encode_mp4(pl, co64=False))
+        b = index_mp4_samples(encode_mp4(pl, co64=True))
+        assert a["samples"] == b["samples"]
+
+    def test_no_stss_means_all_keyframes(self):
+        idx = index_mp4_samples(encode_mp4(_payloads(4)))
+        assert all(s[5] for s in idx["samples"])
+
+    def test_no_ctts_means_pts_equals_dts(self):
+        idx = index_mp4_samples(encode_mp4(_payloads(4)))
+        assert all(s[1] == s[2] for s in idx["samples"])
+
+    def test_single_sample_and_odd_tail_chunks(self):
+        for n in (1, 3, 5):
+            pl = _payloads(n, seed=n)
+            idx = index_mp4_samples(encode_mp4(pl, samples_per_chunk=2))
+            offs = [s[3] for s in idx["samples"]]
+            want, o = [], MP4_MDAT_DATA_START
+            for p in pl:
+                want.append(o)
+                o += len(p)
+            assert offs == want
+
+    def test_largesize_box_header(self):
+        """size==1 + 64-bit largesize on the mdat box parses."""
+        b = encode_mp4(_payloads(3))
+        # rewrite mdat's header to the largesize form
+        (msz,) = struct.unpack(">I", b[24:28])
+        assert b[28:32] == b"mdat"
+        big = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", msz + 8)
+        b2 = b[:24] + big + b[32 : 24 + msz] + b[24 + msz :]
+        idx, idx2 = index_mp4_samples(b), index_mp4_samples(b2)
+        # offsets shift by the 8 extra header bytes — sizes/times identical
+        assert [s[4] for s in idx2["samples"]] == [s[4] for s in idx["samples"]]
+        assert [s[1] for s in idx2["samples"]] == [s[1] for s in idx["samples"]]
+
+    def test_version1_mdhd(self):
+        """mdhd v1 (64-bit times) parses: patch the v0 box to v1."""
+        b = bytearray(encode_mp4(_payloads(2), timescale=90000))
+        i = b.find(b"mdhd")
+        body = i + 4
+        # v0 body: ver/flags(4) c(4) m(4) ts(4) dur(4) lang(2) pre(2) = 24
+        ts, dur = struct.unpack(">II", b[body + 12 : body + 20])
+        v1 = (
+            bytes([1, 0, 0, 0])
+            + struct.pack(">QQIQ", 0, 0, ts, dur)
+            + b[body + 20 : body + 24]
+        )
+        new = struct.pack(">I", 8 + len(v1)) + b"mdhd" + v1
+        old_size = struct.unpack(">I", b[i - 4 : i])[0]
+        grown = len(new) - old_size
+        # grow every ancestor box size (moov, trak, mdia)
+        out = bytearray(b[: i - 4] + new + b[i - 4 + old_size :])
+        for fourcc in (b"moov", b"trak", b"mdia"):
+            j = out.find(fourcc)
+            sz = struct.unpack(">I", out[j - 4 : j])[0]
+            out[j - 4 : j] = struct.pack(">I", sz + grown)
+        idx = index_mp4_samples(bytes(out))
+        assert idx["timescale"] == ts and idx["duration"] == dur
+
+    def test_not_mp4_rejected(self):
+        with pytest.raises(ValueError):
+            index_mp4_samples(b"RIFF\x00\x00\x00\x00AVI ")
+        with pytest.raises(ValueError):
+            index_mp4_samples(b"")
+        assert not is_mp4(b"\x89PNG\r\n\x1a\n")
+
+    def test_audio_only_track_rejected(self):
+        """A track whose hdlr is not 'vide' must not index as video."""
+        b = bytearray(encode_mp4(_payloads(2)))
+        i = b.find(b"vide")
+        b[i : i + 4] = b"soun"
+        with pytest.raises(ValueError, match="no video track"):
+            index_mp4_samples(bytes(b))
+
+    def test_fuzz_exception_contract(self):
+        """Same contract as every codec: corrupt/truncated payloads
+        raise ValueError/NotImplementedError (or index garbage), never
+        struct.error/IndexError/KeyError/OverflowError/MemoryError."""
+        valid = encode_mp4(_payloads(6), keyframes=[True, False] * 3,
+                           cts_offsets=[0, 40] * 3)
+        rng = random.Random(42)
+        for trial in range(3000):
+            mode = trial % 3
+            if mode == 0:
+                data = valid[:12] + bytes(
+                    rng.randrange(256) for _ in range(rng.randrange(200))
+                )
+            elif mode == 1:
+                b = bytearray(valid)
+                for _ in range(rng.randrange(1, 8)):
+                    b[rng.randrange(len(b))] = rng.randrange(256)
+                data = bytes(b)
+            else:
+                data = valid[: rng.randrange(1, len(valid))]
+            try:
+                index_mp4_samples(data)
+            except (ValueError, NotImplementedError):
+                pass
+
+    @settings(max_examples=40, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.binary(min_size=1, max_size=40),          # payload
+                st.integers(min_value=1, max_value=10_000),  # duration
+                st.integers(min_value=0, max_value=5_000),   # cts offset
+                st.booleans(),                               # keyframe
+            ),
+            min_size=1,
+            max_size=20,
+        ),
+        spc=st.integers(min_value=1, max_value=5),
+        co64=st.booleans(),
+    )
+    def test_property_round_trip(self, data, spc, co64):
+        """ANY sample table round-trips encode -> index exactly."""
+        pls = [d[0] for d in data]
+        durs = [d[1] for d in data]
+        cts = [d[2] for d in data]
+        kfs = [d[3] for d in data]
+        b = encode_mp4(
+            pls, durations=durs, cts_offsets=cts, keyframes=kfs,
+            samples_per_chunk=spc, co64=co64,
+        )
+        idx = index_mp4_samples(b)
+        assert len(idx["samples"]) == len(pls)
+        dts = 0
+        off = MP4_MDAT_DATA_START
+        for i, s in enumerate(idx["samples"]):
+            assert s == (i + 1, dts, dts + cts[i], off, len(pls[i]), kfs[i])
+            assert b[s[3] : s[3] + s[4]] == pls[i]
+            dts += durs[i]
+            off += len(pls[i])
+
+
+class TestMp4Spark:
+    def _media(self, spark, n=6):
+        import pandas as pd
+
+        rows = []
+        for did in range(n):
+            nf = 1 + did % 4
+            pls = [bytes([did * 16 + i] * (10 + i)) for i in range(nf)]
+            rows.append(
+                (
+                    did,
+                    encode_mp4(
+                        pls,
+                        durations=[100 + 10 * i for i in range(nf)],
+                        keyframes=[i % 2 == 0 for i in range(nf)],
+                    ),
+                )
+            )
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["media_id", "payload"])
+        )
+
+    def test_index_video_samples(self, spark):
+        from pgvecto_rs_spark.operators.multimodal import index_video_samples
+
+        out = index_video_samples(self._media(spark)).collect()
+        got = {(r["media_id"], r["sample_no"]): r for r in out}
+        assert len(got) == sum(1 + d % 4 for d in range(6))
+        for did in range(6):
+            nf = 1 + did % 4
+            off = MP4_MDAT_DATA_START
+            dts = 0
+            for i in range(nf):
+                r = got[(did, i + 1)]
+                assert r["offset"] == off and r["size"] == 10 + i
+                assert r["dts"] == dts and r["pts"] == dts
+                assert r["keyframe"] == (i % 2 == 0)
+                assert r["codec"] == "avc1"
+                off += 10 + i
+                dts += 100 + 10 * i
+
+    def test_index_on_error_null(self, spark):
+        import pandas as pd
+
+        from pgvecto_rs_spark.operators.multimodal import index_video_samples
+
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "media_id": [0, 1, 2],
+                    "payload": [encode_mp4([b"x" * 8]), b"garbage!!", None],
+                }
+            )
+        )
+        with pytest.raises(Exception):
+            index_video_samples(df).collect()
+        out = index_video_samples(df, on_error="null").collect()
+        assert {r["media_id"] for r in out} == {0}
+
+    def test_sample_video_frames_mp4_extracts_exact_bytes(self, spark):
+        import pandas as pd
+
+        from pgvecto_rs_spark.operators.multimodal import sample_video_frames
+
+        pls = [bytes([i] * (8 + i)) for i in range(5)]
+        df = spark.createDataFrame(
+            pd.DataFrame({"media_id": [1], "payload": [encode_mp4(pls)]})
+        )
+        out = sample_video_frames(df, every_n=2).collect()
+        assert [(r["frame_no"], bytes(r["frame_payload"])) for r in
+                sorted(out, key=lambda r: r["frame_no"])] == [
+            (0, pls[0]), (2, pls[2]), (4, pls[4]),
+        ]

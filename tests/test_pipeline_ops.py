@@ -1926,3 +1926,134 @@ class TestBmpDecode:
         for bad in (b"BMshort", good[:30], good[:-10], b"XX" + good[2:]):
             with pytest.raises((ValueError, NotImplementedError)):
                 _decode_bmp(bad)
+
+    @staticmethod
+    def _bmp_core(px_rgb=None, idxs=None, palette=None, bpp=24):
+        """BITMAPCOREHEADER (dib=12) fixture: u16 dims, bottom-up,
+        3-byte BGR palette triples."""
+        import struct
+
+        import numpy as np
+
+        if px_rgb is not None:
+            h, w = px_rgb.shape[:2]
+        else:
+            h, w = idxs.shape
+        pal_bytes = b""
+        if palette is not None:
+            pal_bytes = palette[:, ::-1].astype(np.uint8).tobytes()  # RGB->BGR
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = []
+        src = px_rgb if px_rgb is not None else idxs
+        for y in range(h - 1, -1, -1):  # bottom-up
+            if bpp == 24:
+                b = src[y][:, ::-1].astype(np.uint8).tobytes()
+            elif bpp == 8:
+                b = src[y].astype(np.uint8).tobytes()
+            else:
+                bits = (
+                    (src[y][:, None].astype(np.uint8)
+                     >> np.arange(bpp - 1, -1, -1)[None, :]) & 1
+                ).reshape(-1).astype(np.uint8)
+                b = np.packbits(bits).tobytes()
+            rows.append(b + b"\x00" * (stride - len(b)))
+        data = b"".join(rows)
+        dib = struct.pack("<IHHHH", 12, w, h, 1, bpp)
+        off = 14 + 12 + len(pal_bytes)
+        head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        return head + dib + pal_bytes + data
+
+    def test_core_header(self):
+        """OS/2 BITMAPCOREHEADER: 24 bpp truecolor and 8 bpp palette
+        (3-byte palette entries) decode; previously rejected."""
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_bmp
+
+        rng = np.random.default_rng(35)
+        px = rng.integers(0, 256, (5, 9, 3), dtype=np.uint8)
+        want = px.astype(np.float32).mean(axis=2) / 255.0
+        assert np.allclose(_decode_bmp(self._bmp_core(px_rgb=px)), want)
+        pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+        idxs = rng.integers(0, 256, (6, 7), dtype=np.uint8)
+        want = pal[idxs].astype(np.float32).mean(axis=2) / 255.0
+        got = _decode_bmp(self._bmp_core(idxs=idxs, palette=pal, bpp=8))
+        assert np.allclose(got, want)
+
+    @staticmethod
+    def _bmp16(vals16, masks=None, bpp=16, top_down=False):
+        """16/32bpp fixture: BI_RGB (masks None) or BI_BITFIELDS."""
+        import struct
+
+        import numpy as np
+
+        h, w = vals16.shape
+        comp = 0 if masks is None else 3
+        nb = bpp // 8
+        stride = ((w * bpp + 31) // 32) * 4
+        rows = []
+        order = vals16 if top_down else vals16[::-1]
+        for y in range(h):
+            b = order[y].astype("<u2" if nb == 2 else "<u4").tobytes()
+            rows.append(b + b"\x00" * (stride - len(b)))
+        data = b"".join(rows)
+        mask_bytes = b"" if masks is None else struct.pack("<III", *masks)
+        dib = struct.pack(
+            "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, comp,
+            len(data), 2835, 2835, 0, 0,
+        )
+        off = 14 + 40 + len(mask_bytes)
+        head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        return head + dib + mask_bytes + data
+
+    def test_16bpp_rgb555(self):
+        """BI_RGB 16 bpp is X1R5G5B5 by spec; previously rejected."""
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_bmp
+
+        rng = np.random.default_rng(36)
+        v = rng.integers(0, 1 << 15, (6, 5), dtype=np.uint16)
+        r = ((v >> 10) & 31) * 255 // 31
+        g = ((v >> 5) & 31) * 255 // 31
+        b = (v & 31) * 255 // 31
+        want = np.stack([r, g, b], axis=2).astype(np.float32).mean(axis=2) / 255.0
+        for td in (False, True):
+            got = _decode_bmp(self._bmp16(v, top_down=td))
+            assert np.allclose(got, want), td
+
+    def test_bitfields_565_and_32(self):
+        """BI_BITFIELDS: the ubiquitous R5G6B5 and a 32bpp mask set."""
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_bmp
+
+        rng = np.random.default_rng(37)
+        v = rng.integers(0, 1 << 16, (4, 7), dtype=np.uint16)
+        r = ((v >> 11) & 31) * 255 // 31
+        g = ((v >> 5) & 63) * 255 // 63
+        b = (v & 31) * 255 // 31
+        want = np.stack([r, g, b], axis=2).astype(np.float32).mean(axis=2) / 255.0
+        got = _decode_bmp(self._bmp16(v, masks=(0xF800, 0x07E0, 0x001F)))
+        assert np.allclose(got, want)
+        # 32 bpp 8-8-8 masks reproduce the pixels exactly
+        v32 = rng.integers(0, 1 << 24, (4, 3), dtype=np.uint32)
+        r = (v32 >> 16) & 255
+        g = (v32 >> 8) & 255
+        b = v32 & 255
+        want = np.stack([r, g, b], axis=2).astype(np.float32).mean(axis=2) / 255.0
+        got = _decode_bmp(
+            self._bmp16(v32, masks=(0xFF0000, 0x00FF00, 0x0000FF), bpp=32)
+        )
+        assert np.allclose(got, want)
+
+    def test_bitfields_bad_inputs_rejected(self):
+        import numpy as np
+        import pytest
+
+        from pgvecto_rs_spark.operators.multimodal import _decode_bmp
+
+        v = np.zeros((2, 2), dtype=np.uint16)
+        good = self._bmp16(v, masks=(0xF800, 0x07E0, 0x001F))
+        with pytest.raises(ValueError):
+            _decode_bmp(good[:60])  # truncated masks/pixels
