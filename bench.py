@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "mm_gif_frames",
     "mm_mp4_index",
     "mm_mp4_sample",
+    "mm_audio_flac",
     "events_hourly",
     "events_sessions",
     "events_asof",

@@ -1,0 +1,566 @@
+"""FLAC (Free Lossless Audio Codec) decode in pure stdlib + numpy.
+
+Closes the real-web-audio gap the WAV container zoo leaves: FLAC is
+the dominant lossless distribution format, and because it is LOSSLESS
+the decoded PCM is bit-exact — so, like GIF/PNG/BMP on the image side,
+every driver oracle over it can be value-exact, not structural.
+
+Implemented (the complete STREAM decode path of the format spec):
+
+- fLaC magic + metadata blocks (STREAMINFO parsed, others skipped),
+- frame headers: sync, blocking strategy, all block-size / sample-rate
+  / sample-size codes (incl. end-of-header 8/16-bit sizes), UTF-8
+  coded frame/sample numbers, CRC-8 verification,
+- channel assignments: independent, left/side, right/side, mid/side,
+- subframes: CONSTANT, VERBATIM, FIXED orders 0-4, and LPC orders
+  1-32 (quantized-coefficient linear prediction), wasted bits,
+- residuals: Rice partitions, both coding methods (4- and 5-bit
+  parameters), escape code (unencoded binary residuals),
+- frame CRC-16 verification.
+
+Everything is integer arithmetic — deterministic and engine-exact.
+The encoder twin (``encode_flac``) writes CONSTANT / VERBATIM / FIXED
+frames with real Rice coding so fixtures are spec-valid files the
+decoder round-trips bit-for-bit (and any external FLAC decoder would
+too).
+
+Exception contract: malformed input raises ``ValueError`` (or
+``NotImplementedError`` for declared-but-unsupported shapes), never a
+stdlib internal — the same fuzz-pinned policy as every codec in
+``operators.multimodal``.
+
+Reference parity: N/A — /root/reference (pgvecto.rs) has no media
+surface; this extends the engine for LLM-training-data work.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["decode_flac", "encode_flac", "is_flac"]
+
+
+def is_flac(payload: bytes) -> bool:
+    return payload[:4] == b"fLaC"
+
+
+# ---------------------------------------------------------------------------
+# bit reader
+# ---------------------------------------------------------------------------
+
+
+class _Bits:
+    __slots__ = ("data", "pos", "n")
+
+    def __init__(self, data: bytes, pos_bytes: int = 0):
+        self.data = data
+        self.pos = pos_bytes * 8
+        self.n = len(data) * 8
+
+    def read(self, nbits: int) -> int:
+        p, q = self.pos, self.pos + nbits
+        if q > self.n:
+            raise ValueError("flac: bitstream truncated")
+        v = int.from_bytes(
+            self.data[p // 8 : (q + 7) // 8], "big"
+        )
+        v >>= (-q) % 8
+        self.pos = q
+        return v & ((1 << nbits) - 1)
+
+    def read_signed(self, nbits: int) -> int:
+        v = self.read(nbits)
+        return v - (1 << nbits) if v >> (nbits - 1) else v
+
+    def unary(self) -> int:
+        # count zero bits up to the first 1
+        q = 0
+        while True:
+            if self.pos >= self.n:
+                raise ValueError("flac: bitstream truncated in unary code")
+            if self.read(1):
+                return q
+            q += 1
+            if q > 1 << 20:
+                raise ValueError("flac: unary run too long")
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+    def byte_pos(self) -> int:
+        return self.pos // 8
+
+
+_FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
+
+_CRC8_TABLE = []
+for _b in range(256):
+    _c = _b
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x07) & 0xFF if _c & 0x80 else (_c << 1) & 0xFF
+    _CRC8_TABLE.append(_c)
+
+_CRC16_TABLE = []
+for _b in range(256):
+    _c = _b << 8
+    for _ in range(8):
+        _c = ((_c << 1) ^ 0x8005) & 0xFFFF if _c & 0x8000 else (_c << 1) & 0xFFFF
+    _CRC16_TABLE.append(_c)
+
+
+def _crc8(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c = _CRC8_TABLE[c ^ byte]
+    return c
+
+
+def _crc16(data: bytes) -> int:
+    c = 0
+    for byte in data:
+        c = _CRC16_TABLE[(c >> 8) ^ byte] ^ ((c << 8) & 0xFFFF)
+    return c
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def decode_flac(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Decode a FLAC stream to (samples int32 [n, channels], rate, bps)."""
+    if not is_flac(payload):
+        raise ValueError("flac: missing fLaC magic")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("flac: truncated metadata block header")
+        head = payload[pos]
+        last, btype = head >> 7, head & 0x7F
+        (blen,) = struct.unpack(">I", b"\x00" + payload[pos + 1 : pos + 4])
+        body = payload[pos + 4 : pos + 4 + blen]
+        if len(body) < blen:
+            raise ValueError("flac: truncated metadata block")
+        if btype == 0:
+            if blen < 34:
+                raise ValueError("flac: short STREAMINFO")
+            bits = _Bits(body)
+            bits.read(16)  # min blocksize
+            bits.read(16)  # max blocksize
+            bits.read(24)
+            bits.read(24)
+            rate = bits.read(20)
+            nch = bits.read(3) + 1
+            bps = bits.read(5) + 1
+            total = bits.read(36)
+            info = (rate, nch, bps, total)
+        elif btype == 127:
+            raise ValueError("flac: invalid metadata block type 127")
+        pos += 4 + blen
+        if last:
+            break
+    if info is None:
+        raise ValueError("flac: no STREAMINFO")
+    rate, nch, bps, total = info
+    if rate == 0 or nch < 1:
+        raise ValueError("flac: bad STREAMINFO")
+
+    out: list[np.ndarray] = []
+    got = 0
+    while pos < len(payload) and (total == 0 or got < total):
+        block, pos = _decode_frame(payload, pos, nch, bps, rate)
+        out.append(block)
+        got += len(block)
+    if total and got < total:
+        raise ValueError("flac: stream ends before total_samples")
+    samples = (
+        np.concatenate(out, axis=0) if out else np.zeros((0, nch), np.int32)
+    )
+    if total:
+        samples = samples[: int(total)]
+    return samples, rate, bps
+
+
+def _decode_frame(
+    data: bytes, start: int, nch: int, bps: int, rate: int
+) -> tuple[np.ndarray, int]:
+    bits = _Bits(data, start)
+    sync = bits.read(14)
+    if sync != 0b11111111111110:
+        raise ValueError("flac: bad frame sync")
+    bits.read(1)  # reserved
+    bits.read(1)  # blocking strategy
+    bs_code = bits.read(4)
+    sr_code = bits.read(4)
+    ch_code = bits.read(4)
+    ss_code = bits.read(3)
+    bits.read(1)  # reserved
+
+    # UTF-8 coded frame/sample number
+    lead = bits.read(8)
+    if lead < 0x80:
+        extra = 0
+    elif lead >> 5 == 0b110:
+        extra = 1
+    elif lead >> 4 == 0b1110:
+        extra = 2
+    elif lead >> 3 == 0b11110:
+        extra = 3
+    elif lead >> 2 == 0b111110:
+        extra = 4
+    elif lead >> 1 == 0b1111110:
+        extra = 5
+    elif lead == 0xFE:
+        extra = 6
+    else:
+        raise ValueError("flac: bad UTF-8 frame number")
+    for _ in range(extra):
+        if bits.read(8) >> 6 != 0b10:
+            raise ValueError("flac: bad UTF-8 continuation")
+
+    if bs_code == 0:
+        raise ValueError("flac: reserved block size code")
+    elif bs_code == 1:
+        blocksize = 192
+    elif bs_code <= 5:
+        blocksize = 576 << (bs_code - 2)
+    elif bs_code == 6:
+        blocksize = bits.read(8) + 1
+    elif bs_code == 7:
+        blocksize = bits.read(16) + 1
+    else:
+        blocksize = 256 << (bs_code - 8)
+
+    if sr_code == 12:
+        bits.read(8)
+    elif sr_code in (13, 14):
+        bits.read(16)
+    elif sr_code == 15:
+        raise ValueError("flac: invalid sample rate code")
+
+    _SS = {0: bps, 1: 8, 2: 12, 4: 16, 5: 20, 6: 24, 7: 32}
+    if ss_code == 3:
+        raise ValueError("flac: reserved sample size code")
+    fbps = _SS[ss_code]
+
+    # CRC-8 covers the header bytes up to (not incl.) the CRC byte
+    hdr_end = bits.byte_pos()
+    if _crc8(data[start:hdr_end]) != bits.read(8):
+        raise ValueError("flac: frame header CRC mismatch")
+
+    if ch_code <= 7:
+        if ch_code + 1 != nch:
+            raise ValueError("flac: frame channel count != STREAMINFO")
+        chans = [
+            _decode_subframe(bits, blocksize, fbps) for _ in range(nch)
+        ]
+        stacked = np.stack(chans, axis=1)
+    elif ch_code in (8, 9, 10):
+        if nch != 2:
+            raise ValueError("flac: stereo decorrelation needs 2 channels")
+        if ch_code == 8:  # left/side
+            left = _decode_subframe(bits, blocksize, fbps)
+            side = _decode_subframe(bits, blocksize, fbps + 1)
+            right = left - side
+            stacked = np.stack([left, right], axis=1)
+        elif ch_code == 9:  # right/side
+            side = _decode_subframe(bits, blocksize, fbps + 1)
+            right = _decode_subframe(bits, blocksize, fbps)
+            stacked = np.stack([right + side, right], axis=1)
+        else:  # mid/side
+            mid = _decode_subframe(bits, blocksize, fbps)
+            side = _decode_subframe(bits, blocksize, fbps + 1)
+            m2 = (mid.astype(np.int64) << 1) | (side & 1)
+            left = (m2 + side) >> 1
+            right = (m2 - side) >> 1
+            stacked = np.stack([left, right], axis=1)
+    else:
+        raise ValueError("flac: reserved channel assignment")
+
+    bits.align()
+    crc_end = bits.byte_pos()
+    if crc_end + 2 > len(data):
+        raise ValueError("flac: truncated frame CRC")
+    (want,) = struct.unpack(">H", data[crc_end : crc_end + 2])
+    if _crc16(data[start:crc_end]) != want:
+        raise ValueError("flac: frame CRC-16 mismatch")
+    return stacked.astype(np.int32), crc_end + 2
+
+
+def _decode_subframe(bits: _Bits, n: int, fbps: int) -> np.ndarray:
+    if bits.read(1):
+        raise ValueError("flac: subframe padding bit set")
+    stype = bits.read(6)
+    wasted = 0
+    if bits.read(1):
+        wasted = bits.unary() + 1
+    eff = fbps - wasted
+    if eff <= 0:
+        raise ValueError("flac: wasted bits exhaust sample size")
+
+    if stype == 0:  # CONSTANT
+        v = bits.read_signed(eff)
+        out = np.full(n, v, dtype=np.int64)
+    elif stype == 1:  # VERBATIM
+        out = np.array([bits.read_signed(eff) for _ in range(n)], dtype=np.int64)
+    elif 8 <= stype <= 12:  # FIXED order 0-4
+        order = stype - 8
+        out = _predict(bits, n, eff, order, _FIXED_COEF[order], 0)
+    elif stype >= 32:  # LPC order 1-32
+        order = stype - 31
+        warm = [bits.read_signed(eff) for _ in range(order)]
+        prec = bits.read(4)
+        if prec == 15:
+            raise ValueError("flac: invalid LPC precision code")
+        prec += 1
+        shift = bits.read_signed(5)
+        if shift < 0:
+            raise ValueError("flac: negative LPC shift")
+        coefs = [bits.read_signed(prec) for _ in range(order)]
+        resid = _residuals(bits, n, order)
+        out = np.empty(n, dtype=np.int64)
+        out[:order] = warm
+        for i in range(order, n):
+            acc = 0
+            for j, c in enumerate(coefs):
+                acc += c * out[i - 1 - j]
+            out[i] = resid[i - order] + (acc >> shift)
+    else:
+        raise ValueError(f"flac: reserved subframe type {stype}")
+
+    if wasted:
+        out = out << wasted
+    return out
+
+
+def _predict(
+    bits: _Bits, n: int, eff: int, order: int, coefs: list[int], shift: int
+) -> np.ndarray:
+    warm = [bits.read_signed(eff) for _ in range(order)]
+    resid = _residuals(bits, n, order)
+    out = np.empty(n, dtype=np.int64)
+    out[:order] = warm
+    if order == 0:
+        out[:] = resid
+        return out
+    # fixed predictors are tiny-order; cumulative formulations exist but
+    # the plain loop is exact and runs over ≤ blocksize ints
+    for i in range(order, n):
+        acc = 0
+        for j, c in enumerate(coefs):
+            acc += c * out[i - 1 - j]
+        out[i] = resid[i - order] + (acc >> shift if shift else acc)
+    return out
+
+
+def _residuals(bits: _Bits, blocksize: int, order: int) -> np.ndarray:
+    method = bits.read(2)
+    if method > 1:
+        raise ValueError("flac: reserved residual coding method")
+    pbits = 4 if method == 0 else 5
+    escape = (1 << pbits) - 1
+    porder = bits.read(4)
+    nparts = 1 << porder
+    if blocksize % nparts:
+        raise ValueError("flac: partition order does not divide blocksize")
+    out = np.empty(blocksize - order, dtype=np.int64)
+    w = 0
+    for p in range(nparts):
+        cnt = (blocksize >> porder) - (order if p == 0 else 0)
+        if cnt < 0:
+            raise ValueError("flac: partition smaller than predictor order")
+        k = bits.read(pbits)
+        if k == escape:
+            raw = bits.read(5)
+            for i in range(cnt):
+                out[w + i] = bits.read_signed(raw) if raw else 0
+        else:
+            for i in range(cnt):
+                q = bits.unary()
+                lo = bits.read(k) if k else 0
+                u = (q << k) | lo
+                out[w + i] = (u >> 1) ^ -(u & 1)  # unzigzag
+        w += cnt
+    return out
+
+
+# ---------------------------------------------------------------------------
+# encoder twin
+# ---------------------------------------------------------------------------
+
+
+class _BitW:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, v: int, nbits: int) -> None:
+        self.acc = (self.acc << nbits) | (v & ((1 << nbits) - 1))
+        self.nacc += nbits
+        while self.nacc >= 8:
+            self.nacc -= 8
+            self.buf.append((self.acc >> self.nacc) & 0xFF)
+        self.acc &= (1 << self.nacc) - 1
+
+    def align(self) -> None:
+        if self.nacc:
+            self.write(0, 8 - self.nacc)
+
+    def bytes(self) -> bytes:
+        assert self.nacc == 0
+        return bytes(self.buf)
+
+
+def _utf8_num(n: int) -> bytes:
+    """FLAC's UTF-8-style number coding (up to 36 bits / 7 bytes)."""
+    if n < 0x80:
+        return bytes([n])
+    caps = {2: 11, 3: 16, 4: 21, 5: 26, 6: 31, 7: 36}
+    nbytes = next(b for b, c in caps.items() if n.bit_length() <= c)
+    payload = n
+    tail = []
+    for _ in range(nbytes - 1):
+        tail.append(0x80 | (payload & 0x3F))
+        payload >>= 6
+    lead = ((0xFF << (8 - nbytes)) & 0xFF) | payload
+    return bytes([lead] + tail[::-1])
+
+
+def _rice_write(w: _BitW, vals: np.ndarray, k: int) -> None:
+    for v in vals:
+        u = (abs(int(v)) * 2 - 1) if int(v) < 0 else int(v) * 2  # zigzag
+        q, r = u >> k, u & ((1 << k) - 1)
+        if q > 1 << 16:
+            raise ValueError("encode_flac: residual too large for rice k")
+        for _ in range(q):
+            w.write(0, 1)
+        w.write(1, 1)
+        if k:
+            w.write(r, k)
+
+
+def _best_k(vals: np.ndarray) -> int:
+    best_k, best_cost = 0, None
+    for k in range(15):
+        u = np.abs(vals.astype(np.int64)) * 2
+        cost = int((u >> k).sum()) + len(vals) * (1 + k)
+        if best_cost is None or cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
+
+
+def encode_flac(
+    samples: np.ndarray,
+    rate: int = 8000,
+    bps: int = 16,
+    blocksize: int = 4096,
+    mode: str = "fixed",
+) -> bytes:
+    """Spec-valid FLAC stream from int samples [n] or [n, channels].
+
+    ``mode``: "fixed" picks the best FIXED predictor order (0-4) per
+    subframe with Rice-coded residuals (real compression); "verbatim"
+    stores raw samples; "constant" is chosen automatically whenever a
+    block's channel is flat.  Independent channels only — the decoder
+    handles the stereo decorrelation modes, exercised via hand-built
+    fixtures in tests."""
+    s = np.asarray(samples)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, nch = s.shape
+    if not 1 <= nch <= 8:
+        raise ValueError("encode_flac: 1-8 channels")
+    lim = 1 << (bps - 1)
+    if s.min(initial=0) < -lim or s.max(initial=0) >= lim:
+        raise ValueError("encode_flac: samples exceed bps range")
+
+    head = bytearray(b"fLaC")
+    si = _BitW()
+    si.write(blocksize, 16)
+    si.write(blocksize, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(nch - 1, 3)
+    si.write(bps - 1, 5)
+    si.write(n, 36)
+    body = si.bytes() + bytes(16)  # zero MD5 (unverified by spec readers)
+    head += bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    out = bytearray(head)
+    frame_no = 0
+    for off in range(0, max(n, 1), blocksize):
+        blk = s[off : off + blocksize]
+        if len(blk) == 0:
+            break
+        out += _encode_frame(blk, frame_no, rate, bps, mode)
+        frame_no += 1
+    return bytes(out)
+
+
+def _encode_frame(
+    blk: np.ndarray, frame_no: int, rate: int, bps: int, mode: str
+) -> bytes:
+    nb, nch = blk.shape
+    w = _BitW()
+    w.write(0b11111111111110, 14)
+    w.write(0, 1)
+    w.write(0, 1)  # fixed blocking
+    w.write(7, 4)  # 16-bit blocksize-1 at end of header
+    w.write(0, 4)  # rate from STREAMINFO
+    w.write(nch - 1, 4)  # independent channels
+    w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
+    w.write(0, 1)
+    hdr_tail = _utf8_num(frame_no)
+    for byte in hdr_tail:
+        w.write(byte, 8)
+    w.write(nb - 1, 16)
+    w.align()
+    hdr = w.bytes()
+    hdr += bytes([_crc8(hdr)])
+
+    w = _BitW()
+    for c in range(nch):
+        chan = blk[:, c].astype(np.int64)
+        w.write(0, 1)  # padding
+        if np.all(chan == chan[0]):
+            w.write(0, 6)  # CONSTANT
+            w.write(0, 1)  # no wasted bits
+            w.write(int(chan[0]) & ((1 << bps) - 1), bps)
+            continue
+        if mode == "verbatim":
+            w.write(1, 6)
+            w.write(0, 1)
+            for v in chan:
+                w.write(int(v) & ((1 << bps) - 1), bps)
+            continue
+        # best fixed order by residual magnitude
+        best = None
+        for order in range(5):
+            if order >= nb:
+                break
+            resid = chan.copy()
+            for _ in range(order):
+                resid = np.diff(resid)
+            cost = int(np.abs(resid[order:] if False else resid).sum())
+            if best is None or cost < best[1]:
+                best = (order, cost, resid)
+        order, _cost, resid = best
+        resid = resid  # length nb - order
+        w.write(8 + order, 6)
+        w.write(0, 1)
+        for v in chan[:order]:
+            w.write(int(v) & ((1 << bps) - 1), bps)
+        w.write(0, 2)  # rice method 0
+        w.write(0, 4)  # partition order 0
+        k = _best_k(resid)
+        w.write(k, 4)
+        _rice_write(w, resid, k)
+    w.align()
+    body = w.bytes()
+    crc = _crc16(hdr + body)
+    return hdr + body + struct.pack(">H", crc)

@@ -948,6 +948,26 @@ def _pcm_int_samples(x: np.ndarray, width: int, channels: int) -> np.ndarray:
     return np.rint(s).astype(np.int64)
 
 
+def _decode_audio_bytes(payload: bytes) -> tuple[np.ndarray, int, int, int]:
+    """Audio codec boundary: WAV (RIFF zoo, ``_decode_wav``) or FLAC
+    (``operators.flac`` — lossless, bit-exact PCM).  Same return
+    contract as ``_decode_wav``: (mono float64 in [-1, 1], rate,
+    header_width_bytes, channels).  For byte-aligned FLAC bps
+    (8/16/24/32 — the wild norm) the reported width makes
+    ``_pcm_int_samples``' scale 2^(bps-1), recovering the decoded
+    integers exactly; odd bps (12/20) reports width 0 — not exact at
+    any byte-width scale, same policy as float WAVs."""
+    if payload[:4] == b"fLaC":
+        from .flac import decode_flac
+
+        s, rate, bps = decode_flac(payload)
+        nch = s.shape[1] if s.ndim == 2 else 1
+        x = s.astype(np.float64).mean(axis=1) / float(1 << (bps - 1))
+        width = bps // 8 if bps % 8 == 0 else 0
+        return x, rate, width, nch
+    return _decode_wav(payload)
+
+
 def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     """Cheap metadata pass: payload size + magic-byte sniffing, fully
     native (no decode)."""
@@ -959,6 +979,10 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         .when(magic.startswith("47494638"), F.lit("image/gif"))
         .when(magic.startswith("424D"), F.lit("image/bmp"))
         .when(magic.startswith("52494646"), F.lit("audio/wav"))
+        .when(magic.startswith("664C6143"), F.lit("audio/flac"))
+        .when(
+            F.hex(F.substring(p, 5, 4)) == "66747970", F.lit("video/mp4")
+        )  # ISO BMFF: 'ftyp' at byte 5
         .otherwise(F.lit("application/octet-stream"))
     )
     return df.withColumn("payload_bytes", F.length(p)).withColumn("sniffed_mime", mime)
@@ -1031,7 +1055,7 @@ def decode_audio_features(
                 if b is None:
                     continue
                 try:
-                    x, rate, _w, _c = _decode_wav(bytes(b))
+                    x, rate, _w, _c = _decode_audio_bytes(bytes(b))
                 except (ValueError, NotImplementedError):
                     if skip:
                         continue
@@ -1088,7 +1112,7 @@ def decode_audio_stats(
             for mid, b in zip(pdf[id_col], pdf[payload_col]):
                 if b is None:
                     continue
-                x, rate, width, channels = _decode_wav(bytes(b))
+                x, rate, width, channels = _decode_audio_bytes(bytes(b))
                 # exact integer reconstruction with the scale read from
                 # the WAV header (8-bit: s/128, 16-bit: s/32768) — never
                 # inferred from content, which mis-scales quiet 16-bit
@@ -1249,7 +1273,7 @@ def audio_hashes_df(
                 if b is None:
                     continue
                 try:
-                    x, _rate, width, channels = _decode_wav(bytes(b))
+                    x, _rate, width, channels = _decode_audio_bytes(bytes(b))
                 except (ValueError, NotImplementedError):
                     if skip:
                         continue

@@ -940,3 +940,80 @@ def mm_mp4_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("frame_no").cast("int").alias("max_frame_no"),
         F.sum(F.length("frame_payload")).cast("long").alias("sum_bytes"),
     )
+
+
+def _synth_flac_op(it):
+    """(doc_id) -> (doc_id, payload): 16-bit mono FLAC at 16 kHz,
+    n = 100 + doc_id%50 samples, s_i = ((doc_id*31 + i*i*7 + i*13)
+    % 4001) - 2000; every 7th doc is a flat clip (s = doc_id%200 - 100)
+    so CONSTANT subframes stay exercised.  blocksize 64 -> 2-3 frames
+    per clip; mode='fixed' -> real Rice-coded FIXED predictors."""
+    import numpy as np
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.flac import encode_flac
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            n = 100 + did % 50
+            if did % 7 == 0:
+                s = np.full(n, did % 200 - 100, dtype=np.int32)
+            else:
+                i = np.arange(n, dtype=np.int64)
+                s = ((did * 31 + i * i * 7 + i * 13) % 4001 - 2000).astype(
+                    np.int32
+                )
+            payloads.append(
+                encode_flac(s, rate=16000, bps=16, blocksize=64, mode="fixed")
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_audio_flac",
+    r"""
+    WITH sm AS (
+      SELECT d.doc_id, r.i,
+             CASE WHEN d.doc_id % 7 = 0 THEN d.doc_id % 200 - 100
+                  ELSE (d.doc_id*31 + r.i*r.i*7 + r.i*13) % 4001 - 2000
+             END AS s,
+             (100 + d.doc_id % 50) AS n
+      FROM documents d, range(150) r(i)
+      WHERE r.i < 100 + d.doc_id % 50
+    ), zz AS (
+      SELECT doc_id, n, s,
+             LEAD(s) OVER (PARTITION BY doc_id ORDER BY i) AS s2
+      FROM sm
+    )
+    SELECT doc_id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           CAST(FLOOR(MAX(n) * 1000.0 / 16000.0) AS INT) AS duration_ms,
+           CAST(SUM(s*s) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN s*s2 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings
+    FROM zz GROUP BY doc_id
+    """,
+)
+def mm_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC pipeline end-to-end (r8): synthesize a deterministic 16-bit
+    mono FLAC per document (REAL compression — Rice-coded FIXED
+    predictors, CONSTANT blocks on flat clips, multiple frames per
+    stream, CRC-8/16 verified), decode through the full bitstream path
+    (operators/flac.py via multimodal._decode_audio_bytes), and emit
+    exact integer statistics.  FLAC is lossless, so unlike the MJPEG
+    structural oracle this one is value-exact: energy and strict
+    sign-flip zero crossings replay the synthesis formula in pure SQL
+    with zero tolerance.  Reference parity: N/A (no media surface in
+    the reference)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = _spread_ids(docs).mapInPandas(
+        _synth_flac_op, "doc_id bigint, payload binary"
+    )
+    return MM.decode_audio_stats(media, id_col="doc_id")

@@ -241,6 +241,45 @@ def main() -> None:
             n_codec * JPEG_W * JPEG_H / dt / 1e6, 1
         )
 
+    # MP4 container indexing: every row a real moov/stbl walk over a
+    # 30-sample file — the per-payload cost a 100 TB video corpus pays
+    # for frame SELECTION (no pixel decode, r8)
+    def _synth_mp4s(it):
+        import pandas as pd
+
+        from pgvecto_rs_spark.operators.mp4 import encode_mp4
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["id"]:
+                did = int(did)
+                pls = [bytes([(did + i) % 256]) * (200 + (did + i) % 64)
+                       for i in range(30)]
+                payloads.append(
+                    encode_mp4(
+                        pls,
+                        durations=[100 + (did + i) % 7 for i in range(30)],
+                        keyframes=[i % 10 == 0 for i in range(30)],
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["id"].astype("int64"), "payload": payloads}
+            )
+
+    t0 = time.time()
+    media = base_c.mapInPandas(_synth_mp4s, "doc_id bigint, payload binary")
+    idx = MM.index_video_samples(media, id_col="doc_id")
+    row = idx.agg(
+        F.count("*").alias("n_samples"),
+        F.sum(F.when(F.col("keyframe"), 1).otherwise(0)).alias("n_key"),
+        F.sum("size").alias("total_bytes"),
+    ).collect()[0]
+    t_mp4 = time.time() - t0
+    assert row["n_samples"] == n_codec * 30 and row["n_key"] == n_codec * 3, row
+    codec_out["mp4_index_s"] = round(t_mp4, 2)
+    codec_out["mp4_files_per_s"] = round(n_codec / t_mp4)
+    codec_out["mp4_samples_per_s"] = round(n_codec * 30 / t_mp4)
+
     print(
         json.dumps(
             {
