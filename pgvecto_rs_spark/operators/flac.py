@@ -95,6 +95,14 @@ class _Bits:
 
 _FIXED_COEF = {0: [], 1: [1], 2: [2, -1], 3: [3, -3, 1], 4: [4, -6, 4, -1]}
 
+# Decoded-sample magnitude bound: valid FLAC samples fit 32 signed bits
+# (before wasted-bit restoration), so anything past 2^35 is a corrupt
+# stream's divergent predictor.  Rejecting at 2^35 also guarantees the
+# NEXT prediction (<= 32 coefs x 2^14 x 2^35 = 2^54) stays far inside
+# int64, so the exact-int accumulator can never overflow the output
+# array assignment.
+_SAMPLE_BOUND = 1 << 35
+
 _CRC8_TABLE = []
 for _b in range(256):
     _c = _b
@@ -324,10 +332,18 @@ def _decode_subframe(bits: _Bits, n: int, fbps: int) -> np.ndarray:
         out = np.empty(n, dtype=np.int64)
         out[:order] = warm
         for i in range(order, n):
+            # exact Python-int accumulator: numpy int64 scalars wrap
+            # silently on overflow, and 32-bit samples x order-32 coefs
+            # leave only ~11 bits of int64 headroom
             acc = 0
             for j, c in enumerate(coefs):
-                acc += c * out[i - 1 - j]
-            out[i] = resid[i - order] + (acc >> shift)
+                acc += c * int(out[i - 1 - j])
+            v = int(resid[i - order]) + (acc >> shift)
+            if not -_SAMPLE_BOUND <= v <= _SAMPLE_BOUND:
+                # valid samples fit eff<=32 bits; a divergent filter from
+                # a corrupt-but-CRC-colliding frame must error, not wrap
+                raise ValueError("flac: LPC sample overflow (corrupt stream)")
+            out[i] = v
     else:
         raise ValueError(f"flac: reserved subframe type {stype}")
 
@@ -349,10 +365,13 @@ def _predict(
     # fixed predictors are tiny-order; cumulative formulations exist but
     # the plain loop is exact and runs over ≤ blocksize ints
     for i in range(order, n):
-        acc = 0
+        acc = 0  # exact Python ints — see the LPC loop's overflow note
         for j, c in enumerate(coefs):
-            acc += c * out[i - 1 - j]
-        out[i] = resid[i - order] + (acc >> shift if shift else acc)
+            acc += c * int(out[i - 1 - j])
+        v = int(resid[i - order]) + (acc >> shift if shift else acc)
+        if not -_SAMPLE_BOUND <= v <= _SAMPLE_BOUND:
+            raise ValueError("flac: predictor sample overflow (corrupt stream)")
+        out[i] = v
     return out
 
 
@@ -546,11 +565,10 @@ def _encode_frame(
             resid = chan.copy()
             for _ in range(order):
                 resid = np.diff(resid)
-            cost = int(np.abs(resid[order:] if False else resid).sum())
+            cost = int(np.abs(resid).sum())
             if best is None or cost < best[1]:
                 best = (order, cost, resid)
-        order, _cost, resid = best
-        resid = resid  # length nb - order
+        order, _cost, resid = best  # resid length is nb - order
         w.write(8 + order, 6)
         w.write(0, 1)
         for v in chan[:order]:

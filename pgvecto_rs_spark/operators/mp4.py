@@ -126,6 +126,17 @@ def index_mp4_samples(payload: bytes) -> dict:
     the same fuzz-pinned exception contract as every other codec here,
     so ``on_error='null'`` ingest policy applies uniformly.
     """
+    # Truncated boxes can cut a fixed-width field mid-slice (short stsd/
+    # stsz/mdhd at EOF → struct.error; empty full-box body → IndexError).
+    # Those are structural corruption too — normalize them to the one
+    # documented exception so on_error='null' ingest never crashes.
+    try:
+        return _index_mp4_samples(payload)
+    except (struct.error, IndexError) as e:
+        raise ValueError(f"mp4: truncated field ({e})") from e
+
+
+def _index_mp4_samples(payload: bytes) -> dict:
     if not is_mp4(payload):
         raise ValueError("mp4: missing ftyp")
     moov = next(_find(payload, 0, len(payload), b"moov"), None)

@@ -678,10 +678,30 @@ class IndexTransaction:
         self._staged = 0  # stage() calls recorded — commit() cross-checks
         os.makedirs(os.path.join(self._dir, "delta", "rows"), exist_ok=True)
         os.makedirs(os.path.join(self._dir, "tombstones", "rows"), exist_ok=True)
+        # Liveness marker, stamped once at begin(): a Spark parquet
+        # append RECREATES a missing target directory, so a staging dir
+        # GC'd mid-transaction would otherwise come back from the dead
+        # holding only post-GC batches — and commit would publish that
+        # partial batch silently.  Every stage and the commit verify the
+        # marker; a recreated dir lacks it and fails loudly instead.
+        with open(os.path.join(self._dir, "OPEN"), "w") as f:
+            f.write("txn liveness marker — see IndexTransaction.__init__\n")
 
     def _check_open(self) -> None:
         if not self._open:
             raise RuntimeError("transaction already committed or rolled back")
+
+    def _check_marker(self) -> None:
+        """Fail loudly if the staging dir was GC'd (and possibly
+        recreated by a later parquet write) mid-transaction."""
+        if not os.path.isfile(os.path.join(self._dir, "OPEN")):
+            self._open = False
+            raise RuntimeError(
+                f"transaction staging dir {self._dir} was removed "
+                f"mid-transaction ({self._staged} staged batch(es) may be "
+                "lost) — was it GC'd as stale while staging stalled past "
+                "max_age_seconds?"
+            )
 
     def _touch(self) -> None:
         """Refresh the staging dir's mtime on every stage: parquet writes
@@ -719,6 +739,7 @@ class IndexTransaction:
         )
         self._staged += 1
         self._touch()
+        self._check_marker()
 
     def delete(self, ids: Sequence[int]) -> None:
         self._check_open()
@@ -730,6 +751,7 @@ class IndexTransaction:
         )
         self._staged += 1
         self._touch()
+        self._check_marker()
 
     def delete_df(self, ids_df: DataFrame, id_col: str = "id") -> None:
         self._check_open()
@@ -743,6 +765,7 @@ class IndexTransaction:
         )
         self._staged += 1
         self._touch()
+        self._check_marker()
 
     def commit(self) -> None:
         """Publish the staged batch into the live generation.
@@ -760,20 +783,43 @@ class IndexTransaction:
                 f"transaction staging dir {self._dir} vanished before commit "
                 f"({self._staged} staged batch(es) lost) — was it GC'd as stale?"
             )
+        # a GC'd-then-recreated dir (parquet append resurrects missing
+        # paths) holds only post-GC batches — the marker catches it
+        self._check_marker()
         published = 0
+        linked: list[str] = []
         with idx._write_lock:
             idx._refresh()
-            for sub in ("delta", "tombstones"):
-                files = sorted(
-                    glob.glob(os.path.join(self._dir, sub, "rows", "*.parquet"))
-                )
-                published += len(files)
-                if not files:
-                    continue
-                dst = os.path.join(idx._gen_dir(), sub, "rows")
-                os.makedirs(dst, exist_ok=True)
-                for f in files:
-                    os.link(f, os.path.join(dst, os.path.basename(f)))
+            try:
+                for sub in ("delta", "tombstones"):
+                    files = sorted(
+                        glob.glob(os.path.join(self._dir, sub, "rows", "*.parquet"))
+                    )
+                    published += len(files)
+                    if not files:
+                        continue
+                    dst = os.path.join(idx._gen_dir(), sub, "rows")
+                    os.makedirs(dst, exist_ok=True)
+                    for f in files:
+                        target = os.path.join(dst, os.path.basename(f))
+                        os.link(f, target)
+                        linked.append(target)
+            except OSError as e:
+                # staging swept away between the marker check and the
+                # hardlink (GC racing commit): unlink what was already
+                # published so the batch stays all-or-nothing, then fail
+                # loudly — never a partial publish presented as success
+                for t in linked:
+                    try:
+                        os.unlink(t)
+                    except OSError:
+                        pass
+                self._open = False
+                idx._df_cache.clear()
+                raise RuntimeError(
+                    f"transaction staging files under {self._dir} vanished "
+                    f"during commit ({e}) — staged writes lost"
+                ) from e
             idx._df_cache.clear()
         if self._staged and published == 0:
             self._open = False

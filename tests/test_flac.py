@@ -228,6 +228,32 @@ class TestHandBuiltStreams:
         out, _, _ = decode_flac(b)
         assert out[:, 0].tolist() == vals
 
+    def test_divergent_lpc_rejected_not_wrapped(self):
+        """r8 advice: the LPC accumulator must use exact ints — a
+        divergent predictor (corrupt stream that passes CRC) previously
+        WRAPPED numpy int64 silently and returned wrong samples.  Now it
+        must raise the documented ValueError once samples leave the
+        valid 32-bit envelope."""
+        # order-1 LPC with coefficient 8 at shift 0: out[i] = 8*out[i-1]
+        # + resid -> blows past 2^35 (and 2^63) within ~12/21 samples
+        n = 64
+
+        def lpc(w):
+            w.write(0, 1)
+            w.write(32 + 0, 6)  # LPC order 1
+            w.write(0, 1)
+            w.write(9, 16)      # warm-up sample = 9
+            w.write(13, 4)      # precision-1 -> 14 bits
+            w.write(0, 5)       # shift 0
+            w.write(8, 14)      # coefficient 8
+            w.write(0, 2)       # rice method 0
+            w.write(0, 4)       # 1 partition
+            w.write(15, 4)      # escape
+            w.write(0, 5)       # raw=0 -> all residuals zero
+        b = _stream_head(1, 16, n) + _frame(0, [lpc], n)
+        with pytest.raises(ValueError, match="overflow"):
+            decode_flac(b)
+
     def test_crc_mismatch_rejected(self):
         s = _rng_samples(100, 1000, 6)
         b = bytearray(encode_flac(s, blocksize=64))

@@ -127,6 +127,59 @@ class TestMp4Index:
         with pytest.raises(ValueError, match="no video track"):
             index_mp4_samples(bytes(b))
 
+    def test_truncated_fields_raise_valueerror(self):
+        """r8 advice: short stsd/stsz/mdhd bodies ending exactly at EOF
+        cut a fixed-width field mid-slice (struct.error) and an empty
+        full-box body indexes past the end (IndexError) — all must
+        surface as the documented ValueError, never crash ingest."""
+        from pgvecto_rs_spark.operators.mp4 import _box, _fullbox
+
+        def craft(
+            mdhd: bytes, stbl_boxes: list[bytes], mdhd_last: bool = False
+        ) -> bytes:
+            ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomavc1")
+            hdlr = _fullbox(
+                b"hdlr", 0, 0, struct.pack(">I", 0) + b"vide" + bytes(12) + b"\x00"
+            )
+            stbl = _box(b"stbl", b"".join(stbl_boxes))
+            minf = _box(b"minf", stbl)
+            # mdhd_last places mdhd's (short) body flush against EOF so
+            # its field slices genuinely cross the end of the file
+            inner = (hdlr + minf + mdhd) if mdhd_last else (mdhd + hdlr + minf)
+            mdia = _box(b"mdia", inner)
+            return ftyp + _box(b"moov", _box(b"trak", mdia))
+
+        ok_mdhd = _fullbox(
+            b"mdhd", 0, 0, struct.pack(">IIIIHH", 0, 0, 1000, 100, 0x55C4, 0)
+        )
+        ok = {
+            b"stts": _fullbox(b"stts", 0, 0, struct.pack(">III", 1, 1, 100)),
+            b"stsz": _fullbox(b"stsz", 0, 0, struct.pack(">III", 0, 1, 4)),
+            b"stsc": _fullbox(b"stsc", 0, 0, struct.pack(">IIII", 1, 1, 1, 1)),
+            b"stco": _fullbox(b"stco", 0, 0, struct.pack(">II", 1, 0)),
+        }
+        cases = [
+            # stsd with a 2-byte body, last box in the file → the
+            # entry_count slice crosses EOF
+            craft(ok_mdhd, list(ok.values()) + [_box(b"stsd", b"\x00\x00")]),
+            # stsz with a 4-byte body at EOF → (fixed, count) unpack short
+            # (stsd must be valid so parsing reaches the stsz slice)
+            craft(
+                ok_mdhd,
+                [_box(b"stsd", bytes(4) + struct.pack(">I", 1)
+                      + struct.pack(">I", 44) + b"avc1" + bytes(36)),
+                 ok[b"stts"], ok[b"stsc"], ok[b"stco"], _box(b"stsz", bytes(4))],
+            ),
+            # empty mdhd body flush at EOF → _full reads data[pos] past end
+            craft(_box(b"mdhd", b""), list(ok.values()), mdhd_last=True),
+            # mdhd v1 body too short for the ">IQ" unpack, flush at EOF
+            craft(_fullbox(b"mdhd", 1, 0, bytes(16)), list(ok.values()),
+                  mdhd_last=True),
+        ]
+        for data in cases:
+            with pytest.raises(ValueError):
+                index_mp4_samples(data)
+
     def test_fuzz_exception_contract(self):
         """Same contract as every codec: corrupt/truncated payloads
         raise ValueError/NotImplementedError (or index garbage), never
