@@ -478,21 +478,32 @@ def encode_flac(
     bps: int = 16,
     blocksize: int = 4096,
     mode: str = "fixed",
+    stereo_mode: str = "independent",
 ) -> bytes:
     """Spec-valid FLAC stream from int samples [n] or [n, channels].
 
     ``mode``: "fixed" picks the best FIXED predictor order (0-4) per
     subframe with Rice-coded residuals (real compression); "verbatim"
-    stores raw samples; "constant" is chosen automatically whenever a
-    block's channel is flat.  Independent channels only — the decoder
-    handles the stereo decorrelation modes, exercised via hand-built
-    fixtures in tests."""
+    stores raw samples; "lpc" codes order-2 LPC subframes (real
+    quantized-coefficient prediction — lossless since the residual is
+    exact); "constant" is chosen automatically whenever a block's
+    channel is flat.
+
+    ``stereo_mode`` (2-channel input only): "independent" codes L and R
+    separately; "decorr" cycles the frame channel assignment through
+    left/side → right/side → mid/side → independent so every stereo
+    decorrelation decode path is exercised by one stream (side channels
+    carry bps+1 as the spec requires)."""
     s = np.asarray(samples)
     if s.ndim == 1:
         s = s[:, None]
     n, nch = s.shape
     if not 1 <= nch <= 8:
         raise ValueError("encode_flac: 1-8 channels")
+    if stereo_mode not in ("independent", "decorr"):
+        raise ValueError("encode_flac: unknown stereo_mode")
+    if stereo_mode == "decorr" and nch != 2:
+        raise ValueError("encode_flac: stereo_mode='decorr' needs 2 channels")
     lim = 1 << (bps - 1)
     if s.min(initial=0) < -lim or s.max(initial=0) >= lim:
         raise ValueError("encode_flac: samples exceed bps range")
@@ -516,22 +527,106 @@ def encode_flac(
         blk = s[off : off + blocksize]
         if len(blk) == 0:
             break
-        out += _encode_frame(blk, frame_no, rate, bps, mode)
+        out += _encode_frame(blk, frame_no, rate, bps, mode, stereo_mode)
         frame_no += 1
     return bytes(out)
 
 
+# order-2 LPC used by mode="lpc": ~1.6/-0.8 at shift 10, 12-bit
+# quantized coefficients.  Any coefficients are lossless (the residual
+# is exact); these keep residuals small on smooth signals.
+_LPC2_COEFS = [1638, -819]
+_LPC2_SHIFT = 10
+_LPC2_PREC = 12
+
+
+def _encode_subframe(
+    w: _BitW, chan: np.ndarray, sbps: int, mode: str, nb: int
+) -> None:
+    """One subframe at ``sbps`` bits (side channels carry bps+1)."""
+    w.write(0, 1)  # padding
+    if np.all(chan == chan[0]):
+        w.write(0, 6)  # CONSTANT
+        w.write(0, 1)  # no wasted bits
+        w.write(int(chan[0]) & ((1 << sbps) - 1), sbps)
+        return
+    if mode == "verbatim":
+        w.write(1, 6)
+        w.write(0, 1)
+        for v in chan:
+            w.write(int(v) & ((1 << sbps) - 1), sbps)
+        return
+    if mode == "lpc" and nb >= 3:
+        order = 2
+        c0, c1 = _LPC2_COEFS
+        prev1 = chan[order - 1 : -1].astype(object)  # s[i-1], exact ints
+        prev2 = chan[order - 2 : -2].astype(object)  # s[i-2]
+        pred = [(c0 * int(a) + c1 * int(b)) >> _LPC2_SHIFT
+                for a, b in zip(prev1, prev2)]
+        resid = np.array(
+            [int(chan[order + i]) - pred[i] for i in range(nb - order)],
+            dtype=np.int64,
+        )
+        w.write(32 + (order - 1), 6)  # LPC subframe type
+        w.write(0, 1)
+        for v in chan[:order]:
+            w.write(int(v) & ((1 << sbps) - 1), sbps)
+        w.write(_LPC2_PREC - 1, 4)
+        w.write(_LPC2_SHIFT & 0x1F, 5)
+        for c in _LPC2_COEFS:
+            w.write(c & ((1 << _LPC2_PREC) - 1), _LPC2_PREC)
+        w.write(0, 2)  # rice method 0
+        w.write(0, 4)  # partition order 0
+        k = _best_k(resid)
+        w.write(k, 4)
+        _rice_write(w, resid, k)
+        return
+    # best fixed order by residual magnitude (also the mode="lpc"
+    # fallback for blocks too short to carry order-2 warm-up)
+    best = None
+    for order in range(5):
+        if order >= nb:
+            break
+        resid = chan.copy()
+        for _ in range(order):
+            resid = np.diff(resid)
+        cost = int(np.abs(resid).sum())
+        if best is None or cost < best[1]:
+            best = (order, cost, resid)
+    order, _cost, resid = best  # resid length is nb - order
+    w.write(8 + order, 6)
+    w.write(0, 1)
+    for v in chan[:order]:
+        w.write(int(v) & ((1 << sbps) - 1), sbps)
+    w.write(0, 2)  # rice method 0
+    w.write(0, 4)  # partition order 0
+    k = _best_k(resid)
+    w.write(k, 4)
+    _rice_write(w, resid, k)
+
+
 def _encode_frame(
-    blk: np.ndarray, frame_no: int, rate: int, bps: int, mode: str
+    blk: np.ndarray,
+    frame_no: int,
+    rate: int,
+    bps: int,
+    mode: str,
+    stereo_mode: str = "independent",
 ) -> bytes:
     nb, nch = blk.shape
+    # frame channel assignment: independent (code nch-1) or, under
+    # stereo_mode="decorr", cycle left/side(8) right/side(9)
+    # mid/side(10) independent(1) so one stream hits every decode path
+    assign = nch - 1
+    if stereo_mode == "decorr" and nch == 2:
+        assign = (8, 9, 10, 1)[frame_no % 4]
     w = _BitW()
     w.write(0b11111111111110, 14)
     w.write(0, 1)
     w.write(0, 1)  # fixed blocking
     w.write(7, 4)  # 16-bit blocksize-1 at end of header
     w.write(0, 4)  # rate from STREAMINFO
-    w.write(nch - 1, 4)  # independent channels
+    w.write(assign, 4)
     w.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bps], 3)
     w.write(0, 1)
     hdr_tail = _utf8_num(frame_no)
@@ -543,41 +638,22 @@ def _encode_frame(
     hdr += bytes([_crc8(hdr)])
 
     w = _BitW()
-    for c in range(nch):
-        chan = blk[:, c].astype(np.int64)
-        w.write(0, 1)  # padding
-        if np.all(chan == chan[0]):
-            w.write(0, 6)  # CONSTANT
-            w.write(0, 1)  # no wasted bits
-            w.write(int(chan[0]) & ((1 << bps) - 1), bps)
-            continue
-        if mode == "verbatim":
-            w.write(1, 6)
-            w.write(0, 1)
-            for v in chan:
-                w.write(int(v) & ((1 << bps) - 1), bps)
-            continue
-        # best fixed order by residual magnitude
-        best = None
-        for order in range(5):
-            if order >= nb:
-                break
-            resid = chan.copy()
-            for _ in range(order):
-                resid = np.diff(resid)
-            cost = int(np.abs(resid).sum())
-            if best is None or cost < best[1]:
-                best = (order, cost, resid)
-        order, _cost, resid = best  # resid length is nb - order
-        w.write(8 + order, 6)
-        w.write(0, 1)
-        for v in chan[:order]:
-            w.write(int(v) & ((1 << bps) - 1), bps)
-        w.write(0, 2)  # rice method 0
-        w.write(0, 4)  # partition order 0
-        k = _best_k(resid)
-        w.write(k, 4)
-        _rice_write(w, resid, k)
+    if assign in (8, 9, 10):
+        left = blk[:, 0].astype(np.int64)
+        right = blk[:, 1].astype(np.int64)
+        side = left - right  # fits bps+1 bits
+        if assign == 8:  # left/side
+            chans = [(left, bps), (side, bps + 1)]
+        elif assign == 9:  # right/side
+            chans = [(side, bps + 1), (right, bps)]
+        else:  # mid/side: mid = (L+R)>>1, side's low bit restores parity
+            mid = (left + right) >> 1
+            chans = [(mid, bps), (side, bps + 1)]
+        for chan, sbps in chans:
+            _encode_subframe(w, chan, sbps, mode, nb)
+    else:
+        for c in range(nch):
+            _encode_subframe(w, blk[:, c].astype(np.int64), bps, mode, nb)
     w.align()
     body = w.bytes()
     crc = _crc16(hdr + body)

@@ -1138,6 +1138,67 @@ def decode_audio_stats(
     return df.mapInPandas(op, out_schema)
 
 
+def decode_audio_channel_stats(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-CHANNEL exact integer stats for lossless audio payloads:
+    (id, channel, sample_rate, n_samples, energy, zero_crossings).
+
+    FLAC only (for now): ``decode_flac`` yields the decoded integers
+    directly, so per-channel energy (sum s^2) and strict sign-flip
+    zero crossings are exact with no float round-trip — unlike
+    :func:`decode_audio_stats`, which downmixes to mono through the
+    shared WAV float contract.  This is the oracle surface for the
+    stereo-decorrelation + LPC decode paths (left/side, right/side,
+    mid/side frames reconstruct L and R bit-exactly).  Non-FLAC
+    payloads raise ValueError (same codec-boundary contract as the
+    decoders); NULL payloads are skipped.  mapInPandas Arrow batches,
+    one output row per (clip, channel)."""
+    from .flac import decode_flac, is_flac
+
+    out_schema = (
+        f"{id_col} bigint, channel int, sample_rate int, n_samples bigint, "
+        "energy bigint, zero_crossings bigint"
+    )
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, chs, rates, ns, es, zcs = [], [], [], [], [], []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                b = bytes(b)
+                if not is_flac(b):
+                    raise ValueError(
+                        "decode_audio_channel_stats: FLAC payload required"
+                    )
+                s, rate, _bps = decode_flac(b)
+                for c in range(s.shape[1]):
+                    col = s[:, c].astype(np.int64)
+                    ids.append(int(mid))
+                    chs.append(c)
+                    rates.append(int(rate))
+                    ns.append(int(col.size))
+                    # exact Python-int sum: int64 np.dot wraps for
+                    # 24/32-bit samples (2^62 per term)
+                    es.append(sum(v * v for v in col.tolist()))
+                    zcs.append(int(np.count_nonzero(col[:-1] * col[1:] < 0)))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "channel": pd.Series(chs, dtype="int32"),
+                    "sample_rate": pd.Series(rates, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "energy": pd.Series(es, dtype="int64"),
+                    "zero_crossings": pd.Series(zcs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(op, out_schema)
+
+
 def image_hashes_df(
     df: DataFrame,
     payload_col: str = "payload",

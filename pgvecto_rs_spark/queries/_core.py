@@ -194,14 +194,14 @@ _DRIVER_WINDOW: list[str] = [
     # (a) queries whose CODE changed this round and therefore must be
     #     re-proved even though their last row is green, and
     # (b) a couple of stable anchors as regression canaries.
-    # -- (a) code changed in r8: dedup_passages skew-proof agg shape,
-    #    batched-BPE apply-guard oracle + 256 cap, materialize opt-in
-    #    at the query layer (dup_ngrams / dsir), txn commit hardening
-    #    behind fresh_*; mm_mp4_* are new (never verified — they'd
-    #    lead the self-fill anyway, pinned for determinism) --
-    "doc_dup_passages", "doc_bpe_batched", "doc_dup_ngrams",
-    "doc_dsir_weights", "mm_mp4_index", "mm_mp4_sample",
-    "fresh_topk_l2",
+    # -- (a) code changed in r9: FLAC stereo-decorrelation + LPC
+    #    encoder twin and exact-int prediction accumulators behind
+    #    mm_audio_flac*; MP4 truncated-field error-contract rewrite
+    #    behind mm_mp4_*; txn staging liveness markers behind fresh_*;
+    #    mm_audio_flac_stereo is new (never verified — it'd lead the
+    #    self-fill anyway, pinned for determinism) --
+    "mm_audio_flac_stereo", "mm_audio_flac", "mm_mp4_index",
+    "mm_mp4_sample", "fresh_topk_l2", "fresh_range_l2",
     # -- (b) stable anchors --
     "topk_l2", "doc_dedup_exact",
 ]

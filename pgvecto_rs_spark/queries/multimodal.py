@@ -1017,3 +1017,84 @@ def mm_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_flac_op, "doc_id bigint, payload binary"
     )
     return MM.decode_audio_stats(media, id_col="doc_id")
+
+
+def _synth_flac_stereo_op(it):
+    """(doc_id) -> (doc_id, payload): 16-bit STEREO FLAC at 16 kHz,
+    n = 96 + doc_id%64 samples, L_i = ((doc_id*37 + i*i*11 + i*17)
+    % 3001) - 1500, R_i = ((doc_id*53 + i*i*5 + i*29) % 3001) - 1500.
+    blocksize 32 -> 3-5 frames; stereo_mode='decorr' cycles the frame
+    channel assignment left/side -> right/side -> mid/side ->
+    independent, and mode='lpc' codes order-2 quantized-coefficient
+    LPC subframes — the decode paths the r8 driver oracle did not
+    reach (unit tests covered them via hand-built bitstreams only)."""
+    import numpy as np
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.flac import encode_flac
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            n = 96 + did % 64
+            i = np.arange(n, dtype=np.int64)
+            left = (did * 37 + i * i * 11 + i * 17) % 3001 - 1500
+            right = (did * 53 + i * i * 5 + i * 29) % 3001 - 1500
+            s = np.stack([left, right], axis=1).astype(np.int32)
+            payloads.append(
+                encode_flac(
+                    s, rate=16000, bps=16, blocksize=32,
+                    mode="lpc", stereo_mode="decorr",
+                )
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_audio_flac_stereo",
+    r"""
+    WITH sm AS (
+      SELECT d.doc_id, r.i, c.ch,
+             CASE WHEN c.ch = 0
+                  THEN (d.doc_id*37 + r.i*r.i*11 + r.i*17) % 3001 - 1500
+                  ELSE (d.doc_id*53 + r.i*r.i*5 + r.i*29) % 3001 - 1500
+             END AS s
+      FROM documents d, range(160) r(i), range(2) c(ch)
+      WHERE r.i < 96 + d.doc_id % 64
+    ), zz AS (
+      SELECT doc_id, ch, s,
+             LEAD(s) OVER (PARTITION BY doc_id, ch ORDER BY i) AS s2
+      FROM sm
+    )
+    SELECT doc_id,
+           CAST(ch AS INT) AS channel,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(s*s) AS BIGINT) AS energy,
+           CAST(SUM(CASE WHEN s*s2 < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS zero_crossings
+    FROM zz GROUP BY doc_id, ch
+    """,
+)
+def mm_audio_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo-decorrelation + LPC FLAC decode end-to-end (r9, closing
+    the r8 verdict's item 6): every frame channel assignment the spec
+    defines (left/side, right/side, mid/side, independent — cycled per
+    frame by the encoder twin) and order-2 quantized-coefficient LPC
+    subframes, decoded through the full bitstream path and reduced to
+    PER-CHANNEL exact integer stats (decode_audio_channel_stats — no
+    mono downmix, no float round-trip).  FLAC is lossless, so the
+    oracle replays the L/R synthesis formulas in pure SQL with zero
+    tolerance: a single mis-reconstructed side channel or LPC residual
+    flips energy/zero_crossings.  Reference parity: N/A (no media
+    surface in the reference)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = _spread_ids(docs).mapInPandas(
+        _synth_flac_stereo_op, "doc_id bigint, payload binary"
+    )
+    return MM.decode_audio_channel_stats(media, id_col="doc_id")

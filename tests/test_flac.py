@@ -66,6 +66,50 @@ class TestRoundTrip:
         out, _, _ = decode_flac(encode_flac(s, blocksize=64))
         assert np.array_equal(out[:, 0], s)
 
+    def test_decorr_stereo_roundtrip(self):
+        """stereo_mode='decorr' cycles left/side → right/side →
+        mid/side → independent per frame; blocksize 32 over 160
+        samples forces 5 frames so every assignment is decoded at
+        least once, bit-exactly."""
+        st2 = _rng_samples(160, 20000, 7, ch=2)
+        for mode in ("fixed", "verbatim", "lpc"):
+            b = encode_flac(
+                st2, rate=16000, bps=16, blocksize=32,
+                mode=mode, stereo_mode="decorr",
+            )
+            out, rate, _ = decode_flac(b)
+            assert rate == 16000 and np.array_equal(out, st2), mode
+
+    def test_decorr_compresses_correlated_stereo(self):
+        """On near-identical channels the side subframe is tiny — the
+        decorrelated stream must beat independent coding (proves the
+        encoder really emits side channels, not independent frames)."""
+        base = np.cumsum(_rng_samples(2048, 50, 8)).astype(np.int32)
+        noise = _rng_samples(2048, 3, 9)
+        st2 = np.stack([base, base + noise], axis=1).astype(np.int32)
+        ind = encode_flac(st2, blocksize=512, stereo_mode="independent")
+        dec = encode_flac(st2, blocksize=512, stereo_mode="decorr")
+        assert len(dec) < len(ind)
+
+    def test_lpc_mode_emits_lpc_subframes(self):
+        """mode='lpc' writes subframe type 32+(order-1) (0b100001 for
+        order 2) — check the bitstream really carries it rather than
+        falling back to FIXED, and that decode is exact."""
+        s = (np.cumsum(_rng_samples(800, 40, 10)) % 8000 - 4000).astype(np.int32)
+        b = encode_flac(s, bps=16, blocksize=256, mode="lpc")
+        fx = encode_flac(s, bps=16, blocksize=256, mode="fixed")
+        assert b != fx  # different subframe coding on a non-flat signal
+        out, _, _ = decode_flac(b)
+        assert np.array_equal(out[:, 0], s)
+
+    def test_decorr_validation(self):
+        mono = _rng_samples(64, 100, 11)
+        with pytest.raises(ValueError, match="stereo_mode"):
+            encode_flac(mono, stereo_mode="decorr")
+        st2 = _rng_samples(64, 100, 12, ch=2)
+        with pytest.raises(ValueError, match="stereo_mode"):
+            encode_flac(st2, stereo_mode="bogus")
+
     @settings(max_examples=30, deadline=None,
               suppress_health_check=[HealthCheck.too_slow])
     @given(
@@ -73,14 +117,16 @@ class TestRoundTrip:
         seed=st.integers(min_value=0, max_value=2**31),
         bps=st.sampled_from([8, 16, 24]),
         bs=st.sampled_from([32, 64, 192, 256]),
-        mode=st.sampled_from(["fixed", "verbatim"]),
+        mode=st.sampled_from(["fixed", "verbatim", "lpc"]),
         ch=st.integers(min_value=1, max_value=3),
     )
     def test_property_round_trip(self, n, seed, bps, bs, mode, ch):
         lim = 1 << (bps - 1)
         s = _rng_samples(n, lim, seed, ch=ch)
+        sm = "decorr" if ch == 2 else "independent"
         out, rate, got_bps = decode_flac(
-            encode_flac(s, rate=32000, bps=bps, blocksize=bs, mode=mode)
+            encode_flac(s, rate=32000, bps=bps, blocksize=bs, mode=mode,
+                        stereo_mode=sm)
         )
         assert rate == 32000 and got_bps == bps
         want = s if ch > 1 else s[:, None]
@@ -137,8 +183,11 @@ def _verbatim(vals, eff):
 
 
 class TestHandBuiltStreams:
-    """Paths the encoder twin does not emit: stereo decorrelation,
-    LPC subframes, Rice escape partitions, wasted bits."""
+    """Hand-built bitstreams pin the exact bit layout independently of
+    the encoder twin (which since r9 also emits stereo decorrelation
+    and LPC — these fixtures stay as the twin-free ground truth, plus
+    paths the twin still never writes: Rice escape partitions, wasted
+    bits)."""
 
     def test_left_side_right_side_mid_side(self):
         rng = np.random.default_rng(11)
