@@ -189,6 +189,35 @@ def _resolve_stbl(
     entry = sb + 8
     codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
     width, height = struct.unpack(">HH", data[entry + 32 : entry + 36])
+    # avcC (AVCDecoderConfigurationRecord) inside the visual sample
+    # entry, after the 78-byte fixed part: out-of-band SPS/PPS + the
+    # NAL length-prefix size — what an H.264 IDR pixel decode needs
+    avcc = None
+    (entry_size,) = struct.unpack(">I", data[entry : entry + 4])
+    entry_end = min(entry + entry_size, se)
+    if codec in ("avc1", "avc3") and entry_end - entry > 86:
+        for fc, ab, ae in _iter_boxes(data, entry + 86, entry_end):
+            if fc != b"avcC" or ae - ab < 7:
+                continue
+            nls = (data[ab + 4] & 3) + 1
+            pos2 = ab + 5
+            sps_list, pps_list = [], []
+            n_sps = data[pos2] & 0x1F
+            pos2 += 1
+            for _ in range(n_sps):
+                (ln,) = struct.unpack(">H", data[pos2 : pos2 + 2])
+                sps_list.append(data[pos2 + 2 : pos2 + 2 + ln])
+                pos2 += 2 + ln
+            n_pps = data[pos2]
+            pos2 += 1
+            for _ in range(n_pps):
+                (ln,) = struct.unpack(">H", data[pos2 : pos2 + 2])
+                pps_list.append(data[pos2 + 2 : pos2 + 2 + ln])
+                pos2 += 2 + ln
+            if pos2 > ae:
+                raise ValueError("mp4: truncated avcC parameter sets")
+            avcc = {"nal_length_size": nls, "sps": sps_list, "pps": pps_list}
+            break
 
     # stsz: fixed-size or per-sample table.  A fuzzed/corrupt count can
     # claim billions of samples; more samples than container bytes is
@@ -279,6 +308,7 @@ def _resolve_stbl(
         "timescale": int(timescale),
         "duration": int(duration),
         "samples": samples,
+        "avcc": avcc,
     }
 
 
@@ -316,6 +346,8 @@ def encode_mp4(
     height: int = 48,
     samples_per_chunk: int = 2,
     co64: bool = False,
+    sps: bytes | None = None,
+    pps: bytes | None = None,
 ) -> bytes:
     """Structurally standard single-video-track MP4: ``ftyp | mdat |
     moov`` with a full avc1+avcC sample description and real stts/
@@ -381,9 +413,15 @@ def encode_mp4(
         b"dinf", _fullbox(b"dref", 0, 0, struct.pack(">I", 1) + _fullbox(b"url ", 0, 1, b""))
     )
 
-    # avcC with a deterministic fake SPS/PPS (constrained-baseline ids)
-    sps = bytes([0x67, 0x42, 0xC0, 0x1E, 0x8C, 0x8D, 0x40, width >> 3, height >> 3])
-    pps = bytes([0x68, 0xCE, 0x3C, 0x80])
+    # avcC parameter sets: callers with REAL streams (operators.h264
+    # encoder twin) pass their own SPS/PPS so samples are decodable;
+    # the default is a deterministic fake (constrained-baseline ids)
+    # for container-only fixtures
+    if sps is None:
+        sps = bytes([0x67, 0x42, 0xC0, 0x1E, 0x8C, 0x8D, 0x40, width >> 3,
+                     height >> 3])
+    if pps is None:
+        pps = bytes([0x68, 0xCE, 0x3C, 0x80])
     avcc = _box(
         b"avcC",
         bytes([1, sps[1], sps[2], sps[3], 0xFF, 0xE1])

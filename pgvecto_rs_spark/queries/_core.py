@@ -200,8 +200,8 @@ _DRIVER_WINDOW: list[str] = [
     #    behind mm_mp4_*; txn staging liveness markers behind fresh_*;
     #    mm_audio_flac_stereo is new (never verified — it'd lead the
     #    self-fill anyway, pinned for determinism) --
-    "mm_audio_flac_stereo", "mm_audio_flac", "mm_mp4_index",
-    "mm_mp4_sample", "fresh_topk_l2", "fresh_range_l2",
+    "mm_audio_flac_stereo", "mm_mp4_idr", "mm_audio_flac",
+    "mm_mp4_index", "mm_mp4_sample", "fresh_topk_l2", "fresh_range_l2",
     # -- (b) stable anchors --
     "topk_l2", "doc_dedup_exact",
 ]

