@@ -92,7 +92,9 @@ BENCH_QUERIES = [
     "mm_gif_frames",
     "mm_mp4_index",
     "mm_mp4_sample",
+    "mm_mp4_idr",
     "mm_audio_flac",
+    "mm_audio_flac_stereo",
     "events_hourly",
     "events_sessions",
     "events_asof",
@@ -209,17 +211,20 @@ def _batch_speedup(spark) -> dict:
 
 def _canary_heavy(spark, sf_dir):
     """~2 s pure-Catalyst load canary (r7 advice: the five sub-second
-    canaries are jitter-bound; r8 verdict: the two-shape version ran
-    0.82 s — below the jitter-robust target, so r9 adds two more
-    shapes).  Four fixed shapes over lineitem ⋈ orders ⋈ part,
-    deliberately un-pruned: a high-cardinality (orderkey, linenumber)
-    aggregation, a full range-partitioned sort folded to a bit_xor
-    checksum, a part-side join aggregation over (l_partkey), and a
-    second independent sort/checksum keyed on (l_shipdate, suppkey).
-    No engine code paths of ours — machine + JVM throughput only, so
-    its builder-vs-driver ratio isolates load.  Returns a 1-row
-    DataFrame so the bench loop can time it like any registered
-    query."""
+    canaries are jitter-bound; the 4-shape r9 version still ran
+    ~0.96-1.15 s at sf0.1, so shape 5 adds a count-distinct rollup and
+    a self-join delta aggregation to reach the target).  Five fixed
+    shapes over lineitem ⋈ orders ⋈ part, deliberately un-pruned: a
+    high-cardinality (orderkey, linenumber) aggregation, a full
+    range-partitioned sort folded to a bit_xor checksum, a part-side
+    join aggregation over (l_partkey), a second independent
+    sort/checksum keyed on (l_shipdate, suppkey), and a
+    count(DISTINCT l_orderkey) x sum rollup per (l_returnflag,
+    l_linestatus, month(l_shipdate)) plus a lineitem self-join on
+    (l_orderkey, l_linenumber+1) aggregating price deltas.  No engine
+    code paths of ours — machine + JVM throughput only, so its
+    builder-vs-driver ratio isolates load.  Returns a 1-row DataFrame
+    so the bench loop can time it like any registered query."""
     from pyspark.sql import functions as F
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -270,7 +275,36 @@ def _canary_heavy(spark, sf_dir):
         )
         .agg(F.expr("bit_xor(h)").alias("cksum2"))
     )
-    return a.crossJoin(srt).crossJoin(pj).crossJoin(srt2)  # 1x1x1x1
+    dist = (
+        li.groupBy("l_returnflag", "l_linestatus", F.month("l_shipdate"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("no"),
+            F.countDistinct("l_partkey").alias("np_"),
+            F.sum("l_extendedprice").alias("sp"),
+        )
+        .agg(
+            F.count("*").alias("ng"),
+            F.sum("no").alias("sno"),
+            F.sum("np_").alias("snp"),
+            F.sum("sp").alias("ssp"),
+        )
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"),
+        (F.col("l_linenumber") - 1).alias("n2"),
+        F.col("l_extendedprice").alias("p2"),
+    )
+    sj = (
+        li.join(l2, (li.l_orderkey == l2.o2) & (li.l_linenumber == l2.n2))
+        .select((F.col("p2") - F.col("l_extendedprice")).alias("d"))
+        .agg(
+            F.count("*").alias("nd"),
+            F.sum("d").alias("sd"),
+            F.max(F.abs("d")).alias("md"),
+        )
+    )
+    return (a.crossJoin(srt).crossJoin(pj).crossJoin(srt2)
+            .crossJoin(dist).crossJoin(sj))  # 1x1x...x1
 
 
 def _release_storage(spark) -> None:
@@ -354,7 +388,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # bump when _canary_heavy's shapes change: timings across shapes
         # are not load-comparable, so the ratio code skips it on mismatch
-        "canary_heavy_shape": 4,
+        "canary_heavy_shape": 5,
     }
     if errors:
         detail["errors"] = errors
