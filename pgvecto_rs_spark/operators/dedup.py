@@ -823,7 +823,11 @@ def hamming_candidate_pairs(
                     F.struct(
                         F.lit(i).alias("band"),
                         F.shiftrightunsigned("__sig", offsets[i])
-                        .bitwiseAND(F.lit((1 << widths[i]) - 1))
+                        # width 64 (max_hamming=0: one exact-match band)
+                        # needs the all-ones mask as -1 — (1<<64)-1
+                        # overflows the JVM long literal
+                        .bitwiseAND(F.lit(-1 if widths[i] == 64
+                                          else (1 << widths[i]) - 1))
                         .alias("key"),
                     )
                     for i in range(n_bands)

@@ -61,6 +61,8 @@ __all__ = [
     "index_video_samples",
     "resize_images",
     "sample_video_frames",
+    "video_keyframe_hashes",
+    "video_neardup_pairs",
 ]
 
 # media payload + typed metadata convention
@@ -1641,6 +1643,133 @@ def decode_video_keyframes(
             )
 
     return df.mapInPandas(op, out_schema)
+
+
+def video_keyframe_hashes(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> DataFrame:
+    """(id, sample_no, sig): 64-bit perceptual aHash per decoded H.264
+    keyframe — the video leg of the shared fingerprint convention.
+
+    Pipeline per MP4 payload: sample-table walk + avcC (operators.mp4)
+    -> IDR pixel decode (operators.h264) -> luma plane nearest-neighbor
+    resized to 8x8 -> the SAME aHash bit rule as ``image_hashes_df``
+    (bit = 64*v > sum(v), row-major bit order, two's-complement into
+    Spark's long), so video-frame signatures live in the same Hamming
+    space as image signatures and reuse the same banded join engine.
+    ``on_error`` follows the uniform codec ingest policy."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    skip = on_error == "null"
+    out_schema = f"{id_col} bigint, sample_no int, sig bigint"
+    weights = 1 << np.arange(64, dtype=np.uint64)
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .h264 import decode_idr_frame
+        from .mp4 import index_mp4_samples
+
+        for pdf in it:
+            ids, nos, sigs = [], [], []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                try:
+                    idx = index_mp4_samples(raw)
+                    avcc = idx["avcc"]
+                    if avcc is None or not avcc["sps"] or not avcc["pps"]:
+                        raise NotImplementedError(
+                            "video_keyframe_hashes: no decodable avcC record"
+                        )
+                    got = []
+                    for no, _dts, _pts, off, size, kf in idx["samples"]:
+                        if not kf:
+                            continue
+                        out = decode_idr_frame(
+                            raw[off : off + size],
+                            sps_bytes=avcc["sps"][0],
+                            pps_bytes=avcc["pps"][0],
+                            nal_length_size=avcc["nal_length_size"],
+                        )
+                        v = _resize_nn(out["y"], 8, 8).astype(np.int64)
+                        bits = (64 * v.reshape(-1)) > v.sum()
+                        sig = int((bits.astype(np.uint64) * weights)
+                                  .sum(dtype=np.uint64))
+                        if sig >= 1 << 63:
+                            sig -= 1 << 64
+                        got.append((int(mid), no, sig))
+                except (ValueError, NotImplementedError):
+                    if skip:
+                        continue
+                    raise
+                for mid_, no_, sig_ in got:
+                    ids.append(mid_)
+                    nos.append(no_)
+                    sigs.append(sig_)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "sample_no": pd.Series(nos, dtype="int32"),
+                    "sig": pd.Series(sigs, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(op, out_schema)
+
+
+def video_neardup_pairs(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    max_hamming: int = 2,
+    min_matching_frames: int = 2,
+    max_bucket: int = 1000,
+    on_error: str = "raise",
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs by keyframe perceptual hashes:
+    (id_a, id_b, n_frames) where n_frames counts keyframe pairs within
+    ``max_hamming`` of each other; pairs need at least
+    ``min_matching_frames`` such matches.
+
+    Scale shape (the 100 TB story): per-keyframe 64-bit signatures are
+    the ONLY thing that leaves the decode stage (~16 bytes/frame — the
+    video bytes never shuffle); frame pairs come from the shared
+    banded-pigeonhole Hamming join (``dedup.hamming_candidate_pairs``,
+    exact within the radius, bucket-confined — never all-pairs), and
+    the video-level rollup is one tiny aggregation over frame-pair
+    rows.  Frame identity is packed as ``id * 2^20 + sample_no``;
+    sample_no >= 2^20 (a million keyframes in one file) raises rather
+    than risking pair corruption."""
+    from .dedup import hamming_candidate_pairs
+
+    cap = 1 << 20
+    hashes = video_keyframe_hashes(
+        df, payload_col=payload_col, id_col=id_col, on_error=on_error
+    )
+    guarded = hashes.select(
+        F.when(F.col("sample_no") < cap, F.col(id_col) * cap + F.col("sample_no"))
+        .otherwise(F.raise_error("video_neardup_pairs: sample_no >= 2^20"))
+        .alias("__id"),
+        F.col("sig").alias("__sig"),
+    )
+    pairs = hamming_candidate_pairs(
+        guarded, max_hamming=max_hamming, max_bucket=max_bucket
+    )
+    # integer division (float '/' loses exactness past 2^53)
+    va = F.expr(f"id_a div {cap}")
+    vb = F.expr(f"id_b div {cap}")
+    return (
+        pairs.select(
+            F.least(va, vb).alias("id_a"), F.greatest(va, vb).alias("id_b")
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_frames"))
+        .where(F.col("n_frames") >= min_matching_frames)
+    )
 
 
 def index_video_samples(

@@ -200,8 +200,12 @@ _DRIVER_WINDOW: list[str] = [
     #    behind mm_mp4_*; txn staging liveness markers behind fresh_*;
     #    mm_audio_flac_stereo is new (never verified — it'd lead the
     #    self-fill anyway, pinned for determinism) --
-    "mm_audio_flac_stereo", "mm_mp4_idr", "mm_audio_flac",
-    "mm_mp4_index", "mm_mp4_sample", "fresh_topk_l2", "fresh_range_l2",
+    "mm_audio_flac_stereo", "mm_mp4_idr", "mm_video_idr_neardup",
+    "mm_audio_flac", "mm_mp4_index", "mm_mp4_sample",
+    "fresh_topk_l2", "fresh_range_l2",
+    # doc_simhash_pairs shares dedup.hamming_candidate_pairs, whose
+    # band-mask changed this round (64-bit single-band fix) --
+    "doc_simhash_pairs",
     # -- (b) stable anchors --
     "topk_l2", "doc_dedup_exact",
 ]

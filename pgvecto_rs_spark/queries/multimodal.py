@@ -1205,3 +1205,110 @@ def mm_mp4_idr(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_mp4_idr_op, "doc_id bigint, payload binary"
     )
     return MM.decode_video_keyframes(media, id_col="doc_id")
+
+
+def _synth_mp4_group_op(it):
+    """(doc_id) -> (doc_id, payload): near-duplicate VIDEO groups.
+    Videos with the same doc_id//4 share the frame pattern
+
+        luma[r][c] = ((doc_id//4)*31 + r*7 + c*13 + s*41) % 97 * 2
+                     + (doc_id % 4) * 2
+
+    for each of 2 keyframes s — the per-variant term is a UNIFORM
+    brightness offset, which the aHash bit rule (64*v > sum(v)) is
+    invariant to, so the 4 variants of a group hash identically while
+    different groups differ.  Frames are four I_PCM macroblocks
+    carrying the pattern exactly (lossless), so the SQL oracle can
+    replay pixels -> 8x8 nearest-neighbor subsample -> aHash ->
+    pairwise Hamming in pure integer arithmetic."""
+    import numpy as np
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.h264 import encode_idr_stream, split_annexb
+    from pgvecto_rs_spark.operators.mp4 import encode_mp4
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            g, var = did // 4, did % 4
+            samples = []
+            sps = pps = None
+            for s in range(2):
+                i = np.arange(32)
+                pat = (((g * 31 + i[:, None] * 7 + i[None, :] * 13 + s * 41)
+                        % 97) * 2 + var * 2)
+                plan = []
+                for mby in range(2):
+                    for mbx in range(2):
+                        plan.append({
+                            "type": "pcm",
+                            "y": pat[mby*16:mby*16+16, mbx*16:mbx*16+16],
+                            "cb": np.full((8, 8), 128),
+                            "cr": np.full((8, 8), 128),
+                        })
+                sps, pps, idr = split_annexb(
+                    encode_idr_stream(plan, 2, 2, qp=28))
+                samples.append(len(idr).to_bytes(4, "big") + idr)
+            payloads.append(
+                encode_mp4(samples, sps=sps, pps=pps, width=32, height=32))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_video_idr_neardup",
+    r"""
+    WITH px AS (
+      SELECT d.doc_id, r.s, i.i, j.j,
+             ((d.doc_id // 4)*31 + (i.i*4)*7 + (j.j*4)*13 + r.s*41) % 97 * 2
+               + (d.doc_id % 4)*2 AS v
+      FROM documents d, range(2) r(s), range(8) i(i), range(8) j(j)
+    ), tot AS (
+      SELECT doc_id, s, SUM(v) AS t FROM px GROUP BY doc_id, s
+    ), bits AS (
+      SELECT p.doc_id, p.s, p.i*8 + p.j AS idx,
+             CASE WHEN 64*p.v > t.t THEN 1 ELSE 0 END AS b
+      FROM px p JOIN tot t ON p.doc_id = t.doc_id AND p.s = t.s
+    ), sig AS (
+      SELECT doc_id, s,
+             CAST(SUM(CASE WHEN idx < 32
+                           THEN b * (CAST(1 AS BIGINT) << idx)
+                           ELSE 0 END) AS BIGINT) AS lo,
+             CAST(SUM(CASE WHEN idx >= 32
+                           THEN b * (CAST(1 AS BIGINT) << (idx - 32))
+                           ELSE 0 END) AS BIGINT) AS hi
+      FROM bits GROUP BY doc_id, s
+    ), ham AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 2
+    )
+    SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_frames
+    FROM ham GROUP BY id_a, id_b HAVING COUNT(*) >= 2
+    """,
+)
+def mm_video_idr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate VIDEO detection by decoded-keyframe perceptual
+    hash (r9): MP4 avcC -> H.264 IDR pixel decode -> 8x8 luma aHash
+    per keyframe (same bit rule and Hamming space as image hashes) ->
+    shared banded-pigeonhole Hamming join (never all-pairs) -> video
+    pair rollup with a min-matching-frames gate.  The synthetic
+    corpus hides uniform-brightness variants inside groups (aHash is
+    brightness-shift invariant), and the oracle replays pixels ->
+    subsample -> aHash -> brute-force pairwise Hamming in pure SQL —
+    certifying both the pixel decode and that the banded join finds
+    every pair within the radius.  100 TB shape: 16-byte signatures
+    shuffle, video bytes never do.  Reference parity: N/A (no media
+    surface in the reference)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = _spread_ids(docs).mapInPandas(
+        _synth_mp4_group_op, "doc_id bigint, payload binary"
+    )
+    return MM.video_neardup_pairs(
+        media, id_col="doc_id", max_hamming=2, min_matching_frames=2,
+        max_bucket=4096,
+    )

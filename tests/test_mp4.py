@@ -390,3 +390,86 @@ class TestAvcc:
             decode_video_keyframes(df).collect()
         out = decode_video_keyframes(df, on_error="null").collect()
         assert {r["media_id"] for r in out} == {0}
+
+
+class TestVideoNeardup:
+    """Keyframe aHash + banded Hamming join (r9)."""
+
+    @staticmethod
+    def _make_video(group, variant, nframes=2):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.h264 import (
+            encode_idr_stream, split_annexb)
+
+        samples, sps, pps = [], None, None
+        for s in range(nframes):
+            i = np.arange(32)
+            pat = (((group * 31 + i[:, None] * 7 + i[None, :] * 13 + s * 41)
+                    % 97) * 2 + variant * 2)
+            plan = []
+            for mby in range(2):
+                for mbx in range(2):
+                    plan.append({
+                        "type": "pcm",
+                        "y": pat[mby*16:mby*16+16, mbx*16:mbx*16+16],
+                        "cb": np.full((8, 8), 128),
+                        "cr": np.full((8, 8), 128),
+                    })
+            sps, pps, idr = split_annexb(encode_idr_stream(plan, 2, 2))
+            samples.append(len(idr).to_bytes(4, "big") + idr)
+        return encode_mp4(samples, sps=sps, pps=pps, width=32, height=32)
+
+    def test_hash_brightness_invariance_and_grouping(self, spark):
+        import pandas as pd
+
+        from pgvecto_rs_spark.operators.multimodal import video_keyframe_hashes
+
+        rows = [(g * 10 + v, self._make_video(g, v))
+                for g in range(2) for v in range(3)]
+        df = spark.createDataFrame(pd.DataFrame(
+            {"media_id": [r[0] for r in rows],
+             "payload": [r[1] for r in rows]}))
+        out = video_keyframe_hashes(df).collect()
+        sigs = {(r["media_id"], r["sample_no"]): r["sig"] for r in out}
+        assert len(sigs) == 12  # 6 videos x 2 keyframes
+        for s in (1, 2):
+            # uniform brightness offsets hash identically within a group
+            assert sigs[(0, s)] == sigs[(1, s)] == sigs[(2, s)]
+            assert sigs[(10, s)] == sigs[(11, s)] == sigs[(12, s)]
+            assert sigs[(0, s)] != sigs[(10, s)]
+
+    def test_neardup_pairs_within_groups_only(self, spark):
+        import pandas as pd
+
+        from pgvecto_rs_spark.operators.multimodal import video_neardup_pairs
+
+        rows = [(g * 10 + v, self._make_video(g, v))
+                for g in range(2) for v in range(3)]
+        df = spark.createDataFrame(pd.DataFrame(
+            {"media_id": [r[0] for r in rows],
+             "payload": [r[1] for r in rows]}))
+        # max_hamming=0 also regression-tests the 64-bit single-band
+        # mask in dedup.hamming_candidate_pairs ((1<<64)-1 overflow)
+        for mh in (0, 2):
+            got = sorted((r["id_a"], r["id_b"], r["n_frames"])
+                         for r in video_neardup_pairs(
+                             df, max_hamming=mh,
+                             min_matching_frames=2).collect())
+            assert got == [(0, 1, 2), (0, 2, 2), (1, 2, 2),
+                           (10, 11, 2), (10, 12, 2), (11, 12, 2)], mh
+
+    def test_sample_no_packing_guard(self, spark):
+        import pandas as pd
+
+        from pgvecto_rs_spark.operators.multimodal import video_neardup_pairs
+
+        df = spark.createDataFrame(pd.DataFrame(
+            {"media_id": [1, 2],
+             "payload": [self._make_video(0, 0), self._make_video(0, 1)]}))
+        # normal path works; the 2^20 guard is exercised structurally
+        # (sample_no is tiny here — the point is the expression compiles
+        # and the pair survives it)
+        got = video_neardup_pairs(df, max_hamming=0,
+                                  min_matching_frames=2).collect()
+        assert sorted((r["id_a"], r["id_b"]) for r in got) == [(1, 2)]
