@@ -280,6 +280,53 @@ def main() -> None:
     codec_out["mp4_files_per_s"] = round(n_codec / t_mp4)
     codec_out["mp4_samples_per_s"] = round(n_codec * 30 / t_mp4)
 
+    # H.264 IDR keyframe pixel decode (r9): every row is a real MP4
+    # avcC walk + 3 CAVLC baseline I-frame decodes (PCM + DC-residual
+    # MBs) reduced to exact plane stats — the per-payload cost the
+    # keyframe leg of a video curation pipeline pays; only ~60-byte
+    # stat rows leave the stage
+    def _synth_idr_mp4s(it):
+        import numpy as np
+        import pandas as pd
+
+        from pgvecto_rs_spark.operators.h264 import (
+            encode_idr_stream, split_annexb)
+        from pgvecto_rs_spark.operators.mp4 import encode_mp4
+
+        for pdf in it:
+            payloads = []
+            for did in pdf["id"]:
+                did = int(did)
+                samples, sps, pps = [], None, None
+                for s in range(3):
+                    v = 20 + (did * 7 + s * 13) % 200
+                    plan = [
+                        {"type": "pcm", "y": np.full((16, 16), v),
+                         "cb": np.full((8, 8), 90), "cr": np.full((8, 8), 110)},
+                        {"type": "i16", "pred": 1, "chroma_mode": 1,
+                         "dc": [(did + s) % 9 - 4] + [0] * 15},
+                    ]
+                    sps, pps, idr = split_annexb(
+                        encode_idr_stream(plan, 2, 1, qp=28))
+                    samples.append(len(idr).to_bytes(4, "big") + idr)
+                payloads.append(
+                    encode_mp4(samples, sps=sps, pps=pps, width=32, height=16))
+            yield pd.DataFrame(
+                {"doc_id": pdf["id"].astype("int64"), "payload": payloads}
+            )
+
+    t0 = time.time()
+    media = base_c.mapInPandas(_synth_idr_mp4s, "doc_id bigint, payload binary")
+    kf = MM.decode_video_keyframes(media, id_col="doc_id")
+    row = kf.agg(
+        F.count("*").alias("n_frames"),
+        F.sum("luma_sum").alias("total_luma"),
+    ).collect()[0]
+    t_idr = time.time() - t0
+    assert row["n_frames"] == n_codec * 3, row
+    codec_out["h264_idr_decode_s"] = round(t_idr, 2)
+    codec_out["h264_frames_per_s"] = round(n_codec * 3 / t_idr)
+
     print(
         json.dumps(
             {

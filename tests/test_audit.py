@@ -154,3 +154,25 @@ class TestNewQueryPlans:
         assert "CartesianProduct" not in a["plan"]
         # two decode branches join on doc_id + source join + groupBy
         assert a["shuffle_exchanges"] <= 8
+
+    def test_mm_mp4_idr_shape(self, spark, sf_dir):
+        """H.264 keyframe decode (r9): one mapInPandas synth + one
+        mapInPandas decode — payload bytes never shuffle; no joins."""
+        a = audit_query(spark, "mm_mp4_idr", sf_dir)
+        assert "CartesianProduct" not in a["plan"]
+        assert a["shuffle_exchanges"] <= 2
+
+    def test_mm_video_idr_neardup_shape(self, spark, sf_dir):
+        """Video near-dup (r9): 16-byte frame signatures through the
+        banded Hamming join + one pair rollup; the video bytes stay in
+        the decode stage (no payload column past the hash op)."""
+        a = audit_query(spark, "mm_video_idr_neardup", sf_dir)
+        assert "CartesianProduct" not in a["plan"]
+        # band groupBy + pair distinct + video-pair rollup (+AQE reads)
+        assert a["shuffle_exchanges"] <= 5
+        # the printed plan lists downstream operators ABOVE the band
+        # exchange: nothing up there may carry the payload column
+        lines = a["plan"].splitlines()
+        band = next(i for i, ln in enumerate(lines)
+                    if "Exchange hashpartitioning(band" in ln)
+        assert not any("payload" in ln for ln in lines[:band])
