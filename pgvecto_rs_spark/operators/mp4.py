@@ -40,6 +40,7 @@ __all__ = [
     "MP4_FTYP_SIZE",
     "MP4_MDAT_DATA_START",
     "encode_mp4",
+    "extract_mp4_text_samples",
     "index_mp4_samples",
     "is_mp4",
 ]
@@ -170,55 +171,11 @@ def _index_mp4_samples(payload: bytes) -> dict:
     raise ValueError("mp4: no video track")
 
 
-def _resolve_stbl(
-    data: bytes, pos: int, end: int, timescale: int, duration: int
-) -> dict:
-    boxes = {fc: (b, e) for fc, b, e in _iter_boxes(data, pos, end)}
-    for req in (b"stsd", b"stts", b"stsz", b"stsc"):
-        if req not in boxes:
-            raise ValueError(f"mp4: stbl missing {req.decode()}")
-    if b"stco" not in boxes and b"co64" not in boxes:
-        raise ValueError("mp4: stbl missing stco/co64")
-
-    # stsd: first visual sample entry — codec fourcc at +8, width/height
-    # at +32/+34 within the entry (6 reserved + 2 dref idx + 16 predefined)
-    sb, se = boxes[b"stsd"]
-    (n_desc,) = struct.unpack(">I", data[sb + 4 : sb + 8])
-    if n_desc < 1 or se - sb < 8 + 44:
-        raise ValueError("mp4: empty/truncated stsd")
-    entry = sb + 8
-    codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
-    width, height = struct.unpack(">HH", data[entry + 32 : entry + 36])
-    # avcC (AVCDecoderConfigurationRecord) inside the visual sample
-    # entry, after the 78-byte fixed part: out-of-band SPS/PPS + the
-    # NAL length-prefix size — what an H.264 IDR pixel decode needs
-    avcc = None
-    (entry_size,) = struct.unpack(">I", data[entry : entry + 4])
-    entry_end = min(entry + entry_size, se)
-    if codec in ("avc1", "avc3") and entry_end - entry > 86:
-        for fc, ab, ae in _iter_boxes(data, entry + 86, entry_end):
-            if fc != b"avcC" or ae - ab < 7:
-                continue
-            nls = (data[ab + 4] & 3) + 1
-            pos2 = ab + 5
-            sps_list, pps_list = [], []
-            n_sps = data[pos2] & 0x1F
-            pos2 += 1
-            for _ in range(n_sps):
-                (ln,) = struct.unpack(">H", data[pos2 : pos2 + 2])
-                sps_list.append(data[pos2 + 2 : pos2 + 2 + ln])
-                pos2 += 2 + ln
-            n_pps = data[pos2]
-            pos2 += 1
-            for _ in range(n_pps):
-                (ln,) = struct.unpack(">H", data[pos2 : pos2 + 2])
-                pps_list.append(data[pos2 + 2 : pos2 + 2 + ln])
-                pos2 += 2 + ln
-            if pos2 > ae:
-                raise ValueError("mp4: truncated avcC parameter sets")
-            avcc = {"nal_length_size": nls, "sps": sps_list, "pps": pps_list}
-            break
-
+def _sample_rows(data: bytes, boxes: dict) -> list[tuple]:
+    """stts/ctts/stss/stsz/stsc/stco(co64) -> per-sample
+    (sample_no, dts, pts, offset, size, keyframe) rows — the
+    handler-agnostic core shared by the video index and the text
+    (caption) track extractor."""
     # stsz: fixed-size or per-sample table.  A fuzzed/corrupt count can
     # claim billions of samples; more samples than container bytes is
     # structurally impossible for real media, so bound expansion there
@@ -301,6 +258,64 @@ def _resolve_stbl(
         (i + 1, dts[i], dts[i] + cts_off[i], offsets[i], sizes[i], keyframe[i])
         for i in range(n_samples)
     ]
+    return samples
+
+
+def _stbl_boxes(data: bytes, pos: int, end: int) -> dict:
+    boxes = {fc: (b, e) for fc, b, e in _iter_boxes(data, pos, end)}
+    for req in (b"stsd", b"stts", b"stsz", b"stsc"):
+        if req not in boxes:
+            raise ValueError(f"mp4: stbl missing {req.decode()}")
+    if b"stco" not in boxes and b"co64" not in boxes:
+        raise ValueError("mp4: stbl missing stco/co64")
+    return boxes
+
+
+def _resolve_stbl(
+    data: bytes, pos: int, end: int, timescale: int, duration: int
+) -> dict:
+    boxes = _stbl_boxes(data, pos, end)
+
+    # stsd: first visual sample entry — codec fourcc at +8, width/height
+    # at +32/+34 within the entry (6 reserved + 2 dref idx + 16 predefined)
+    sb, se = boxes[b"stsd"]
+    (n_desc,) = struct.unpack(">I", data[sb + 4 : sb + 8])
+    if n_desc < 1 or se - sb < 8 + 44:
+        raise ValueError("mp4: empty/truncated stsd")
+    entry = sb + 8
+    codec = data[entry + 4 : entry + 8].decode("ascii", "replace")
+    width, height = struct.unpack(">HH", data[entry + 32 : entry + 36])
+    # avcC (AVCDecoderConfigurationRecord) inside the visual sample
+    # entry, after the 78-byte fixed part: out-of-band SPS/PPS + the
+    # NAL length-prefix size — what an H.264 IDR pixel decode needs
+    avcc = None
+    (entry_size,) = struct.unpack(">I", data[entry : entry + 4])
+    entry_end = min(entry + entry_size, se)
+    if codec in ("avc1", "avc3") and entry_end - entry > 86:
+        for fc, ab, ae in _iter_boxes(data, entry + 86, entry_end):
+            if fc != b"avcC" or ae - ab < 7:
+                continue
+            nls = (data[ab + 4] & 3) + 1
+            pos2 = ab + 5
+            sps_list, pps_list = [], []
+            n_sps = data[pos2] & 0x1F
+            pos2 += 1
+            for _ in range(n_sps):
+                (ln,) = struct.unpack(">H", data[pos2 : pos2 + 2])
+                sps_list.append(data[pos2 + 2 : pos2 + 2 + ln])
+                pos2 += 2 + ln
+            n_pps = data[pos2]
+            pos2 += 1
+            for _ in range(n_pps):
+                (ln,) = struct.unpack(">H", data[pos2 : pos2 + 2])
+                pps_list.append(data[pos2 + 2 : pos2 + 2 + ln])
+                pos2 += 2 + ln
+            if pos2 > ae:
+                raise ValueError("mp4: truncated avcC parameter sets")
+            avcc = {"nal_length_size": nls, "sps": sps_list, "pps": pps_list}
+            break
+
+    samples = _sample_rows(data, boxes)
     return {
         "codec": codec,
         "width": int(width),
@@ -310,6 +325,93 @@ def _resolve_stbl(
         "samples": samples,
         "avcc": avcc,
     }
+
+
+def extract_mp4_text_samples(payload: bytes) -> dict:
+    """Extract the FIRST text/subtitle track (handler ``text``/``sbtl``/
+    ``subt``, ``tx3g`` sample entries — 3GPP timed text, the common
+    caption format in MP4): ``{"timescale", "duration", "samples":
+    [(sample_no, dts, dur, text), ...]}`` with dts/dur in timescale
+    units and ``text`` decoded UTF-8.
+
+    Caption harvesting is a first-class training-data source (aligned
+    text supervision for video); this stays container-exact like the
+    video index — sample bytes are sliced at their (offset, size) and
+    a tx3g sample is just ``u16 length + UTF-8`` (+ optional modifier
+    boxes, ignored).  ValueError on structural corruption;
+    NotImplementedError for non-tx3g text sample entries."""
+    try:
+        return _extract_mp4_text(payload)
+    except (struct.error, IndexError, UnicodeDecodeError) as e:
+        raise ValueError(f"mp4: truncated/invalid text field ({e})") from e
+
+
+def _extract_mp4_text(payload: bytes) -> dict:
+    if not is_mp4(payload):
+        raise ValueError("mp4: missing ftyp")
+    moov = next(_find(payload, 0, len(payload), b"moov"), None)
+    if moov is None:
+        raise ValueError("mp4: no moov box")
+    for trak_b, trak_e in _find(payload, moov[0], moov[1], b"trak"):
+        mdia = next(_find(payload, trak_b, trak_e, b"mdia"), None)
+        if mdia is None:
+            continue
+        hdlr = next(_find(payload, mdia[0], mdia[1], b"hdlr"), None)
+        if hdlr is None or payload[hdlr[0] + 8 : hdlr[0] + 12] not in (
+            b"text", b"sbtl", b"subt"
+        ):
+            continue
+        mdhd = next(_find(payload, mdia[0], mdia[1], b"mdhd"), None)
+        minf = next(_find(payload, mdia[0], mdia[1], b"minf"), None)
+        if mdhd is None or minf is None:
+            raise ValueError("mp4: text track missing mdhd/minf")
+        v, _ = _full(payload, mdhd[0])
+        if v == 1:
+            timescale, duration = struct.unpack(
+                ">IQ", payload[mdhd[0] + 20 : mdhd[0] + 32]
+            )
+        else:
+            timescale, duration = struct.unpack(
+                ">II", payload[mdhd[0] + 12 : mdhd[0] + 20]
+            )
+        stbl = next(_find(payload, minf[0], minf[1], b"stbl"), None)
+        if stbl is None:
+            raise ValueError("mp4: text track missing stbl")
+        boxes = _stbl_boxes(payload, stbl[0], stbl[1])
+        sb, se = boxes[b"stsd"]
+        (n_desc,) = struct.unpack(">I", payload[sb + 4 : sb + 8])
+        if n_desc < 1 or se - sb < 8 + 16:
+            raise ValueError("mp4: empty/truncated text stsd")
+        entry = sb + 8
+        fourcc = payload[entry + 4 : entry + 8]
+        if fourcc != b"tx3g":
+            raise NotImplementedError(
+                f"mp4: text sample entry {fourcc!r} not supported (tx3g only)"
+            )
+        rows = _sample_rows(payload, boxes)
+        # per-sample durations from the stts runs (clamped like dts)
+        durs: list[int] = []
+        for count, delta in _read_table(payload, *boxes[b"stts"], ">II"):
+            for _ in range(min(count, len(rows) - len(durs))):
+                durs.append(delta)
+            if len(durs) >= len(rows):
+                break
+        samples = []
+        for (no, dts, _pts, off, size, _kf), dur in zip(rows, durs):
+            if size < 2:
+                raise ValueError("mp4: tx3g sample shorter than its header")
+            (tlen,) = struct.unpack(">H", payload[off : off + 2])
+            if 2 + tlen > size:
+                raise ValueError("mp4: tx3g text length overruns sample")
+            samples.append(
+                (no, dts, dur, payload[off + 2 : off + 2 + tlen].decode("utf-8"))
+            )
+        return {
+            "timescale": int(timescale),
+            "duration": int(duration),
+            "samples": samples,
+        }
+    raise ValueError("mp4: no text track")
 
 
 # ---------------------------------------------------------------------------
@@ -348,6 +450,7 @@ def encode_mp4(
     co64: bool = False,
     sps: bytes | None = None,
     pps: bytes | None = None,
+    text_samples: list | None = None,
 ) -> bytes:
     """Structurally standard single-video-track MP4: ``ftyp | mdat |
     moov`` with a full avc1+avcC sample description and real stts/
@@ -359,6 +462,11 @@ def encode_mp4(
     ``samples_per_chunk``.  Sample payload bytes are whatever the
     caller passes (deterministic fake access units in tests — pixel
     decode is out of scope by design).
+
+    ``text_samples`` (optional): list of ``(text, duration)`` adds a
+    second trak — a 3GPP timed-text (tx3g) caption track whose sample
+    bytes (``u16 length + UTF-8``) follow the video samples in mdat,
+    one chunk; ``extract_mp4_text_samples`` reads it back exactly.
     """
     n = len(sample_payloads)
     if n == 0:
@@ -371,7 +479,11 @@ def encode_mp4(
 
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isom" + b"avc1")
     assert len(ftyp) == MP4_FTYP_SIZE
-    mdat_data = b"".join(sample_payloads)
+    text_payloads = [
+        struct.pack(">H", len(t.encode("utf-8"))) + t.encode("utf-8")
+        for t, _d in (text_samples or [])
+    ]
+    mdat_data = b"".join(sample_payloads) + b"".join(text_payloads)
     mdat = _box(b"mdat", mdat_data)
 
     sizes = [len(p) for p in sample_payloads]
@@ -506,5 +618,68 @@ def encode_mp4(
     minf = _box(b"minf", vmhd + dinf + stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
-    moov = _box(b"moov", mvhd + trak)
+
+    text_trak = b""
+    if text_samples:
+        t_durs = [int(d) for _t, d in text_samples]
+        t_total = sum(t_durs)
+        t_sizes = [len(p) for p in text_payloads]
+        t_start = MP4_MDAT_DATA_START + sum(sizes)
+        t_tkhd = _fullbox(
+            b"tkhd", 0, 7,
+            struct.pack(">IIIII", 0, 0, 2, 0, t_total)
+            + struct.pack(">IIhhhh", 0, 0, 0, 0, 0, 0)
+            + struct.pack(">9i", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                          0x40000000)
+            + struct.pack(">II", width << 16, height << 16),
+        )
+        t_mdhd = _fullbox(
+            b"mdhd", 0, 0,
+            struct.pack(">IIIIHH", 0, 0, timescale, t_total, 0x55C4, 0),
+        )
+        t_hdlr = _fullbox(
+            b"hdlr", 0, 0,
+            struct.pack(">I", 0) + b"text" + bytes(12) + b"TextHandler\x00",
+        )
+        # tx3g sample entry (3GPP TS 26.245): display flags,
+        # justification, bg color, default text box, style record,
+        # font table
+        tx3g = _box(
+            b"tx3g",
+            bytes(6) + struct.pack(">H", 1)
+            + struct.pack(">I", 0)          # displayFlags
+            + struct.pack(">bb", 1, -1)     # h/v justification
+            + bytes([0, 0, 0, 0])           # background RGBA
+            + struct.pack(">HHHH", 0, 0, height, width)  # BoxRecord
+            + struct.pack(">HHHBB", 0, 0, 1, 0, 12)      # StyleRecord
+            + bytes([0, 0, 0, 255])         # text RGBA
+            + _box(b"ftab", struct.pack(">HHB", 1, 1, 5) + b"Serif"),
+        )
+        t_boxes = [
+            _fullbox(b"stsd", 0, 0, struct.pack(">I", 1) + tx3g),
+            _fullbox(
+                b"stts", 0, 0,
+                struct.pack(">I", len(_rle(t_durs)))
+                + b"".join(struct.pack(">II", c, v) for c, v in _rle(t_durs)),
+            ),
+            _fullbox(
+                b"stsc", 0, 0,
+                struct.pack(">I", 1) + struct.pack(">III", 1, len(t_sizes), 1),
+            ),
+            _fullbox(
+                b"stsz", 0, 0,
+                struct.pack(">II", 0, len(t_sizes))
+                + b"".join(struct.pack(">I", z) for z in t_sizes),
+            ),
+            _fullbox(b"stco", 0, 0, struct.pack(">II", 1, t_start)),
+        ]
+        t_stbl = _box(b"stbl", b"".join(t_boxes))
+        # null media header for timed text
+        t_minf = _box(
+            b"minf", _fullbox(b"nmhd", 0, 0, b"") + dinf + t_stbl
+        )
+        t_mdia = _box(b"mdia", t_mdhd + t_hdlr + t_minf)
+        text_trak = _box(b"trak", t_tkhd + t_mdia)
+
+    moov = _box(b"moov", mvhd + trak + text_trak)
     return ftyp + mdat + moov

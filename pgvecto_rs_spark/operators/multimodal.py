@@ -56,6 +56,7 @@ __all__ = [
     "audio_hashes_df",
     "audio_neardup_pairs",
     "decode_video_keyframes",
+    "extract_video_captions",
     "image_hashes_df",
     "image_neardup_pairs",
     "index_video_samples",
@@ -1639,6 +1640,59 @@ def decode_video_keyframes(
                     "luma_max": pd.Series(cols[6], dtype="int32"),
                     "cb_sum": pd.Series(cols[7], dtype="int64"),
                     "cr_sum": pd.Series(cols[8], dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(op, out_schema)
+
+
+def extract_video_captions(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> DataFrame:
+    """(id, sample_no, dts, dur, text): 3GPP timed-text (tx3g) caption
+    extraction from MP4 payloads — aligned text supervision is a
+    first-class training-data source for video corpora, and it lives
+    entirely at the container level (``operators.mp4``), no pixel
+    decode involved.  dts/dur stay in the track's timescale units
+    (exact integers); text is decoded UTF-8.  Payloads without a text
+    track, or with a non-tx3g text entry, follow the uniform codec
+    ``on_error`` policy (ValueError / NotImplementedError)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    skip = on_error == "null"
+    out_schema = (
+        f"{id_col} bigint, sample_no int, dts bigint, dur bigint, text string"
+    )
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp4 import extract_mp4_text_samples
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                try:
+                    txt = extract_mp4_text_samples(bytes(b))
+                except (ValueError, NotImplementedError):
+                    if skip:
+                        continue
+                    raise
+                rows.extend(
+                    (int(mid), no, dts, dur, text)
+                    for no, dts, dur, text in txt["samples"]
+                )
+            cols = list(zip(*rows)) if rows else [[] for _ in range(5)]
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(cols[0], dtype="int64"),
+                    "sample_no": pd.Series(cols[1], dtype="int32"),
+                    "dts": pd.Series(cols[2], dtype="int64"),
+                    "dur": pd.Series(cols[3], dtype="int64"),
+                    "text": pd.Series(cols[4], dtype="object"),
                 }
             )
 

@@ -1324,3 +1324,76 @@ def mm_video_idr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         media, id_col="doc_id", max_hamming=0, min_matching_frames=2,
         max_bucket=4096,
     )
+
+
+def _synth_mp4_captions_op(it):
+    """(doc_id) -> (doc_id, payload): MP4 with a video track (fake AU
+    bytes — captions don't need pixels) plus a tx3g timed-text caption
+    track of 2 + doc_id%4 cues:
+
+        text_s = 'cap ' || doc_id || ':' || s || ' ' ||
+                 repeat('ab', 1 + (doc_id + s) % 5)
+        dur_s  = 400 + 100 * ((doc_id + s) % 7)    (timescale 1000)
+
+    — pure string/integer functions, so the SQL oracle rebuilds every
+    cue and its cumulative start time exactly."""
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.mp4 import encode_mp4
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            cues = [
+                (
+                    f"cap {did}:{s} " + "ab" * (1 + (did + s) % 5),
+                    400 + 100 * ((did + s) % 7),
+                )
+                for s in range(2 + did % 4)
+            ]
+            payloads.append(
+                encode_mp4([bytes([did % 256]) * 16], text_samples=cues)
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_mp4_captions",
+    r"""
+    WITH cue AS (
+      SELECT d.doc_id, r.s,
+             'cap ' || d.doc_id || ':' || r.s || ' '
+               || repeat('ab', CAST(1 + (d.doc_id + r.s) % 5 AS INT)) AS text,
+             400 + 100 * ((d.doc_id + r.s) % 7) AS dur
+      FROM documents d, range(6) r(s)
+      WHERE r.s < 2 + d.doc_id % 4
+    )
+    SELECT doc_id,
+           CAST(s + 1 AS INT) AS sample_no,
+           CAST(COALESCE(SUM(dur) OVER (
+                  PARTITION BY doc_id ORDER BY s
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS dts,
+           CAST(dur AS BIGINT) AS dur,
+           text
+    FROM cue
+    """,
+)
+def mm_mp4_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3GPP timed-text caption harvesting (r9): MP4 track walk ->
+    tx3g sample slicing -> (cue text, start, duration) rows, the
+    aligned-text supervision a video training corpus mines without any
+    pixel decode.  The oracle rebuilds every cue string and its
+    cumulative stts start time in pure SQL — one wrong sample offset,
+    stts run or UTF-8 slice anywhere breaks the hash match.
+    Reference parity: N/A (no media surface in the reference)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = _spread_ids(docs).mapInPandas(
+        _synth_mp4_captions_op, "doc_id bigint, payload binary"
+    )
+    return MM.extract_video_captions(media, id_col="doc_id")

@@ -473,3 +473,76 @@ class TestVideoNeardup:
         got = video_neardup_pairs(df, max_hamming=0,
                                   min_matching_frames=2).collect()
         assert sorted((r["id_a"], r["id_b"]) for r in got) == [(1, 2)]
+
+
+class TestTextTrack:
+    """tx3g caption track (r9): encoder-twin round-trip + contract."""
+
+    def test_round_trip_exact(self):
+        from pgvecto_rs_spark.operators.mp4 import extract_mp4_text_samples
+
+        cues = [("hello world", 800), ("café ☕ caption", 1200), ("", 500),
+                ("x" * 300, 100)]
+        m = encode_mp4([b"v" * 10, b"w" * 8], text_samples=cues)
+        txt = extract_mp4_text_samples(m)
+        assert txt["timescale"] == 1000
+        assert txt["duration"] == sum(d for _t, d in cues)
+        dts = 0
+        for (no, got_dts, dur, text), (want_t, want_d) in zip(
+            txt["samples"], cues
+        ):
+            assert (got_dts, dur, text) == (dts, want_d, want_t)
+            dts += want_d
+        # the video track is untouched by the second trak
+        assert len(index_mp4_samples(m)["samples"]) == 2
+
+    def test_no_text_track_raises(self):
+        from pgvecto_rs_spark.operators.mp4 import extract_mp4_text_samples
+
+        with pytest.raises(ValueError, match="no text track"):
+            extract_mp4_text_samples(encode_mp4([b"v" * 4]))
+
+    def test_truncated_text_sample_rejected(self):
+        from pgvecto_rs_spark.operators.mp4 import extract_mp4_text_samples
+
+        m = bytearray(encode_mp4([b"v" * 4], text_samples=[("abcdef", 100)]))
+        # corrupt the tx3g length prefix to overrun its sample
+        pos = m.find(b"\x00\x06abcdef")
+        assert pos > 0
+        m[pos : pos + 2] = (500).to_bytes(2, "big")
+        with pytest.raises(ValueError):
+            extract_mp4_text_samples(bytes(m))
+
+    def test_fuzz_exception_contract(self):
+        import numpy as np
+
+        from pgvecto_rs_spark.operators.mp4 import extract_mp4_text_samples
+
+        rng = np.random.default_rng(13)
+        good = encode_mp4([b"v" * 6], text_samples=[("one", 100), ("two", 200)])
+        for _ in range(200):
+            bad = bytearray(good)
+            for _k in range(int(rng.integers(1, 4))):
+                bad[int(rng.integers(0, len(bad)))] = int(rng.integers(0, 256))
+            try:
+                extract_mp4_text_samples(bytes(bad))
+            except (ValueError, NotImplementedError):
+                pass  # the documented contract — never another exception
+
+    def test_captions_spark_op(self, spark):
+        import pandas as pd
+
+        from pgvecto_rs_spark.operators.multimodal import extract_video_captions
+
+        good = encode_mp4([b"v" * 6],
+                          text_samples=[("one", 100), ("two", 200)])
+        df = spark.createDataFrame(pd.DataFrame({
+            "media_id": [1, 2, 3],
+            "payload": [good, encode_mp4([b"no text"]), None],
+        }))
+        with pytest.raises(Exception):
+            extract_video_captions(df).collect()
+        out = sorted(extract_video_captions(df, on_error="null").collect(),
+                     key=lambda r: r["sample_no"])
+        assert [(r["media_id"], r["sample_no"], r["dts"], r["dur"], r["text"])
+                for r in out] == [(1, 1, 0, 100, "one"), (1, 2, 100, 200, "two")]
