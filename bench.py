@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "mm_mp4_idr",
     "mm_video_idr_neardup",
     "mm_mp4_captions",
+    "mm_srt_cues",
     "mm_audio_flac",
     "mm_audio_flac_stereo",
     "events_hourly",

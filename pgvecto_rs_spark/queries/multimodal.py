@@ -1397,3 +1397,109 @@ def mm_mp4_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_mp4_captions_op, "doc_id bigint, payload binary"
     )
     return MM.extract_video_captions(media, id_col="doc_id")
+
+
+def _synth_srt_op(it):
+    """(doc_id) -> (doc_id, subtitle): SubRip sidecar text built by the
+    formatter twin from pure formulas (n = 2 + doc_id%4 cues;
+    start = (doc_id%5)*1000 + s*2000; end = start + 1200 +
+    100*((doc_id+s)%4); text = 'cue <did>.<s>' NL 'xy'*(1+(did+s)%3))."""
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.subtitles import format_srt
+
+    for pdf in it:
+        subs = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            cues = []
+            for s in range(2 + did % 4):
+                start = (did % 5) * 1000 + s * 2000
+                end = start + 1200 + 100 * ((did + s) % 4)
+                cues.append(
+                    (start, end,
+                     f"cue {did}.{s}\n" + "xy" * (1 + (did + s) % 3))
+                )
+            subs.append(format_srt(cues))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "subtitle": subs}
+        )
+
+
+@register(
+    "mm_srt_cues",
+    r"""
+    SELECT d.doc_id,
+           CAST(r.s + 1 AS INT) AS cue_no,
+           CAST((d.doc_id % 5)*1000 + r.s*2000 AS BIGINT) AS start_ms,
+           CAST((d.doc_id % 5)*1000 + r.s*2000
+                + 1200 + 100*((d.doc_id + r.s) % 4) AS BIGINT) AS end_ms,
+           'cue ' || d.doc_id || '.' || r.s || chr(10)
+             || repeat('xy', CAST(1 + (d.doc_id + r.s) % 3 AS INT)) AS text
+    FROM documents d, range(6) r(s)
+    WHERE r.s < 2 + d.doc_id % 4
+    """,
+)
+def mm_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidecar SubRip subtitle harvesting (r9): formatter-twin SRT text
+    -> strict parse (timestamps, multi-line payloads) -> exact cue
+    rows.  Completes caption extraction across the common carriers
+    (MP4 tx3g in-container + SRT/WebVTT sidecars).  Reference parity:
+    N/A (no media surface in the reference)."""
+    import pgvecto_rs_spark.operators.subtitles as SUB
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    subs = _spread_ids(docs).mapInPandas(
+        _synth_srt_op, "doc_id bigint, subtitle string"
+    )
+    return SUB.subtitle_cues(subs, id_col="doc_id", fmt="srt")
+
+
+def _synth_webvtt_op(it):
+    """(doc_id) -> (doc_id, subtitle): WebVTT sidecar text; start times
+    placed near the hour boundary so the hours field is exercised."""
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.subtitles import format_webvtt
+
+    for pdf in it:
+        subs = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            cues = []
+            for s in range(1 + did % 3):
+                start = 3590000 + (did % 7) * 1000 + s * 2500
+                end = start + 900 + 50 * ((did + s) % 5)
+                cues.append((start, end, f"vtt {did}-{s}"))
+            subs.append(format_webvtt(cues))
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "subtitle": subs}
+        )
+
+
+@register(
+    "mm_webvtt_cues",
+    r"""
+    SELECT d.doc_id,
+           CAST(r.s + 1 AS INT) AS cue_no,
+           CAST(3590000 + (d.doc_id % 7)*1000 + r.s*2500 AS BIGINT)
+             AS start_ms,
+           CAST(3590000 + (d.doc_id % 7)*1000 + r.s*2500
+                + 900 + 50*((d.doc_id + r.s) % 5) AS BIGINT) AS end_ms,
+           'vtt ' || d.doc_id || '-' || r.s AS text
+    FROM documents d, range(3) r(s)
+    WHERE r.s < 1 + d.doc_id % 3
+    """,
+)
+def mm_webvtt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidecar WebVTT subtitle harvesting (r9): formatter-twin VTT ->
+    strict parse (signature, dot-millis timestamps crossing the hour
+    boundary) -> exact cue rows.  Reference parity: N/A (no media
+    surface in the reference)."""
+    import pgvecto_rs_spark.operators.subtitles as SUB
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    subs = _spread_ids(docs).mapInPandas(
+        _synth_webvtt_op, "doc_id bigint, subtitle string"
+    )
+    return SUB.subtitle_cues(subs, id_col="doc_id", fmt="auto")
