@@ -768,10 +768,20 @@ def _chroma_dc(levels: list[int], qp: int) -> np.ndarray:
     return ((f * ls16) << (qp // 6)) >> 5
 
 
-def _block_residual(ac_scan: list[int], dc: int | None, qp: int) -> np.ndarray:
+def _block_residual(ac_scan: list[int], dc: int | None, qp: int):
     """Residual of one 4x4 block: AC levels (15-entry scan, positions
     1..15) dequantized at ``qp``; ``dc`` (if not None) is a pre-scaled
-    DC from the Hadamard path injected unscaled at d00."""
+    DC from the Hadamard path injected unscaled at d00.
+
+    DC-only blocks (the overwhelmingly common case in intra video:
+    flat regions quantize all AC away) skip the transform — the core
+    inverse of a lone d00 is the constant (d00 + 32) >> 6 (row pass
+    spreads d00 to e0..e3, column pass again, final rounding shift) —
+    and all-zero blocks return scalar 0 so callers can skip the add."""
+    if not any(ac_scan):
+        if not dc:
+            return 0
+        return (int(dc) + 32) >> 6
     d = _dequant4x4([0] + list(ac_scan), qp)
     if dc is not None:
         d[0, 0] = dc

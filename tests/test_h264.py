@@ -307,3 +307,64 @@ class TestRejectionContract:
               "dc": [3] + [0] * 15}], 1, 1)
         with pytest.raises(ValueError):
             decode_idr_frame(b[: len(b) - 8])
+
+
+# Frozen r9 stream: PCM gradient MB + I16 horizontal with luma DC+AC
+# CAVLC residuals and a chroma DC residual at qp=26 (generator plan in
+# TestGoldenStream).  423 bytes: SPS | PPS | IDR slice, Annex-B.
+_GOLDEN_HEX = (
+    "000000016742c01edcb10000000168ce3c8000000001658884a0d00001020304"
+    "05060708090a0b0c0d0e0f101112131415161718191a1b1c1d1e1f2021222324"
+    "25262728292a2b2c2d2e2f303132333435363738393a3b3c3d3e3f4041424344"
+    "45464748494a4b4c4d4e4f505152535455565758595a5b5c5d5e5f6061626364"
+    "65666768696a6b6c6d6e6f707172737475767778797a7b7c7d7e7f8081828384"
+    "85868788898a8b8c8d8e8f909192939495969798999a9b9c9d9e9fa0a1a2a3a4"
+    "a5a6a7a8a9aaabacadaeafb0b1b2b3b4b5b6b7b8b9babbbcbdbebfc0c1c2c3c4"
+    "c5c6c7c8c9cacbcccdcecfd0d1d2d3d4d5d6d7d8d9dadbdcdddedfe0e1e2e3e4"
+    "e5e6e7e8e9eaebecedeeeff0f1f2f3f4f5f6f7f8f9fafbfcfdfeff000306090c"
+    "0f1215181b1e2124272a2d303336393c3f4245484b4e5154575a5d606366696c"
+    "6f7275787b7e8184878a8d909396999c9fa2a5a8abaeb1b4b7babd00050a0f14"
+    "191e23282d32373c41464b50555a5f64696e73787d82878c91969ba0a5aaafb4"
+    "b9bec3c8cdd2d7dce1e6ebf0f5faff04090e13181d22272c31363b09a8821711"
+    "b30fe1c3f8da60"
+)
+
+
+class TestGoldenStream:
+    """Frozen bitstream + frozen pixel hashes: pins the BIT-LEVEL
+    format in both directions — an encoder change that moves any bit,
+    or a decoder change that moves any pixel, fails here even when the
+    two stay mutually consistent (round-trip tests cannot see that)."""
+
+    _PLAN = [
+        {"type": "pcm", "y": np.arange(256).reshape(16, 16) % 256,
+          "cb": np.arange(64).reshape(8, 8) * 3 % 256,
+          "cr": np.arange(64).reshape(8, 8) * 5 % 256},
+        {"type": "i16", "pred": 1, "chroma_mode": 1,
+          "dc": [5, -3] + [0] * 14,
+          "ac": [[1, 0, -2] + [0] * 12] + [[0] * 15] * 15,
+          "cb_dc": [2, 0, -1, 0], "cr_dc": [0] * 4},
+    ]
+
+    def test_encoder_reproduces_frozen_bytes(self):
+        assert encode_idr_stream(self._PLAN, 2, 1, qp=26).hex() == "".join(
+            _GOLDEN_HEX
+        )
+
+    def test_frozen_stream_decodes_to_frozen_pixels(self):
+        import hashlib
+
+        out = decode_idr_frame(bytes.fromhex("".join(_GOLDEN_HEX)))
+        assert hashlib.sha256(out["y"].tobytes()).hexdigest() == (
+            "c427479b7fb39bb2a46d12c9b6ff9f677250a9746e198b2c2e5b8b9364272741"
+        )
+        assert hashlib.sha256(out["cb"].tobytes()).hexdigest() == (
+            "a29314f2f2a74c93affe9ecb13e2ffdcb03a5fc8532b6371ce68f10245b30b75"
+        )
+        assert hashlib.sha256(out["cr"].tobytes()).hexdigest() == (
+            "300d56c34df45a420486da38e7bea33daff6feddf8bd42a34af26184ae51d223"
+        )
+        # spot values a human can re-derive: PCM gradient verbatim;
+        # second MB = left-column horizontal pred + residuals
+        assert out["y"][:2, :4].tolist() == [[0, 1, 2, 3], [16, 17, 18, 19]]
+        assert out["y"][0, 16:20].tolist() == [14, 12, 8, 6]
