@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "mm_video_idr_neardup",
     "mm_mp4_captions",
     "mm_srt_cues",
+    "mm_mp3_index",
     "mm_audio_flac",
     "mm_audio_flac_stereo",
     "events_hourly",

@@ -57,8 +57,10 @@ __all__ = [
     "audio_neardup_pairs",
     "decode_video_keyframes",
     "extract_video_captions",
+    "extract_audio_tags",
     "image_hashes_df",
     "image_neardup_pairs",
+    "index_audio_frames",
     "index_video_samples",
     "resize_images",
     "sample_video_frames",
@@ -1693,6 +1695,104 @@ def extract_video_captions(
                     "dts": pd.Series(cols[2], dtype="int64"),
                     "dur": pd.Series(cols[3], dtype="int64"),
                     "text": pd.Series(cols[4], dtype="object"),
+                }
+            )
+
+    return df.mapInPandas(op, out_schema)
+
+
+def index_audio_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> DataFrame:
+    """MP3 container-level frame index (``operators.mp3``): one row per
+    MPEG Layer III frame with its exact byte extent and header-derived
+    properties — (id, frame_no, offset, size, samples, bitrate_kbps,
+    sample_rate, channels).  The audio analogue of
+    ``index_video_samples``: segmentation, byte-range planning and
+    quality filtering for a 100 TB audio corpus need exactly this and
+    no PCM decode; only ~50-byte index rows shuffle.  ``on_error``
+    follows the uniform codec ingest policy."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    skip = on_error == "null"
+    out_schema = (
+        f"{id_col} bigint, frame_no int, offset bigint, size bigint, "
+        "samples int, bitrate_kbps int, sample_rate int, channels int"
+    )
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp3 import index_mp3_frames
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                try:
+                    idx = index_mp3_frames(bytes(b))
+                except (ValueError, NotImplementedError):
+                    if skip:
+                        continue
+                    raise
+                rows.extend((int(mid),) + f for f in idx["frames"])
+            cols = list(zip(*rows)) if rows else [[] for _ in range(8)]
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(cols[0], dtype="int64"),
+                    "frame_no": pd.Series(cols[1], dtype="int32"),
+                    "offset": pd.Series(cols[2], dtype="int64"),
+                    "size": pd.Series(cols[3], dtype="int64"),
+                    "samples": pd.Series(cols[4], dtype="int32"),
+                    "bitrate_kbps": pd.Series(cols[5], dtype="int32"),
+                    "sample_rate": pd.Series(cols[6], dtype="int32"),
+                    "channels": pd.Series(cols[7], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(op, out_schema)
+
+
+def extract_audio_tags(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> DataFrame:
+    """(id, tag, value): ID3v2 text frames from MP3 payloads — the
+    title/artist/album/language metadata an audio curation pipeline
+    mines (licensing filters, language routing, dedup keys) straight
+    from the container.  ``on_error`` follows the uniform codec ingest
+    policy; files with no ID3v2 tag yield no rows (absence is not an
+    error)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    skip = on_error == "null"
+    out_schema = f"{id_col} bigint, tag string, value string"
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp3 import index_mp3_frames
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                try:
+                    idx = index_mp3_frames(bytes(b))
+                except (ValueError, NotImplementedError):
+                    if skip:
+                        continue
+                    raise
+                rows.extend((int(mid), k, v) for k, v in idx["tags"].items())
+            cols = list(zip(*rows)) if rows else [[] for _ in range(3)]
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(cols[0], dtype="int64"),
+                    "tag": pd.Series(cols[1], dtype="object"),
+                    "value": pd.Series(cols[2], dtype="object"),
                 }
             )
 

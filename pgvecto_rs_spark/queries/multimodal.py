@@ -1503,3 +1503,137 @@ def mm_webvtt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_webvtt_op, "doc_id bigint, subtitle string"
     )
     return SUB.subtitle_cues(subs, id_col="doc_id", fmt="auto")
+
+
+def _synth_mp3_op(it):
+    """(doc_id) -> (doc_id, payload): tagless MPEG-1 Layer III streams
+    with formula parameters — n = 3 + doc_id%5 frames, bitrate from
+    (64, 96, 128, 160) by doc_id%4, sample rate from (44100, 48000,
+    32000) by doc_id%3, per-frame padding bit ((doc_id%256) >> (i%8))
+    & 1 — so the oracle recomputes every frame's size and prefix-sum
+    offset in pure SQL."""
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.mp3 import encode_mp3
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            payloads.append(
+                encode_mp3(
+                    3 + did % 5,
+                    bitrate_kbps=(64, 96, 128, 160)[did % 4],
+                    sample_rate=(44100, 48000, 32000)[did % 3],
+                    padding_pattern=did % 256,
+                )
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_mp3_index",
+    r"""
+    WITH f AS (
+      SELECT d.doc_id, r.i,
+             CASE d.doc_id % 4 WHEN 0 THEN 64 WHEN 1 THEN 96
+                               WHEN 2 THEN 128 ELSE 160 END AS kbps,
+             CASE d.doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                               ELSE 32000 END AS rate,
+             ((d.doc_id % 256) >> CAST(r.i % 8 AS INT)) & 1 AS pad
+      FROM documents d, range(8) r(i)
+      WHERE r.i < 3 + d.doc_id % 5
+    ), s AS (
+      SELECT doc_id, i, kbps, rate,
+             (144000 * kbps) // rate + pad AS size
+      FROM f
+    )
+    SELECT doc_id,
+           CAST(i + 1 AS INT) AS frame_no,
+           CAST(COALESCE(SUM(size) OVER (
+                  PARTITION BY doc_id ORDER BY i
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                ), 0) AS BIGINT) AS offset,
+           CAST(size AS BIGINT) AS size,
+           CAST(1152 AS INT) AS samples,
+           CAST(kbps AS INT) AS bitrate_kbps,
+           CAST(rate AS INT) AS sample_rate,
+           CAST(2 AS INT) AS channels
+    FROM s
+    """,
+)
+def mm_mp3_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 container-level frame indexing (r9): MPEG-1 Layer III
+    header walk -> exact per-frame byte extents + bitrate/rate/padding
+    from the spec tables.  The oracle recomputes every size from the
+    table formula (144000*kbps/rate + padding) and every offset as a
+    prefix sum — one wrong table entry or padding bit anywhere breaks
+    the hash.  The audio leg of the container story next to
+    mm_mp4_index.  Reference parity: N/A (no media surface in the
+    reference)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = _spread_ids(docs).mapInPandas(
+        _synth_mp3_op, "doc_id bigint, payload binary"
+    )
+    return MM.index_audio_frames(media, id_col="doc_id")
+
+
+def _synth_mp3_tags_op(it):
+    """(doc_id) -> (doc_id, payload): MP3 with a real ID3v2.3 tag —
+    TIT2 = 'title ' || doc_id, TPE1 = 'artist ' || doc_id%50,
+    TLAN from (eng, deu, fra) by doc_id%3 — over 2 audio frames."""
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.mp3 import encode_mp3
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            payloads.append(
+                encode_mp3(
+                    2,
+                    tags={
+                        "TIT2": f"title {did}",
+                        "TPE1": f"artist {did % 50}",
+                        "TLAN": ("eng", "deu", "fra")[did % 3],
+                    },
+                )
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_mp3_tags",
+    r"""
+    SELECT doc_id, tag, value FROM (
+      SELECT doc_id, 'TIT2' AS tag, 'title ' || doc_id AS value
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'TPE1', 'artist ' || (doc_id % 50) FROM documents
+      UNION ALL
+      SELECT doc_id, 'TLAN',
+             CASE doc_id % 3 WHEN 0 THEN 'eng' WHEN 1 THEN 'deu'
+                             ELSE 'fra' END
+      FROM documents
+    )
+    """,
+)
+def mm_mp3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 metadata harvesting (r9): real ID3v2.3 tag parse (syncsafe
+    sizes, UTF-8 text frames) -> (doc, tag, value) rows — the metadata
+    an audio corpus mines for licensing/language/dedup routing.
+    Reference parity: N/A (no media surface in the reference)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = _spread_ids(docs).mapInPandas(
+        _synth_mp3_tags_op, "doc_id bigint, payload binary"
+    )
+    return MM.extract_audio_tags(media, id_col="doc_id")
