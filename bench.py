@@ -97,6 +97,7 @@ BENCH_QUERIES = [
     "mm_mp4_captions",
     "mm_srt_cues",
     "mm_mp3_index",
+    "mm_ogg_index",
     "mm_audio_flac",
     "mm_audio_flac_stereo",
     "events_hourly",

@@ -61,6 +61,7 @@ __all__ = [
     "image_hashes_df",
     "image_neardup_pairs",
     "index_audio_frames",
+    "index_audio_pages",
     "index_video_samples",
     "resize_images",
     "sample_video_frames",
@@ -1755,25 +1756,29 @@ def index_audio_frames(
     return df.mapInPandas(op, out_schema)
 
 
-def extract_audio_tags(
+def index_audio_pages(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
     on_error: str = "raise",
 ) -> DataFrame:
-    """(id, tag, value): ID3v2 text frames from MP3 payloads — the
-    title/artist/album/language metadata an audio curation pipeline
-    mines (licensing filters, language routing, dedup keys) straight
-    from the container.  ``on_error`` follows the uniform codec ingest
-    policy; files with no ID3v2 tag yield no rows (absence is not an
-    error)."""
+    """Ogg container page index (``operators.ogg``): one row per page
+    with its exact byte extent, stream serial, granule position and
+    BOS/EOS flags — (id, page_no, offset, size, serial, granule,
+    n_packets, bos, eos).  Page CRCs are verified during the walk, so
+    a green row set certifies byte-exact container integrity too.
+    Same ~50-byte-rows-only shuffle shape as the MP3/MP4 indexes."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     skip = on_error == "null"
-    out_schema = f"{id_col} bigint, tag string, value string"
+    out_schema = (
+        f"{id_col} bigint, page_no int, offset bigint, size bigint, "
+        "serial bigint, granule bigint, n_packets int, bos boolean, "
+        "eos boolean"
+    )
 
     def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from .mp3 import index_mp3_frames
+        from .ogg import index_ogg_pages
 
         for pdf in it:
             rows: list[tuple] = []
@@ -1781,12 +1786,68 @@ def extract_audio_tags(
                 if b is None:
                     continue
                 try:
-                    idx = index_mp3_frames(bytes(b))
+                    idx = index_ogg_pages(bytes(b))
                 except (ValueError, NotImplementedError):
                     if skip:
                         continue
                     raise
-                rows.extend((int(mid), k, v) for k, v in idx["tags"].items())
+                rows.extend((int(mid),) + p for p in idx["pages"])
+            cols = list(zip(*rows)) if rows else [[] for _ in range(9)]
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(cols[0], dtype="int64"),
+                    "page_no": pd.Series(cols[1], dtype="int32"),
+                    "offset": pd.Series(cols[2], dtype="int64"),
+                    "size": pd.Series(cols[3], dtype="int64"),
+                    "serial": pd.Series(cols[4], dtype="int64"),
+                    "granule": pd.Series(cols[5], dtype="int64"),
+                    "n_packets": pd.Series(cols[6], dtype="int32"),
+                    "bos": pd.Series(cols[7], dtype="bool"),
+                    "eos": pd.Series(cols[8], dtype="bool"),
+                }
+            )
+
+    return df.mapInPandas(op, out_schema)
+
+
+def extract_audio_tags(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> DataFrame:
+    """(id, tag, value): audio metadata straight from the container —
+    ID3v2 text frames for MP3 payloads, OpusTags/VorbisComment entries
+    (keys uppercased) for Ogg payloads — the title/artist/album/
+    language metadata a curation pipeline mines for licensing filters,
+    language routing and dedup keys.  ``on_error`` follows the uniform
+    codec ingest policy; files whose container carries no tags yield
+    no rows (absence is not an error)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
+    skip = on_error == "null"
+    out_schema = f"{id_col} bigint, tag string, value string"
+
+    def op(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .mp3 import index_mp3_frames
+        from .ogg import extract_opus_tags, is_ogg
+
+        for pdf in it:
+            rows: list[tuple] = []
+            for mid, b in zip(pdf[id_col], pdf[payload_col]):
+                if b is None:
+                    continue
+                raw = bytes(b)
+                try:
+                    if is_ogg(raw):
+                        tags = extract_opus_tags(raw)["comments"]
+                    else:
+                        tags = index_mp3_frames(raw)["tags"]
+                except (ValueError, NotImplementedError):
+                    if skip:
+                        continue
+                    raise
+                rows.extend((int(mid), k, v) for k, v in tags.items())
             cols = list(zip(*rows)) if rows else [[] for _ in range(3)]
             yield pd.DataFrame(
                 {

@@ -202,7 +202,7 @@ _DRIVER_WINDOW: list[str] = [
     #    self-fill anyway, pinned for determinism) --
     "mm_audio_flac_stereo", "mm_mp4_idr", "mm_video_idr_neardup",
     "mm_mp4_captions", "mm_srt_cues", "mm_webvtt_cues",
-    "mm_mp3_index", "mm_mp3_tags",
+    "mm_mp3_index", "mm_mp3_tags", "mm_ogg_index", "mm_opus_tags",
     "mm_audio_flac", "mm_mp4_index", "mm_mp4_sample",
     "fresh_topk_l2", "fresh_range_l2",
     # doc_simhash_pairs shares dedup.hamming_candidate_pairs, whose

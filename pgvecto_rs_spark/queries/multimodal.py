@@ -1637,3 +1637,127 @@ def mm_mp3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
         _synth_mp3_tags_op, "doc_id bigint, payload binary"
     )
     return MM.extract_audio_tags(media, id_col="doc_id")
+
+
+def _synth_ogg_op(it):
+    """(doc_id) -> (doc_id, payload): comment-less Opus-in-Ogg streams
+    with formula parameters — 2 + doc_id%4 single-packet audio pages of
+    60 + doc_id%50 byte packets, granule 960*(i+1) — so every page's
+    size and prefix-sum offset is pure arithmetic: the OpusHead page is
+    always 47 bytes, the (vendor-only) OpusTags page 60 bytes, audio
+    pages 28 + packet_size."""
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.ogg import encode_ogg_opus
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            payloads.append(
+                encode_ogg_opus(2 + did % 4, packet_size=60 + did % 50)
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_ogg_index",
+    r"""
+    WITH audio AS (
+      SELECT d.doc_id, r.i,
+             CAST(28 + 60 + d.doc_id % 50 AS BIGINT) AS size,
+             CAST(960 * (r.i + 1) AS BIGINT) AS granule,
+             r.i = 1 + d.doc_id % 4 AS eos
+      FROM documents d, range(5) r(i)
+      WHERE r.i < 2 + d.doc_id % 4
+    )
+    SELECT doc_id, CAST(1 AS INT) AS page_no, CAST(0 AS BIGINT) AS offset,
+           CAST(47 AS BIGINT) AS size, CAST(1 AS BIGINT) AS serial,
+           CAST(0 AS BIGINT) AS granule, CAST(1 AS INT) AS n_packets,
+           TRUE AS bos, FALSE AS eos
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(2 AS INT), CAST(47 AS BIGINT), CAST(60 AS BIGINT),
+           CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(1 AS INT),
+           FALSE, FALSE
+    FROM documents
+    UNION ALL
+    SELECT doc_id, CAST(i + 3 AS INT),
+           CAST(107 + i * size AS BIGINT), size,
+           CAST(1 AS BIGINT), granule, CAST(1 AS INT), FALSE, eos
+    FROM audio
+    """,
+)
+def mm_ogg_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg container page indexing (r9): full page walk with per-page
+    CRC-32 verification (a green row certifies byte-exact container
+    integrity, not just header plausibility) -> exact byte extents,
+    granule positions and BOS/EOS flags.  Completes the container
+    matrix alongside mm_mp4_index and mm_mp3_index.  Reference
+    parity: N/A (no media surface in the reference)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = _spread_ids(docs).mapInPandas(
+        _synth_ogg_op, "doc_id bigint, payload binary"
+    )
+    return MM.index_audio_pages(media, id_col="doc_id")
+
+
+def _synth_opus_tags_op(it):
+    """(doc_id) -> (doc_id, payload): Opus-in-Ogg with VorbisComments —
+    TITLE = 'song ' || doc_id, ARTIST = 'band ' || doc_id%40,
+    LANGUAGE from (eng, spa, jpn) by doc_id%3."""
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.ogg import encode_ogg_opus
+
+    for pdf in it:
+        payloads = []
+        for did in pdf["doc_id"]:
+            did = int(did)
+            payloads.append(
+                encode_ogg_opus(
+                    2,
+                    comments={
+                        "TITLE": f"song {did}",
+                        "ARTIST": f"band {did % 40}",
+                        "LANGUAGE": ("eng", "spa", "jpn")[did % 3],
+                    },
+                )
+            )
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+        )
+
+
+@register(
+    "mm_opus_tags",
+    r"""
+    SELECT doc_id, tag, value FROM (
+      SELECT doc_id, 'TITLE' AS tag, 'song ' || doc_id AS value
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 'ARTIST', 'band ' || (doc_id % 40) FROM documents
+      UNION ALL
+      SELECT doc_id, 'LANGUAGE',
+             CASE doc_id % 3 WHEN 0 THEN 'eng' WHEN 1 THEN 'spa'
+                             ELSE 'jpn' END
+      FROM documents
+    )
+    """,
+)
+def mm_opus_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VorbisComment metadata harvesting (r9): real OpusTags parse
+    (vendor + length-prefixed KEY=value entries, UTF-8) through the
+    container-sniffing extract_audio_tags surface shared with ID3.
+    Reference parity: N/A (no media surface in the reference)."""
+    import pgvecto_rs_spark.operators.multimodal as MM
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    media = _spread_ids(docs).mapInPandas(
+        _synth_opus_tags_op, "doc_id bigint, payload binary"
+    )
+    return MM.extract_audio_tags(media, id_col="doc_id")
