@@ -141,7 +141,6 @@ def _index_mp3(payload: bytes) -> dict:
     if end - pos >= 128 and payload[end - 128 : end - 125] == b"TAG":
         end -= 128  # ID3v1 trailer
     frames = []
-    total_ms_num = 0  # sum of samples*1000, divided by rate at the end
     while pos < end:
         if end - pos < 4:
             raise ValueError("mp3: trailing bytes too short for a frame header")
@@ -177,7 +176,6 @@ def _index_mp3(payload: bytes) -> dict:
             (len(frames) + 1, pos, size, samples, kbps, rate,
              1 if mode == 3 else 2)
         )
-        total_ms_num += samples * 1000
         pos += size
     if not frames:
         raise ValueError("mp3: no audio frames")

@@ -135,6 +135,13 @@ def extract_opus_tags(payload: bytes) -> dict:
     VorbisComment convention (keys are case-insensitive), values exact
     UTF-8.  ValueError on structural corruption; NotImplementedError
     when the stream is not Opus."""
+    try:
+        return _extract_opus_tags(payload)
+    except (struct.error, IndexError, UnicodeDecodeError) as e:
+        raise ValueError(f"ogg: truncated field ({e})") from e
+
+
+def _extract_opus_tags(payload: bytes) -> dict:
     idx = index_ogg_pages(payload)
     opus_serial = next(
         (s for s, c in idx["codecs"].items() if c == "opus"), None

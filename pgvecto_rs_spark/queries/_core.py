@@ -194,20 +194,13 @@ _DRIVER_WINDOW: list[str] = [
     # (a) queries whose CODE changed this round and therefore must be
     #     re-proved even though their last row is green, and
     # (b) a couple of stable anchors as regression canaries.
-    # -- (a) code changed in r9: FLAC stereo-decorrelation + LPC
-    #    encoder twin and exact-int prediction accumulators behind
-    #    mm_audio_flac*; MP4 truncated-field error-contract rewrite
-    #    behind mm_mp4_*; txn staging liveness markers behind fresh_*;
-    #    mm_audio_flac_stereo is new (never verified — it'd lead the
-    #    self-fill anyway, pinned for determinism) --
-    "mm_audio_flac_stereo", "mm_mp4_idr", "mm_video_idr_neardup",
-    "mm_mp4_captions", "mm_srt_cues", "mm_webvtt_cues",
-    "mm_mp3_index", "mm_mp3_tags", "mm_ogg_index", "mm_opus_tags",
-    "mm_audio_flac", "mm_mp4_index", "mm_mp4_sample",
-    "fresh_topk_l2", "fresh_range_l2",
-    # doc_simhash_pairs shares dedup.hamming_candidate_pairs, whose
-    # band-mask changed this round (64-bit single-band fix) --
-    "doc_simhash_pairs",
+    # -- (a) code changed in r10: ogg.extract_opus_tags error-contract
+    #    normalization (struct.error -> ValueError on truncated
+    #    OpusTags fields) behind mm_opus_tags.  The mp3.py change is a
+    #    dead-variable deletion with no behavior delta — not pinned.
+    #    Kept deliberately tiny this round so the 47 self-filled slots
+    #    drain the r7-stale ledger tail (r9 advice item 3). --
+    "mm_opus_tags",
     # -- (b) stable anchors --
     "topk_l2", "doc_dedup_exact",
 ]
@@ -239,7 +232,7 @@ def _last_green_rounds() -> dict[str, int]:
                 ok = (
                     v.get("rows_match") is True
                     and v.get("schema_match") is True
-                    and v.get("hash_match") in (True, None)
+                    and v.get("hash_match") is True
                 )
                 if ok:
                     last[q] = max(last.get(q, 0), rnd)

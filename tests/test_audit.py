@@ -132,6 +132,37 @@ class TestDriverWindowRotation:
         # a query green in r6's ledger must map to >= 6
         assert last.get("topk_l2", 0) >= 6
 
+    def test_hashless_rows_never_count_as_green(self, tmp_path, monkeypatch):
+        # r9 advice item 5: hash_match must be strictly True — a driver
+        # row without a value hash (rows-only check) is not proof.
+        import json
+
+        from pgvecto_rs_spark.queries import _core as C
+
+        ledg = {
+            "q_hashed": {"rows_match": True, "schema_match": True,
+                         "hash_match": True},
+            "q_hashless": {"rows_match": True, "schema_match": True,
+                           "hash_match": None},
+            "q_nohashkey": {"rows_match": True, "schema_match": True},
+        }
+        (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps(ledg))
+        import os as _os
+        monkeypatch.setattr(_os.path, "dirname", lambda p: str(tmp_path))
+        last = C._last_green_rounds()
+        assert last == {"q_hashed": 3}
+
+    def test_r10_window_drains_r7_tail(self):
+        # the first 50 names the driver will check must leave nothing
+        # in the ledger older than r8 after this round lands
+        from pgvecto_rs_spark.queries import _core as C
+
+        last = C._last_green_rounds()
+        gate = C._ordered()[:50]
+        stale = [n for n in C._REGISTRY
+                 if 0 < last.get(n, 0) <= 7 and n not in gate]
+        assert not stale, f"r<=7-stale queries outside the gate: {stale}"
+
 
 class TestNewQueryPlans:
     """Plan audits for the r7 queries: no cartesian products, no

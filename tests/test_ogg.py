@@ -100,6 +100,21 @@ class TestOpusTags:
         # keys are uppercased per the VorbisComment convention
         assert t["comments"] == {"TITLE": "Sömg ☕", "ARTIST": "lower key"}
 
+    def test_truncated_tags_field_is_value_error(self):
+        # r9 ADVICE: a CRC-valid page whose OpusTags body ends inside the
+        # vendor-length u32 used to leak struct.error past the documented
+        # ValueError contract (and past multimodal's on_error='null' catch).
+        from pgvecto_rs_spark.operators.ogg import _page
+
+        head = (b"OpusHead\x01\x02" + struct.pack("<HIh", 312, 48000, 0)
+                + b"\x00")
+        for tags in (b"OpusTags\x05\x00",          # vendor-length cut short
+                     b"OpusTags" + struct.pack("<I", 0) + b"\x01"):  # count cut
+            m = _page(1, 0, 0, 2, [head]) + _page(1, 1, 0, 0, [tags]) \
+                + _page(1, 2, 960, 4, [b"\xfc\xff\xfe"])
+            with pytest.raises(ValueError, match="truncated"):
+                extract_opus_tags(m)
+
     def test_non_opus_rejected(self):
         m = bytearray(encode_ogg_opus(1))
         i = m.find(b"OpusHead")
