@@ -1173,13 +1173,40 @@ class IVFIndex:
                         codes = np.asarray(grp["codes"].tolist(), dtype=np.float64)
                         approx = c[None, :] + lo_[None, :] + codes / lv * w_[None, :]
                     elif kind == "pq":
+                        # batched ADC (r9 advice item 4): ONE shared LUT
+                        # tensor per (list, query-set) — (n_sub, 2^bits,
+                        # nq) — then score every query with n_sub gather-
+                        # adds over the code matrix.  n_sub ≪ dims, so
+                        # this beats the old decode-to-dense + per-query
+                        # dense-distance path by ~dims/n_sub and amortizes
+                        # BETTER with more queries (the LUT build is per
+                        # list, not per query·row).
                         books = pl[1]
                         codes = np.asarray(grp["codes"].tolist(), dtype=np.int64)
-                        n_sub, _, sub = books.shape
-                        approx = np.empty((len(codes), n_sub * sub))
+                        n_sub, ksz, sub = books.shape
+                        qs = qm[qis]
+                        qres = qs - c[None, :] if kernel == "l2" else qs
+                        lut = np.empty((n_sub, ksz, len(qis)))
                         for s in range(n_sub):
-                            approx[:, s * sub : (s + 1) * sub] = books[s][codes[:, s]]
-                        approx += c[None, :]
+                            blk = qres[:, s * sub : (s + 1) * sub]
+                            if kernel == "l2":
+                                dif = books[s][None, :, :] - blk[:, None, :]
+                                lut[s] = np.einsum("qkj,qkj->qk", dif, dif).T
+                            else:
+                                lut[s] = -(books[s] @ blk.T)
+                        acc = np.zeros((len(codes), len(qis)))
+                        for s in range(n_sub):
+                            acc += lut[s][codes[:, s]]
+                        if kernel != "l2":
+                            acc += -(qs @ c)[None, :]
+                        top = min(win, len(ids))
+                        for j, qi in enumerate(qis):
+                            dd = acc[:, j]
+                            sel = np.argpartition(dd, top - 1)[:top]
+                            oq.extend([qi] * len(sel))
+                            oi.extend(ids[sel].tolist())
+                            od.extend(dd[sel].tolist())
+                        continue
                     else:
                         proj = pl[1]
                         d_ = proj.shape[0]
