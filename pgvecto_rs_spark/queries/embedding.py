@@ -786,6 +786,13 @@ def _semdedup_sql(k: int = 8, iters: int = 2, dims: int = DIMS, tau: float = 0.9
 _KMEANS_CACHE: dict[tuple, list[list[int]]] = {}
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count from parquet footer metadata — no Spark job."""
+    import pyarrow.parquet as _pq
+
+    return _pq.read_metadata(path).num_rows
+
+
 def _kmeans_cents(spark: SparkSession, sf_dir: str, k: int = 8, iters: int = 2):
     key = (sf_dir, os.path.getmtime(f"{sf_dir}/embeddings.parquet"), k, iters)
     if key not in _KMEANS_CACHE:
@@ -919,10 +926,22 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     this synthetic corpus has no >=0.9 pairs; max pairwise sim is 0.51).  The
     pairwise check is cluster-blocked (equi-join), never an all-pairs
     cross join; arithmetic is exact int64 + IEEE sqrt, so both engines
-    agree bit-for-bit (operators/clustering.py)."""
+    agree bit-for-bit (operators/clustering.py).
+
+    k scales with the corpus (SemDeDup's own protocol: k ∝ N so the
+    per-cluster quadratic block stays O(constant²) and total pair work
+    is LINEAR in rows — the sf1 scale experiment measured 50× wall at
+    10× data with fixed k=8 before this).  ~250 rows per cluster;
+    k = 8 at the oracle (sf0.01) and bench (sf0.1) scales, so those
+    results are unchanged and the static k=8 oracle SQL stays exact."""
     emb = _emb(spark, sf_dir)
-    cents = _kmeans_cents(spark, sf_dir)
-    return CL.semdedup(emb, cents, threshold=0.4)
+    n = _parquet_rows(f"{sf_dir}/embeddings.parquet")
+    k = max(8, n // 250)
+    cents = _kmeans_cents(spark, sf_dir, k=k)
+    # impl pinned: the per-cluster dgemm path (bit-identical to the
+    # Catalyst fold, test_semdedup_numpy_matches_expr) — at k=8/dims=64
+    # "auto" would pick the fold, which is ~3x slower at sf0.1
+    return CL.semdedup(emb, cents, threshold=0.4, impl="numpy")
 
 
 _BM25_TERMS = ["spark", "merge", "window", "scan"]

@@ -1,0 +1,212 @@
+#!/usr/bin/env python
+"""ANN quality/speed tradeoff at a scale where approximate means
+approximate (r9 advice item 1, mirroring the reference CLI protocol —
+crates/cli/src/main.rs:121-160, BASELINE.md's adopted protocol):
+
+- corpus: 1,000,000 x 64-dim float32, 16-component Gaussian mixture
+  (FIXTURES.md "Embedding-vector generation for ANN quality runs"),
+  seed 42, generated DISTRIBUTED (one numpy stream per partition);
+- queries: 100 held-out vectors from the same mixture (seed 4242) —
+  never corpus members, so ground truth is non-trivial;
+- ground truth: ONE exact brute-force scan (driver-side numpy over the
+  256 MB corpus — unambiguous, engine-independent);
+- cells: (algo x quantization) swept over nprobe in {1,4,10,40} for
+  IVF paths and ef_search in {10,40,100,400} for HNSW paths;
+- metrics per cell: recall@10 (mean over the 100 queries) and QPS
+  measured through ``search_batch`` (one batched pass answers all 100
+  queries — the engine's throughput path; per-query dispatch latency
+  is reported separately for the default cell since local[32] task
+  dispatch ~0.2s would otherwise swamp the algorithmic signal).
+
+Pass/fail shape this experiment must show (and BENCHNOTES records):
+recall >= 0.95 at the defaults AND recall measurably < 1.0 at the
+constrained settings — an index that returns 1.0 everywhere is not
+pruning and the harness could never catch a quality regression.
+
+Run:  python scripts/ann_quality_experiment.py [n_rows]
+Writes one JSON line per cell + a summary line; results in BENCHNOTES.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DIMS = 64
+N_CLUSTERS = 16
+N_QUERIES = 100
+K = 10
+SEED = 42
+
+
+def _mixture_params() -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(SEED)
+    centers = rng.standard_normal((N_CLUSTERS, DIMS)) * 4.0
+    scales = 0.8 + rng.random(N_CLUSTERS) * 0.8  # per-cluster sigma
+    return centers, scales
+
+
+def build_corpus(spark, n_rows: int, path: str) -> None:
+    """Distributed deterministic Gaussian-mixture corpus: each of 64
+    partitions draws its slice with a partition-seeded Generator —
+    the same recipe regenerates bit-identically at any scale."""
+    import pandas as pd
+
+    centers, scales = _mixture_params()
+    n_parts = 64
+    per = -(-n_rows // n_parts)
+
+    def gen(it):
+        for pdf in it:
+            for pid in pdf["id"]:
+                pid = int(pid)
+                lo = pid * per
+                hi = min(n_rows, lo + per)
+                if lo >= hi:
+                    continue
+                r = np.random.default_rng(SEED * 1_000_003 + pid)
+                comp = r.integers(0, N_CLUSTERS, hi - lo)
+                v = centers[comp] + r.standard_normal(
+                    (hi - lo, DIMS)) * scales[comp, None]
+                yield pd.DataFrame({
+                    "vec_id": np.arange(lo, hi, dtype=np.int64),
+                    "embedding": list(v.astype(np.float32)),
+                })
+
+    (
+        spark.range(n_parts).repartition(n_parts, "id")
+        .mapInPandas(gen, "vec_id bigint, embedding array<float>")
+        .write.mode("overwrite").parquet(path)
+    )
+
+
+def held_out_queries() -> np.ndarray:
+    centers, scales = _mixture_params()
+    r = np.random.default_rng(4242)
+    comp = r.integers(0, N_CLUSTERS, N_QUERIES)
+    q = centers[comp] + r.standard_normal((N_QUERIES, DIMS)) * scales[comp, None]
+    return q.astype(np.float32)
+
+
+def ground_truth(corpus_path: str, qs: np.ndarray) -> list[set[int]]:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(corpus_path, columns=["vec_id", "embedding"])
+    ids = tbl.column("vec_id").to_numpy()
+    flat = tbl.column("embedding").combine_chunks().flatten().to_numpy()
+    mat = flat.reshape(len(ids), DIMS).astype(np.float32)
+    truths = []
+    qf = qs.astype(np.float32)
+    n2 = np.einsum("ij,ij->i", mat, mat)
+    for q in qf:
+        d = n2 - 2.0 * (mat @ q)  # + ||q||² constant, rank-equivalent
+        top = np.argpartition(d, K)[: K + 8]
+        top = top[np.argsort(d[top], kind="stable")][:K]
+        truths.append({int(ids[t]) for t in top})
+    return truths
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from pgvecto_rs_spark.indexes import FlatIndex, HNSWIndex, IVFIndex
+    from pgvecto_rs_spark.session import get_spark
+
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark("ann-quality",
+                      cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    spark.sparkContext.setLogLevel("ERROR")
+    work = tempfile.mkdtemp(prefix=f"pgvrs_annq_{n_rows}_")
+    corpus_path = os.path.join(work, "corpus")
+
+    t0 = time.perf_counter()
+    build_corpus(spark, n_rows, corpus_path)
+    corpus = spark.read.parquet(corpus_path)
+    print(f"corpus {n_rows} rows in {time.perf_counter()-t0:.1f}s", flush=True)
+
+    qs = held_out_queries()
+    t0 = time.perf_counter()
+    truths = ground_truth(corpus_path, qs)
+    print(f"ground truth (exact numpy scan) {time.perf_counter()-t0:.1f}s",
+          flush=True)
+    qdf = spark.createDataFrame(
+        [(i, qs[i].tolist()) for i in range(N_QUERIES)],
+        "qid bigint, qv array<float>")
+
+    nlist = 1024
+    cells: list[tuple[str, dict, dict, str, list[int]]] = [
+        # (name, create_kwargs, fixed search kwargs, sweep param, values)
+        ("ivf", dict(nlist=nlist), {}, "nprobe", [1, 4, 10, 40]),
+        ("ivf_sq8", dict(nlist=nlist, residual_quantization=True),
+         dict(rerank_size=40), "nprobe", [1, 4, 10, 40]),
+        ("ivf_pq", dict(nlist=nlist, quantization="pq", pq_ratio=4),
+         dict(rerank_size=40), "nprobe", [1, 4, 10, 40]),
+        ("ivf_rabitq", dict(nlist=nlist, quantization="rabitq"),
+         dict(rerank_size=40), "nprobe", [1, 4, 10, 40]),
+        ("hnsw", dict(segment_rows=50_000, ef_construction=200), {},
+         "ef_search", [10, 40, 100, 400]),
+        ("hnsw_vecf16", dict(segment_rows=50_000, ef_construction=200,
+                             storage="f16"),
+         {}, "ef_search", [10, 40, 100, 400]),
+    ]
+    results: dict[str, dict] = {}
+    for name, ckw, skw, param, values in cells:
+        t0 = time.perf_counter()
+        if name.startswith("ivf"):
+            idx = IVFIndex.create(spark, corpus, os.path.join(work, name),
+                                  metric="l2", **ckw)
+        else:
+            idx = HNSWIndex.create(spark, corpus, os.path.join(work, name),
+                                   metric="l2", **ckw)
+        build_s = time.perf_counter() - t0
+        print(f"{name}: built in {build_s:.1f}s", flush=True)
+        curve = {}
+        for v in values:
+            kw = dict(skw)
+            kw[param] = v
+            idx.search_batch(qdf, "qid", "qv", k=K, **kw).count()  # warm
+            t0 = time.perf_counter()
+            rows = idx.search_batch(qdf, "qid", "qv", k=K, **kw).collect()
+            wall = time.perf_counter() - t0
+            got: dict[int, set[int]] = {}
+            for r in rows:
+                got.setdefault(int(r["query_id"]), set()).add(int(r["id"]))
+            rec = sum(
+                len(got.get(i, set()) & truths[i]) / K
+                for i in range(N_QUERIES)) / N_QUERIES
+            curve[v] = {"recall_at_10": round(rec, 4),
+                        "qps_batched": round(N_QUERIES / wall, 1),
+                        "batch_wall_sec": round(wall, 2)}
+            print(f"  {name} {param}={v}: recall {rec:.4f} "
+                  f"qps {N_QUERIES/wall:.0f}", flush=True)
+        # per-query latency at the default setting (dispatch included)
+        dflt = {"nprobe": 10, "ef_search": 100}[param]
+        kw = dict(skw)
+        kw[param] = dflt
+        idx.search(qs[0].tolist(), k=K, **kw).collect()  # warm
+        t0 = time.perf_counter()
+        for i in range(10):
+            idx.search(qs[i].tolist(), k=K, **kw).collect()
+        lat = (time.perf_counter() - t0) / 10
+        results[name] = {"build_sec": round(build_s, 1), "sweep": curve,
+                         "per_query_sec_default": round(lat, 3)}
+        print("ANNQ_CELL " + json.dumps({name: results[name]}), flush=True)
+        shutil.rmtree(os.path.join(work, name), ignore_errors=True)
+
+    print("ANNQ_RESULT " + json.dumps(
+        {"n_rows": n_rows, "dims": DIMS, "n_queries": N_QUERIES,
+         "k": K, "nlist": nlist, "cells": results}))
+    shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
