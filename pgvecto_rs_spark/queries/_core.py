@@ -196,11 +196,16 @@ _DRIVER_WINDOW: list[str] = [
     # (b) a couple of stable anchors as regression canaries.
     # -- (a) code changed in r10: ogg.extract_opus_tags error-contract
     #    normalization (struct.error -> ValueError on truncated
-    #    OpusTags fields) behind mm_opus_tags.  The mp3.py change is a
-    #    dead-variable deletion with no behavior delta — not pinned.
-    #    Kept deliberately tiny this round so the 47 self-filled slots
-    #    drain the r7-stale ledger tail (r9 advice item 3). --
-    "mm_opus_tags",
+    #    OpusTags fields) behind mm_opus_tags; avalanche-hash fixture
+    #    rewrites (linear pair scaling) behind mm_image_neardup /
+    #    mm_audio_neardup; scale-adaptive k + pinned dgemm impl behind
+    #    emb_semdedup.  The mp3.py change is a dead-variable deletion
+    #    with no behavior delta — not pinned.  Kept deliberately small
+    #    so the self-filled slots drain the r7-stale ledger tail (r9
+    #    advice item 3; the three *_neardup/semdedup names are r7/r8-
+    #    stale, so they were inside the 50-slot gate regardless). --
+    "mm_opus_tags", "mm_image_neardup", "mm_audio_neardup",
+    "emb_semdedup",
     # -- (b) stable anchors --
     "topk_l2", "doc_dedup_exact",
 ]

@@ -277,9 +277,15 @@ def _synth_wav_groups_op(it):
     """(doc_id) -> (doc_id, payload): mono 8-bit PCM WAVs in near-dup
     groups of 4 (base g = doc_id - doc_id%4, variant d = doc_id%4),
     all group members n = 64 + g%32 samples:
-    d in {0,1}: u_i = (g*17 + i*29 + 5 + (16 if d==1 and i==0 else 0)) % 256
-    d == 2:     u_i = (g*23 + i*31 + 97) % 256
-    d == 3:     u_i = (g*29 + i*37 + 201) % 256."""
+    d in {0,1}: u_i = H(g*96 + i), with u_0 += 16 (mod 256) when d==1
+                (the planted single-sample near-dup)
+    d in {2,3}: u_i = H(doc_id*96 + i)   (per-doc unrelated signals)
+    where H is the avalanche byte hash ``_synth_hash_bytes`` (96 > max
+    n = 95, so x is injective across docs).  Same r10 rationale as the
+    PPM fixture: the old affine formulas collapsed the energy-envelope
+    hash space and near-dup PAIR COUNTS GREW QUADRATICALLY in corpus
+    size (measured 74,876 pairs at 5k docs -> 7.7M at 50k; now 1,249
+    -> 12,495, exactly the planted groups)."""
     import struct
 
     import numpy as np
@@ -292,16 +298,12 @@ def _synth_wav_groups_op(it):
             did = int(did)
             g, d = did - did % 4, did % 4
             n = 64 + g % 32
-            i = np.arange(n)
-            if d == 2:
-                u = (g * 23 + i * 31 + 97) % 256
-            elif d == 3:
-                u = (g * 29 + i * 37 + 201) % 256
-            else:
-                u = (g * 17 + i * 29 + 5) % 256
-                if d == 1:
-                    u = u.copy()
-                    u[0] = (u[0] + 16) % 256
+            i = np.arange(n, dtype=np.int64)
+            x = (did if d >= 2 else g) * 96 + i
+            u = _synth_hash_bytes(x)
+            if d == 1:
+                u = u.copy()
+                u[0] = (u[0] + 16) % 256
             data = bytes(u.astype(np.uint8))
             hdr = (
                 b"RIFF"
@@ -321,19 +323,26 @@ def _synth_wav_groups_op(it):
     "mm_audio_neardup",
     r"""
     WITH sm AS (
-      SELECT d.doc_id, (d.doc_id - d.doc_id % 4) AS g, r.i,
-             (64 + (d.doc_id - d.doc_id % 4) % 32) AS n
+      SELECT d.doc_id, r.i,
+             (64 + (d.doc_id - d.doc_id % 4) % 32) AS n,
+             (CASE WHEN d.doc_id % 4 >= 2 THEN d.doc_id
+                   ELSE d.doc_id - d.doc_id % 4 END) * 96 + r.i + 1 AS x
       FROM documents d, range(96) r(i)
       WHERE r.i < 64 + (d.doc_id - d.doc_id % 4) % 32
+    ), ah1 AS (
+      SELECT doc_id, i, n,
+             (xor(x, x // 65536) * 569547437) % 4294967296 AS h
+      FROM sm
+    ), ah2 AS (
+      SELECT doc_id, i, n,
+             (xor(h, h // 32768) * 1935099287) % 4294967296 AS h
+      FROM ah1
     ), sv AS (
       SELECT doc_id, i, n,
-        (CASE
-           WHEN doc_id % 4 = 2 THEN (g*23 + i*31 + 97) % 256
-           WHEN doc_id % 4 = 3 THEN (g*29 + i*37 + 201) % 256
-           ELSE (g*17 + i*29 + 5
-                 + CASE WHEN doc_id % 4 = 1 AND i = 0 THEN 16 ELSE 0 END) % 256
-         END) - 128 AS s
-      FROM sm
+        (xor(h, h // 32768) % 256
+         + CASE WHEN doc_id % 4 = 1 AND i = 0 THEN 16 ELSE 0 END) % 256
+        - 128 AS s
+      FROM ah2
     ), fe AS (
       SELECT doc_id, (i*64)//n AS f, SUM(s*s) AS e
       FROM sv GROUP BY doc_id, (i*64)//n
@@ -366,10 +375,12 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = i*64 // n -> strict cross-multiplied mean bits -> two 32-bit
     halves -> XOR popcount all-pairs), so parity is exact and
     deterministic — certifying the banding join finds EVERY pair
-    within the radius on audio fingerprints too.  max_bucket sits
-    above the corpus's worst band bucket so none is dropped; the only
-    shuffle is the band-key exchange on 64-bit signatures, never on
-    samples."""
+    within the radius on audio fingerprints too.  Fixture samples are
+    avalanche-hashed (r10, `_synth_hash_bytes`) so pair counts scale
+    linearly in corpus size — see `_synth_wav_groups_op`.  max_bucket
+    sits above the corpus's worst band bucket so none is dropped; the
+    only shuffle is the band-key exchange on 64-bit signatures, never
+    on samples."""
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
@@ -700,30 +711,46 @@ def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _synth_hash_bytes(x):
+    """lowbias32-style avalanche hash -> one byte per element of ``x``
+    (int64 numpy array; every step fits int64 and is replayed verbatim
+    by the oracle SQL with xor()/// arithmetic).  An avalanche hash is
+    REQUIRED here, not a nicety: affine pixel formulas (r9 fixture) or
+    multiplicative-only hashes leave aHash signatures correlated — the
+    r9 affine pattern had only 64 distinct base images at ANY corpus
+    size, so near-dup pair counts grew QUADRATICALLY in rows (measured:
+    13.5k pairs at 5k docs -> 1.17M at 50k); with this hash the counts
+    are the planted ones, linear in rows (1,236 -> 12,340)."""
+    M32 = 4294967296
+    h = (x + 1) % M32
+    h = ((h ^ (h // 65536)) * 569547437) % M32
+    h = ((h ^ (h // 32768)) * 1935099287) % M32
+    return (h ^ (h // 32768)) % 256
+
+
 def _synth_ppm_groups_op(it):
     """(doc_id) -> (doc_id, payload): 8x8 P6 PPM in near-dup groups of
-    4 (base g = doc_id - doc_id%4, variant d = doc_id%4):
-    d in {0,1}: v_i = (g*31 + i*7 + 13 + (128 if d==1 and i==0 else 0)) % 256
-    d == 2:     v_i = (g*37 + i*11 + 57) % 256
-    d == 3:     v_i = (g*41 + i*23 + 191) % 256      (r=g=b)."""
+    4 (base g = doc_id - doc_id%4, variant d = doc_id%4), r=g=b:
+    d in {0,1}: v_i = H(g*64 + i), with v_0 += 128 (mod 256) when d==1
+                (the planted single-pixel near-dup)
+    d in {2,3}: v_i = H(doc_id*64 + i)   (per-doc unrelated images)
+    where H is the avalanche byte hash ``_synth_hash_bytes`` — see its
+    docstring for why pseudorandom pixels (not affine patterns) are
+    load-bearing for SCALING, not just correctness."""
     import numpy as np
     import pandas as pd
 
-    idx = np.arange(64)
+    idx = np.arange(64, dtype=np.int64)
     for pdf in it:
         payloads = []
         for did in pdf["doc_id"]:
             did = int(did)
             g, d = did - did % 4, did % 4
-            if d == 2:
-                v = (g * 37 + idx * 11 + 57) % 256
-            elif d == 3:
-                v = (g * 41 + idx * 23 + 191) % 256
-            else:
-                v = (g * 31 + idx * 7 + 13) % 256
-                if d == 1:
-                    v = v.copy()
-                    v[0] = (v[0] + 128) % 256
+            x = (did if d >= 2 else g) * 64 + idx
+            v = _synth_hash_bytes(x)
+            if d == 1:
+                v = v.copy()
+                v[0] = (v[0] + 128) % 256
             payloads.append(b"P6\n8 8\n255\n" + bytes(np.repeat(v.astype(np.uint8), 3)))
         yield pd.DataFrame(
             {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
@@ -733,18 +760,22 @@ def _synth_ppm_groups_op(it):
 @register(
     "mm_image_neardup",
     r"""
-    WITH px AS (
+    WITH xs AS (
       SELECT d.doc_id, r.i,
-        CASE
-          WHEN d.doc_id % 4 = 2
-            THEN ((d.doc_id - d.doc_id % 4)*37 + r.i*11 + 57) % 256
-          WHEN d.doc_id % 4 = 3
-            THEN ((d.doc_id - d.doc_id % 4)*41 + r.i*23 + 191) % 256
-          ELSE ((d.doc_id - d.doc_id % 4)*31 + r.i*7 + 13
-                + CASE WHEN d.doc_id % 4 = 1 AND r.i = 0 THEN 128 ELSE 0 END)
-               % 256
-        END AS v
+        (CASE WHEN d.doc_id % 4 >= 2 THEN d.doc_id
+              ELSE d.doc_id - d.doc_id % 4 END) * 64 + r.i + 1 AS x
       FROM documents d, range(64) r(i)
+    ), hh1 AS (
+      SELECT doc_id, i, (xor(x, x // 65536) * 569547437) % 4294967296 AS h
+      FROM xs
+    ), hh2 AS (
+      SELECT doc_id, i, (xor(h, h // 32768) * 1935099287) % 4294967296 AS h
+      FROM hh1
+    ), px AS (
+      SELECT doc_id, i,
+        (xor(h, h // 32768) % 256
+         + CASE WHEN doc_id % 4 = 1 AND i = 0 THEN 128 ELSE 0 END) % 256 AS v
+      FROM hh2
     ), s AS (
       SELECT doc_id, i, v, SUM(v) OVER (PARTITION BY doc_id) AS sv FROM px
     ), sig AS (
@@ -774,8 +805,11 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     full pipeline in integer SQL (pixels -> strict-mean bits -> two
     32-bit halves -> XOR popcount all-pairs), so parity is exact and
     deterministic — this certifies the banding join itself finds
-    EVERY pair, not just the planted ones.  max_bucket is set above
-    the corpus's worst observed band-bucket (371 at 5k docs) so no
+    EVERY pair, not just the planted ones.  The fixture pixels are
+    avalanche-hashed (r10, `_synth_hash_bytes`) so pair counts scale
+    LINEARLY in corpus size — the r9 affine pattern collapsed to 64
+    distinct base images and made pairs (and band buckets) quadratic.
+    max_bucket stays far above the worst observed band bucket so no
     bucket is dropped; the only shuffle is the band-key exchange on
     64-bit signatures, never on pixels."""
     import pgvecto_rs_spark.operators.multimodal as MM
