@@ -40,6 +40,19 @@ from pgvecto_rs_spark.operators.search import distance as dist_expr
 
 DEFAULT_NLIST = 1000  # crates/base/src/index.rs:368-370
 DEFAULT_NPROBE = 10  # crates/base/src/index.rs:558-560
+
+
+def default_nprobe(nlist: int) -> int:
+    """Scale-aware default: probe ~4% of lists, floor 10 (the
+    reference's flat default, index.rs:558-560, is tuned for its small
+    default nlist).  Calibrated on the 1M-row / nlist=1024 quality
+    sweep (scripts/ann_quality_experiment.py, BENCHNOTES "ANN quality"
+    r10): 2% of lists gave recall@10 ~0.8, 4% gave 0.956 — so ~4% is
+    the default operating point; identical to the old nlist/50 rule
+    for every nlist <= 250 (all bench/oracle configurations)."""
+    return max(DEFAULT_NPROBE, -(-nlist // 25))
+
+
 KMEANS_ITERS = 10  # crates/k_means/src/lib.rs:40-46
 SAMPLE_CAP = 65536  # common/src/sample.rs
 _ISIN_LITERAL_CAP = 512  # max ids to inline as IN-list literals (planning cost)
@@ -721,7 +734,7 @@ class IVFIndex:
     ) -> DataFrame:
         """Top-k by metric distance.  Returns DataFrame(id, distance).
 
-        ``nprobe`` defaults to max(10, nlist/50): the reference's flat
+        ``nprobe`` defaults to ``default_nprobe`` (~4% of lists): the reference's flat
         default of 10 misses the >=0.95 recall@10 target once nlist
         grows (measured 0.86 at nlist=1000 on 2M rows; 0.95+ needs ~20
         probes there — BENCHNOTES §1), so the default scales with nlist
@@ -737,7 +750,7 @@ class IVFIndex:
         a rerank window gets exact distances (two-phase).
         """
         if nprobe is None:
-            nprobe = max(DEFAULT_NPROBE, -(-self.meta["nlist"] // 50))
+            nprobe = default_nprobe(self.meta["nlist"])
         if (filter is not None or exclude is not None) and max_widen > 0:
             np_eff = nprobe
             for _ in range(max_widen + 1):
@@ -769,27 +782,13 @@ class IVFIndex:
         )
         if quant in _SQ_KINDS:
             levels = float((1 << self.meta.get("sq_bits", 8)) - 1)
-            # decode: centroid[list] + lo + code/levels·width, then
-            # approx score, rerank by exact vec distance
-            cent_rows = [(int(l), self.centroids[l].astype(float).tolist()) for l in lists]
-            cent_df = self.spark.createDataFrame(cent_rows, "list_id int, __cent array<float>")
-            lo_c = F.array(*[F.lit(float(v)) for v in self.meta["sq_lo"]])
-            w_c = F.array(*[F.lit(float(v)) for v in self.meta["sq_width"]])
-            decoded_res = F.zip_with(
-                F.col("codes"),
-                F.zip_with(lo_c, w_c, lambda a, b: F.struct(a.alias("lo"), b.alias("w"))),
-                lambda c, p: p["lo"] + c.cast("double") / F.lit(levels) * p["w"],
-            )
-            approx_vec = F.zip_with(
-                F.col("__cent").cast("array<double>"), decoded_res, lambda c, rr: (c + rr).cast("float")
-            ).cast("array<float>")
+            # decode centroid[list] + lo + code/levels·width and score
+            # inside one broadcast numpy scorer (see _sq_scorer for why
+            # not a Catalyst fold), rerank by exact vec distance.
             # pass 1 reads ONLY (id, list_id, codes): projection pruning
             # keeps the vector column out of the approximate scan
-            scored = (
-                df.select("id", "list_id", "codes")
-                .join(F.broadcast(cent_df), "list_id")
-                .withColumn("adist", scorer(approx_vec))
-            )
+            approx = self._sq_scorer(q, lists)(F.col("list_id"), F.col("codes"))
+            scored = df.select("id", "list_id", "codes").withColumn("adist", approx)
             if rerank_size == 0:
                 # error-bound reranker (reranker/error.rs, default like
                 # the flat SQ path): decode error per dim <= eps_j =
@@ -898,6 +897,39 @@ class IVFIndex:
         )
 
     # -- quantized first-pass scorers (asymmetric, per-probed-list) -----
+    def _sq_scorer(self, q: np.ndarray, lists: list[int]):
+        """Approx scorer over residual SQ codes: decode
+        ``centroid[list] + lo + code/levels*width`` and kernel-score in
+        ONE Arrow-batched numpy pass.  This replaces a Catalyst
+        zip_with fold over per-call literal arrays (lo/width/centroid
+        as 64-element literals + a broadcast centroid join) that forced
+        a fresh Janino codegen compile on EVERY query — measured 4.3 s
+        /query vs 0.24 for the unquantized path at 1M rows (r10 ANN
+        quality harness); the numpy scorer broadcasts index constants
+        once and compiles nothing."""
+        kernel = self.meta["kernel"]
+        cents = self.centroids.astype(np.float64)
+        lo = np.asarray(self.meta["sq_lo"], dtype=np.float64)
+        width = np.asarray(self.meta["sq_width"], dtype=np.float64)
+        levels = float((1 << self.meta.get("sq_bits", 8)) - 1)
+        base_by_list = {int(l): cents[l] + lo for l in lists}
+        bc = self.spark.sparkContext.broadcast(
+            (base_by_list, width / levels, q, kernel)
+        )
+
+        @F.pandas_udf("double")
+        def adist(lid: pd.Series, codes: pd.Series) -> pd.Series:
+            bases, scale, qv, kern = bc.value
+            lids = lid.to_numpy()
+            cmat = np.asarray(codes.tolist(), dtype=np.float64) * scale[None, :]
+            out = np.empty(len(lids), dtype=np.float64)
+            for l in np.unique(lids):
+                m = lids == l
+                out[m] = base.np_kernel_distance(kern, cmat[m] + bases[int(l)], qv)
+            return pd.Series(out)
+
+        return adist
+
     def _pq_scorer(self, q: np.ndarray, lists: list[int]):
         """ADC over residual PQ codes: per probed list the query residual
         (q − centroid) gets its own LUT (n_sub × 2^bits, driver-side,
@@ -1007,7 +1039,7 @@ class IVFIndex:
         from pgvecto_rs_spark.indexes import batch as BT
 
         if nprobe is None:
-            nprobe = max(DEFAULT_NPROBE, -(-self.meta["nlist"] // 50))
+            nprobe = default_nprobe(self.meta["nlist"])
         if self.meta["nlist"] == 0:  # empty index (issue_427 build path)
             return self.spark.createDataFrame(
                 [], "query_id bigint, id bigint, distance double"
@@ -1121,7 +1153,7 @@ class IVFIndex:
             "sq8" if meta.get("residual_quantization") else None
         )
         if nprobe is None:
-            nprobe = max(DEFAULT_NPROBE, -(-meta["nlist"] // 50))
+            nprobe = default_nprobe(meta["nlist"])
         win = int(max(k, rerank_size, k * 4))
         kk = int(k)
         kernel, metric = meta["kernel"], meta["metric"]
