@@ -64,6 +64,19 @@ class TestFlat:
 
 
 class TestIVF:
+    def test_default_nprobe_scales_with_nlist(self):
+        """r10: ~4% of lists, floor 10 — identical to the old nlist/50
+        rule for every nlist <= 250 (all bench/oracle configs), and
+        calibrated to recall@10 >= 0.95 at nlist=1024 on the 1M quality
+        sweep (BENCHNOTES r10)."""
+        from pgvecto_rs_spark.indexes.ivf import default_nprobe
+
+        assert default_nprobe(8) == 10
+        assert default_nprobe(64) == 10
+        assert default_nprobe(250) == 10
+        assert default_nprobe(1000) == 40
+        assert default_nprobe(1024) == 41
+
     def test_recall_at_default_operating_point(self, spark, emb):
         """Mean recall@10 over a 20-query set (the reference CLI's
         precision protocol, crates/cli/src/main.rs:20-32) must be
