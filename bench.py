@@ -312,6 +312,31 @@ def _canary_heavy(spark, sf_dir):
             .crossJoin(dist).crossJoin(sj))  # 1x1x...x1
 
 
+def _canary_dispatch(spark, sf_dir):
+    """Dispatch/shuffle-floor load canary (r10).  The five classic
+    canaries + canary_heavy are SCAN/AGG-bound, and r10's bench runs
+    showed they can read ~1.0x vs the committed reference while every
+    multi-stage sub-second query runs 1.5-1.7x slower — i.e. the box's
+    scheduler/shuffle latency degraded but its scan throughput did not
+    (adjudicated code-neutral by an r9-tree A/B on the same box; see
+    BENCHNOTES r10).  This shape isolates that mode: a chain of SIX
+    tiny stage-boundary shuffles over a 200k-row synthetic — per-stage
+    data is negligible, so its wall time is almost purely task
+    dispatch + exchange setup.  Pure Catalyst, no engine code of ours."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 997).alias("k"), F.col("id").alias("v")
+    )
+    for i in range(6):
+        df = (
+            df.groupBy(((F.col("k") + i) % 991).alias("k"))
+            .agg(F.sum("v").alias("v"), F.count(F.lit(1)).alias("c"))
+            .select("k", (F.col("v") + F.col("c")).alias("v"))
+        )
+    return df.agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+
+
 def _release_storage(spark) -> None:
     """Release per-query localCheckpoint blocks between timings.
 
@@ -344,7 +369,9 @@ def main() -> None:
 
     registry = Q.queries()
     registry["canary_heavy"] = _canary_heavy  # bench-local load canary
-    names = [n for n in BENCH_QUERIES if n in registry] + ["canary_heavy"]
+    registry["canary_dispatch"] = _canary_dispatch  # shuffle-floor canary
+    names = [n for n in BENCH_QUERIES if n in registry] + [
+        "canary_heavy", "canary_dispatch"]
 
     # Warm-up: materialize JVM/codegen paths, index builds and OS page
     # cache, excluded from timing (the reference excludes build/IO too).
@@ -472,7 +499,8 @@ def main() -> None:
         # harness fixes, not load.)  geomean_vs_r1_loadnorm rescales
         # geomean_vs_r1 to the previous run's load conditions.
         canaries = ["tpch_q1", "tpch_q6", "events_hourly",
-                    "doc_token_count", "doc_dedup_exact"]
+                    "doc_token_count", "doc_dedup_exact",
+                    "canary_dispatch"]  # skipped if absent from prev run
         if prev_detail.get("canary_heavy_shape") == detail["canary_heavy_shape"]:
             canaries.append("canary_heavy")
         prevq = prev_detail.get("queries") or {}
