@@ -831,16 +831,14 @@ class IVFIndex:
                 cand = cand.drop("__ub", "__lb")
             else:
                 window = max(k, rerank_size, k * 4)
-                cand = scored.orderBy(F.col("adist").asc(), F.col("id").asc()).limit(window)
+                cand = self._window_cut(scored, window)
             out = self._fetch_rerank(df, cand, scorer)
         elif quant == "pq":
             window = max(k, rerank_size, k * 4)
             approx = self._pq_scorer(q, lists)(F.col("list_id"), F.col("codes"))
-            cand = (
-                df.select("id", "list_id", "codes")
-                .withColumn("adist", approx)
-                .orderBy(F.col("adist").asc(), F.col("id").asc())
-                .limit(window)
+            cand = self._window_cut(
+                df.select("id", "list_id", "codes").withColumn("adist", approx),
+                window,
             )
             out = self._fetch_rerank(df, cand, scorer)
         elif quant == "rabitq":
@@ -848,11 +846,9 @@ class IVFIndex:
             approx = self._rabitq_scorer(q, lists)(
                 F.col("list_id"), F.col("rq.norm"), F.col("rq.words")
             )
-            cand = (
-                df.select("id", "list_id", "rq")
-                .withColumn("adist", approx)
-                .orderBy(F.col("adist").asc(), F.col("id").asc())
-                .limit(window)
+            cand = self._window_cut(
+                df.select("id", "list_id", "rq").withColumn("adist", approx),
+                window,
             )
             out = self._fetch_rerank(df, cand, scorer)
         else:
@@ -869,6 +865,18 @@ class IVFIndex:
             .limit(k)
             .drop("vec", "codes", "adist", "__cent", "rq")
         )
+
+    def _window_cut(self, scored: DataFrame, window: int) -> DataFrame:
+        """Top-``window`` candidate cut for the quantized two-phase
+        search.  With replicas > 1 the same id appears once per probed
+        replica list, so a plain row LIMIT wastes window slots on
+        duplicates (fewer DISTINCT candidates -> measurably worse
+        rerank quality than the batch path, which deduped — r10);
+        collapse to per-id best adist first.  replicas == 1 keeps the
+        shuffle-free TakeOrdered row cut."""
+        if self.meta.get("replicas", 1) > 1:
+            scored = scored.groupBy("id").agg(F.min("adist").alias("adist"))
+        return scored.orderBy(F.col("adist").asc(), F.col("id").asc()).limit(window)
 
     RERANK_FETCH_CAP = 8192
 
@@ -1275,23 +1283,42 @@ class IVFIndex:
             select_cols = [F.col("id"), F.col("list_id"), F.col("codes")]
         src = self._lists().where(F.col("list_id").isin(all_lists)).select(*select_cols)
         approx_cand = src.mapInPandas(scan, "qi int, id bigint, adist double")
-        if meta.get("replicas", 1) > 1:
-            approx_cand = approx_cand.dropDuplicates(["qi", "id"])
-        w1 = Window.partitionBy("qi").orderBy(F.col("adist").asc(), F.col("id").asc())
-        cand_rows = (
-            approx_cand.withColumn("_rn", F.row_number().over(w1))
-            .where(F.col("_rn") <= win)
-            .select("qi", "id")
-            .collect()
-        )
-        pairs_py = [(int(r["qi"]), int(r["id"])) for r in cand_rows]
+        # Global per-query top-win happens ON THE DRIVER: the scan
+        # already cut each (list, query) to its local top-win, so what
+        # comes back is <= n_lists*win rows per query of (int, long,
+        # double) triples — driver-trivial at any realistic batch, and
+        # replacing the Window.partitionBy exchange+sort with a plain
+        # collect removes one whole shuffle stage from the batched
+        # two-phase path (r10: pq batched wall 2.4 s -> ~1.6 s at 32
+        # queries; the rerank fetch keeps the id-pushdown row-group
+        # skipping that matters at 100 TB).
+        cand_rows = approx_cand.collect()
+        by_q: dict[int, dict[int, float]] = {}
+        for r in cand_rows:
+            qd = by_q.setdefault(int(r["qi"]), {})
+            i = int(r["id"])
+            a = float(r["adist"])
+            # replicas > 1 can emit the same id from two probed lists;
+            # keep the best adist (rows are otherwise identical)
+            if i not in qd or a < qd[i]:
+                qd[i] = a
+        pairs_py = [
+            (qi, i)
+            for qi, qd in by_q.items()
+            for i in sorted(qd, key=lambda j: (qd[j], j))[:win]
+        ]
         uniq_ids = sorted({i for _, i in pairs_py})
         rowsrc = (
             self._lists()
             .where(F.col("list_id").isin(all_lists))
             .select("id", "vec")
-            .dropDuplicates(["id"])
         )
+        if meta.get("replicas", 1) > 1:
+            # multi-assignment stores each id in several lists; dedupe
+            # before the rerank join.  NOT done for replicas=1 — ids
+            # are unique there and the dropDuplicates was shuffling
+            # every probed row's vector payload for nothing (r10).
+            rowsrc = rowsrc.dropDuplicates(["id"])
         if len(uniq_ids) <= self.RERANK_FETCH_CAP:
             fetched = rowsrc.where(F.col("id").isin(uniq_ids))
         else:
