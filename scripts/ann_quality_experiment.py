@@ -156,7 +156,23 @@ def main() -> None:
         ("hnsw_vecf16", dict(segment_rows=50_000, ef_construction=200,
                              storage="f16"),
          {}, "ef_search", [10, 40, 100, 400]),
+        # quantized-graph cells (codes resident in the traversal,
+        # exact rerank on fetch) — complete the algo x quantization
+        # matrix; run via: ann_quality_experiment.py N hnsw_sq8 hnsw_pq
+        ("hnsw_sq8", dict(segment_rows=50_000, ef_construction=200,
+                          quantization="sq8"),
+         {}, "ef_search", [10, 40, 100, 400]),
+        ("hnsw_pq", dict(segment_rows=50_000, ef_construction=200,
+                         quantization="pq", pq_ratio=4),
+         {}, "ef_search", [10, 40, 100, 400]),
     ]
+    only = set(sys.argv[2:])
+    if only:
+        cells = [c for c in cells if c[0] in only]
+    else:
+        # default run = the six r10-table cells; quantized-graph cells
+        # are opt-in (they double total build time)
+        cells = [c for c in cells if c[0] not in ("hnsw_sq8", "hnsw_pq")]
     results: dict[str, dict] = {}
     for name, ckw, skw, param, values in cells:
         t0 = time.perf_counter()
