@@ -69,6 +69,12 @@ class _CodedVecs:
     def __getitem__(self, key) -> np.ndarray:
         return self.lo + self.codes[key].astype(np.float64) * self.scale
 
+    # NOTE: no adc() here on purpose — a (d, 256) per-dim gather table
+    # measured 0.8x the vectorized decode+einsum path (cache-hostile
+    # row-wise gathers); SQ decode is already one fused multiply-add.
+    # PQ's adc() wins 5.3x because its table is (n_sub, 256) with
+    # sub-vector granularity (see _PQCodedVecs.adc).
+
 
 class _PQCodedVecs:
     """PQ-coded vectors with decode-on-access (the hnsw x pq cell of the
@@ -94,6 +100,27 @@ class _PQCodedVecs:
         for s in range(n_sub):
             out[:, s * sub : (s + 1) * sub] = self.books[s][c[:, s]]
         return out[0] if single else out
+
+    def adc(self, q: np.ndarray, kernel: str):
+        """Per-query ADC scorer (r10): classic PQ asymmetric distance —
+        T[s, c] = kernel contribution of subspace s at code c, scored
+        as n_sub gathers instead of decode + dense distance (sub x
+        fewer flops per touched row)."""
+        n_sub, ksz, sub = self.books.shape
+        tbl = np.empty((n_sub, ksz))
+        for s in range(n_sub):
+            blk = q[s * sub : (s + 1) * sub]
+            if kernel == "l2":
+                dd = self.books[s] - blk[None, :]
+                tbl[s] = np.einsum("ij,ij->i", dd, dd)
+            else:
+                tbl[s] = -(self.books[s] @ blk)
+        cols = np.arange(n_sub)[None, :]
+
+        def score(idx: np.ndarray) -> np.ndarray:
+            return tbl[cols, self.codes[idx]].sum(axis=1)
+
+        return score
 
 
 class _RaBitQVecs:
@@ -129,13 +156,28 @@ def _read_exact_vecs(seg_dir: str, idxs: np.ndarray) -> np.ndarray:
     """Transiently fetch exact vectors for the given node indexes from
     the segment Parquet (vec column only) — the graph reranker's
     storage access (reranker/graph_2.rs): exact values are read per
-    query, never held resident."""
+    query, never held resident.  Small requests push an ``idx IN``
+    predicate into the parquet read (row-group stats pruning — the
+    same touched-chunks-only property as the IVF rerank's pushed-id
+    fetch); a full-segment request keeps the plain column read."""
     import pyarrow.parquet as pq
 
+    idxs = np.asarray(idxs, dtype=np.int64)
+    if 0 < len(idxs) <= 2048:
+        want = sorted({int(i) for i in idxs})
+        tbl = pq.read_table(
+            seg_dir, columns=["idx", "vec"], filters=[("idx", "in", want)]
+        )
+        got = tbl.column("idx").to_numpy()
+        pos = {int(v): p for p, v in enumerate(got)}
+        import pyarrow as pa
+
+        picked = tbl.column("vec").take(pa.array([pos[int(i)] for i in idxs]))
+        return np.asarray(picked.to_pylist(), dtype=np.float64)
     tbl = pq.read_table(seg_dir, columns=["idx", "vec"])
     # map node index -> row position, then Arrow-take ONLY those rows
     pos_of = np.argsort(tbl.column("idx").to_numpy())
-    picked = tbl.column("vec").take(pos_of[np.asarray(idxs, dtype=np.int64)])
+    picked = tbl.column("vec").take(pos_of[idxs])
     return np.asarray(picked.to_pylist(), dtype=np.float64)
 
 
@@ -281,11 +323,15 @@ def _search_graph(
     if len(vecs) == 0:
         return np.empty(0), np.empty(0, dtype=np.int64)
 
-    def dist_many(idx: np.ndarray) -> np.ndarray:
-        return np_kernel_distance(kernel, vecs[idx], q)
+    adc = getattr(vecs, "adc", None)
+    if adc is not None:
+        dist_many = adc(q, kernel)
+    else:
+        def dist_many(idx: np.ndarray) -> np.ndarray:
+            return np_kernel_distance(kernel, vecs[idx], q)
 
     ep = entry
-    ep_d = float(np_kernel_distance(kernel, vecs[ep : ep + 1], q)[0])
+    ep_d = float(dist_many(np.asarray([ep]))[0])
     for l in range(levels[entry], 0, -1):
         changed = True
         while changed:
@@ -451,15 +497,35 @@ def batch_runner(quant, qparams, kernel: str, qids: list, qmat: list, ef: int):
             ids, vecs, neighbors, levels, entry = _load_segment(seg_dir, quant, qparams)
             if len(ids) == 0:
                 continue
+            per_q = []
+            union: set[int] = set()
             for qid, q in zip(qids, qmat):
                 ds, idxs = _search_graph(
                     vecs, neighbors, levels, entry, q, kernel, ef
                 )
-                if quant in _RERANK_QUANTS and len(idxs):
-                    exact_mat = _read_exact_vecs(seg_dir, np.asarray(idxs))
-                    ds = np_kernel_distance(kernel, exact_mat, q)
-                for i, d in zip(idxs[:ef], ds[:ef]):
-                    yield (qid, int(ids[int(i)]), float(d))
+                per_q.append((qid, q, idxs, ds))
+                if quant in _RERANK_QUANTS:
+                    union.update(int(i) for i in idxs)
+            if quant in _RERANK_QUANTS and union:
+                # ONE exact-vec fetch per segment for the whole query
+                # batch (r10): the per-query fetch re-read the vec
+                # column per (query, segment) — at 100 queries x 20
+                # segments that was 2000 parquet reads; the union is
+                # <= n_queries*ef rows and amortizes to one read
+                uni = np.asarray(sorted(union), dtype=np.int64)
+                mat = _read_exact_vecs(seg_dir, uni)
+                pos = {int(v): p for p, v in enumerate(uni)}
+                for qid, q, idxs, _coded in per_q:
+                    if not len(idxs):
+                        continue
+                    sel = np.asarray([pos[int(i)] for i in idxs])
+                    ds = np_kernel_distance(kernel, mat[sel], q)
+                    for i, d in zip(np.asarray(idxs)[:ef], ds[:ef]):
+                        yield (qid, int(ids[int(i)]), float(d))
+            else:
+                for qid, _q, idxs, ds in per_q:
+                    for i, d in zip(idxs[:ef], ds[:ef]):
+                        yield (qid, int(ids[int(i)]), float(d))
 
     return run
 
@@ -570,13 +636,29 @@ def hnsw_segment_block_runner(quant, qparams, kernel: str, ef: int):
             ids, vecs, neighbors, levels, entry = _load_segment(seg_dir, quant, qparams)
             if len(ids) == 0:
                 continue
+            per_q = []
+            union: set[int] = set()
             for qid, q in zip(qids, qmat):
                 ds, idxs = _search_graph(vecs, neighbors, levels, entry, q, kernel, ef)
-                if quant in _RERANK_QUANTS and len(idxs):
-                    exact_mat = _read_exact_vecs(seg_dir, np.asarray(idxs))
-                    ds = np_kernel_distance(kernel, exact_mat, q)
-                for i, d in zip(idxs[:ef], ds[:ef]):
-                    yield (qid, int(ids[int(i)]), float(d))
+                per_q.append((qid, q, idxs, ds))
+                if quant in _RERANK_QUANTS:
+                    union.update(int(i) for i in idxs)
+            if quant in _RERANK_QUANTS and union:
+                # one exact fetch per (block, segment) — see batch_runner
+                uni = np.asarray(sorted(union), dtype=np.int64)
+                mat = _read_exact_vecs(seg_dir, uni)
+                pos = {int(v): p for p, v in enumerate(uni)}
+                for qid, q, idxs, _coded in per_q:
+                    if not len(idxs):
+                        continue
+                    sel = np.asarray([pos[int(i)] for i in idxs])
+                    ds = np_kernel_distance(kernel, mat[sel], q)
+                    for i, d in zip(np.asarray(idxs)[:ef], ds[:ef]):
+                        yield (qid, int(ids[int(i)]), float(d))
+            else:
+                for qid, _q, idxs, ds in per_q:
+                    for i, d in zip(idxs[:ef], ds[:ef]):
+                        yield (qid, int(ids[int(i)]), float(d))
 
     return run
 
