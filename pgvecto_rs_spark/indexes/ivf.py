@@ -879,6 +879,12 @@ class IVFIndex:
         return scored.orderBy(F.col("adist").asc(), F.col("id").asc()).limit(window)
 
     RERANK_FETCH_CAP = 8192
+    #: max n_queries x nprobe x win approx-distance triples the batched
+    #: quantized path may collect to the driver (~16 B/triple plus Row
+    #: overhead -> low-GB worst case); above this the per-query cut
+    #: stays a distributed Window (r10 verdict: the uncapped collect
+    #: reached ~1e8 triples at documented caps)
+    BATCH_TRIPLES_DRIVER_CAP = 4_000_000
 
     def _fetch_rerank(self, rows: DataFrame, cand: DataFrame, scorer) -> DataFrame:
         """Second phase of the quantized scan: fetch candidates' exact
@@ -1283,31 +1289,6 @@ class IVFIndex:
             select_cols = [F.col("id"), F.col("list_id"), F.col("codes")]
         src = self._lists().where(F.col("list_id").isin(all_lists)).select(*select_cols)
         approx_cand = src.mapInPandas(scan, "qi int, id bigint, adist double")
-        # Global per-query top-win happens ON THE DRIVER: the scan
-        # already cut each (list, query) to its local top-win, so what
-        # comes back is <= n_lists*win rows per query of (int, long,
-        # double) triples — driver-trivial at any realistic batch, and
-        # replacing the Window.partitionBy exchange+sort with a plain
-        # collect removes one whole shuffle stage from the batched
-        # two-phase path (r10: pq batched wall 2.4 s -> ~1.6 s at 32
-        # queries; the rerank fetch keeps the id-pushdown row-group
-        # skipping that matters at 100 TB).
-        cand_rows = approx_cand.collect()
-        by_q: dict[int, dict[int, float]] = {}
-        for r in cand_rows:
-            qd = by_q.setdefault(int(r["qi"]), {})
-            i = int(r["id"])
-            a = float(r["adist"])
-            # replicas > 1 can emit the same id from two probed lists;
-            # keep the best adist (rows are otherwise identical)
-            if i not in qd or a < qd[i]:
-                qd[i] = a
-        pairs_py = [
-            (qi, i)
-            for qi, qd in by_q.items()
-            for i in sorted(qd, key=lambda j: (qd[j], j))[:win]
-        ]
-        uniq_ids = sorted({i for _, i in pairs_py})
         rowsrc = (
             self._lists()
             .where(F.col("list_id").isin(all_lists))
@@ -1319,13 +1300,63 @@ class IVFIndex:
             # are unique there and the dropDuplicates was shuffling
             # every probed row's vector payload for nothing (r10).
             rowsrc = rowsrc.dropDuplicates(["id"])
-        if len(uniq_ids) <= self.RERANK_FETCH_CAP:
-            fetched = rowsrc.where(F.col("id").isin(uniq_ids))
+        # Global per-query top-win: driver cut vs distributed cut, gated
+        # on the a-priori bound of what the scan can emit.  Each probed
+        # (list, query) pair contributes <= win triples, so the collect
+        # is bounded by n_queries x nprobe x win (int, long, double)
+        # rows.  Under BATCH_TRIPLES_DRIVER_CAP that is a few-hundred-MB
+        # worst case and the driver cut removes one whole shuffle stage
+        # from the batched two-phase path (r10: pq batched wall
+        # 2.4 s -> ~1.6 s at 32 queries).  ABOVE the cap (big batch x
+        # big nprobe — ~1e8 triples at BATCH_COLLECT_CAP queries with
+        # default nprobe, a driver OOM) the cut stays distributed: a
+        # query-keyed Window on executors, rerank joins without driver
+        # materialization (r10 verdict item 1).
+        est_triples = len(qids) * min(int(nprobe), meta["nlist"]) * win
+        if est_triples <= self.BATCH_TRIPLES_DRIVER_CAP:
+            cand_rows = approx_cand.collect()
+            by_q: dict[int, dict[int, float]] = {}
+            for r in cand_rows:
+                qd = by_q.setdefault(int(r["qi"]), {})
+                i = int(r["id"])
+                a = float(r["adist"])
+                # replicas > 1 can emit the same id from two probed
+                # lists; keep the best adist (rows otherwise identical)
+                if i not in qd or a < qd[i]:
+                    qd[i] = a
+            pairs_py = [
+                (qi, i)
+                for qi, qd in by_q.items()
+                for i in sorted(qd, key=lambda j: (qd[j], j))[:win]
+            ]
+            uniq_ids = sorted({i for _, i in pairs_py})
+            if len(uniq_ids) <= self.RERANK_FETCH_CAP:
+                fetched = rowsrc.where(F.col("id").isin(uniq_ids))
+            else:
+                ids_df = self.spark.createDataFrame(
+                    [(i,) for i in uniq_ids], "id bigint"
+                )
+                fetched = rowsrc.join(F.broadcast(ids_df), "id")
+            pairs = self.spark.createDataFrame(pairs_py, "qi int, id bigint")
+            joined = fetched.join(F.broadcast(pairs), "id")
         else:
-            ids_df = self.spark.createDataFrame([(i,) for i in uniq_ids], "id bigint")
-            fetched = rowsrc.join(F.broadcast(ids_df), "id")
-        pairs = self.spark.createDataFrame(pairs_py, "qi int, id bigint")
-        joined = fetched.join(F.broadcast(pairs), "id")
+            acand = approx_cand
+            if meta.get("replicas", 1) > 1:
+                acand = acand.groupBy("qi", "id").agg(F.min("adist").alias("adist"))
+            w1 = Window.partitionBy("qi").orderBy(
+                F.col("adist").asc(), F.col("id").asc()
+            )
+            pairs = (
+                acand.withColumn("_rn", F.row_number().over(w1))
+                .where(F.col("_rn") <= win)
+                .select("qi", "id")
+            )
+            # no driver round-trip: candidate ids stay a DataFrame; the
+            # rerank fetch is a distinct-id join (AQE broadcasts it when
+            # the candidate set turns out small) and pairs re-join by id
+            joined = rowsrc.join(pairs.select("id").distinct(), "id").join(
+                pairs, "id"
+            )
         bq = sc.broadcast(qmat)
 
         @F.pandas_udf("double")
@@ -1339,10 +1370,22 @@ class IVFIndex:
                 out[m] = base.np_kernel_distance(kernel, mat[m], qm[int(qq)])
             return pd.Series(out)
 
-        qid_arr = F.array(*[F.lit(q) for q in qids])
         scored = joined.withColumn(
             "distance", base.post_map(metric, exact_d(F.col("vec"), F.col("qi")))
-        ).withColumn("query_id", F.element_at(qid_arr, F.col("qi") + 1).cast("long"))
+        )
+        if len(qids) <= 1024:
+            qid_arr = F.array(*[F.lit(q) for q in qids])
+            scored = scored.withColumn(
+                "query_id", F.element_at(qid_arr, F.col("qi") + 1).cast("long")
+            )
+        else:
+            # a 65k-literal array expression is a planner hazard at the
+            # documented BATCH_COLLECT_CAP; map qi -> query_id with a
+            # broadcast join instead
+            qmap = self.spark.createDataFrame(
+                [(i, int(q)) for i, q in enumerate(qids)], "qi int, query_id bigint"
+            )
+            scored = scored.join(F.broadcast(qmap), "qi")
         w2 = Window.partitionBy("query_id").orderBy(
             F.col("distance").asc(), F.col("id").asc()
         )

@@ -366,6 +366,37 @@ class TestSearchBatch:
                         sorted(by_q[qr["qid"]], key=lambda t: (t[1], t[0])) == expect
                     ), (quant, qr["qid"])
 
+    def test_ivf_batch_quantized_driver_cap_falls_back_distributed(
+        self, spark, emb, monkeypatch
+    ):
+        """Above BATCH_TRIPLES_DRIVER_CAP the per-query approx cut must
+        stay a distributed Window (r10 verdict: the uncapped collect
+        reached ~1e8 triples at documented caps).  Forcing the cap to 0
+        routes every batch down the distributed branch; results must be
+        identical to the driver-cut branch at the same window."""
+        with tempfile.TemporaryDirectory() as d:
+            for quant, replicas in (("pq", 1), ("sq8", 2)):
+                idx = IVFIndex.create(
+                    spark, emb, f"{d}/{quant}{replicas}", metric="l2", nlist=8,
+                    quantization=quant, replicas=replicas,
+                    **({"pq_ratio": 4} if quant == "pq" else {}),
+                )
+                qdf = emb.orderBy("vec_id").limit(6).select(
+                    F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+                )
+                kw = dict(k=10, nprobe=8, rerank_size=40)
+                want = sorted(
+                    (r["query_id"], r["id"], round(r["distance"], 9))
+                    for r in idx.search_batch(qdf, "qid", "qv", **kw).collect()
+                )
+                monkeypatch.setattr(IVFIndex, "BATCH_TRIPLES_DRIVER_CAP", 0)
+                got = sorted(
+                    (r["query_id"], r["id"], round(r["distance"], 9))
+                    for r in idx.search_batch(qdf, "qid", "qv", **kw).collect()
+                )
+                monkeypatch.undo()
+                assert got == want, (quant, replicas)
+
     def test_ivf_batch_replicas_dedups(self, spark, emb):
         with tempfile.TemporaryDirectory() as d:
             idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=8, replicas=2)
