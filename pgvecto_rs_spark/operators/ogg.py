@@ -137,8 +137,13 @@ def extract_opus_tags(payload: bytes) -> dict:
     when the stream is not Opus."""
     try:
         return _extract_opus_tags(payload)
-    except (struct.error, IndexError, UnicodeDecodeError) as e:
+    except struct.error as e:
+        # a short unpack slice is genuine truncation; anything else
+        # (e.g. an IndexError from a parser bug) propagates — the r10
+        # broad catch masked parser defects as data errors
         raise ValueError(f"ogg: truncated field ({e})") from e
+    except UnicodeDecodeError as e:
+        raise ValueError(f"ogg: malformed UTF-8 in vendor/comment field ({e})") from e
 
 
 def _extract_opus_tags(payload: bytes) -> dict:

@@ -5,6 +5,7 @@ LOF, BM25 and hybrid RRF retrieval."""
 from __future__ import annotations
 
 import math
+import glob
 import os
 from collections.abc import Callable
 
@@ -787,9 +788,16 @@ _KMEANS_CACHE: dict[tuple, list[list[int]]] = {}
 
 
 def _parquet_rows(path: str) -> int:
-    """Row count from parquet footer metadata — no Spark job."""
+    """Row count from parquet footer metadata — no Spark job.  Handles
+    both a single parquet file and a Spark-written directory dataset
+    (read_metadata only accepts a file — r10 advice)."""
     import pyarrow.parquet as _pq
 
+    if os.path.isdir(path):
+        return sum(
+            _pq.read_metadata(f).num_rows
+            for f in glob.glob(os.path.join(path, "*.parquet"))
+        )
     return _pq.read_metadata(path).num_rows
 
 

@@ -97,3 +97,61 @@ class TestAlterableOptionTree:
         assert opt.sealing_secs == 120.0
         assert opt.max_growing_rows == 5000
         assert opt.delete_threshold == 0.5
+
+
+class TestAlteredSearchKnobsConsumed:
+    """r11: the per-kind default_* options were persisted by alter but
+    never read back at search time — these pin that they now ARE the
+    search-time defaults (and that explicit per-call args still win)."""
+
+    def test_ivf_default_nprobe_consumed(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=8)
+            q = [float(v) for v in emb.select("embedding").first()[0]]
+            # full-probe via the altered default == explicit full-probe
+            M.alter_index(idx, "default_nprobe", 8)
+            want = [(r["id"], round(r["distance"], 9))
+                    for r in idx.search(q, k=5, nprobe=8).collect()]
+            got = [(r["id"], round(r["distance"], 9))
+                   for r in idx.search(q, k=5).collect()]
+            assert got == want
+            # explicit nprobe still wins over the altered default
+            M.alter_index(idx, "default_nprobe", 1)
+            got2 = [(r["id"], round(r["distance"], 9))
+                    for r in idx.search(q, k=5, nprobe=8).collect()]
+            assert got2 == want
+
+    def test_hnsw_default_ef_and_quant_factor(self, spark, sf_dir):
+        from pgvecto_rs_spark.indexes.hnsw import (
+            DEFAULT_EF_SEARCH, QUANT_EF_FACTOR, HNSWIndex,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+        with tempfile.TemporaryDirectory() as d:
+            idx = HNSWIndex.create(spark, emb, d, metric="l2", segment_rows=64)
+            assert idx._resolve_ef(None) == DEFAULT_EF_SEARCH
+            assert idx._resolve_ef(17) == 17
+            # coded graphs widen the default traversal
+            idx.meta["quantization"] = "pq"
+            assert idx._resolve_ef(None) == DEFAULT_EF_SEARCH * QUANT_EF_FACTOR["pq"]
+            idx.meta["quantization"] = "rabitq"
+            assert idx._resolve_ef(None) == DEFAULT_EF_SEARCH * QUANT_EF_FACTOR["rabitq"]
+            # an altered default overrides the factor entirely
+            del idx.meta["quantization"]
+            M.alter_index(idx, "default_ef_search", 33)
+            assert idx._resolve_ef(None) == 33
+            assert idx._resolve_ef(80) == 80
+
+    def test_flat_default_rerank_size_consumed(self, spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        with tempfile.TemporaryDirectory() as d:
+            idx = FlatIndex.create(spark, emb, d, metric="l2", quantization="sq8")
+            q = [float(v) for v in emb.select("embedding").first()[0]]
+            # altered window default == explicitly passing the window
+            M.alter_index(idx, "default_rerank_size", 64)
+            want = [(r["id"], round(r["distance"], 9))
+                    for r in idx.search(q, k=5, rerank_size=64).collect()]
+            got = [(r["id"], round(r["distance"], 9))
+                   for r in idx.search(q, k=5).collect()]
+            assert got == want

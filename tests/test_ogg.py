@@ -115,6 +115,22 @@ class TestOpusTags:
             with pytest.raises(ValueError, match="truncated"):
                 extract_opus_tags(m)
 
+    def test_invalid_utf8_is_malformed_not_truncated(self):
+        # r10 ADVICE: invalid (non-truncated) UTF-8 in a comment used to
+        # report the misleading 'truncated field' — it is structurally
+        # complete, just malformed, and the message now says so.
+        from pgvecto_rs_spark.operators.ogg import _page
+
+        head = (b"OpusHead\x01\x02" + struct.pack("<HIh", 312, 48000, 0)
+                + b"\x00")
+        bad = b"TITLE=\xff\xfe"  # not valid UTF-8, lengths all correct
+        tags = (b"OpusTags" + struct.pack("<I", 0) + struct.pack("<I", 1)
+                + struct.pack("<I", len(bad)) + bad)
+        m = _page(1, 0, 0, 2, [head]) + _page(1, 1, 0, 0, [tags]) \
+            + _page(1, 2, 960, 4, [b"\xfc\xff\xfe"])
+        with pytest.raises(ValueError, match="malformed UTF-8"):
+            extract_opus_tags(m)
+
     def test_non_opus_rejected(self):
         m = bytearray(encode_ogg_opus(1))
         i = m.find(b"OpusHead")
