@@ -318,6 +318,10 @@ class FlatIndex:
         anti-join (tombstones) before ranking."""
         q = base.prep_query(query, self.meta["normalize"])
         qlist = [float(v) for v in q]
+        if not rerank_size:
+            # alter(default_rerank_size) persists the reference's
+            # sq_rerank_size GUC analogue into meta (maintenance.py)
+            rerank_size = int(self.meta.get("default_rerank_size", 0))
         df = base.apply_residual(self._rows(), filter, exclude)
 
         if self.meta.get("storage") == "f16":
@@ -352,7 +356,11 @@ class FlatIndex:
                 .select("id", "distance")
             )
         if quant in _SQ_KINDS or quant in ("pq", "rabitq"):
-            window = max(k, rerank_size, k * 4)
+            from pgvecto_rs_spark.indexes.quantization import scaled_rerank_window
+
+            # flat's approximate pass scores the WHOLE corpus, so the
+            # scale-aware default window pools over n_rows
+            window = scaled_rerank_window(quant, k, self.meta["n_rows"], rerank_size)
             if quant in _SQ_KINDS:
                 approx = dist_expr(self._decoded_codes(), qlist, self.meta["kernel"])
                 code_cols = ["id", "codes"]
@@ -559,7 +567,11 @@ class FlatIndex:
 
         meta = self.meta
         quant = meta["quantization"]
-        win = int(max(k, rerank_size, k * 4))
+        if not rerank_size:
+            rerank_size = int(meta.get("default_rerank_size", 0))
+        from pgvecto_rs_spark.indexes.quantization import scaled_rerank_window
+
+        win = scaled_rerank_window(quant, k, meta["n_rows"], rerank_size)
         kk = int(k)
         kernel, metric = meta["kernel"], meta["metric"]
         rows = queries.select(query_id_col, query_vec_col).collect()

@@ -54,6 +54,17 @@ from pgvecto_rs_spark.indexes import segment_worker as SW
 DEFAULT_M = 12  # crates/base/src/index.rs:406-409
 DEFAULT_EF_CONSTRUCTION = 300  # :410-413
 DEFAULT_EF_SEARCH = 100  # :561-563
+#: Default ef_search multiplier for coded-graph traversal (applies when
+#: the caller leaves ef_search unset).  A quantized frontier ranks by
+#: approximate distances, so at the same ef it surfaces fewer true
+#: neighbors than the f32 graph and the exact rescoring pass cannot
+#: recover what the stream never yielded.  1M-gate measurements
+#: (BENCHNOTES r10 table): hnsw 0.993 and hnsw_sq8 0.992 at ef=100
+#: (no widening needed), hnsw_pq 0.949 at ef=100 but 0.998 at ef=400 —
+#: 2x clears the 0.95 default bar with margin.  rabitq carries 8x less
+#: code information per dim than sq8, so it gets 4x (conservative; the
+#: 64-dim regime is documented as below-bar regardless).
+QUANT_EF_FACTOR = {"pq": 2, "rabitq": 4}
 DEFAULT_SEGMENT_ROWS = 20_000
 
 # Executor-process-global segment cache: {seg_dir: (fingerprint, data)}.
@@ -278,17 +289,13 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
             alive &= pd[:, ci] > ds
         return [int(ids[ci]) for ci in kept]
 
-    def prune_arrays_sorted(ids: np.ndarray, ds: np.ndarray, cap: int) -> list[int]:
-        # Two-tier: the greedy scan usually fills its cap from the
-        # nearest candidates, so prune the head first and fall back to
-        # the full set only when the head can't fill — identical result
-        # (the scan is prefix-stable), smaller pairwise gemm typically.
-        head = 6 * cap
-        if len(ids) > head:
-            kept = _prune_arrays(ids[:head], ds[:head], cap)
-            if len(kept) == cap:
-                return kept
-        return _prune_arrays(ids, ds, cap)
+    # NOTE r11: the r10 two-tier "prune the head first" shortcut was
+    # re-measured and REMOVED — at efc=200/m=12 the head (6*cap = 144 of
+    # ~200 candidates) failed to fill its cap 58% of the time, so the
+    # expected gemm cost was 1.10x the plain full prune (fallback pays
+    # head + full).  Single-tier prune + the wider reverse-edge slack
+    # below measured 28 s vs the r10 code's 53 s on the same 20k build.
+    prune_arrays_sorted = _prune_arrays
 
     def prune(cand_sorted: list[tuple[float, int]], cap: int) -> list[int]:
         ids = np.asarray([c for _, c in cand_sorted], dtype=np.int64)
@@ -306,13 +313,15 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
     # Level 0 holds every node and absorbs ~all edge traffic: keep it as
     # one flat int32 matrix (-1 = empty) so a frontier batch's neighbors
     # gather in a single fancy index, no per-node list hops.  The row
-    # width is 2x the final cap: reverse edges accumulate into the slack
-    # and the diversity prune runs once per ~cap0 additions instead of
+    # width is 3x the final cap: reverse edges accumulate into the slack
+    # and the diversity prune runs once per ~2*cap0 additions instead of
     # on every overflow (immediate pruning made saturated-graph
     # insertion prune-bound — ~24 prunes per insertion at steady state).
     # A final pass trims every row to cap0 with the same heuristic.
+    # Slack sweep at 20k rows/efc=200/m=12: 2x 379 rows/s, 3x 633, 4x
+    # 551 (gathers over the wider matrix start to dominate) — 3x wins.
     # Upper levels (1/m of nodes each) stay in the list-of-arrays form.
-    buf0 = 2 * cap0
+    buf0 = 3 * cap0
     adj0 = np.full((n, buf0), -1, dtype=np.int32)
     deg0 = np.zeros(n, dtype=np.int32)
 
@@ -614,6 +623,20 @@ class HNSWIndex:
             return quant, (self.meta.get("dims", 0), self.meta.get("seed", 42))
         return quant, ()
 
+    def _resolve_ef(self, ef_search: int | None) -> int:
+        """Default ef_search, widened for coded graphs (QUANT_EF_FACTOR):
+        an explicit ef_search — per call, or persisted with
+        ``alter(default_ef_search)`` (maintenance.py) — is honored
+        as-is, no factor."""
+        if ef_search is not None:
+            return int(ef_search)
+        altered = self.meta.get("default_ef_search")
+        if altered is not None:
+            return int(altered)
+        return DEFAULT_EF_SEARCH * QUANT_EF_FACTOR.get(
+            self.meta.get("quantization"), 1
+        )
+
     # ------------------------------------------------------------------
     def apply_updates(
         self,
@@ -770,7 +793,7 @@ class HNSWIndex:
         self,
         query: Sequence[float],
         k: int = 10,
-        ef_search: int = DEFAULT_EF_SEARCH,
+        ef_search: int | None = None,
         filter=None,
         max_widen: int = 3,
         exact: bool = False,
@@ -786,7 +809,7 @@ class HNSWIndex:
         brute-scans the resident vectors — the full-rerank mode used for
         oracle checks of the storage/merge path."""
         q = base.prep_query(query, self.meta["normalize"])
-        ef = max(ef_search, k)
+        ef = max(self._resolve_ef(ef_search), k)
         residual = filter is not None or exclude is not None
         if exact:
             out = self._candidates(q, ef=max(ef, k), exact=True, keep_all=residual)
@@ -815,7 +838,7 @@ class HNSWIndex:
         self,
         query: Sequence[float],
         radius: float,
-        ef_search: int = DEFAULT_EF_SEARCH,
+        ef_search: int | None = None,
         filter=None,
         exclude: DataFrame | None = None,
     ) -> DataFrame:
@@ -845,7 +868,9 @@ class HNSWIndex:
         sc = self.spark.sparkContext
         q = base.prep_query(query, self.meta["normalize"])
         seg_dirs = self._segment_dirs()
-        run = SW.range_runner(quant, qparams, kernel, q, kradius, int(ef_search))
+        run = SW.range_runner(
+            quant, qparams, kernel, q, kradius, self._resolve_ef(ef_search)
+        )
 
         rdd = sc.parallelize(seg_dirs, len(seg_dirs)).mapPartitions(run)
         out = self.spark.createDataFrame(rdd, schema="id bigint, distance double")
@@ -858,7 +883,7 @@ class HNSWIndex:
         query_id_col: str,
         query_vec_col: str,
         k: int = 10,
-        ef_search: int = DEFAULT_EF_SEARCH,
+        ef_search: int | None = None,
     ) -> DataFrame:
         """Batched search: many queries per segment pass (amortizes task
         dispatch and keeps the graph resident).  Queries are collected and
@@ -872,18 +897,17 @@ class HNSWIndex:
 
         kernel, metric = self.meta["kernel"], self.meta["metric"]
         do_norm = self.meta["normalize"]
+        ef = max(self._resolve_ef(ef_search), k)
         rows = BT.collect_queries_or_none(queries, query_id_col, query_vec_col)
         if rows is None:
             # over-cap query set: executor-assembled blocks x segments,
             # never materialized on the driver
             return BT.hnsw_batch_distributed(
-                self, queries, query_id_col, query_vec_col, k,
-                ef=max(ef_search, k),
+                self, queries, query_id_col, query_vec_col, k, ef=ef,
             )
         qids = [r[0] for r in rows]
         qmat = [base.prep_query(r[1], do_norm) for r in rows]
         sc = self.spark.sparkContext
-        ef = max(ef_search, k)
         seg_dirs = self._segment_dirs()
 
         quant, qparams = self._quant()

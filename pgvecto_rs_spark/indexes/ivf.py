@@ -750,7 +750,8 @@ class IVFIndex:
         a rerank window gets exact distances (two-phase).
         """
         if nprobe is None:
-            nprobe = default_nprobe(self.meta["nlist"])
+            nprobe = int(self.meta.get("default_nprobe")
+                         or default_nprobe(self.meta["nlist"]))
         if (filter is not None or exclude is not None) and max_widen > 0:
             np_eff = nprobe
             for _ in range(max_widen + 1):
@@ -834,7 +835,7 @@ class IVFIndex:
                 cand = self._window_cut(scored, window)
             out = self._fetch_rerank(df, cand, scorer)
         elif quant == "pq":
-            window = max(k, rerank_size, k * 4)
+            window = self._fixed_rerank_window("pq", k, nprobe, rerank_size)
             approx = self._pq_scorer(q, lists)(F.col("list_id"), F.col("codes"))
             cand = self._window_cut(
                 df.select("id", "list_id", "codes").withColumn("adist", approx),
@@ -842,7 +843,7 @@ class IVFIndex:
             )
             out = self._fetch_rerank(df, cand, scorer)
         elif quant == "rabitq":
-            window = max(k, rerank_size, k * 4)
+            window = self._fixed_rerank_window("rabitq", k, nprobe, rerank_size)
             approx = self._rabitq_scorer(q, lists)(
                 F.col("list_id"), F.col("rq.norm"), F.col("rq.words")
             )
@@ -879,6 +880,18 @@ class IVFIndex:
         return scored.orderBy(F.col("adist").asc(), F.col("id").asc()).limit(window)
 
     RERANK_FETCH_CAP = 8192
+
+    def _fixed_rerank_window(self, quant: str | None, k: int,
+                             nprobe: int, rerank_size: int) -> int:
+        """Scale-aware rerank window over the probed candidate pool
+        (nprobe x rows/list) — see quantization.scaled_rerank_window
+        for the calibration."""
+        from pgvecto_rs_spark.indexes.quantization import scaled_rerank_window
+
+        meta = self.meta
+        pool = int(nprobe) * max(1, meta["n_rows"] // max(1, meta["nlist"]))
+        return scaled_rerank_window(quant, k, pool, rerank_size)
+
     #: max n_queries x nprobe x win approx-distance triples the batched
     #: quantized path may collect to the driver (~16 B/triple plus Row
     #: overhead -> low-GB worst case); above this the per-query cut
@@ -1053,7 +1066,8 @@ class IVFIndex:
         from pgvecto_rs_spark.indexes import batch as BT
 
         if nprobe is None:
-            nprobe = default_nprobe(self.meta["nlist"])
+            nprobe = int(self.meta.get("default_nprobe")
+                         or default_nprobe(self.meta["nlist"]))
         if self.meta["nlist"] == 0:  # empty index (issue_427 build path)
             return self.spark.createDataFrame(
                 [], "query_id bigint, id bigint, distance double"
@@ -1167,8 +1181,15 @@ class IVFIndex:
             "sq8" if meta.get("residual_quantization") else None
         )
         if nprobe is None:
-            nprobe = default_nprobe(meta["nlist"])
-        win = int(max(k, rerank_size, k * 4))
+            nprobe = int(meta.get("default_nprobe")
+                         or default_nprobe(meta["nlist"]))
+        # scale-aware default window keyed by the EFFECTIVE code kind
+        # (residual SQ keeps its trained bit width in meta, the quant
+        # string alone says "sq8")
+        qkey = quant
+        if quant in _SQ_KINDS or meta.get("residual_quantization"):
+            qkey = f"sq{meta.get('sq_bits', 8)}"
+        win = self._fixed_rerank_window(qkey, k, nprobe, rerank_size)
         kk = int(k)
         kernel, metric = meta["kernel"], meta["metric"]
         rows = queries.select(query_id_col, query_vec_col).collect()

@@ -182,3 +182,47 @@ def rabitq_score_udf(proj: np.ndarray, q: np.ndarray, kernel: str, spark):
         return pd.Series(q_sq + n2 - 2.0 * est_dot)
 
     return score
+
+
+# ---------------------------------------------------------------------------
+# scale-aware default rerank windows (r11)
+# ---------------------------------------------------------------------------
+
+#: Default rerank fraction of the approximately-scored candidate pool
+#: per quantizer (applies when rerank_size=0; an explicit rerank_size —
+#: the reference's pq_rerank_size / sq_rerank_size GUCs,
+#: src/gucs/executing.rs:4-14 — keeps the fixed-window contract).
+#: Calibrated on the 200k-row / nlist=512 sweep (BENCHNOTES r11
+#: "rerank window calibration"): pq recall saturates at its nprobe
+#: ceiling at ~4% of the pool (win 320 of a ~8.2k-candidate pool hit
+#: the 0.93 ceiling; the old fixed win 40 read 0.83), and at
+#: saturation results are bit-identical to the unquantized cell at the
+#: same nprobe (verified directly).  rabitq (1 bit/dim at 64 dims)
+#: needs ~2x that to approach its ceiling.  sq8's decode error is
+#: small enough that the fixed 4k window already matched the
+#: unquantized cell at the 1M gate (r10), so it keeps the cheap
+#: default; low-bit SQ interpolates by code size (conservative).
+RERANK_POOL_FRAC = {"pq": 0.04, "rabitq": 0.08,
+                    "sq4": 0.02, "sq2": 0.08, "sq1": 0.08}
+
+#: absolute bound on the scale-aware default window: keeps the
+#: exact-vector rerank fetch (win rows/query) bounded however large the
+#: candidate pool grows; users chasing the last recall points at
+#: extreme pool sizes set rerank_size explicitly
+RERANK_WINDOW_CAP = 4096
+
+
+def scaled_rerank_window(quant: str | None, k: int, pool: int,
+                         rerank_size: int) -> int:
+    """Rerank window for the fixed-window two-phase paths.  The DEFAULT
+    scales with the candidate pool because ADC rank error displaces
+    true neighbors further down the approximate order the more
+    candidates are scored — a fixed window's recall decays as the
+    corpus grows (pq measured 0.80 recall at the 1M gate with the old
+    fixed win 40; 4% of the pool restores the unquantized ceiling)."""
+    if rerank_size:
+        return int(max(k, rerank_size, k * 4))
+    frac = RERANK_POOL_FRAC.get(quant or "", 0.0)
+    if not frac:
+        return int(k * 4)
+    return int(max(k * 4, min(int(frac * pool), RERANK_WINDOW_CAP)))
