@@ -200,6 +200,7 @@ def _batch_speedup(spark) -> dict:
                 {"nprobe": 8, "rerank_size": 40},
             ),
         }
+        walls = {}
         for name, (idx, skw, bkw) in idxs.items():
             idx.search(queries[0][1], k=10, **skw).collect()  # warm
             t0 = time.perf_counter()
@@ -211,6 +212,13 @@ def _batch_speedup(spark) -> dict:
             idx.search_batch(qdf, "qid", "qv", k=10, **bkw).collect()
             batched = time.perf_counter() - t0
             out[name] = round(per_query / batched, 2)
+            # absolute batched wall recorded alongside the ratio (r10
+            # verdict item 7): the pq ratio's numerator is itself
+            # LUT-fast, so the RATIO understates the batched path —
+            # regressions of the batched wall itself are what must not
+            # hide behind the ratio explanation
+            walls[name] = round(batched, 3)
+        out["batched_wall_sec"] = walls
     return out
 
 
@@ -510,6 +518,15 @@ def main() -> None:
             out["geomean_vs_r1_loadnorm"] = round(
                 _gm(ratios) / out["canary_load_ratio"], 4
             )
+            # dispatch-floor ratio reported separately (r10 verdict item
+            # 5): scan/agg canaries can read ~1.0x while task-dispatch
+            # latency is inflated — a high dispatch ratio with a flat
+            # scan ratio marks dispatch-bound queries (tpch_q21,
+            # doc_decontaminate, ...) as load, not code
+            if prevq.get("canary_dispatch") and timings.get("canary_dispatch"):
+                out["canary_dispatch_ratio"] = round(
+                    timings["canary_dispatch"] / prevq["canary_dispatch"], 4
+                )
     except Exception:  # noqa: BLE001
         pass
     if errors:

@@ -1253,14 +1253,22 @@ class IVFIndex:
                         n_sub, ksz, sub = books.shape
                         qs = qm[qis]
                         qres = qs - c[None, :] if kernel == "l2" else qs
-                        lut = np.empty((n_sub, ksz, len(qis)))
-                        for s in range(n_sub):
-                            blk = qres[:, s * sub : (s + 1) * sub]
-                            if kernel == "l2":
-                                dif = books[s][None, :, :] - blk[:, None, :]
-                                lut[s] = np.einsum("qkj,qkj->qk", dif, dif).T
-                            else:
-                                lut[s] = -(books[s] @ blk.T)
+                        # one-shot LUT tensor for ALL subspaces x queries
+                        # (r11: the per-subspace einsum loop was the
+                        # batched-ADC hot spot — 12.3 -> 7.4 ms per
+                        # 1000-row list at 100 queries in isolation);
+                        # the gather-add stays a per-subspace loop: the
+                        # flat (rows x n_sub x nq) gather materializes
+                        # too much at large lists (4x slower at 20k rows)
+                        qb = qres.reshape(len(qis), n_sub, sub)
+                        cross = np.einsum("qsj,skj->qsk", qb, books)
+                        if kernel == "l2":
+                            b2 = np.einsum("skj,skj->sk", books, books)
+                            q2 = np.einsum("qsj,qsj->qs", qb, qb)
+                            lut = (b2[None, :, :] - 2.0 * cross
+                                   + q2[:, :, None]).transpose(1, 2, 0)
+                        else:
+                            lut = (-cross).transpose(1, 2, 0)
                         acc = np.zeros((len(codes), len(qis)))
                         for s in range(n_sub):
                             acc += lut[s][codes[:, s]]

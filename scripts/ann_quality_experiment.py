@@ -120,7 +120,15 @@ def main() -> None:
     from pgvecto_rs_spark.indexes import FlatIndex, HNSWIndex, IVFIndex
     from pgvecto_rs_spark.session import get_spark
 
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    argv = sys.argv[1:]
+    for a in list(argv):
+        # --dims=N regenerates the same mixture recipe at another
+        # dimensionality (r10 verdict item 3: the 64-dim-only evidence
+        # misses the 256-1536-dim regime real embedding corpora live in)
+        if a.startswith("--dims="):
+            globals()["DIMS"] = int(a.split("=", 1)[1])
+            argv.remove(a)
+    n_rows = int(argv[0]) if argv else 1_000_000
     spark = get_spark("ann-quality",
                       cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark.sparkContext.setLogLevel("ERROR")
@@ -145,12 +153,15 @@ def main() -> None:
     cells: list[tuple[str, dict, dict, str, list[int]]] = [
         # (name, create_kwargs, fixed search kwargs, sweep param, values)
         ("ivf", dict(nlist=nlist), {}, "nprobe", [1, 4, 10, 40]),
+        # r11: no fixed rerank_size — what the sweep measures is the
+        # DEFAULT operating point at each nprobe, i.e. the scale-aware
+        # rerank window (quantization.scaled_rerank_window)
         ("ivf_sq8", dict(nlist=nlist, residual_quantization=True),
-         dict(rerank_size=40), "nprobe", [1, 4, 10, 40]),
+         {}, "nprobe", [1, 4, 10, 40]),
         ("ivf_pq", dict(nlist=nlist, quantization="pq", pq_ratio=4),
-         dict(rerank_size=40), "nprobe", [1, 4, 10, 40]),
+         {}, "nprobe", [1, 4, 10, 40]),
         ("ivf_rabitq", dict(nlist=nlist, quantization="rabitq"),
-         dict(rerank_size=40), "nprobe", [1, 4, 10, 40]),
+         {}, "nprobe", [1, 4, 10, 40]),
         ("hnsw", dict(segment_rows=50_000, ef_construction=200), {},
          "ef_search", [10, 40, 100, 400]),
         ("hnsw_vecf16", dict(segment_rows=50_000, ef_construction=200,
@@ -166,7 +177,7 @@ def main() -> None:
                          quantization="pq", pq_ratio=4),
          {}, "ef_search", [10, 40, 100, 400]),
     ]
-    only = set(sys.argv[2:])
+    only = set(argv[1:])
     if only:
         cells = [c for c in cells if c[0] in only]
     else:
@@ -203,10 +214,25 @@ def main() -> None:
                         "batch_wall_sec": round(wall, 2)}
             print(f"  {name} {param}={v}: recall {rec:.4f} "
                   f"qps {N_QUERIES/wall:.0f}", flush=True)
+        # true default operating point: NO search-time arguments at
+        # all (default nprobe / ef / rerank window all self-resolve) —
+        # this is the cell the 0.95 bar applies to
+        t0 = time.perf_counter()
+        rows = idx.search_batch(qdf, "qid", "qv", k=K).collect()
+        wall = time.perf_counter() - t0
+        got = {}
+        for r in rows:
+            got.setdefault(int(r["query_id"]), set()).add(int(r["id"]))
+        rec = sum(
+            len(got.get(i, set()) & truths[i]) / K
+            for i in range(N_QUERIES)) / N_QUERIES
+        curve["default"] = {"recall_at_10": round(rec, 4),
+                            "qps_batched": round(N_QUERIES / wall, 1),
+                            "batch_wall_sec": round(wall, 2)}
+        print(f"  {name} DEFAULT: recall {rec:.4f} "
+              f"qps {N_QUERIES/wall:.0f}", flush=True)
         # per-query latency at the default setting (dispatch included)
-        dflt = {"nprobe": 10, "ef_search": 100}[param]
         kw = dict(skw)
-        kw[param] = dflt
         idx.search(qs[0].tolist(), k=K, **kw).collect()  # warm
         t0 = time.perf_counter()
         for i in range(10):
