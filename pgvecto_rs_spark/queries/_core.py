@@ -194,18 +194,17 @@ _DRIVER_WINDOW: list[str] = [
     # (a) queries whose CODE changed this round and therefore must be
     #     re-proved even though their last row is green, and
     # (b) a couple of stable anchors as regression canaries.
-    # -- (a) code changed in r10: ogg.extract_opus_tags error-contract
-    #    normalization (struct.error -> ValueError on truncated
-    #    OpusTags fields) behind mm_opus_tags; avalanche-hash fixture
-    #    rewrites (linear pair scaling) behind mm_image_neardup /
-    #    mm_audio_neardup; scale-adaptive k + pinned dgemm impl behind
-    #    emb_semdedup.  The mp3.py change is a dead-variable deletion
-    #    with no behavior delta — not pinned.  Kept deliberately small
-    #    so the self-filled slots drain the r7-stale ledger tail (r9
-    #    advice item 3; the three *_neardup/semdedup names are r7/r8-
-    #    stale, so they were inside the 50-slot gate regardless). --
-    "mm_opus_tags", "mm_image_neardup", "mm_audio_neardup",
-    "emb_semdedup",
+    # -- (a) code changed in r11: the HNSW segment build changed (prune
+    #    head removed, reverse-edge slack 2x -> 3x — different but
+    #    equally-valid graphs) behind every hnsw-backed query; the
+    #    quantized two-phase window/default resolution and the batched
+    #    ADC rewrite behind the pq/sq8 index queries (explicit
+    #    rerank_size in those queries should make results identical —
+    #    re-proving that is the point); ogg's UTF-8 error message
+    #    narrowing behind mm_opus_tags. --
+    "hnsw_topk_l2", "hnsw_range_l2", "vecf16_topk_l2",
+    "bin_hamming_hnsw_topk", "ivf_pq_topk_l2", "flat_sq8_topk_l2",
+    "mm_opus_tags",
     # -- (b) stable anchors --
     "topk_l2", "doc_dedup_exact",
 ]
