@@ -276,7 +276,9 @@ def oracle_sql() -> dict[str, str]:
 #     hnsw/sq8 are approximate -> rows-only)
 # ---------------------------------------------------------------------------
 
-_INDEX_CACHE_VERSION = 5  # bump to invalidate /tmp caches when index layout changes
+_INDEX_CACHE_VERSION = 6  # bump to invalidate /tmp caches when index layout changes
+# v6: r11 HNSW build change (prune head removed, slack 3x) — graphs are
+# different-but-equally-valid; rebuild so oracles prove the NEW builder
 
 
 def _tmp_index_dir(name: str, sf_dir: str) -> str:
