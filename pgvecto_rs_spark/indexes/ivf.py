@@ -43,14 +43,18 @@ DEFAULT_NPROBE = 10  # crates/base/src/index.rs:558-560
 
 
 def default_nprobe(nlist: int) -> int:
-    """Scale-aware default: probe ~4% of lists, floor 10 (the
+    """Scale-aware default: probe ~5% of lists, floor 10 (the
     reference's flat default, index.rs:558-560, is tuned for its small
     default nlist).  Calibrated on the 1M-row / nlist=1024 quality
-    sweep (scripts/ann_quality_experiment.py, BENCHNOTES "ANN quality"
-    r10): 2% of lists gave recall@10 ~0.8, 4% gave 0.956 — so ~4% is
-    the default operating point; identical to the old nlist/50 rule
-    for every nlist <= 250 (all bench/oracle configurations)."""
-    return max(DEFAULT_NPROBE, -(-nlist // 25))
+    sweep (scripts/ann_quality_experiment.py): 2% of lists gave
+    recall@10 ~0.8; 4% read 0.956 on r10's k-means draw but 0.946 on
+    r11's — within sampling jitter of the 0.95 bar, so the default
+    takes 5% for margin (r11 re-measurement at nprobe=52: 0.9580).
+    The training sample is deterministic since r11, so the default
+    operating point is a fixed number per corpus, not a draw.
+    Identical to the old nlist/50 rule for every nlist <= 200 (all
+    bench/oracle configurations)."""
+    return max(DEFAULT_NPROBE, -(-nlist // 20))
 
 
 KMEANS_ITERS = 10  # crates/k_means/src/lib.rs:40-46
@@ -235,13 +239,27 @@ class IVFIndex:
             F.col(id_col).alias("id"), vec.alias("vec"), *[F.col(c) for c in payload_cols]
         )
 
-        # --- train on a driver-side sample (cap mirrors the reference)
+        # --- train on a driver-side sample (cap mirrors the reference).
+        # r11: the old sample(...).limit(cap) kept whichever partitions
+        # answered first, so two builds of the SAME file could train on
+        # different subsets in different orders — recall at the default
+        # operating point jittered ~±0.01 across processes.  sample()
+        # itself is seed+content deterministic per partition; sorting by
+        # id and trimming driver-side makes the whole build a pure
+        # function of (file, options, seed).  The over-draw above the
+        # cap is binomial (~±sqrt(cap) rows) — trivially collectable.
         n_total = prepared.count()
-        fraction = min(1.0, SAMPLE_CAP / max(n_total, 1))
+        fraction = min(1.0, (SAMPLE_CAP * 1.05 + 1024) / max(n_total, 1))
         sample = (
-            prepared.select("vec").sample(fraction=fraction, seed=seed).limit(SAMPLE_CAP).collect()
+            prepared.select("id", "vec").sample(fraction=fraction, seed=seed).collect()
         )
-        x = np.asarray([r["vec"] for r in sample], dtype=np.float64)
+        # order/trim by a Knuth-hashed id, not the raw id: the trim to
+        # the cap must not bias the training set toward low ids (ids
+        # often correlate with ingest time/content)
+        sample.sort(
+            key=lambda r: ((int(r["id"]) * 2654435761) & 0xFFFFFFFF, int(r["id"]))
+        )
+        x = np.asarray([r["vec"] for r in sample[:SAMPLE_CAP]], dtype=np.float64)
         if len(x) == 0:
             # issue_427.slt: an all-NULL (or empty) column must build an
             # empty index that searches to the empty set, not crash in
@@ -722,6 +740,46 @@ class IVFIndex:
             out = out.dropDuplicates(["id"])
         return out
 
+    def _widen_certified(self, q: np.ndarray, np_eff: int, rows) -> bool:
+        """Exactness certificate for the filtered-widening early stop
+        (r11).  The old stop returned as soon as k survivors existed,
+        which is only the GLOBAL filtered top-k when the probed lists
+        happen to contain it — true by luck of the centroid draw, not
+        by construction.  This certifies it: every UNPROBED list j has
+        a distance lower bound from its stored residual radius r_j
+        (range-search pruning reuses the same artifact) —
+
+        - l2:  (max(0, ||q - c_j|| - r_j))^2   (ball bound)
+        - dot: -(q . c_j) - ||q|| r_j          (Cauchy-Schwarz)
+        - cos: the dot bound on normalized vectors (+1 in SQL units)
+
+        and the early result is exact iff the worst kept distance
+        strictly beats every unprobed bound.  Driver-side numpy over
+        nlist entries — O(nlist . dims) per widening round, no job
+        (the radii are loaded once per handle)."""
+        if not rows:
+            return False
+        nlist = self.meta["nlist"]
+        probed = {int(l) for l in self.probe_lists(q, np_eff)}
+        un = np.asarray(
+            [j for j in range(nlist) if j not in probed], dtype=np.int64
+        )
+        if not len(un):
+            return True
+        radii = self.list_radii()
+        cents = self.centroids.astype(np.float64)[un]
+        r = radii[un]
+        t = max(float(row["distance"]) for row in rows)
+        if self.meta["kernel"] == "l2":
+            d = cents - q[None, :]
+            cd = np.sqrt(np.maximum(np.einsum("ij,ij->i", d, d), 0.0))
+            lb = np.maximum(cd - r, 0.0) ** 2
+        else:  # dot kernel; cos metric = dot distance + 1 in SQL units
+            lb = -(cents @ q) - float(np.linalg.norm(q)) * r
+            if self.meta["metric"] == "cos":
+                t -= 1.0
+        return bool(t < float(lb.min()))
+
     def search(
         self,
         query: Sequence[float],
@@ -753,6 +811,7 @@ class IVFIndex:
             nprobe = int(self.meta.get("default_nprobe")
                          or default_nprobe(self.meta["nlist"]))
         if (filter is not None or exclude is not None) and max_widen > 0:
+            q_ = base.prep_query(query, self.meta["normalize"])
             np_eff = nprobe
             for _ in range(max_widen + 1):
                 out = self.search(
@@ -760,7 +819,11 @@ class IVFIndex:
                     rerank_size=rerank_size, max_widen=0, exclude=exclude,
                 )
                 rows = out.limit(k).collect()
-                if len(rows) >= min(k, self.meta["n_rows"]) or np_eff >= self.meta["nlist"]:
+                full = np_eff >= self.meta["nlist"]
+                if full or (
+                    len(rows) >= min(k, self.meta["n_rows"])
+                    and self._widen_certified(q_, np_eff, rows)
+                ):
                     return self.spark.createDataFrame(rows, out.schema)
                 np_eff = min(self.meta["nlist"], np_eff * 4)
             return self.spark.createDataFrame(rows, out.schema)

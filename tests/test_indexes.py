@@ -65,17 +65,19 @@ class TestFlat:
 
 class TestIVF:
     def test_default_nprobe_scales_with_nlist(self):
-        """r10: ~4% of lists, floor 10 — identical to the old nlist/50
-        rule for every nlist <= 250 (all bench/oracle configs), and
-        calibrated to recall@10 >= 0.95 at nlist=1024 on the 1M quality
-        sweep (BENCHNOTES r10)."""
+        """r11: ~5% of lists, floor 10 — identical to the old nlist/50
+        rule for every nlist <= 200 (all bench/oracle configs).  4%
+        measured 0.946-0.956 recall@10 at nlist=1024 on the 1M sweep
+        depending on the k-means draw — too close to the 0.95 bar; 5%
+        restores margin (BENCHNOTES r11)."""
         from pgvecto_rs_spark.indexes.ivf import default_nprobe
 
         assert default_nprobe(8) == 10
         assert default_nprobe(64) == 10
-        assert default_nprobe(250) == 10
-        assert default_nprobe(1000) == 40
-        assert default_nprobe(1024) == 41
+        assert default_nprobe(200) == 10
+        assert default_nprobe(250) == 13
+        assert default_nprobe(1000) == 50
+        assert default_nprobe(1024) == 52
 
     def test_recall_at_default_operating_point(self, spark, emb):
         """Mean recall@10 over a 20-query set (the reference CLI's
@@ -112,6 +114,18 @@ class TestIVF:
             out = idx.search(Q64, k=5, nprobe=4, filter=F.col("id") % 2 == 0).collect()
             assert len(out) == 5
             assert all(r["id"] % 2 == 0 for r in out)
+
+    def test_deterministic_build_across_builds(self, spark, emb):
+        """r11: two builds of the same input must train on the same
+        sample in the same order — the old sample().limit(cap) kept
+        whichever partitions answered first, so centroids (and the
+        default-operating-point recall) jittered across processes."""
+        import numpy as np
+
+        with tempfile.TemporaryDirectory() as d:
+            a = IVFIndex.create(spark, emb, f"{d}/a", metric="l2", nlist=8)
+            b = IVFIndex.create(spark, emb, f"{d}/b", metric="l2", nlist=8)
+            assert np.array_equal(a.centroids, b.centroids)
 
     def test_open_round_trip(self, spark, emb):
         with tempfile.TemporaryDirectory() as d:
