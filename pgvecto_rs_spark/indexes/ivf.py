@@ -49,11 +49,12 @@ def default_nprobe(nlist: int) -> int:
     sweep (scripts/ann_quality_experiment.py): 2% of lists gave
     recall@10 ~0.8; 4% read 0.956 on r10's k-means draw but 0.946 on
     r11's — within sampling jitter of the 0.95 bar, so the default
-    takes 5% for margin (r11 re-measurement at nprobe=52: 0.9580).
-    The training sample is deterministic since r11, so the default
-    operating point is a fixed number per corpus, not a draw.
-    Identical to the old nlist/50 rule for every nlist <= 200 (all
-    bench/oracle configurations)."""
+    takes 5% for margin (r11 re-measurement at nprobe=52 with the
+    deterministic training sample: 0.990 on every ivf quantizer cell,
+    BENCHNOTES r11).  The training sample is deterministic since r11,
+    so the default operating point is a fixed number per corpus, not a
+    draw.  Identical to the old nlist/50 rule for every nlist <= 200
+    (all bench/oracle configurations)."""
     return max(DEFAULT_NPROBE, -(-nlist // 20))
 
 
