@@ -659,7 +659,9 @@ class FlatIndex:
         pairs_py = [(int(r["qi"]), int(r["id"])) for r in cand_rows]
         uniq_ids = sorted({i for _, i in pairs_py})
         rowsrc = self._rows().select("id", "vec")
-        if len(uniq_ids) <= 8192:
+        # literal-inline only small id sets (planning cost — see the
+        # IVF batch fetch; same _ISIN_LITERAL_CAP rule)
+        if len(uniq_ids) <= _ISIN_LITERAL_CAP:
             fetched = rowsrc.where(F.col("id").isin(uniq_ids))
         else:
             ids_df = self.spark.createDataFrame([(i,) for i in uniq_ids], "id bigint")

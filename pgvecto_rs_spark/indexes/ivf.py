@@ -1423,7 +1423,13 @@ class IVFIndex:
                 for i in sorted(qd, key=lambda j: (qd[j], j))[:win]
             ]
             uniq_ids = sorted({i for _, i in pairs_py})
-            if len(uniq_ids) <= self.RERANK_FETCH_CAP:
+            # literal-inline ONLY small id sets: at batch sizes the
+            # candidate union easily reaches thousands, and a 4k-literal
+            # IN expression costs ~2.5 s of planning alone (measured
+            # r11: isin fetch 4.66 s vs broadcast-join fetch 2.12 s at
+            # 40 queries x 50k rows) — the same _ISIN_LITERAL_CAP rule
+            # the single-query rerank fetch already applies
+            if len(uniq_ids) <= _ISIN_LITERAL_CAP:
                 fetched = rowsrc.where(F.col("id").isin(uniq_ids))
             else:
                 ids_df = self.spark.createDataFrame(
