@@ -385,12 +385,28 @@ def main() -> None:
     # cache, excluded from timing (the reference excludes build/IO too).
     # Per-query isolation: one sick query must not zero the whole bench,
     # so failures are recorded as {"err": ...} and timing continues.
+    # r11 verdict #2: a cache-version bump makes every index-backed
+    # query pay its build inside this pass; when a warm touch is slow
+    # (build happened), run the full query once more untimed and
+    # release the build's storage debris so the timed loop measures
+    # steady state — and record warmup_s so BENCH_rN shows WHERE
+    # one-time cost went instead of leaking it into query walls.
     errors: dict[str, str] = {}
+    warmup_s: dict[str, float] = {}
     for n in names:
         try:
+            t0 = time.perf_counter()
             registry[n](spark, SF_DIR).limit(1).collect()
+            w = time.perf_counter() - t0
+            if w > 2.0:
+                registry[n](spark, SF_DIR).collect()
+                warmup_s[n] = round(w, 2)
         except Exception as e:  # noqa: BLE001 - harness must survive anything
             errors[n] = f"{type(e).__name__}: {str(e).splitlines()[0][:300]}"
+    # one storage release after ALL builds (a System.gc per slow query
+    # measured minutes of extra warm-up wall); the timed loop below
+    # releases between queries anyway
+    _release_storage(spark)
 
     # Best-of-repeats steady-state per query — the reference CLI
     # averages over `epoch` repeats; min-of-repeats removes GC/
@@ -430,6 +446,10 @@ def main() -> None:
         # are not load-comparable, so the ratio code skips it on mismatch
         "canary_heavy_shape": 5,
     }
+    if warmup_s:
+        # one-time setup (index builds after a cache bump) paid during
+        # warm-up, SEPARATE from query walls — sidecar only
+        detail["warmup_s"] = warmup_s
     if errors:
         detail["errors"] = errors
     recall = _ann_recall(spark, registry)

@@ -494,7 +494,9 @@ class FlatIndex:
             )
 
         if self.meta.get("quantization") is not None:
-            return self._search_batch_quantized(queries, query_id_col, query_vec_col, k)
+            return self._search_batch_quantized(
+                queries, query_id_col, query_vec_col, k, qrows=qrows
+            )
         if self.meta.get("storage") == "f16":
             # the block runner decodes vec16 natively; even under-cap
             # batches use it (a per-query loop would build an n-way
@@ -557,6 +559,7 @@ class FlatIndex:
         query_vec_col: str,
         k: int,
         rerank_size: int = 0,
+        qrows: list | None = None,
     ) -> DataFrame:
         """Batched two-phase for quantized flat: ONE codes-only scan
         approximates all queries (decode-on-access), a global per-query
@@ -574,7 +577,14 @@ class FlatIndex:
         win = scaled_rerank_window(quant, k, meta["n_rows"], rerank_size)
         kk = int(k)
         kernel, metric = meta["kernel"], meta["metric"]
-        rows = queries.select(query_id_col, query_vec_col).collect()
+        # search_batch already collected the query set (cap check);
+        # reuse it — the old re-collect here was one redundant Spark
+        # job per batched quantized search (r11 verdict #5)
+        rows = (
+            qrows
+            if qrows is not None
+            else queries.select(query_id_col, query_vec_col).collect()
+        )
         qids = [int(r[0]) for r in rows]
         qmat = np.asarray(
             [base.prep_query(r[1], meta["normalize"]) for r in rows], dtype=np.float64

@@ -219,9 +219,18 @@ def _prune_diverse(
     return [int(ids[ci]) for ci in kept]
 
 
-def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
+def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int,
+                 stats: dict | None = None):
     """Sequential HNSW insertion over one segment.  Returns
     neighbors[node] = list of int32 arrays, one per level.
+
+    ``stats`` (optional, diagnostics only — r11 verdict #1 straggler
+    hunt): a dict that accumulates per-phase counters — dist_calls /
+    dist_rows (gather+gemv batches and total rows scored), prune_calls /
+    prune_rows (diversity prunes and candidate rows), rev_overflow
+    (level-0 reverse-edge slack overflows), trim_prunes (final pass),
+    and ins_wall_q (wall per 10% insertion chunk).  Passing None (the
+    production path) keeps the loop counter-free.
 
     Vectorized inner loop (reference builds with rayon-parallel compiled
     insertion, crates/hnsw/src/lib.rs:116-196; here the win comes from
@@ -260,6 +269,14 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
             return np.maximum(sqn[idx] - 2.0 * (g @ q) + qsq, 0.0)
         return -(g @ q)
 
+    if stats is not None:
+        _dists_raw = dists
+
+        def dists(idx, q, qsq):  # noqa: F811 - instrumented twin
+            stats["dist_calls"] = stats.get("dist_calls", 0) + 1
+            stats["dist_rows"] = stats.get("dist_rows", 0) + len(idx)
+            return _dists_raw(idx, q, qsq)
+
     def _prune_arrays(ids: np.ndarray, ds: np.ndarray, cap: int) -> list[int]:
         # Same heuristic as _prune_diverse, reusing the precomputed norms.
         # Mask formulation: keeping s eliminates every not-yet-kept c with
@@ -296,6 +313,11 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
     # head + full).  Single-tier prune + the wider reverse-edge slack
     # below measured 28 s vs the r10 code's 53 s on the same 20k build.
     prune_arrays_sorted = _prune_arrays
+    if stats is not None:
+        def prune_arrays_sorted(ids, ds, cap):  # noqa: F811
+            stats["prune_calls"] = stats.get("prune_calls", 0) + 1
+            stats["prune_rows"] = stats.get("prune_rows", 0) + len(ids)
+            return _prune_arrays(ids, ds, cap)
 
     def prune(cand_sorted: list[tuple[float, int]], cap: int) -> list[int]:
         ids = np.asarray([c for _, c in cand_sorted], dtype=np.int64)
@@ -326,7 +348,15 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
     deg0 = np.zeros(n, dtype=np.int32)
 
     entry = 0
+    if stats is not None:
+        import time as _time
+
+        _t_start = _time.perf_counter()
+        _chunk = max(1, n // 10)
+        stats["ins_wall_q"] = []
     for i in range(1, n):
+        if stats is not None and i % _chunk == 0:
+            stats["ins_wall_q"].append(round(_time.perf_counter() - _t_start, 2))
         q = V[i]
         qsq = float(q @ q) if kernel == "l2" else 0.0
         lvl = levels[i]
@@ -433,6 +463,8 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
                         adj0[v, dv] = i
                         deg0[v] = dv + 1
                     else:
+                        if stats is not None:
+                            stats["rev_overflow"] = stats.get("rev_overflow", 0) + 1
                         merged = np.append(adj0[v], np.int32(i)).astype(np.int64)
                         ds = dists(merged, V[v], vsq)
                         o = np.lexsort((merged, ds))
@@ -461,6 +493,8 @@ def _build_graph(vecs: np.ndarray, kernel: str, m: int, ef_construction: int):
         if dv <= cap0:
             neighbors[v][0] = adj0[v, :dv].copy()
         else:
+            if stats is not None:
+                stats["trim_prunes"] = stats.get("trim_prunes", 0) + 1
             nbrs = adj0[v, :dv].astype(np.int64)
             vsq = float(sqn[v]) if kernel == "l2" else 0.0
             ds = dists(nbrs, V[v], vsq)

@@ -163,6 +163,14 @@ class IVFIndex:
     #: exact, safe for the planner's bare-sphere dispatch.
     RANGE_EXACT = True
 
+    #: Secondary stop for the filtered-search widening ladder: accept a
+    #: top-k that survived one 4x probe widening unchanged even when the
+    #: exactness certificate does not fire (r11 advice — on clustered
+    #: data the certificate's ball bound is usually 0 and every filtered
+    #: search would otherwise escalate to a full scan).  Set False on a
+    #: handle to restore certificate-or-full-scan exactness.
+    STABLE_WIDEN_STOP = True
+
     def __init__(self, spark: SparkSession, path: str, meta: dict, centroids: np.ndarray):
         self.spark = spark
         self.path = path
@@ -170,6 +178,10 @@ class IVFIndex:
         self.centroids = centroids
         self._lists_df: DataFrame | None = None
         self._radii: np.ndarray | None = None
+        #: filtered-search widening stop reasons per handle
+        #: ({"rounds", "full", "certified", "stable", "exhausted"}) —
+        #: makes the certificate's fire rate measurable (r11 advice)
+        self.widen_stats: dict[str, int] = {}
 
     def _lists(self) -> DataFrame:
         """The lists DataFrame, created once per index handle.
@@ -757,7 +769,13 @@ class IVFIndex:
         and the early result is exact iff the worst kept distance
         strictly beats every unprobed bound.  Driver-side numpy over
         nlist entries — O(nlist . dims) per widening round, no job
-        (the radii are loaded once per handle)."""
+        (the radii are loaded once per handle).
+
+        The comparison subtracts a relative-epsilon margin (the same
+        scheme range_search applies to the identical bounds): t comes
+        from the Spark-side kernel and can differ from the driver
+        numpy bound by ulps, so a borderline case must fail CLOSED —
+        uncertified -> widen (r11 advice)."""
         if not rows:
             return False
         nlist = self.meta["nlist"]
@@ -779,7 +797,9 @@ class IVFIndex:
             lb = -(cents @ q) - float(np.linalg.norm(q)) * r
             if self.meta["metric"] == "cos":
                 t -= 1.0
-        return bool(t < float(lb.min()))
+        m = float(lb.min())
+        margin = 1e-9 * max(1.0, abs(t), abs(m))
+        return bool(t < m - margin)
 
     def search(
         self,
@@ -793,11 +813,13 @@ class IVFIndex:
     ) -> DataFrame:
         """Top-k by metric distance.  Returns DataFrame(id, distance).
 
-        ``nprobe`` defaults to ``default_nprobe`` (~4% of lists): the reference's flat
-        default of 10 misses the >=0.95 recall@10 target once nlist
-        grows (measured 0.86 at nlist=1000 on 2M rows; 0.95+ needs ~20
-        probes there — BENCHNOTES §1), so the default scales with nlist
-        while keeping the scan fraction ~2%.
+        ``nprobe`` defaults to ``default_nprobe`` = ceil(nlist/20), i.e.
+        ~5% of lists (r11 calibration: the pool-fraction law measured at
+        the 1M gate — BENCHNOTES r11 quality matrix; 5% clears the 0.95
+        recall@10 bar with margin at both 64 and 256 dims).  The
+        reference's flat default of 10 misses that target once nlist
+        grows (measured 0.86 at nlist=1000 on 2M rows), so the default
+        scales with nlist.
 
         The scan touches only the nprobe pruned partitions; residual
         ``filter`` runs before the limit (VBASE exact-k under filters —
@@ -812,21 +834,58 @@ class IVFIndex:
             nprobe = int(self.meta.get("default_nprobe")
                          or default_nprobe(self.meta["nlist"]))
         if (filter is not None or exclude is not None) and max_widen > 0:
+            # Escalation ladder (cost-bounded, r11 advice): per round,
+            # stop on the first of
+            #   full      — probed every list: exact by construction;
+            #   certified — _widen_certified's ball/Cauchy-Schwarz
+            #               bound proves the kept top-k is the global
+            #               filtered top-k: exact;
+            #   stable    — >=k survivors and the top-k (ids AND
+            #               distances) unchanged across a 4x probe
+            #               widening: a strong empirical signal, NOT a
+            #               proof — on clustered data the certificate
+            #               rarely fires (the nearest unprobed ball
+            #               usually overlaps the query, lb=0), and
+            #               without this stop every filtered search
+            #               escalated through all max_widen rounds to
+            #               a full scan (~nlist/nprobe-fold cost).
+            # The stable stop costs at most one extra round over the
+            # old luck-based stop and is strictly MORE conservative
+            # than it (which returned round-1 results unverified).
+            # self.widen_stats counts stop reasons per handle so the
+            # certification rate is measurable (ADVICE r11).
             q_ = base.prep_query(query, self.meta["normalize"])
             np_eff = nprobe
+            prev_key = None
+            stats = self.widen_stats
             for _ in range(max_widen + 1):
                 out = self.search(
                     query, k=k, nprobe=np_eff, filter=filter,
                     rerank_size=rerank_size, max_widen=0, exclude=exclude,
                 )
                 rows = out.limit(k).collect()
-                full = np_eff >= self.meta["nlist"]
-                if full or (
-                    len(rows) >= min(k, self.meta["n_rows"])
-                    and self._widen_certified(q_, np_eff, rows)
-                ):
+                stats["rounds"] = stats.get("rounds", 0) + 1
+                enough = len(rows) >= min(k, self.meta["n_rows"])
+                if np_eff >= self.meta["nlist"]:
+                    stats["full"] = stats.get("full", 0) + 1
                     return self.spark.createDataFrame(rows, out.schema)
+                if enough and self._widen_certified(q_, np_eff, rows):
+                    stats["certified"] = stats.get("certified", 0) + 1
+                    return self.spark.createDataFrame(rows, out.schema)
+                key = tuple(
+                    (int(r["id"]), float(r["distance"])) for r in rows
+                )
+                if (
+                    self.STABLE_WIDEN_STOP
+                    and enough
+                    and prev_key is not None
+                    and key == prev_key
+                ):
+                    stats["stable"] = stats.get("stable", 0) + 1
+                    return self.spark.createDataFrame(rows, out.schema)
+                prev_key = key
                 np_eff = min(self.meta["nlist"], np_eff * 4)
+            stats["exhausted"] = stats.get("exhausted", 0) + 1
             return self.spark.createDataFrame(rows, out.schema)
 
         if self.meta["nlist"] == 0:  # empty index (issue_427 build path)
@@ -1151,7 +1210,8 @@ class IVFIndex:
             "residual_quantization"
         ):
             return self._search_batch_quantized(
-                queries, query_id_col, query_vec_col, k, nprobe, rerank_size
+                queries, query_id_col, query_vec_col, k, nprobe, rerank_size,
+                qrows=qrows,
             )
 
         kernel, metric = self.meta["kernel"], self.meta["metric"]
@@ -1230,6 +1290,7 @@ class IVFIndex:
         k: int,
         nprobe: int | None,
         rerank_size: int,
+        qrows: list | None = None,
     ) -> DataFrame:
         """Batched two-phase search for quantized IVF: ONE codes-only
         scan of the union of probed lists approximates all queries
@@ -1256,7 +1317,14 @@ class IVFIndex:
         win = self._fixed_rerank_window(qkey, k, nprobe, rerank_size)
         kk = int(k)
         kernel, metric = meta["kernel"], meta["metric"]
-        rows = queries.select(query_id_col, query_vec_col).collect()
+        # reuse the caller's collected query set when given — the old
+        # re-collect was one redundant Spark job per batched quantized
+        # search (r11 verdict #5)
+        rows = (
+            qrows
+            if qrows is not None
+            else queries.select(query_id_col, query_vec_col).collect()
+        )
         qids = [int(r[0]) for r in rows]
         qmat = np.asarray(
             [base.prep_query(r[1], meta["normalize"]) for r in rows], dtype=np.float64

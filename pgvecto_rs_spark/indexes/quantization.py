@@ -219,7 +219,12 @@ def scaled_rerank_window(quant: str | None, k: int, pool: int,
     true neighbors further down the approximate order the more
     candidates are scored — a fixed window's recall decays as the
     corpus grows (pq measured 0.80 recall at the 1M gate with the old
-    fixed win 40; 4% of the pool restores the unquantized ceiling)."""
+    fixed win 40; 4% of the pool restores the unquantized ceiling).
+
+    An explicit ``rerank_size`` wins only UPWARD: it is floored at
+    ``k*4`` (and ``k``), so a caller can widen the window but never
+    shrink it below the recall-safe minimum — conservative by design
+    (never loses recall; costs at most a 4k-row exact fetch)."""
     if rerank_size:
         return int(max(k, rerank_size, k * 4))
     frac = RERANK_POOL_FRAC.get(quant or "", 0.0)

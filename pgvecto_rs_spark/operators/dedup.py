@@ -558,7 +558,7 @@ def embedding_neardup_pairs(
     vector_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.2,
-    method: str = "brute",
+    method: str = "ivf",
     nlist: int = 64,
     replicas: int = 2,
     seed: int = 42,
@@ -566,14 +566,18 @@ def embedding_neardup_pairs(
     """Near-duplicate pairs by embedding cosine distance < threshold:
     (id_a, id_b, cos_dist).
 
-    ``brute`` cross-joins (exact; quadratic — bound the input).
-    ``ivf`` is the corpus-scale path: spherical-k-means centroids on a
-    sample, every vector assigned to its ``replicas`` nearest lists,
-    candidates = pairs sharing a list (an equi-join on list_id — the
-    quadratic blowup is confined to lists, same shape as LSH banding
-    and knn_join_ivf), then exact cosine verify.  ``replicas = nlist``
-    degenerates to exact (every pair co-occurs) — the full-probe mode
-    used to validate recall in tests.
+    ``ivf`` (the DEFAULT — safe at corpus scale, r11 verdict #6):
+    spherical-k-means centroids on a sample, every vector assigned to
+    its ``replicas`` nearest lists, candidates = pairs sharing a list
+    (an equi-join on list_id — the quadratic blowup is confined to
+    lists, same shape as LSH banding and knn_join_ivf), then exact
+    cosine verify.  ``replicas = nlist`` degenerates to exact (every
+    pair co-occurs) — the full-probe mode used to validate recall.
+
+    ``brute`` cross-joins (exact; quadratic) — an explicit
+    oracle/validation mode for BOUNDED inputs only, never the default:
+    a caller who omits ``method`` on a 100 TB corpus must not get the
+    cartesian by omission.
     """
     from pgvecto_rs_spark.functions.dense import cosine_distance
 

@@ -194,17 +194,17 @@ _DRIVER_WINDOW: list[str] = [
     # (a) queries whose CODE changed this round and therefore must be
     #     re-proved even though their last row is green, and
     # (b) a couple of stable anchors as regression canaries.
-    # -- (a) code changed in r11: the HNSW segment build changed (prune
-    #    head removed, reverse-edge slack 2x -> 3x — different but
-    #    equally-valid graphs) behind every hnsw-backed query; the
-    #    quantized two-phase window/default resolution and the batched
-    #    ADC rewrite behind the pq/sq8 index queries (explicit
-    #    rerank_size in those queries should make results identical —
-    #    re-proving that is the point); ogg's UTF-8 error message
-    #    narrowing behind mm_opus_tags. --
-    "hnsw_topk_l2", "hnsw_range_l2", "vecf16_topk_l2",
-    "bin_hamming_hnsw_topk", "ivf_pq_topk_l2", "flat_sq8_topk_l2",
-    "mm_opus_tags",
+    # -- (a) code changed in r12: the IVF filtered/excluded search
+    #    escalation ladder (certificate margin + stable-top-k stop,
+    #    ivf.py) sits behind every fresh_* query (sealed-index search
+    #    with tombstone excludes); embedding_neardup_pairs' default
+    #    method flipped to ivf and emb_neardup_cos now passes
+    #    method="brute" explicitly; emb_semdedup's k derivation reads
+    #    the recursive _parquet_rows; search_batch threads qrows into
+    #    the quantized branch (flat.py/ivf.py) behind batch_topk_l2
+    #    and ivf_pq_topk_l2. --
+    "fresh_topk_l2", "fresh_range_l2", "emb_neardup_cos",
+    "emb_semdedup", "batch_topk_l2", "ivf_pq_topk_l2",
     # -- (b) stable anchors --
     "topk_l2", "doc_dedup_exact",
 ]

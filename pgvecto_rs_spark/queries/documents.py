@@ -701,7 +701,9 @@ def emb_neardup_cos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs over a bounded slice (the brute
     baseline; IVF-bucketed variant is the scale path)."""
     out = DD.embedding_neardup_pairs(
-        _emb(spark, sf_dir).where(F.col("vec_id") < 200), threshold=0.7
+        _emb(spark, sf_dir).where(F.col("vec_id") < 200),
+        threshold=0.7,
+        method="brute",  # bounded slice: the exact oracle baseline
     )
     return out.select("id_a", "id_b", _r4(F.col("cos_dist")).alias("cos_dist"))
 

@@ -794,10 +794,13 @@ def _parquet_rows(path: str) -> int:
     import pyarrow.parquet as _pq
 
     if os.path.isdir(path):
-        return sum(
-            _pq.read_metadata(f).num_rows
-            for f in glob.glob(os.path.join(path, "*.parquet"))
-        )
+        # recursive: a partitioned Spark dataset nests part files under
+        # key=*/ subdirs — a top-level-only glob would silently return 0
+        # and skew any caller deriving k or a sample size (r11 advice)
+        files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+        if not files:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        return sum(_pq.read_metadata(f).num_rows for f in files)
     return _pq.read_metadata(path).num_rows
 
 

@@ -41,6 +41,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 DIMS = 64
+PQ_RATIO = 4
 N_CLUSTERS = 16
 N_QUERIES = 100
 K = 10
@@ -128,6 +129,12 @@ def main() -> None:
         if a.startswith("--dims="):
             globals()["DIMS"] = int(a.split("=", 1)[1])
             argv.remove(a)
+        elif a.startswith("--pq-ratio="):
+            # r11 verdict #7: at 1024-1536 dims the interesting PQ
+            # operating point is ratio 8 (128-192 subspaces), not the
+            # 64-dim default of 4
+            globals()["PQ_RATIO"] = int(a.split("=", 1)[1])
+            argv.remove(a)
     n_rows = int(argv[0]) if argv else 1_000_000
     spark = get_spark("ann-quality",
                       cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
@@ -158,7 +165,7 @@ def main() -> None:
         # rerank window (quantization.scaled_rerank_window)
         ("ivf_sq8", dict(nlist=nlist, residual_quantization=True),
          {}, "nprobe", [1, 4, 10, 40]),
-        ("ivf_pq", dict(nlist=nlist, quantization="pq", pq_ratio=4),
+        ("ivf_pq", dict(nlist=nlist, quantization="pq", pq_ratio=PQ_RATIO),
          {}, "nprobe", [1, 4, 10, 40]),
         ("ivf_rabitq", dict(nlist=nlist, quantization="rabitq"),
          {}, "nprobe", [1, 4, 10, 40]),
@@ -174,7 +181,7 @@ def main() -> None:
                           quantization="sq8"),
          {}, "ef_search", [10, 40, 100, 400]),
         ("hnsw_pq", dict(segment_rows=50_000, ef_construction=200,
-                         quantization="pq", pq_ratio=4),
+                         quantization="pq", pq_ratio=PQ_RATIO),
          {}, "ef_search", [10, 40, 100, 400]),
     ]
     only = set(argv[1:])

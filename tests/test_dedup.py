@@ -32,7 +32,9 @@ class TestEmbeddingNearDup:
     def test_ivf_full_probe_equals_brute(self, emb):
         """replicas = nlist puts every vector in every list -> candidate
         set is all pairs -> the ivf path must equal brute exactly."""
-        brute = _pairset(DD.embedding_neardup_pairs(emb, threshold=0.7))
+        brute = _pairset(
+            DD.embedding_neardup_pairs(emb, threshold=0.7, method="brute")
+        )
         full = _pairset(
             DD.embedding_neardup_pairs(
                 emb, threshold=0.7, method="ivf", nlist=4, replicas=4
@@ -55,7 +57,9 @@ class TestEmbeddingNearDup:
             rows.append((1000 + i, arr.tolist()))
             rows.append((2000 + i, (arr + rng.normal(0, 0.01, arr.shape)).tolist()))
         planted = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-        brute = _pairset(DD.embedding_neardup_pairs(planted, threshold=0.05))
+        brute = _pairset(
+            DD.embedding_neardup_pairs(planted, threshold=0.05, method="brute")
+        )
         assert len(brute) >= 30, "planted copies must be near-dups"
         ivf = _pairset(
             DD.embedding_neardup_pairs(
@@ -68,6 +72,15 @@ class TestEmbeddingNearDup:
     def test_unknown_method_rejected(self, emb):
         with pytest.raises(ValueError):
             DD.embedding_neardup_pairs(emb, method="annoy")
+
+    def test_default_method_is_scale_path(self):
+        """r11 verdict #6: omitting ``method`` must give the bucketed
+        IVF path, not the quadratic crossJoin — a 100 TB caller must
+        never get the cartesian by omission."""
+        import inspect
+
+        sig = inspect.signature(DD.embedding_neardup_pairs)
+        assert sig.parameters["method"].default == "ivf"
 
 
 class TestSimhashBucketCap:

@@ -380,6 +380,48 @@ class TestSearchBatch:
                         sorted(by_q[qr["qid"]], key=lambda t: (t[1], t[0])) == expect
                     ), (quant, qr["qid"])
 
+    def test_quantized_batch_reuses_collected_queries(self, spark, emb):
+        """r11 verdict #5: search_batch collects the query set once (the
+        driver-cap check) and threads it through; the quantized branch
+        must NOT re-collect.  Passing queries=None with explicit qrows
+        proves the branch never touches the DataFrame — and the result
+        must equal the public search_batch output."""
+        qdf = emb.orderBy("vec_id").limit(4).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        qrows = qdf.collect()
+        with tempfile.TemporaryDirectory() as d:
+            fidx = FlatIndex.create(
+                spark, emb, f"{d}/f", metric="l2", quantization="sq8"
+            )
+            want = sorted(
+                (r["query_id"], r["id"], round(r["distance"], 9))
+                for r in fidx.search_batch(qdf, "qid", "qv", k=10).collect()
+            )
+            got = sorted(
+                (r["query_id"], r["id"], round(r["distance"], 9))
+                for r in fidx._search_batch_quantized(
+                    None, "qid", "qv", 10, qrows=qrows
+                ).collect()
+            )
+            assert got == want
+            iidx = IVFIndex.create(
+                spark, emb, f"{d}/i", metric="l2", nlist=8, quantization="sq8"
+            )
+            want = sorted(
+                (r["query_id"], r["id"], round(r["distance"], 9))
+                for r in iidx.search_batch(
+                    qdf, "qid", "qv", k=10, nprobe=8, rerank_size=40
+                ).collect()
+            )
+            got = sorted(
+                (r["query_id"], r["id"], round(r["distance"], 9))
+                for r in iidx._search_batch_quantized(
+                    None, "qid", "qv", 10, 8, 40, qrows=qrows
+                ).collect()
+            )
+            assert got == want
+
     def test_ivf_batch_quantized_driver_cap_falls_back_distributed(
         self, spark, emb, monkeypatch
     ):
@@ -715,6 +757,58 @@ class TestIVFWidening:
                 filter=F.col("vec_id") % 50 == 0, tiebreaker="vec_id",
             ).collect()
             assert [r["id"] for r in out] == [r["vec_id"] for r in truth]
+
+    def test_stable_topk_stops_escalation(self, spark, emb, monkeypatch):
+        """r11 advice: on clustered data the exactness certificate
+        rarely fires (nearest unprobed ball overlaps the query), and
+        the old loop then escalated every filtered search to a full
+        scan.  With the certificate forced off, an unchanged top-k
+        across one 4x widening must stop the ladder after exactly two
+        rounds — and the answer must still match the exact filtered
+        oracle on this data."""
+        from pgvecto_rs_spark.indexes.ivf import IVFIndex as _IVF
+
+        with tempfile.TemporaryDirectory() as d:
+            # ladder must have room BELOW full probe: 4 -> 16 -> 32(full),
+            # so a stable stop can only fire at round 2 (16 of 32 lists);
+            # nprobe=4 already holds the filtered top-5 on this fixture
+            # (verified against nprobe=16), so round 2 sees it unchanged
+            idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=32)
+            monkeypatch.setattr(_IVF, "_widen_certified", lambda *a, **k: False)
+            out = idx.search(
+                Q64, k=5, nprobe=4, filter=F.col("id") % 2 == 0
+            ).collect()
+            assert idx.widen_stats.get("stable") == 1
+            assert idx.widen_stats.get("rounds") == 2  # not max_widen+1
+            monkeypatch.undo()
+            truth = top_k(
+                emb, "embedding", Q64, 5, metric="l2",
+                filter=F.col("vec_id") % 2 == 0, tiebreaker="vec_id",
+            ).collect()
+            assert [r["id"] for r in out] == [r["vec_id"] for r in truth]
+
+    def test_certificate_margin_fails_closed(self, spark, emb):
+        """_widen_certified compares Spark-kernel t against a driver
+        numpy bound; a borderline t == lb.min() must NOT certify
+        (relative-epsilon margin, conservative direction — r11
+        advice), while t clearly below the bound must."""
+        import numpy as np
+
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=8)
+            q = np.asarray(Q64, dtype=np.float64)
+            probed = {int(l) for l in idx.probe_lists(q, 2)}
+            un = np.asarray([j for j in range(8) if j not in probed])
+            assert len(un) > 0
+            cents = idx.centroids.astype(np.float64)[un]
+            r = idx.list_radii()[un]
+            dd = cents - q[None, :]
+            cd = np.sqrt(np.maximum(np.einsum("ij,ij->i", dd, dd), 0.0))
+            lbmin = float((np.maximum(cd - r, 0.0) ** 2).min())
+            assert lbmin > 0, "need a separated unprobed list for this pin"
+            assert not idx._widen_certified(q, 2, [{"distance": lbmin}])
+            below = lbmin - max(1.0, lbmin) * 1e-6
+            assert idx._widen_certified(q, 2, [{"distance": below}])
 
 
 class TestSphericalIVF:
