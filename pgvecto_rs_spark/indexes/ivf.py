@@ -88,13 +88,20 @@ def _lloyd(
     n = x.shape[0]
     nlist = min(nlist, n)
     centroids = _kmeanspp_init(x, nlist, rng).copy()
+    # assignment scratch reused across iterations: the naive expression
+    # materializes three (n x nlist) temporaries per iteration and the
+    # allocation+traffic dominated PQ training at high dims (r12 — the
+    # hnsw_pq 256-dim quantizer phase measured 3x the graph build).
+    # The in-place order below is BIT-IDENTICAL to the old expression:
+    # gemm out= writes the same product, (-2)*t == -(2*t) exactly, and
+    # IEEE addition commutes, so ((-2xc) + x2) + c2 == (x2 - 2xc) + c2.
+    x2 = np.einsum("ij,ij->i", x, x)  # constant across iterations
+    d = np.empty((n, nlist), dtype=np.float64)
     for _ in range(iters):
-        # squared L2 via the expansion trick; argmin over centroids
-        d = (
-            np.einsum("ij,ij->i", x, x)[:, None]
-            - 2.0 * (x @ centroids.T)
-            + np.einsum("ij,ij->i", centroids, centroids)[None, :]
-        )
+        np.dot(x, centroids.T, out=d)
+        d *= -2.0
+        d += x2[:, None]
+        d += np.einsum("ij,ij->i", centroids, centroids)[None, :]
         assign = np.argmin(d, axis=1)
         for c in range(nlist):
             mask = assign == c

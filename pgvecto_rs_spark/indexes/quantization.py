@@ -40,10 +40,23 @@ TRAIN_CAP = 65536  # common/src/sample.rs
 # ---------------------------------------------------------------------------
 
 def pq_train(sample: np.ndarray, n_subspaces: int, bits: int = PQ_BITS, seed: int = 42) -> np.ndarray:
-    """Codebooks (n_subspaces, 2^bits, sub_dims) via per-subspace Lloyd."""
+    """Codebooks (n_subspaces, 2^bits, sub_dims) via per-subspace Lloyd.
+
+    Training rows are capped at 64 per centroid (16384 at 8 bits) by a
+    deterministic stride over the caller's id-sorted rows — the same
+    points-per-centroid ratio as the reference's k-means sampling
+    (65536-row cap for its nlist=1000 default, common/src/sample.rs).
+    Lloyd cost is linear in rows, and past ~64/centroid extra rows only
+    re-measure the same cells: the r12 profile had quantizer training
+    at 3x the HNSW graph build per 256-dim segment, almost all of it
+    Lloyd over the full 50k rows.  Encoding still covers every row."""
     from pgvecto_rs_spark.indexes.ivf import _lloyd
 
     n, dims = sample.shape
+    cap = max((1 << bits) * 64, 4096)
+    if n > cap:
+        sample = sample[:: -(-n // cap)]
+        n = len(sample)
     if dims % n_subspaces:
         raise ValueError(f"dims {dims} not divisible by n_subspaces {n_subspaces}")
     sub = dims // n_subspaces

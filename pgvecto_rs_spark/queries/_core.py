@@ -276,9 +276,10 @@ def oracle_sql() -> dict[str, str]:
 #     hnsw/sq8 are approximate -> rows-only)
 # ---------------------------------------------------------------------------
 
-_INDEX_CACHE_VERSION = 6  # bump to invalidate /tmp caches when index layout changes
-# v6: r11 HNSW build change (prune head removed, slack 3x) — graphs are
-# different-but-equally-valid; rebuild so oracles prove the NEW builder
+_INDEX_CACHE_VERSION = 7  # bump to invalidate /tmp caches when index layout changes
+# v7: r12 PQ training-row cap (64 rows/centroid stride in pq_train) —
+# codebooks differ-but-equally-valid; rebuild so oracles prove the new
+# trainer.  (v6: r11 HNSW prune/slack rework.)
 
 
 def _tmp_index_dir(name: str, sf_dir: str) -> str:
