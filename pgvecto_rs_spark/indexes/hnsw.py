@@ -169,6 +169,33 @@ _read_exact_vecs = SW._read_exact_vecs
 _load_segment = SW._load_segment
 
 
+def _per_segment_apply(df: DataFrame, n_segments: int, build, schema: str) -> DataFrame:
+    """Run ``build(pdf)`` once per segment with EXACTLY one task per
+    segment (r12).  The old ``repartition(n, "seg").groupBy("seg")
+    .applyInPandas`` re-shuffled behind the explicit repartition, and
+    AQE partition coalescing then packed several segment builds into
+    one task: measured 20 x 50k-row builds running as 12 tasks — a
+    two-wave wall that explains why the r11 1.9x per-segment win never
+    moved the 1M build wall (499 s vs the 120 s 20-process floor; the
+    r11 "DRAM-bound" reading was wrong — the concurrency sweep puts
+    memory contention at ~25%, not 3x).  repartitionByRange with a
+    user-specified partition count is exempt from AQE coalescing and
+    places every row of a segment in one partition; the in-task groupby
+    handles the rare sampling-dependent case of two segments sharing a
+    range (they build sequentially, still correctly)."""
+
+    def run(batches):
+        acc: dict = {}
+        for pdf in batches:
+            for seg, g in pdf.groupby("seg"):
+                acc.setdefault(seg, []).append(g)
+        for seg in sorted(acc):
+            parts = acc[seg]
+            yield build(pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0])
+
+    return df.repartitionByRange(n_segments, "seg").mapInPandas(run, schema)
+
+
 def _level_of(vertex_no: int, m: int) -> int:
     """Deterministic hierarchy level: number of trailing zeros of the
     1-based vertex number in base m (hnsw/src/lib.rs:575-583)."""
@@ -607,9 +634,7 @@ class HNSWIndex:
             "neighbors array<array<int>>, entry bigint"
         ) + _quant_schema(quantization)
         (
-            prepared.repartition(n_segments, "seg")
-            .groupBy("seg")
-            .applyInPandas(build, schema)
+            _per_segment_apply(prepared, n_segments, build, schema)
             .write.mode("overwrite")
             .partitionBy("seg")
             .parquet(os.path.join(path, "graph"))
@@ -774,9 +799,7 @@ class HNSWIndex:
         # checkpoint severs lineage from the graph files we are about to
         # overwrite (Spark refuses to overwrite a path it is reading)
         live = live.localCheckpoint(eager=True)
-        rebuilt = (
-            live.repartition(len(segs), "seg").groupBy("seg").applyInPandas(build, schema)
-        )
+        rebuilt = _per_segment_apply(live, len(segs), build, schema)
         # dynamic overwrite: only the affected seg=N directories are
         # replaced; the cache fingerprint (mtime/size) invalidates them
         # on next read while untouched segments stay resident
