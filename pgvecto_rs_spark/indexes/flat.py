@@ -149,6 +149,7 @@ class FlatIndex:
                 np.save(os.path.join(path, "pq_codebooks.npy"), books, allow_pickle=False)
                 prepared = prepared.withColumn("codes", Qz.pq_encode_udf(books, spark)("vec"))
                 meta["pq_subspaces"] = n_sub
+                meta["pq_ratio"] = int(pq_ratio)
             else:
                 proj = Qz.rabitq_projection(dims, seed)
                 np.save(os.path.join(path, "rabitq_proj.npy"), proj, allow_pickle=False)
@@ -360,7 +361,10 @@ class FlatIndex:
 
             # flat's approximate pass scores the WHOLE corpus, so the
             # scale-aware default window pools over n_rows
-            window = scaled_rerank_window(quant, k, self.meta["n_rows"], rerank_size)
+            window = scaled_rerank_window(
+                quant, k, self.meta["n_rows"], rerank_size,
+                pq_ratio=int(self.meta.get("pq_ratio", 4)),
+            )
             if quant in _SQ_KINDS:
                 approx = dist_expr(self._decoded_codes(), qlist, self.meta["kernel"])
                 code_cols = ["id", "codes"]
@@ -574,7 +578,10 @@ class FlatIndex:
             rerank_size = int(meta.get("default_rerank_size", 0))
         from pgvecto_rs_spark.indexes.quantization import scaled_rerank_window
 
-        win = scaled_rerank_window(quant, k, meta["n_rows"], rerank_size)
+        win = scaled_rerank_window(
+            quant, k, meta["n_rows"], rerank_size,
+            pq_ratio=int(meta.get("pq_ratio", 4)),
+        )
         kk = int(k)
         kernel, metric = meta["kernel"], meta["metric"]
         # search_batch already collected the query set (cap check);

@@ -451,6 +451,7 @@ class IVFIndex:
             meta["sq_bits"] = _SQ_KINDS[quantization]
         if quantization == "pq":
             meta["pq_subspaces"] = int(centroids.shape[1]) // pq_ratio
+            meta["pq_ratio"] = int(pq_ratio)
         base.write_meta(path, meta)
         return cls(spark, path, meta, centroids)
 
@@ -1020,7 +1021,9 @@ class IVFIndex:
 
         meta = self.meta
         pool = int(nprobe) * max(1, meta["n_rows"] // max(1, meta["nlist"]))
-        return scaled_rerank_window(quant, k, pool, rerank_size)
+        return scaled_rerank_window(
+            quant, k, pool, rerank_size, pq_ratio=int(meta.get("pq_ratio", 4))
+        )
 
     #: max n_queries x nprobe x win approx-distance triples the batched
     #: quantized path may collect to the driver (~16 B/triple plus Row

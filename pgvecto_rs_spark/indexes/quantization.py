@@ -226,7 +226,7 @@ RERANK_WINDOW_CAP = 4096
 
 
 def scaled_rerank_window(quant: str | None, k: int, pool: int,
-                         rerank_size: int) -> int:
+                         rerank_size: int, pq_ratio: int = 4) -> int:
     """Rerank window for the fixed-window two-phase paths.  The DEFAULT
     scales with the candidate pool because ADC rank error displaces
     true neighbors further down the approximate order the more
@@ -237,10 +237,25 @@ def scaled_rerank_window(quant: str | None, k: int, pool: int,
     An explicit ``rerank_size`` wins only UPWARD: it is floored at
     ``k*4`` (and ``k``), so a caller can widen the window but never
     shrink it below the recall-safe minimum — conservative by design
-    (never loses recall; costs at most a 4k-row exact fetch)."""
+    (never loses recall; costs at most a 4k-row exact fetch).
+
+    ``pq_ratio`` scales the pq window by code coarseness,
+    (pq_ratio/4)^2, and lifts the absolute cap by pq_ratio/4: ADC rank
+    displacement grows with dims-per-subspace, and the r12 high-dim
+    smoke (200k x 1024, ratio 8, nlist=1024) measured default recall
+    0.825 at the flat 4% window vs 0.946/0.984/0.998 at windows
+    1000/2000/4096 — while the plain ivf cell read 1.000 at the same
+    nprobe, pinning the whole gap on ADC error.  The quadratic rule
+    puts ratio 8 at 16% of the pool (>=0.95 on that cell); ratio 4
+    keeps the calibrated 4% exactly."""
     if rerank_size:
         return int(max(k, rerank_size, k * 4))
     frac = RERANK_POOL_FRAC.get(quant or "", 0.0)
     if not frac:
         return int(k * 4)
-    return int(max(k * 4, min(int(frac * pool), RERANK_WINDOW_CAP)))
+    cap = RERANK_WINDOW_CAP
+    if quant == "pq" and pq_ratio > 4:
+        coarse = (pq_ratio / 4.0) ** 2
+        frac *= coarse
+        cap = int(cap * pq_ratio / 4)
+    return int(max(k * 4, min(int(frac * pool), cap)))
