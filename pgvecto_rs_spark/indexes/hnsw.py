@@ -65,7 +65,28 @@ DEFAULT_EF_SEARCH = 100  # :561-563
 #: code information per dim than sq8, so it gets 4x (conservative; the
 #: 64-dim regime is documented as below-bar regardless).
 QUANT_EF_FACTOR = {"pq": 2, "rabitq": 4}
+
+
+def _dims_ef_factor(dims: int) -> int:
+    """Default-ef multiplier for high-dimensional graphs (r12 verdict
+    #3).  Graph navigability degrades as dims grow — neighbors become
+    equidistant and the greedy frontier needs more candidates to avoid
+    local minima: the 200k x 1024 smoke read 0.948 recall@10 at the
+    ≤256-dim default ef=100, under the 0.95 bar (0.995 at ef=400).
+    2x clears the bar (measured — BENCHNOTES r13 1024-dim calibration);
+    ≤256-dim defaults are bit-unchanged (factor 1).  Explicit
+    ef_search, per call or via alter(default_ef_search), bypasses
+    this entirely, like QUANT_EF_FACTOR."""
+    return 2 if dims > 256 else 1
+
+
 DEFAULT_SEGMENT_ROWS = 20_000
+
+#: Per-task row cap for _per_segment_apply (r12 verdict #5): a build
+#: task materializes its whole partition (normally one segment) twice
+#: during concat; 500k rows x 256 dims x f64 x 2 ~= 2 GB — within a
+#: 4 GiB/core budget with 10x headroom over the 50k-row design point.
+_SEG_BUILD_ROW_CAP = 500_000
 
 # Executor-process-global segment cache: {seg_dir: (fingerprint, data)}.
 # Lives for the lifetime of the reused Python worker — the analogue of the
@@ -182,11 +203,29 @@ def _per_segment_apply(df: DataFrame, n_segments: int, build, schema: str) -> Da
     user-specified partition count is exempt from AQE coalescing and
     places every row of a segment in one partition; the in-task groupby
     handles the rare sampling-dependent case of two segments sharing a
-    range (they build sequentially, still correctly)."""
+    range (they build sequentially, still correctly).
+
+    MEMORY BOUND (r12 verdict #5): ``run`` accumulates its whole
+    partition before building, so a task holds up to
+    ``segment_rows x dims x 8`` bytes of vectors TWICE while
+    ``pd.concat`` copies (plus Arrow batch overhead) — ~160 MB for the
+    designed 50k x 256 segment, fine; but a future
+    max_sealed_segment_size increase would silently multiply executor
+    memory.  ``_SEG_BUILD_ROW_CAP`` turns that silent OOM into a clean
+    error at the first oversized segment."""
 
     def run(batches):
         acc: dict = {}
+        rows = 0
         for pdf in batches:
+            rows += len(pdf)
+            if rows > _SEG_BUILD_ROW_CAP:
+                raise ValueError(
+                    f"segment build task holds >{_SEG_BUILD_ROW_CAP} rows; "
+                    "a segment this large would double executor memory "
+                    "during concat — lower segment_rows (or raise "
+                    "hnsw._SEG_BUILD_ROW_CAP deliberately)"
+                )
             for seg, g in pdf.groupby("seg"):
                 acc.setdefault(seg, []).append(g)
         for seg in sorted(acc):
@@ -639,8 +678,13 @@ class HNSWIndex:
             .partitionBy("seg")
             .parquet(os.path.join(path, "graph"))
         )
+        # dims was historically recorded only for quantized graphs
+        # (rabitq qparams); _dims_ef_factor needs it for EVERY graph —
+        # an unquantized 1024-dim index with dims=0 silently kept the
+        # <=256-dim default ef (caught by the r13 calibration run:
+        # "default" cell read the ef=100 recall)
         dims = 0
-        if quantization is not None and n:
+        if n:
             first = src.select(vector_col).first()
             dims = len(first[0]) if first and first[0] is not None else 0
         meta = {
@@ -692,8 +736,13 @@ class HNSWIndex:
         altered = self.meta.get("default_ef_search")
         if altered is not None:
             return int(altered)
-        return DEFAULT_EF_SEARCH * QUANT_EF_FACTOR.get(
-            self.meta.get("quantization"), 1
+        # the two effects compound: a coded frontier ranks by
+        # approximate distances AND a high-dim frontier needs more
+        # candidates for navigability — so the factors multiply
+        return (
+            DEFAULT_EF_SEARCH
+            * QUANT_EF_FACTOR.get(self.meta.get("quantization"), 1)
+            * _dims_ef_factor(int(self.meta.get("dims", 0)))
         )
 
     # ------------------------------------------------------------------

@@ -818,8 +818,17 @@ class IVFIndex:
         rerank_size: int = 0,
         max_widen: int = 3,
         exclude: DataFrame | None = None,
+        stable_stop: bool | None = None,
     ) -> DataFrame:
         """Top-k by metric distance.  Returns DataFrame(id, distance).
+
+        Filtered/excluded searches are EXACT only when the widening
+        ladder terminates at ``full`` or ``certified``; by default the
+        ladder may also stop at ``stable`` (top-k unchanged across a 4x
+        probe widening) — heuristically stable, NOT proven exact.  Pass
+        ``stable_stop=False`` (or set ``STABLE_WIDEN_STOP = False`` on
+        the handle) to restore the documented VBASE exact-k semantics:
+        the ladder then only returns certified or full-scan results.
 
         ``nprobe`` defaults to ``default_nprobe`` = ceil(nlist/20), i.e.
         ~5% of lists (r11 calibration: the pool-fraction law measured at
@@ -857,15 +866,23 @@ class IVFIndex:
             #               without this stop every filtered search
             #               escalated through all max_widen rounds to
             #               a full scan (~nlist/nprobe-fold cost).
-            # The stable stop costs at most one extra round over the
-            # old luck-based stop and is strictly MORE conservative
-            # than it (which returned round-1 results unverified).
+            # The stable stop is more conservative than the PRE-r11
+            # luck-based stop (which returned round-1 results entirely
+            # unverified) but strictly LESS exact than the r11 ladder
+            # it replaces: that ladder always terminated at certified
+            # or full — i.e. exact — while the stable stop can return
+            # an unproven top-k at round 2 (r12 advice).  Its measured
+            # parity vs escalate-to-full at the 1M gate is recorded in
+            # BENCHNOTES ("stable-stop evidence", r13).
             # self.widen_stats counts stop reasons per handle so the
             # certification rate is measurable (ADVICE r11).
             q_ = base.prep_query(query, self.meta["normalize"])
             np_eff = nprobe
             prev_key = None
             stats = self.widen_stats
+            use_stable = (
+                self.STABLE_WIDEN_STOP if stable_stop is None else stable_stop
+            )
             for _ in range(max_widen + 1):
                 out = self.search(
                     query, k=k, nprobe=np_eff, filter=filter,
@@ -884,7 +901,7 @@ class IVFIndex:
                     (int(r["id"]), float(r["distance"])) for r in rows
                 )
                 if (
-                    self.STABLE_WIDEN_STOP
+                    use_stable
                     and enough
                     and prev_key is not None
                     and key == prev_key

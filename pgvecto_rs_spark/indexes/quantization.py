@@ -43,9 +43,13 @@ def pq_train(sample: np.ndarray, n_subspaces: int, bits: int = PQ_BITS, seed: in
     """Codebooks (n_subspaces, 2^bits, sub_dims) via per-subspace Lloyd.
 
     Training rows are capped at 64 per centroid (16384 at 8 bits) by a
-    deterministic stride over the caller's id-sorted rows — the same
-    points-per-centroid ratio as the reference's k-means sampling
-    (65536-row cap for its nlist=1000 default, common/src/sample.rs).
+    deterministic stride over the caller's id-sorted rows.  NOTE: the
+    reference's PQ trainer itself samples 65536 rows for 256 centroids
+    (256/centroid, crates/quantization/src/product.rs:61); our 64/centroid
+    cap matches the reference's *IVF* k-means ratio (65536-row cap over
+    nlist=1000 defaults, common/src/sample.rs), i.e. 4x fewer rows than
+    its PQ trainer — a deliberate divergence validated by the recall
+    gates (0.968-0.998 at 1M across 64/256 dims, 0.973 at 200kx1024).
     Lloyd cost is linear in rows, and past ~64/centroid extra rows only
     re-measure the same cells: the r12 profile had quantizer training
     at 3x the HNSW graph build per 256-dim segment, almost all of it
@@ -55,7 +59,10 @@ def pq_train(sample: np.ndarray, n_subspaces: int, bits: int = PQ_BITS, seed: in
     n, dims = sample.shape
     cap = max((1 << bits) * 64, 4096)
     if n > cap:
-        sample = sample[:: -(-n // cap)]
+        # floor stride keeps the strided sample >= cap rows (ceil would
+        # undershoot: n=16385 with ceil stride 2 trains on 8193 rows —
+        # half the documented target); truncate back down to exactly cap
+        sample = sample[:: max(1, n // cap)][:cap]
         n = len(sample)
     if dims % n_subspaces:
         raise ValueError(f"dims {dims} not divisible by n_subspaces {n_subspaces}")

@@ -246,12 +246,13 @@ def _load_segment(seg_dir: str, quant: str | None = None, qparams: tuple = ()):
         vecs = _RaBitQVecs(norms, words, rabitq_projection(dims, seed))
     elif quant == "f16":
         # decode the stored binary16 words; all grid values are exactly
-        # representable in f64, so distances computed on the decode ARE
-        # the vecf16 type's exact distances (the reference also computes
-        # f16 via wider floats)
+        # representable in f32 (and f64 — distances compute in f64 via
+        # mixed-dtype promotion against the f64 query), so distances on
+        # the f32-resident decode ARE the vecf16 type's exact distances
+        # (the reference also computes f16 via wider floats)
         vecs = np.asarray(
             [np.frombuffer(b.as_py(), dtype=np.float16) for b in col["vec16"]],
-            dtype=np.float64,
+            dtype=np.float32,
         )
     else:
         vecs = _read_vec_matrix_from(col["vec"])
@@ -571,21 +572,32 @@ def _block_topk_emit(qids, d, ids, k):
 
 
 def _read_vec_matrix_from(col) -> np.ndarray:
-    """list<float> column -> float64 matrix via the Arrow values-buffer
-    reshape (equal-length null-free lists guaranteed by index layout)."""
+    """list<float> column -> float32 matrix via the Arrow values-buffer
+    reshape (equal-length null-free lists guaranteed by index layout).
+
+    RESIDENT matrices stay f32 (r12 verdict item #2 / r11 #8): the
+    stored values ARE f32, every distance call mixes them with an f64
+    query (numpy promotes, so results are bit-identical to an f64
+    resident copy), and f32 halves both the resident footprint and the
+    first-touch decode traffic — measured 2.11 -> 1.63 ms/segment
+    traversal at 256 dims (scripts/hnsw_qps_floor_experiment.py) and
+    half the 1024-dim cold-load bytes.  Exact rerank fetches
+    (_read_exact_vecs) stay f64."""
     import pyarrow as pa
 
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     n = len(col)
     if not n:
-        return np.empty((0, 0))
+        return np.empty((0, 0), dtype=np.float32)
     flat = col.flatten().to_numpy(zero_copy_only=False)
-    return flat.astype(np.float64).reshape(n, len(flat) // n)
+    return np.ascontiguousarray(flat, dtype=np.float32).reshape(n, len(flat) // n)
 
 
 def _read_vec_matrix(tbl, vec_col: str) -> np.ndarray:
-    """Column -> float64 matrix; vec16 holds packed IEEE binary16 bytes.
+    """Column -> float32 matrix (see _read_vec_matrix_from for why f32);
+    vec16 holds packed IEEE binary16 bytes — every f16 grid value is
+    exactly representable in f32, so the decode loses nothing.
 
     The f32 path reshapes the Arrow values buffer directly (index
     layouts guarantee equal-length, null-free lists) — ~50x faster than
@@ -595,11 +607,12 @@ def _read_vec_matrix(tbl, vec_col: str) -> np.ndarray:
     if vec_col == "vec16":
         return np.asarray(
             [np.frombuffer(bb, dtype=np.float16) for bb in col.to_pylist()],
-            dtype=np.float64,
+            dtype=np.float32,
         )
     flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
     n = len(col)
-    return flat.astype(np.float64).reshape(n, len(flat) // n) if n else np.empty((0, 0))
+    return (np.ascontiguousarray(flat, dtype=np.float32).reshape(n, len(flat) // n)
+            if n else np.empty((0, 0), dtype=np.float32))
 
 
 def flat_file_block_runner(kernel: str, k: int, vec_col: str = "vec"):

@@ -463,17 +463,36 @@ def neardup_components(
     return labels
 
 
+def _guard_brute_rows(df: DataFrame, max_rows: int, what: str) -> None:
+    """Refuse a quadratic all-pairs path above ``max_rows`` input rows.
+
+    Even an EXPLICIT brute call must not cartesian a large input by
+    accident (r12 verdict #8): n rows cost n(n-1)/2 comparisons, so the
+    default 100k cap bounds the worst case at ~5e9 — large but finite.
+    The count is one cheap job over an input that is small by contract;
+    raise ``max_rows`` deliberately (or pass 0 to disable) if a bigger
+    validation slice is genuinely intended."""
+    if max_rows and (n := df.count()) > max_rows:
+        raise ValueError(
+            f"{what} is quadratic: input has {n} rows > max_rows={max_rows}; "
+            "use the bucketed/LSH path at scale, or raise max_rows explicitly"
+        )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.2,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all document pairs:
     (id_a, id_b, jaccard).  All-pairs is O(n²) — use it on candidate
     sets (e.g. minhash buckets) or bounded slices; the MinHash path is
-    the at-scale approximation of exactly this measure."""
+    the at-scale approximation of exactly this measure.  Inputs above
+    ``max_rows`` are refused (``_guard_brute_rows``)."""
+    _guard_brute_rows(df, max_rows, "ngram_jaccard_pairs")
     sh = df.select(
         F.col(id_col).alias("__id"), F.array_distinct(shingles(text_col, k)).alias("__sh")
     )
@@ -562,6 +581,7 @@ def embedding_neardup_pairs(
     nlist: int = 64,
     replicas: int = 2,
     seed: int = 42,
+    max_brute_rows: int = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine distance < threshold:
     (id_a, id_b, cos_dist).
@@ -585,6 +605,7 @@ def embedding_neardup_pairs(
         F.col(id_col).alias("__id"), F.col(vector_col).alias("__v")
     )
     if method == "brute":
+        _guard_brute_rows(e, max_brute_rows, "embedding_neardup_pairs(brute)")
         a = e.select(F.col("__id").alias("id_a"), F.col("__v").alias("v_a"))
         b = e.select(F.col("__id").alias("id_b"), F.col("__v").alias("v_b"))
         pairs = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))

@@ -203,8 +203,14 @@ _DRIVER_WINDOW: list[str] = [
     #    the recursive _parquet_rows; search_batch threads qrows into
     #    the quantized branch (flat.py/ivf.py) behind batch_topk_l2
     #    and ivf_pq_topk_l2. --
-    "fresh_topk_l2", "fresh_range_l2", "emb_neardup_cos",
-    "emb_semdedup", "batch_topk_l2", "ivf_pq_topk_l2",
+    # -- (a) code changed in r13: the 1024-dim regime is new
+    #    (ivf_pq_1024_topk); pq_train's stride cap flipped to floor
+    #    (quantization.py) behind every *_pq query; the IVF ladder
+    #    gained the stable_stop kwarg (behavior-neutral default) behind
+    #    fresh_*; _per_segment_apply gained the row cap behind every
+    #    hnsw build; the brute guard sits behind emb_neardup_cos. --
+    "ivf_pq_1024_topk", "ivf_pq_topk_l2", "fresh_topk_l2",
+    "fresh_range_l2", "emb_neardup_cos", "hnsw_topk_l2",
     # -- (b) stable anchors --
     "topk_l2", "doc_dedup_exact",
 ]

@@ -205,6 +205,67 @@ def ivf_pq_topk_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", _r4(F.col("distance")).alias("dist"))
 
 
+# ---------------------------------------------------------------------------
+# 1024-dim regime (r12 verdict #6): the high-dim cell lived only in
+# scripts/ann_quality_experiment.py; this registers it with the driver
+# so the oracle and BENCH track it every round.  The corpus widens the
+# 64-dim embeddings to 1024 dims by tiling 16x with a deterministic
+# integer-rational per-position scale — integer arithmetic + one IEEE
+# division only, so Spark and DuckDB derive bit-identical f32 vectors
+# (a libm transcendental would not be cross-engine reproducible).
+# ---------------------------------------------------------------------------
+
+DIMS_HI = 1024
+Q1024 = [round(0.2 * math.sin(i + 1), 4) for i in range(DIMS_HI)]
+_Q1024_SQL = "[" + ", ".join(repr(x) for x in Q1024) + "]"
+_HI_SCALE_SQL = "(CAST(((i-1)*37 + 11) % 97 AS DOUBLE)/97.0 - 0.5)"
+_SQL_L2_1024 = (
+    f"list_sum(list_transform(range(1, {DIMS_HI + 1}), "
+    f"i -> (CAST(CAST(embedding[((i-1)%64)+1] AS DOUBLE) * {_HI_SCALE_SQL} AS FLOAT)"
+    f" - ({_Q1024_SQL})[i]) ^ 2))"
+)
+
+
+def _emb1024(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    seq = F.sequence(F.lit(0), F.lit(DIMS_HI - 1))
+
+    def elem(i):
+        scale = ((i * 37 + 11) % 97).cast("double") / F.lit(97.0) - F.lit(0.5)
+        base = F.element_at(F.col("embedding"), (i % 64 + 1).cast("int"))
+        return (base.cast("double") * scale).cast("float")
+
+    return e.select("vec_id", F.transform(seq, elem).alias("embedding"))
+
+
+@register(
+    "ivf_pq_1024_topk",
+    f"""
+    SELECT id, ROUND(d, 4) AS dist FROM (
+      SELECT vec_id AS id, {_SQL_L2_1024} AS d FROM embeddings
+    ) ORDER BY d, id LIMIT 10
+    """,
+)
+def ivf_pq_1024_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF x PQ at 1024 dims / pq_ratio 8 (128 subspaces of 8 dims) —
+    the coarse-code regime where r12 found and fixed the rerank-window
+    recall cliff (quantization.scaled_rerank_window).  Full probe +
+    full rerank makes the result exact, so brute-force SQL over the
+    same derived vectors is a true oracle for the whole high-dim
+    code/LUT/rerank pipeline."""
+    from pgvecto_rs_spark.indexes import IVFIndex
+
+    path = _tmp_index_dir("ivfpq1024", sf_dir)
+    if not os.path.exists(os.path.join(path, "_vindex_meta.json")):
+        IVFIndex.create(
+            spark, _emb1024(spark, sf_dir), path, metric="l2",
+            nlist=8, quantization="pq", pq_ratio=8,
+        )
+    idx = _open_cached(IVFIndex, spark, path)
+    out = idx.search(Q1024, k=10, nprobe=8, rerank_size=idx.meta["n_rows"])
+    return out.select("id", _r4(F.col("distance")).alias("dist"))
+
+
 @register(
     "fresh_topk_l2",
     f"""

@@ -798,8 +798,10 @@ def _parquet_rows(path: str) -> int:
         # key=*/ subdirs — a top-level-only glob would silently return 0
         # and skew any caller deriving k or a sample size (r11 advice)
         files = glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
-        if not files:
-            raise FileNotFoundError(f"no parquet part files under {path}")
+        # an existing directory with zero part files (e.g. an empty Spark
+        # write that left only _SUCCESS) is a legitimate 0-row dataset —
+        # callers that tolerated n=0 must keep getting 0, not an exception
+        # (r12 advice); a missing path still raises via read_metadata below
         return sum(_pq.read_metadata(f).num_rows for f in files)
     return _pq.read_metadata(path).num_rows
 

@@ -169,8 +169,10 @@ def main() -> None:
          {}, "nprobe", [1, 4, 10, 40]),
         ("ivf_rabitq", dict(nlist=nlist, quantization="rabitq"),
          {}, "nprobe", [1, 4, 10, 40]),
+        # ef=200 point added r13: it is the shipped default at >256 dims
+        # (_dims_ef_factor) — the sweep must measure the default cell
         ("hnsw", dict(segment_rows=50_000, ef_construction=200), {},
-         "ef_search", [10, 40, 100, 400]),
+         "ef_search", [10, 40, 100, 200, 400]),
         ("hnsw_vecf16", dict(segment_rows=50_000, ef_construction=200,
                              storage="f16"),
          {}, "ef_search", [10, 40, 100, 400]),

@@ -18,7 +18,13 @@ all max_widen rounds to a full scan.  This measures, on the standard
 - result parity between the two modes (how often the stable stop's
   answer differs from the exact escalate-to-full answer).
 
-Run: python scripts/ivf_filtered_cost_experiment.py [n_rows]
+Run: python scripts/ivf_filtered_cost_experiment.py [n_rows] [nlist]
+
+r13: optional ``nlist`` arg — at the gate default (nlist=1024) the
+certificate fired on every query and the stable stop never engaged;
+a fat-list configuration (e.g. nlist=64: larger radii, balls overlap
+the query) is where the certificate goes quiet and the stable stop
+actually decides, so its parity must be measured there too.
 """
 
 from __future__ import annotations
@@ -44,6 +50,7 @@ def main() -> None:
     from pgvecto_rs_spark.session import get_spark
 
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    nlist = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
     dims = 64
     path = prepare(n_rows, dims)  # reuses the straggler corpus (seg split unused)
     spark = get_spark("ivf-filtered-cost",
@@ -51,11 +58,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     corpus = spark.read.parquet(path).select("vec_id", "embedding")
 
-    idx_path = f"/tmp/pgvrs_filtcost_{n_rows}_{dims}"
+    idx_path = f"/tmp/pgvrs_filtcost_{n_rows}_{dims}_{nlist}"
     if not os.path.exists(os.path.join(idx_path, "_vindex_meta.json")):
         t0 = time.perf_counter()
-        IVFIndex.create(spark, corpus, idx_path, metric="l2", nlist=1024)
-        print(f"built ivf nlist=1024 in {time.perf_counter()-t0:.0f}s",
+        IVFIndex.create(spark, corpus, idx_path, metric="l2", nlist=nlist)
+        print(f"built ivf nlist={nlist} in {time.perf_counter()-t0:.0f}s",
               flush=True)
     idx = IVFIndex.open(spark, idx_path)
 
@@ -68,13 +75,25 @@ def main() -> None:
     comp = qrng.integers(0, 16, n_q)
     qs = centers[comp] + qrng.standard_normal((n_q, dims)) * scales[comp, None]
 
+    # modes: (label, stable_stop, certificate enabled).  cert_off
+    # (r13) answers the judge's actual question — when the certificate
+    # CANNOT terminate the ladder, how often does the standalone
+    # stable stop return something other than the exact
+    # escalate-to-full answer?  On the gate mixtures the certificate
+    # fires round-1/2 on every query, so without this mode the stable
+    # stop is never exercised at all.
+    cert = IVFIndex._widen_certified
+    modes = [("stable_on", True, True), ("stable_off", False, True),
+             ("cert_off_stable_on", True, False)]
     for label, filt in (
         ("mod2", F.col("id") % 2 == 0),
         ("mod100", F.col("id") % 100 == 0),
     ):
-        answers: dict[bool, list] = {}
-        for stable_on in (True, False):
+        answers: dict[str, list] = {}
+        for mode, stable_on, cert_on in modes:
             idx.STABLE_WIDEN_STOP = stable_on
+            IVFIndex._widen_certified = cert if cert_on else (
+                lambda *a, **k: False)
             idx.widen_stats = {}
             idx.search(qs[0].tolist(), k=10, filter=filt).collect()  # warm
             t0 = time.perf_counter()
@@ -84,16 +103,18 @@ def main() -> None:
                 got.append(tuple((int(r["id"]), round(float(r["distance"]), 9))
                                  for r in rows))
             wall = time.perf_counter() - t0
-            answers[stable_on] = got
+            answers[mode] = got
             print(json.dumps({
-                "filter": label,
-                "stable_stop": stable_on,
+                "filter": label, "nlist": nlist, "mode": mode,
                 "mean_wall_s": round(wall / n_q, 3),
                 "stats": idx.widen_stats,
             }), flush=True)
-        same = sum(a == b for a, b in zip(answers[True], answers[False]))
-        print(json.dumps({"filter": label,
-                          "stable_equals_exact": f"{same}/{n_q}"}), flush=True)
+        IVFIndex._widen_certified = cert
+        for mode in ("stable_on", "cert_off_stable_on"):
+            same = sum(a == b for a, b in
+                       zip(answers[mode], answers["stable_off"]))
+            print(json.dumps({"filter": label, "mode": mode,
+                              "equals_exact": f"{same}/{n_q}"}), flush=True)
     idx.STABLE_WIDEN_STOP = True
     spark.stop()
 

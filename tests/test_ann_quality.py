@@ -122,7 +122,30 @@ class TestRecallCurve:
         assert curve[10] <= curve[100] + 0.02, curve
 
 
-class TestCoarsenessScaledWindow:
+class TestPqTrainStride:
+    """r12 advice: the training-row cap must not undershoot — ceil
+    stride made n=cap+1 train on ~half the documented rows-per-centroid
+    target; floor stride + truncate keeps the sample at exactly cap."""
+
+    def test_cap_boundary_trains_on_cap_rows(self, monkeypatch):
+        import numpy as np
+
+        from pgvecto_rs_spark.indexes import quantization as QZ
+
+        seen = []
+        from pgvecto_rs_spark.indexes import ivf as IVF
+
+        def fake_lloyd(block, k, seed=0):
+            seen.append(len(block))
+            return block[: min(k, len(block))].astype(np.float64)
+
+        monkeypatch.setattr(IVF, "_lloyd", fake_lloyd)
+        rng = np.random.default_rng(0)
+        cap = 4096  # bits=4 -> max(16*64, 4096)
+        for n in (cap, cap + 1, cap * 2 + 5):
+            seen.clear()
+            QZ.pq_train(rng.standard_normal((n, 8)), n_subspaces=2, bits=4)
+            assert all(s == cap for s in seen), (n, seen)
     """r12 high-dim smoke: at pq_ratio 8 / 1024 dims the flat 4% window
     left default recall at 0.825 while plain ivf read 1.000 at the same
     nprobe — pure ADC rank displacement.  The window now scales with
@@ -152,6 +175,58 @@ class TestCoarsenessScaledWindow:
 
         assert (scaled_rerank_window("rabitq", 10, 10_000, 0, pq_ratio=8)
                 == scaled_rerank_window("rabitq", 10, 10_000, 0))
+
+
+class TestDimsAwareEfDefault:
+    """r12 verdict #3: at 1024 dims the default ef=100 read 0.948 —
+    under the 0.95 bar (0.995 at ef=400); _dims_ef_factor scales the
+    DEFAULT ef 2x above 256 dims (measured clearing the bar at the
+    200k x 1024 smoke, BENCHNOTES r13), with <=256-dim defaults
+    bit-unchanged and explicit ef honored as-is.  Pure-function pins
+    plus a meta-driven resolve check."""
+
+    def test_factor_steps_at_256(self):
+        from pgvecto_rs_spark.indexes.hnsw import _dims_ef_factor
+
+        assert _dims_ef_factor(64) == 1
+        assert _dims_ef_factor(256) == 1
+        assert _dims_ef_factor(257) == 2
+        assert _dims_ef_factor(1024) == 2
+        assert _dims_ef_factor(1536) == 2
+
+    def test_resolve_ef_compounds_with_quant(self):
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        def resolve(meta, ef=None):
+            h = HNSWIndex.__new__(HNSWIndex)
+            h.meta = meta
+            return h._resolve_ef(ef)
+
+        assert resolve({"dims": 64}) == 100          # <=256 bit-unchanged
+        assert resolve({"dims": 1024}) == 200        # dims factor
+        assert resolve({"dims": 64, "quantization": "pq"}) == 200
+        assert resolve({"dims": 1024, "quantization": "pq"}) == 400  # compound
+        assert resolve({"dims": 1024}, ef=100) == 100  # explicit wins
+        assert resolve({"dims": 1024, "default_ef_search": 50}) == 50
+
+    def test_create_records_dims_for_unquantized_graphs(self, spark, tmp_path):
+        """Regression (caught by the r13 calibration run): create()
+        recorded dims only for quantized graphs, so an unquantized
+        1024-dim index resolved the <=256-dim default ef."""
+        import numpy as np
+
+        from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
+
+        rng = np.random.default_rng(3)
+        df = spark.createDataFrame(
+            [(i, rng.standard_normal(300).astype("float32").tolist())
+             for i in range(120)],
+            "vec_id long, embedding array<float>",
+        )
+        idx = HNSWIndex.create(spark, df, str(tmp_path / "hi"),
+                               metric="l2", segment_rows=120)
+        assert idx.meta["dims"] == 300
+        assert idx._resolve_ef(None) == 200
 
 
 class TestQuantizedDefaultOperatingPoints:

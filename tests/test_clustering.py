@@ -189,3 +189,35 @@ class TestKdistOutliers:
         got = {r["vec_id"]: r["kdist"] for r in kdist_outliers(_vecs(spark, rows), k=2, top=4).collect()}
         assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0
         assert got[4] == 2.0  # (1+1) squared L2 to any duplicate
+
+
+class TestParquetRows:
+    """_parquet_rows footer-metadata counter (queries/embedding.py)."""
+
+    def test_empty_dataset_dir_returns_zero(self, tmp_path):
+        """r12 advice: a directory that exists but holds no part files
+        (an empty Spark write leaving only _SUCCESS) is a legitimate
+        0-row dataset — callers tolerating n=0 must not get an
+        exception."""
+        from pgvecto_rs_spark.queries.embedding import _parquet_rows
+
+        d = tmp_path / "empty_ds"
+        d.mkdir()
+        (d / "_SUCCESS").write_text("")
+        assert _parquet_rows(str(d)) == 0
+
+    def test_missing_path_still_raises(self, tmp_path):
+        import pytest
+
+        from pgvecto_rs_spark.queries.embedding import _parquet_rows
+
+        with pytest.raises(FileNotFoundError):
+            _parquet_rows(str(tmp_path / "nope.parquet"))
+
+    def test_partitioned_dataset_counts_recursively(self, tmp_path, spark):
+        from pgvecto_rs_spark.queries.embedding import _parquet_rows
+
+        df = spark.createDataFrame([(i, i % 2) for i in range(10)], "id long, p int")
+        out = str(tmp_path / "part_ds")
+        df.write.partitionBy("p").parquet(out)
+        assert _parquet_rows(out) == 10

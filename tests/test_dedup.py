@@ -73,6 +73,29 @@ class TestEmbeddingNearDup:
         with pytest.raises(ValueError):
             DD.embedding_neardup_pairs(emb, method="annoy")
 
+    def test_brute_guard_refuses_large_input(self, emb):
+        """r12 verdict #8: even an EXPLICIT brute call must not
+        cartesian a large input by accident — above max_brute_rows it
+        raises instead of building the crossJoin plan."""
+        with pytest.raises(ValueError, match="quadratic"):
+            DD.embedding_neardup_pairs(
+                emb, method="brute", max_brute_rows=10
+            ).count()
+        with pytest.raises(ValueError, match="quadratic"):
+            DD.ngram_jaccard_pairs(
+                emb.selectExpr("vec_id as doc_id", "'x' as text"),
+                max_rows=10,
+            ).count()
+        # cap=0 disables the guard (explicit opt-out for big validation
+        # slices); the bounded fixture passes under the default cap via
+        # the parity tests above
+        assert (
+            DD.embedding_neardup_pairs(
+                emb.limit(20), threshold=2.0, method="brute", max_brute_rows=0
+            ).count()
+            > 0
+        )
+
     def test_default_method_is_scale_path(self):
         """r11 verdict #6: omitting ``method`` must give the bucketed
         IVF path, not the quadratic crossJoin — a 100 TB caller must

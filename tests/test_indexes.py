@@ -244,6 +244,17 @@ class TestHNSW:
             assert len(out) == 5
             assert all(r["id"] % 7 == 0 for r in out)
 
+    def test_oversized_segment_errors_cleanly(self, spark, emb, monkeypatch):
+        """r12 verdict #5: _per_segment_apply accumulates its whole
+        partition before building; above _SEG_BUILD_ROW_CAP that must be
+        a clean error, not a silent executor-memory doubling."""
+        from pgvecto_rs_spark.indexes import hnsw as H
+
+        monkeypatch.setattr(H, "_SEG_BUILD_ROW_CAP", 50)
+        with tempfile.TemporaryDirectory() as d:
+            with pytest.raises(Exception, match="rows"):
+                H.HNSWIndex.create(spark, emb, d, metric="l2", segment_rows=10**6)
+
     def test_deterministic_build(self, spark, emb):
         from pgvecto_rs_spark.indexes.hnsw import HNSWIndex
 
@@ -786,6 +797,25 @@ class TestIVFWidening:
                 filter=F.col("vec_id") % 2 == 0, tiebreaker="vec_id",
             ).collect()
             assert [r["id"] for r in out] == [r["vec_id"] for r in truth]
+
+    def test_stable_stop_kwarg_opts_out(self, spark, emb, monkeypatch):
+        """r12 advice: search(stable_stop=False) restores the documented
+        VBASE exact-k semantics per call — with the certificate forced
+        off the ladder must escalate to a full probe instead of
+        stopping on a stable top-k, without touching the handle's
+        STABLE_WIDEN_STOP default."""
+        from pgvecto_rs_spark.indexes.ivf import IVFIndex as _IVF
+
+        with tempfile.TemporaryDirectory() as d:
+            idx = IVFIndex.create(spark, emb, d, metric="l2", nlist=32)
+            monkeypatch.setattr(_IVF, "_widen_certified", lambda *a, **k: False)
+            idx.search(
+                Q64, k=5, nprobe=4, filter=F.col("id") % 2 == 0,
+                stable_stop=False,
+            ).collect()
+            assert idx.widen_stats.get("stable") is None
+            assert idx.widen_stats.get("full") == 1
+            assert idx.STABLE_WIDEN_STOP is True  # handle default intact
 
     def test_certificate_margin_fails_closed(self, spark, emb):
         """_widen_certified compares Spark-kernel t against a driver
