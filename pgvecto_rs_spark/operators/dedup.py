@@ -402,13 +402,15 @@ def neardup_components(
     2-3 rounds of join jobs — bit-identical output (min id per
     component).  The distributed propagation remains the path for edge
     lists beyond the cap."""
-    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-    edges = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
-    edges = edges.localCheckpoint(eager=True)
-
-    if edges.count() <= max_driver_edges:
+    # Fast-path probe on the RAW pair list: union-find is symmetric, so
+    # the bidirectional distinct edge list is only needed by the
+    # distributed propagation.  One limit(cap+1)+collect job replaces
+    # the union + distinct exchange + eager checkpoint + count job the
+    # old probe paid before deciding (3 fewer Spark jobs per call; the
+    # cap halves because directed edges = 2x unique pairs).
+    cap = max_driver_edges // 2
+    probe = pairs.select("id_a", "id_b").limit(cap + 1).collect()
+    if len(probe) <= cap:
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -417,8 +419,8 @@ def neardup_components(
                 x = parent[x]
             return x
 
-        for r in edges.collect():
-            a, b = int(r["src"]), int(r["dst"])
+        for r in probe:
+            a, b = int(r["id_a"]), int(r["id_b"])
             parent.setdefault(a, a)
             parent.setdefault(b, b)
             ra, rb = find(a), find(b)
@@ -432,6 +434,11 @@ def neardup_components(
         if not out:
             return pairs.sparkSession.createDataFrame([], "id long, comp long")
         return pairs.sparkSession.createDataFrame(out, "id long, comp long")
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint(eager=True)

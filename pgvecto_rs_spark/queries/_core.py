@@ -108,6 +108,22 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _sorted_small(df: DataFrame, *cols) -> DataFrame:
+    """Total-order a FINAL bounded-cardinality result without the
+    range-partitioning exchange that ``orderBy`` plans.
+
+    ``orderBy`` on an unlimited result costs a boundary-sampling job +
+    a range shuffle + an extra AQE stage job — pure overhead when the
+    input is a post-aggregate whose row count is bounded by a small
+    group cardinality (years, nations, flags, brands: TPC-H answer
+    sets).  A single merged partition sorted in place produces the
+    identical row order with zero extra jobs; the single merge point is
+    the same pattern TakeOrdered uses for LIMIT queries.  Only for
+    results bounded by a dimension/group cardinality — never for
+    fact-table-sized output (that keeps the distributed sort)."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def _r4(c: Column) -> Column:
     return F.round(c, 4)
 

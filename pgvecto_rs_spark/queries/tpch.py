@@ -39,6 +39,7 @@ from pgvecto_rs_spark.queries._core import (  # noqa: F401
     _r4,
     _r4t,
     _scaled_sum,
+    _sorted_small,
     _SQL_L2,
     _SQL_DOT,
     _SQL_NORMSQ_E,
@@ -260,7 +261,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 1000000.0
             ).alias("revenue_u")
         )
-        .orderBy(F.desc("revenue_u"), "n_name")
+        .transform(_sorted_small, F.desc("revenue_u"), "n_name")
     )
 
 
@@ -475,7 +476,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")), 1000000.0
             ).alias("revenue_u")
         )
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .transform(_sorted_small, "supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -577,7 +578,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(rev_u).cast("long").alias("total_u"),
     )
     share = F.col("nation_u").cast("double") / F.col("total_u").cast("double")
-    return agg.select("o_year", _r4t(share).alias("mkt_share")).orderBy("o_year")
+    return agg.select("o_year", _r4t(share).alias("mkt_share")).transform(_sorted_small, "o_year")
 
 
 @register(
@@ -617,7 +618,7 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
+        .transform(_sorted_small, F.desc("custdist"), F.desc("c_count"))
     )
 
 
@@ -669,7 +670,7 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         revenue.join(F.broadcast(best), F.col("total_revenue_u") == F.col("best_u"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_u")
-        .orderBy("s_suppkey")
+        .transform(_sorted_small, "s_suppkey")
     )
 
 
@@ -926,7 +927,7 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         val.join(F.broadcast(total))
         .where(F.col("value_c") * F.lit(1000) > F.col("total_c"))
         .select("ps_partkey", "value_c")
-        .orderBy(F.desc("value_c"), "ps_partkey")
+        .transform(_sorted_small, F.desc("value_c"), "ps_partkey")
     )
 
 
@@ -1021,7 +1022,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(good_pairs, supplier.s_suppkey == good_pairs.l_suppkey, "left_semi")
         .select("s_name")
         .distinct()
-        .orderBy("s_name")
+        .transform(_sorted_small, "s_name")
     )
 
 
@@ -1166,7 +1167,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("numcust"),
             F.sum(bal_c).cast("long").alias("total_acctbal_c"),
         )
-        .orderBy("n_name")
+        .transform(_sorted_small, "n_name")
     )
 
 
@@ -1211,7 +1212,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         late.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
+        .transform(_sorted_small, "o_orderpriority")
     )
 
 
@@ -1258,7 +1259,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("ship_year"),
         )
         .agg(F.sum(rev_u).cast("long").alias("revenue_u"))
-        .orderBy("nation", "ship_year")
+        .transform(_sorted_small, "nation", "ship_year")
     )
 
 
@@ -1303,7 +1304,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
-        .orderBy("p_brand")
+        .transform(_sorted_small, "p_brand")
     )
 
 
@@ -1349,7 +1350,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
             F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
         )
-        .orderBy("l_returnflag")
+        .transform(_sorted_small, "l_returnflag")
     )
 
 

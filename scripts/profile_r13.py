@@ -25,6 +25,19 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _release(spark):
+    """bench.py's _release_storage: drop localCheckpoint debris between
+    timings (in local mode driver==executor, so accumulated blocks GC-
+    thrash the whole JVM and uniformly inflate later queries)."""
+    import gc
+
+    gc.collect()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:  # noqa: BLE001
+        pass
+
+
 def _rest(spark, path):
     ui = spark.sparkContext.uiWebUrl
     app = spark.sparkContext.applicationId
@@ -83,13 +96,19 @@ def main() -> None:
                 print(f"{n}: plan written", flush=True)
                 continue
             df.collect()            # warm: codegen, caches
+            _release(spark)
             # Timed region matches bench.py exactly: fn() + collect()
             # (several queries do eager driver-coordinated work inside
             # fn() — checkpoints, iterative fits — that bench times).
-            before_jobs = {j["jobId"] for j in _rest(spark, "jobs")}
-            t0 = time.perf_counter()
-            fn(spark, SF_DIR).collect()
-            wall = time.perf_counter() - t0
+            # min-of-3 like bench's min-of-repeats; job attribution from
+            # the LAST (steady-state) repeat.
+            wall = float("inf")
+            for _ in range(3):
+                before_jobs = {j["jobId"] for j in _rest(spark, "jobs")}
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).collect()
+                wall = min(wall, time.perf_counter() - t0)
+                _release(spark)
             jobs = [j for j in _rest(spark, "jobs") if j["jobId"] not in before_jobs]
             stage_ids = sorted({s for j in jobs for s in j["stageIds"]})
             task_ms = 0
