@@ -119,36 +119,53 @@ def minhash_signatures_df(
 ) -> DataFrame:
     """(__id, __sig array<long>) — the scale formulation.
 
-    Shingle hashing stays JVM-side (xxhash64 folded to 31 bits,
-    deterministic); the num_perm running minimums are computed per row
-    in one vectorized Arrow batch ((a·x + b) mod p is exact in uint64
-    for 31-bit x and constants).  NO shuffle — signatures are a per-row
-    map; the earlier explode + groupBy-min shuffled ~200x the row count
-    and dominated the pipeline cost (and the single-Column fold variant
-    before it compiled Janino-choking megamethods).
+    Everything stays JVM-side with WHOLE-STAGE CODEGEN (r13): explode
+    the shingle POSITIONS, hash each substring once in a codegen'd
+    projection (xxhash64 folded to 31 bits), and compute the num_perm
+    running minimums as plain partial-aggregable ``min((a·h + b) mod
+    p)`` columns in one groupBy(id).  min over a multiset equals min
+    over the distinct set, so the old per-row ``array_distinct`` +
+    interpreted higher-order transform — measured ~10 us per shingle,
+    the dominant task time of every near-dup query — drops out
+    entirely.  The map-side partial aggregation collapses each
+    document's shingles before the one id-keyed exchange, so the
+    shuffle carries one 32-long row per document (the r8 explode
+    formulation this replaces shuffled raw (id, perm, value) rows with
+    no map-side reduction; the r10 Arrow-batch variant this also
+    replaces paid a fixed Python-stage latency plus the interpreted
+    shingle transform feeding it).  Products fit signed 64-bit: a, b,
+    h < 2^31 so a·h + b < 2^62.
     """
     consts = _perm_constants(num_perm, seed)
-    a_vec = np.asarray([a for a, _ in consts], dtype=np.uint64)
-    b_vec = np.asarray([b for _, b in consts], dtype=np.uint64)
-
-    hashed = _spread(df).select(
-        F.col(id_col).alias("__id"), _shingle_hashes(text_col, k).alias("__hs")
+    t = F.regexp_replace(
+        F.lower(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)),
+        r"\s+",
+        " ",
     )
-
-    @F.pandas_udf("array<long>")
-    def perm_mins(hs: pd.Series) -> pd.Series:
-        p = np.uint64(_P)
-        out = []
-        for arr in hs:
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            if len(h) == 0:
-                out.append([int(_P)] * len(a_vec))
-                continue
-            vals = (a_vec[:, None] * h[None, :] + b_vec[:, None]) % p
-            out.append(vals.min(axis=1).astype(np.int64).tolist())
-        return pd.Series(out)
-
-    return hashed.select("__id", perm_mins("__hs").alias("__sig"))
+    base = _spread(df).select(F.col(id_col).alias("__id"), t.alias("__t"))
+    # one row per shingle position; substring clamps, so a doc shorter
+    # than k yields its whole text as the single shingle (same contract
+    # as :func:`shingles`)
+    rows = base.select(
+        "__id",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("__t") - (k - 1), F.lit(1)))
+        ).alias("__i"),
+        "__t",
+    ).select(
+        "__id",
+        F.pmod(
+            F.xxhash64(F.substring(F.col("__t"), F.col("__i"), k)), F.lit(_P)
+        ).alias("__h"),
+    )
+    mins = [
+        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_P))).alias(f"__m{j}")
+        for j, (a, b) in enumerate(consts)
+    ]
+    agg = rows.groupBy("__id").agg(*mins)
+    return agg.select(
+        "__id", F.array(*[F.col(f"__m{j}") for j in range(num_perm)]).alias("__sig")
+    )
 
 
 def simhash_signatures_df(
