@@ -454,20 +454,24 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _synth_jpeg_pair_op(it):
-    """(doc_id) -> (doc_id, base, prog): the SAME deterministic 8x8
-    image (v_i = (doc_id*31 + i*7 + 13) % 256) encoded twice — baseline
-    SOF0 and progressive SOF2 — cycling grayscale/RGB, subsampling
-    (444/422/420) and restart intervals by doc_id, so the gate data
-    covers every progressive mode combination."""
+def _synth_decode_jpeg_pair_op(it):
+    """(doc_id, source) -> (source, eq, n_px): the fused form of
+    :func:`_synth_jpeg_pair_op` + two ``decode_image_features`` passes
+    + the equality join — same deterministic image, same encoder
+    parameter cycling, same real decode path, but synth, both decodes
+    and the baseline-vs-progressive comparison all happen in the task
+    that created the payload, so no image bytes ever leave it.  eq
+    compares the float32 feature vectors (what the old array<float>
+    column equality compared)."""
     import numpy as np
     import pandas as pd
 
     from pgvecto_rs_spark.operators.jpeg import encode_jpeg
+    from pgvecto_rs_spark.operators.multimodal import _decode_image_bytes
 
     idx = np.arange(64)
     for pdf in it:
-        base, prog = [], []
+        eqs, npx = [], []
         for did in pdf["doc_id"]:
             did = int(did)
             v = ((did * 31 + idx * 7 + 13) % 256).astype(np.uint8).reshape(8, 8)
@@ -475,16 +479,16 @@ def _synth_jpeg_pair_op(it):
             if did % 2:
                 img = np.stack([v, np.ascontiguousarray(v.T), 255 - v], axis=2)
                 sub = ("444", "422", "420")[did % 3]
-                base.append(encode_jpeg(img, subsample=sub, restart_interval=ri))
-                prog.append(
-                    encode_jpeg(img, subsample=sub, restart_interval=ri, progressive=True)
-                )
+                b = encode_jpeg(img, subsample=sub, restart_interval=ri)
+                p = encode_jpeg(img, subsample=sub, restart_interval=ri, progressive=True)
             else:
-                base.append(encode_jpeg(v, restart_interval=ri))
-                prog.append(encode_jpeg(v, restart_interval=ri, progressive=True))
-        yield pd.DataFrame(
-            {"doc_id": pdf["doc_id"].astype("int64"), "base": base, "prog": prog}
-        )
+                b = encode_jpeg(v, restart_interval=ri)
+                p = encode_jpeg(v, restart_interval=ri, progressive=True)
+            fb = _decode_image_bytes(b, False).reshape(-1).astype(np.float32)
+            fp = _decode_image_bytes(p, False).reshape(-1).astype(np.float32)
+            eqs.append(int(np.array_equal(fb, fp)))
+            npx.append(len(fp))
+        yield pd.DataFrame({"source": pdf["source"], "eq": eqs, "n_px": npx})
 
 
 @register(
@@ -508,24 +512,24 @@ def mm_image_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     script quantizes identically, so any progressive bug breaks
     equality) and that all 64 pixels decoded (n_px).  The oracle states
     those invariants in exact SQL; pixel-level decode parity is pinned
-    by the codec unit tests."""
-    import pgvecto_rs_spark.operators.multimodal as MM
+    by the codec unit tests.
 
+    r13 shape: synth + both decodes + the equality test are FUSED into
+    one mapInPandas pass (guide §4) — the old plan ran the synth op
+    once per decode branch (media was uncached, so the lineage executed
+    twice), paid three Arrow-stage latencies, and shuffled both feature
+    tables through a doc_id join just to compare rows that were born in
+    the same task.  Decode still goes through the identical real codec
+    path (operators.jpeg via _decode_image_bytes); features compare as
+    float32, exactly what the old array<float> column equality saw."""
     docs = _docs(spark, sf_dir).select("doc_id", "source")
-    media = _spread_ids(docs.select("doc_id")).mapInPandas(
-        _synth_jpeg_pair_op, "doc_id bigint, base binary, prog binary"
+    per_doc = _spread_ids(docs).mapInPandas(
+        _synth_decode_jpeg_pair_op, "source string, eq bigint, n_px bigint"
     )
-    fb = MM.decode_image_features(
-        media.select("doc_id", F.col("base").alias("payload")), id_col="doc_id"
-    ).select("doc_id", F.col("feature").alias("fb"))
-    fp = MM.decode_image_features(
-        media.select("doc_id", F.col("prog").alias("payload")), id_col="doc_id"
-    ).select("doc_id", F.col("feature").alias("fp"))
-    j = fb.join(fp, "doc_id").join(docs, "doc_id")
-    return j.groupBy("source").agg(
+    return per_doc.groupBy("source").agg(
         F.count("*").alias("n_images"),
-        F.sum((F.col("fb") == F.col("fp")).cast("long")).cast("long").alias("n_equal"),
-        F.sum(F.size("fp")).cast("long").alias("n_px"),
+        F.sum("eq").cast("long").alias("n_equal"),
+        F.sum("n_px").cast("long").alias("n_px"),
     )
 
 
