@@ -390,25 +390,47 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _synth_avi_op(it):
-    """(doc_id) -> (doc_id, payload): MJPEG AVI with 1 + doc_id%4
-    constant-gray 8x8 frames (fill value 32*frame_no+16), real
-    baseline-JPEG encode per frame (operators/jpeg.py)."""
+def _synth_sample_decode_avi_op(it):
+    """(doc_id) -> (doc_id, n_sampled, max_frame_no, n_px): the fused
+    form of :func:`_synth_avi_op` + ``sample_video_frames(every_n=2)``
+    + ``decode_image_features`` + the two per-doc aggregates — same
+    synthetic MJPEG AVI, same REAL RIFF walk (operators.video), same
+    REAL per-frame JPEG decode (_decode_image_bytes), but one pass."""
     import numpy as np
     import pandas as pd
 
-    from pgvecto_rs_spark.operators.video import encode_mjpeg_avi
+    from pgvecto_rs_spark.operators.multimodal import _decode_image_bytes
+    from pgvecto_rs_spark.operators.video import decode_avi_frames, encode_mjpeg_avi
 
     for pdf in it:
-        payloads = []
+        ids, ns, mx, px = [], [], [], []
         for did in pdf["doc_id"]:
-            nf = 1 + int(did) % 4
+            did = int(did)
+            nf = 1 + did % 4
             frames = [
                 np.full((8, 8), 32 * f + 16, dtype=np.uint8) for f in range(nf)
             ]
-            payloads.append(encode_mjpeg_avi(frames))
+            payload = encode_mjpeg_avi(frames)
+            sampled = [
+                (fno, jpeg)
+                for fno, jpeg in enumerate(decode_avi_frames(payload))
+                if fno % 2 == 0
+            ]
+            n_px = sum(
+                _decode_image_bytes(jpeg, False).reshape(-1).size
+                for _fno, jpeg in sampled
+            )
+            ids.append(did)
+            ns.append(len(sampled))
+            mx.append(max(fno for fno, _ in sampled))
+            px.append(n_px)
         yield pd.DataFrame(
-            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_sampled": pd.Series(ns, dtype="int64"),
+                "max_frame_no": pd.Series(mx, dtype="int32"),
+                "n_px": pd.Series(px, dtype="int64"),
+            }
         )
 
 
@@ -432,25 +454,20 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks the structural invariants that are SQL-expressible exactly
     (sampled-frame count, max sampled frame index, total decoded
     pixels); pixel values round-trip a lossy DCT so they are covered by
-    unit tests, not the SQL oracle."""
-    import pgvecto_rs_spark.operators.multimodal as MM
+    unit tests, not the SQL oracle.
 
+    r13 shape: synth, RIFF walk, frame sampling and the per-frame JPEG
+    decode are FUSED into one mapInPandas pass (guide §4) — the old
+    plan's `sampled` lineage fed two branches (counts and decode), so
+    the uncached synth + RIFF walk executed twice, and the two per-doc
+    aggregates met again in a doc_id join.  Decode still goes through
+    the identical real paths (operators.video RIFF walk,
+    operators.jpeg via _decode_image_bytes); video bytes never leave
+    the task that synthesized them."""
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(_synth_avi_op, "doc_id bigint, payload binary")
-    sampled = MM.sample_video_frames(media, id_col="doc_id", every_n=2)
-    counts = sampled.groupBy("doc_id").agg(
-        F.count("*").alias("n_sampled"),
-        F.max("frame_no").cast("int").alias("max_frame_no"),
-    )
-    feats = MM.decode_image_features(
-        sampled.select("doc_id", F.col("frame_payload").alias("payload")),
-        id_col="doc_id",
-    )
-    px = feats.groupBy("doc_id").agg(
-        F.sum(F.size("feature")).cast("long").alias("n_px")
-    )
-    return counts.join(px, "doc_id").select(
-        "doc_id", "n_sampled", "max_frame_no", "n_px"
+    return _spread_ids(docs).mapInPandas(
+        _synth_sample_decode_avi_op,
+        "doc_id bigint, n_sampled bigint, max_frame_no int, n_px bigint",
     )
 
 
