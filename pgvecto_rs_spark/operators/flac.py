@@ -52,23 +52,48 @@ def is_flac(payload: bytes) -> bool:
 
 
 class _Bits:
-    __slots__ = ("data", "pos", "n")
+    """Bit reader over a cached integer window.
+
+    ``acc`` holds the next ``nacc`` unread bits (top-aligned at
+    ``acc >> (nacc - k)``); ``pos + nacc`` is always byte-aligned, so
+    refills grab whole bytes in 8-byte gulps.  ``unary`` is O(1) via
+    ``int.bit_length`` instead of one ``read(1)`` per zero bit — the
+    dominant cost of Rice decode in the r13 profile.
+    """
+
+    __slots__ = ("data", "pos", "n", "acc", "nacc")
 
     def __init__(self, data: bytes, pos_bytes: int = 0):
         self.data = data
         self.pos = pos_bytes * 8
         self.n = len(data) * 8
+        self.acc = 0
+        self.nacc = 0
+
+    def _fill(self, need: int) -> None:
+        a, na = self.acc, self.nacc
+        byte = (self.pos + na) >> 3
+        data = self.data
+        while na < need:
+            chunk = data[byte : byte + 8]
+            if not chunk:
+                raise ValueError("flac: bitstream truncated")
+            a = (a << (len(chunk) * 8)) | int.from_bytes(chunk, "big")
+            na += len(chunk) * 8
+            byte += len(chunk)
+        self.acc, self.nacc = a, na
 
     def read(self, nbits: int) -> int:
-        p, q = self.pos, self.pos + nbits
-        if q > self.n:
-            raise ValueError("flac: bitstream truncated")
-        v = int.from_bytes(
-            self.data[p // 8 : (q + 7) // 8], "big"
-        )
-        v >>= (-q) % 8
-        self.pos = q
-        return v & ((1 << nbits) - 1)
+        if self.nacc < nbits:
+            if self.pos + nbits > self.n:
+                raise ValueError("flac: bitstream truncated")
+            self._fill(nbits)
+        na = self.nacc - nbits
+        v = self.acc >> na
+        self.acc &= (1 << na) - 1
+        self.nacc = na
+        self.pos += nbits
+        return v
 
     def read_signed(self, nbits: int) -> int:
         v = self.read(nbits)
@@ -78,16 +103,35 @@ class _Bits:
         # count zero bits up to the first 1
         q = 0
         while True:
-            if self.pos >= self.n:
-                raise ValueError("flac: bitstream truncated in unary code")
-            if self.read(1):
+            if self.nacc == 0:
+                if self.pos >= self.n:
+                    raise ValueError("flac: bitstream truncated in unary code")
+                self._fill(1)
+            if self.acc:
+                lead = self.nacc - self.acc.bit_length()
+                q += lead
+                if q > 1 << 20:
+                    raise ValueError("flac: unary run too long")
+                na = self.nacc - lead - 1
+                self.acc &= (1 << na) - 1
+                self.nacc = na
+                self.pos += lead + 1
                 return q
-            q += 1
+            # window is all zero bits: consume it whole
+            q += self.nacc
+            self.pos += self.nacc
+            self.nacc = 0
             if q > 1 << 20:
                 raise ValueError("flac: unary run too long")
 
     def align(self) -> None:
-        self.pos = (self.pos + 7) & ~7
+        rem = self.pos & 7
+        if rem:
+            # pos + nacc is byte-aligned, so nacc >= 8 - rem here
+            drop = 8 - rem
+            self.nacc -= drop
+            self.acc &= (1 << self.nacc) - 1
+            self.pos += drop
 
     def byte_pos(self) -> int:
         return self.pos // 8
@@ -329,21 +373,38 @@ def _decode_subframe(bits: _Bits, n: int, fbps: int) -> np.ndarray:
             raise ValueError("flac: negative LPC shift")
         coefs = [bits.read_signed(prec) for _ in range(order)]
         resid = _residuals(bits, n, order)
-        out = np.empty(n, dtype=np.int64)
-        out[:order] = warm
-        for i in range(order, n):
-            # exact Python-int accumulator: numpy int64 scalars wrap
-            # silently on overflow, and 32-bit samples x order-32 coefs
-            # leave only ~11 bits of int64 headroom
-            acc = 0
-            for j, c in enumerate(coefs):
-                acc += c * int(out[i - 1 - j])
-            v = int(resid[i - order]) + (acc >> shift)
-            if not -_SAMPLE_BOUND <= v <= _SAMPLE_BOUND:
-                # valid samples fit eff<=32 bits; a divergent filter from
-                # a corrupt-but-CRC-colliding frame must error, not wrap
-                raise ValueError("flac: LPC sample overflow (corrupt stream)")
-            out[i] = v
+        # exact Python-int accumulator over a plain list: numpy int64
+        # scalars wrap silently on overflow, and 32-bit samples x
+        # order-32 coefs leave only ~11 bits of int64 headroom; a
+        # divergent filter from a corrupt-but-CRC-colliding frame must
+        # error, not wrap (valid samples fit eff<=32 bits)
+        hist = list(warm)
+        push = hist.append
+        bound = _SAMPLE_BOUND
+        if order == 2:
+            c0, c1 = coefs
+            p2, p1 = hist[-2], hist[-1]
+            for r in resid.tolist():
+                v = r + ((c0 * p1 + c1 * p2) >> shift)
+                if not -bound <= v <= bound:
+                    raise ValueError(
+                        "flac: LPC sample overflow (corrupt stream)"
+                    )
+                p2 = p1
+                p1 = v
+                push(v)
+        else:
+            for r in resid.tolist():
+                acc = 0
+                for j in range(order):
+                    acc += coefs[j] * hist[-1 - j]
+                v = r + (acc >> shift)
+                if not -bound <= v <= bound:
+                    raise ValueError(
+                        "flac: LPC sample overflow (corrupt stream)"
+                    )
+                push(v)
+        out = np.array(hist, dtype=np.int64)
     else:
         raise ValueError(f"flac: reserved subframe type {stype}")
 
@@ -357,21 +418,36 @@ def _predict(
 ) -> np.ndarray:
     warm = [bits.read_signed(eff) for _ in range(order)]
     resid = _residuals(bits, n, order)
-    out = np.empty(n, dtype=np.int64)
-    out[:order] = warm
     if order == 0:
-        out[:] = resid
-        return out
-    # fixed predictors are tiny-order; cumulative formulations exist but
-    # the plain loop is exact and runs over ≤ blocksize ints
-    for i in range(order, n):
-        acc = 0  # exact Python ints — see the LPC loop's overflow note
-        for j, c in enumerate(coefs):
-            acc += c * int(out[i - 1 - j])
-        v = int(resid[i - order]) + (acc >> shift if shift else acc)
-        if not -_SAMPLE_BOUND <= v <= _SAMPLE_BOUND:
-            raise ValueError("flac: predictor sample overflow (corrupt stream)")
-        out[i] = v
+        return resid
+    # The FIXED order-o residual IS the o-th finite difference of the
+    # samples (shift is always 0), so reconstruction is o staged exact
+    # cumsums seeded from the warm-up samples' difference pyramid.
+    # Guards: (a) before each cumsum, every value must fit 2^62/n so
+    # the int64 running sum cannot wrap (streams the serial decoder
+    # accepted keep stage values under 2^(36+order) — far below); (b)
+    # the final samples must stay inside the +-2^35 envelope, matching
+    # the serial per-sample check.  Either violation is a corrupt
+    # stream and raises the same error the serial loop raised.
+    warm_arr = np.array(warm, dtype=np.int64)
+    stages = [warm_arr]
+    for _ in range(order - 1):
+        stages.append(np.diff(stages[-1]))
+    cur = resid
+    lim = (1 << 62) // n
+    for s in range(order - 1, -1, -1):
+        if len(cur) and (int(cur.max()) > lim or int(cur.min()) < -lim):
+            raise ValueError(
+                "flac: predictor sample overflow (corrupt stream)"
+            )
+        cur = np.cumsum(cur) + int(stages[s][-1])
+    if len(cur) and (
+        int(cur.max()) > _SAMPLE_BOUND or int(cur.min()) < -_SAMPLE_BOUND
+    ):
+        raise ValueError("flac: predictor sample overflow (corrupt stream)")
+    out = np.empty(n, dtype=np.int64)
+    out[:order] = warm_arr
+    out[order:] = cur
     return out
 
 
@@ -385,25 +461,28 @@ def _residuals(bits: _Bits, blocksize: int, order: int) -> np.ndarray:
     nparts = 1 << porder
     if blocksize % nparts:
         raise ValueError("flac: partition order does not divide blocksize")
-    out = np.empty(blocksize - order, dtype=np.int64)
-    w = 0
+    vals: list[int] = []
+    push = vals.append
+    unary = bits.unary
+    read = bits.read
+    read_signed = bits.read_signed
     for p in range(nparts):
         cnt = (blocksize >> porder) - (order if p == 0 else 0)
         if cnt < 0:
             raise ValueError("flac: partition smaller than predictor order")
-        k = bits.read(pbits)
+        k = read(pbits)
         if k == escape:
-            raw = bits.read(5)
-            for i in range(cnt):
-                out[w + i] = bits.read_signed(raw) if raw else 0
+            raw = read(5)
+            if raw:
+                for _ in range(cnt):
+                    push(read_signed(raw))
+            else:
+                vals.extend([0] * cnt)
         else:
-            for i in range(cnt):
-                q = bits.unary()
-                lo = bits.read(k) if k else 0
-                u = (q << k) | lo
-                out[w + i] = (u >> 1) ^ -(u & 1)  # unzigzag
-        w += cnt
-    return out
+            for _ in range(cnt):
+                u = (unary() << k) | read(k)
+                push((u >> 1) ^ -(u & 1))  # unzigzag
+    return np.array(vals, dtype=np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -420,10 +499,11 @@ class _BitW:
     def write(self, v: int, nbits: int) -> None:
         self.acc = (self.acc << nbits) | (v & ((1 << nbits) - 1))
         self.nacc += nbits
-        while self.nacc >= 8:
-            self.nacc -= 8
-            self.buf.append((self.acc >> self.nacc) & 0xFF)
-        self.acc &= (1 << self.nacc) - 1
+        if self.nacc >= 8:
+            nb = self.nacc >> 3
+            self.nacc &= 7
+            self.buf += (self.acc >> self.nacc).to_bytes(nb, "big")
+            self.acc &= (1 << self.nacc) - 1
 
     def align(self) -> None:
         if self.nacc:
@@ -450,26 +530,22 @@ def _utf8_num(n: int) -> bytes:
 
 
 def _rice_write(w: _BitW, vals: np.ndarray, k: int) -> None:
-    for v in vals:
-        u = (abs(int(v)) * 2 - 1) if int(v) < 0 else int(v) * 2  # zigzag
-        q, r = u >> k, u & ((1 << k) - 1)
+    stop = 1 << k
+    kmask = stop - 1
+    for v in np.asarray(vals).tolist():
+        u = -2 * v - 1 if v < 0 else 2 * v  # zigzag
+        q = u >> k
         if q > 1 << 16:
             raise ValueError("encode_flac: residual too large for rice k")
-        for _ in range(q):
-            w.write(0, 1)
-        w.write(1, 1)
-        if k:
-            w.write(r, k)
+        # q zero bits, the stop bit, then the k low bits — one write
+        w.write(stop | (u & kmask), q + 1 + k)
 
 
 def _best_k(vals: np.ndarray) -> int:
-    best_k, best_cost = 0, None
-    for k in range(15):
-        u = np.abs(vals.astype(np.int64)) * 2
-        cost = int((u >> k).sum()) + len(vals) * (1 + k)
-        if best_cost is None or cost < best_cost:
-            best_k, best_cost = k, cost
-    return best_k
+    u = np.abs(vals.astype(np.int64)) * 2
+    ks = np.arange(15, dtype=np.int64)
+    costs = (u[:, None] >> ks).sum(axis=0) + len(vals) * (1 + ks)
+    return int(costs.argmin())  # argmin keeps the lowest-k tie-break
 
 
 def encode_flac(
@@ -559,14 +635,12 @@ def _encode_subframe(
     if mode == "lpc" and nb >= 3:
         order = 2
         c0, c1 = _LPC2_COEFS
-        prev1 = chan[order - 1 : -1].astype(object)  # s[i-1], exact ints
-        prev2 = chan[order - 2 : -2].astype(object)  # s[i-2]
-        pred = [(c0 * int(a) + c1 * int(b)) >> _LPC2_SHIFT
-                for a, b in zip(prev1, prev2)]
-        resid = np.array(
-            [int(chan[order + i]) - pred[i] for i in range(nb - order)],
-            dtype=np.int64,
-        )
+        prev1 = chan[order - 1 : -1].astype(np.int64)  # s[i-1]
+        prev2 = chan[order - 2 : -2].astype(np.int64)  # s[i-2]
+        # exact in int64: |c| < 2^12, |s| < 2^33, and numpy's >> on
+        # int64 is the same arithmetic (floor) shift as Python's
+        pred = (c0 * prev1 + c1 * prev2) >> _LPC2_SHIFT
+        resid = chan[order:].astype(np.int64) - pred
         w.write(32 + (order - 1), 6)  # LPC subframe type
         w.write(0, 1)
         for v in chan[:order]:

@@ -261,6 +261,28 @@ class TestHandBuiltStreams:
         out, _, _ = decode_flac(b)
         assert out[:, 0].tolist() == vals
 
+    def test_long_unary_run_spans_refill_windows(self):
+        # one Rice quotient of 750 zero bits crosses ~12 of the bit
+        # reader's 8-byte refill windows; the run must decode exactly
+        vals = [3, 1500, -2, 0, 7, -1500, 4, 2]
+        k = 2
+
+        def fixed0(w):
+            w.write(0, 1)
+            w.write(8, 6)  # FIXED order 0
+            w.write(0, 1)
+            w.write(0, 2)  # rice method (4-bit params)
+            w.write(0, 4)  # partition order 0
+            w.write(k, 4)
+            for v in vals:
+                u = -2 * v - 1 if v < 0 else 2 * v  # zigzag
+                w.write(1, (u >> k) + 1)  # q zeros then the stop bit
+                w.write(u & ((1 << k) - 1), k)
+
+        b = _stream_head(1, 16, 8) + _frame(0, [fixed0], 8)
+        out, _, _ = decode_flac(b)
+        assert out[:, 0].tolist() == vals
+
     def test_wasted_bits(self):
         vals = [4, -8, 12, 0]  # all multiples of 4 -> 2 wasted bits
 
