@@ -1958,12 +1958,35 @@ def video_neardup_pairs(
     rows.  Frame identity is packed as ``id * 2^20 + sample_no``;
     sample_no >= 2^20 (a million keyframes in one file) raises rather
     than risking pair corruption."""
-    from .dedup import hamming_candidate_pairs
-
-    cap = 1 << 20
     hashes = video_keyframe_hashes(
         df, payload_col=payload_col, id_col=id_col, on_error=on_error
     )
+    return video_pairs_from_keyframe_hashes(
+        hashes,
+        id_col=id_col,
+        max_hamming=max_hamming,
+        min_matching_frames=min_matching_frames,
+        max_bucket=max_bucket,
+    )
+
+
+def video_pairs_from_keyframe_hashes(
+    hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 2,
+    min_matching_frames: int = 2,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """The signature-space tail of :func:`video_neardup_pairs`: takes
+    (id, sample_no, sig) keyframe-hash rows — from
+    :func:`video_keyframe_hashes` or a fused synth+decode+hash stage —
+    and runs the identical banded-pigeonhole Hamming join + video-level
+    rollup.  Split out (r13) so pipelines that already hold per-frame
+    signatures skip a redundant decode stage without duplicating the
+    pairing logic."""
+    from .dedup import hamming_candidate_pairs
+
+    cap = 1 << 20
     guarded = hashes.select(
         F.when(F.col("sample_no") < cap, F.col(id_col) * cap + F.col("sample_no"))
         .otherwise(F.raise_error("video_neardup_pairs: sample_no >= 2^20"))

@@ -78,21 +78,92 @@ def _spread_ids(df: DataFrame) -> DataFrame:
     return df
 
 
-def _synth_ppm_op(it):
-    """(doc_id) -> (doc_id, payload): 8x8 P6 PPM, pixel v_i =
-    (doc_id*31 + i*7 + 13) % 256, r=g=b (so gray == v/255 exactly in
-    float32 — see mm_image_stats oracle-boundary note)."""
+def _synth_ppm_payload(did: int, idx) -> bytes:
+    """8x8 P6 PPM for doc ``did``: pixel v_i = (did*31 + i*7 + 13) % 256,
+    r=g=b (so gray == v/255 exactly in float32 — see mm_image_stats
+    oracle-boundary note).  ``idx`` is a reusable arange(64)."""
+    import numpy as np
+
+    v = ((did * 31 + idx * 7 + 13) % 256).astype(np.uint8)
+    return b"P6\n8 8\n255\n" + bytes(np.repeat(v, 3))
+
+
+def _quantize_1e4(feat) -> "np.ndarray":
+    """int64 quantization of a decoded feature on the 1e4 grid,
+    bit-identical to the old Catalyst column path: the float32 Arrow
+    boundary (``array<float>``) then CAST(FLOOR(CAST(x AS DOUBLE)
+    * 10000.0 + 0.5) AS BIGINT) — float32->double is exact and numpy's
+    float64 *, + and floor are the same IEEE-754 ops Catalyst runs."""
+    import numpy as np
+
+    f32 = np.asarray(feat, dtype=np.float32).reshape(-1)
+    return np.floor(f32.astype(np.float64) * 10000.0 + 0.5).astype(np.int64)
+
+
+def _synth_decode_ppm_stats_op(it):
+    """(doc_id, source) -> (source, s, m): fused synth + REAL PPM decode
+    (multimodal._decode_image_bytes: P6 parse -> gray -> resize) + the
+    1e4 per-pixel quantize and per-doc SUM/MAX, all in the task that
+    built the image (guide §4) — one Python stage instead of two, no
+    interpreted HOF lambdas, and no post-decode doc_id join just to
+    attach ``source`` (it rides through the op)."""
     import numpy as np
     import pandas as pd
 
+    from pgvecto_rs_spark.operators.multimodal import _decode_image_bytes
+
     idx = np.arange(64)
     for pdf in it:
-        payloads = []
-        for did in pdf["doc_id"]:
-            v = ((int(did) * 31 + idx * 7 + 13) % 256).astype(np.uint8)
-            payloads.append(b"P6\n8 8\n255\n" + bytes(np.repeat(v, 3)))
+        srcs, ss, ms = [], [], []
+        for did, src in zip(pdf["doc_id"], pdf["source"]):
+            feat = _decode_image_bytes(_synth_ppm_payload(int(did), idx), False)
+            q = _quantize_1e4(feat)
+            srcs.append(src)
+            ss.append(int(q.sum()))
+            ms.append(int(q.max()))
         yield pd.DataFrame(
-            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            {
+                "source": pd.Series(srcs, dtype="object"),
+                "s": pd.Series(ss, dtype="int64"),
+                "m": pd.Series(ms, dtype="int64"),
+            }
+        )
+
+
+def _synth_decode_ppm_knn_op(it):
+    """(doc_id) -> (doc_id, dist_q): fused synth + REAL PPM decode +
+    1e4 quantize + exact int64 squared-L2 against the fixed query image
+    (doc_id 123457's pixel formula, quantized on the same grid by the
+    same ``math.floor`` expression the old Catalyst literal array used)
+    — one Python stage; the JVM TakeOrderedAndProject consumes the
+    16-byte (doc_id, dist_q) rows (guide §4)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.multimodal import _decode_image_bytes
+
+    idx = np.arange(64)
+    qpx = np.array(
+        [
+            int(math.floor((123457 * 31 + i * 7 + 13) % 256 / 255.0 * 10000 + 0.5))
+            for i in range(64)
+        ],
+        dtype=np.int64,
+    )
+    for pdf in it:
+        ids, dists = [], []
+        for did in pdf["doc_id"]:
+            feat = _decode_image_bytes(_synth_ppm_payload(int(did), idx), False)
+            d = _quantize_1e4(feat) - qpx
+            ids.append(int(did))
+            dists.append(int((d * d).sum()))
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "dist_q": pd.Series(dists, dtype="int64"),
+            }
         )
 
 
@@ -125,31 +196,22 @@ def mm_image_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     float32(v/255); the exact value v*10000/255 is a multiple of 1/51,
     so its distance to any FLOOR(x+0.5) boundary is >= 1/102 ~ 9.8e-3
     while the float32 representation error is <= 6e-4 — both engines
-    round identically for every v in 0..255 (verified exhaustively)."""
-    import pgvecto_rs_spark.operators.multimodal as MM
+    round identically for every v in 0..255 (verified exhaustively).
 
+    r13 shape: synth, decode, quantize and the per-doc SUM/MAX are
+    FUSED into one mapInPandas pass carrying ``source`` through (guide
+    §4) — no second Python stage, no interpreted HOF lambdas, no
+    post-decode join; only (source, s, m) rows reach the final
+    partial-aggregated groupBy.  Decode still goes through the
+    identical real codec path (multimodal._decode_image_bytes)."""
     docs = _docs(spark, sf_dir).select("doc_id", "source")
-    media = _spread_ids(docs.select("doc_id")).mapInPandas(
-        _synth_ppm_op, "doc_id bigint, payload binary"
+    per_doc = _spread_ids(docs).mapInPandas(
+        _synth_decode_ppm_stats_op, "source string, s bigint, m bigint"
     )
-    feats = MM.decode_image_features(media, id_col="doc_id")
-    q = F.expr(
-        "transform(feature, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5)"
-        " AS BIGINT))"
-    )
-    per_doc = feats.select(
-        "doc_id",
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
-        F.array_max(q).alias("m"),
-    )
-    return (
-        per_doc.join(docs, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_images"),
-            F.sum("s").cast("long").alias("sum_gray_q"),
-            F.max("m").cast("long").alias("max_gray_q"),
-        )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_images"),
+        F.sum("s").cast("long").alias("sum_gray_q"),
+        F.max("m").cast("long").alias("max_gray_q"),
     )
 
 
@@ -176,32 +238,18 @@ def mm_image_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact), and run squared-L2 top-10 against a fixed query image
     (doc_id 123457's pixel formula) — decoded features are directly
     usable by the search layer, and the plan is the engine's top-k
-    shape (TakeOrderedAndProject over a scan-fused projection, no
-    shuffle before the limit)."""
-    import pgvecto_rs_spark.operators.multimodal as MM
+    shape (TakeOrderedAndProject, no shuffle before the limit).
 
+    r13 shape: synth, decode, quantize and the exact int64 squared-L2
+    against the fixed query are FUSED into one mapInPandas pass (guide
+    §4); only (doc_id, dist_q) rows leave the stage and the JVM top-k
+    is unchanged.  Decode still goes through the identical real codec
+    path (multimodal._decode_image_bytes)."""
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(_synth_ppm_op, "doc_id bigint, payload binary")
-    feats = MM.decode_image_features(media, id_col="doc_id")
-    qpx = [
-        int(math.floor((123457 * 31 + i * 7 + 13) % 256 / 255.0 * 10000 + 0.5))
-        for i in range(64)
-    ]
-    q = F.array(*[F.lit(int(x)).cast("long") for x in qpx])
-    pq = F.expr(
-        "transform(feature, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5)"
-        " AS BIGINT))"
+    per_doc = _spread_ids(docs).mapInPandas(
+        _synth_decode_ppm_knn_op, "doc_id bigint, dist_q bigint"
     )
-    dist = F.aggregate(
-        F.zip_with(pq, q, lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        feats.select("doc_id", dist.alias("dist_q"))
-        .orderBy("dist_q", "doc_id")
-        .limit(10)
-    )
+    return per_doc.orderBy("dist_q", "doc_id").limit(10)
 
 
 def _synth_wav_op(it):
@@ -550,34 +598,47 @@ def mm_image_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _synth_gif_op(it):
-    """(doc_id) -> (doc_id, payload): 8x8 single-frame GIF with a
-    16-color grayscale palette g(j) = (j*17 + 5) % 256 (r=g=b) and
-    indices idx_i = (doc_id*13 + i*5 + 3) % 16; interlace and
-    local-palette modes cycle by doc_id, so the gate covers every
-    container variant (values are identical across them — GIF is
-    lossless)."""
+def _synth_decode_gif_stats_op(it):
+    """(doc_id, source) -> (source, s, m): fused GIF synth + REAL GIF
+    decode (multimodal._decode_image_bytes -> _decode_gif) + the 1e4
+    quantize and per-doc SUM/MAX in one pass (guide §4), ``source``
+    riding through instead of a post-decode join.
+
+    Synth: 8x8 single-frame GIF with a 16-color grayscale palette
+    g(j) = (j*17 + 5) % 256 (r=g=b) and indices
+    idx_i = (doc_id*13 + i*5 + 3) % 16; interlace and local-palette
+    modes cycle by doc_id, so the gate covers every container variant
+    (values are identical across them — GIF is lossless)."""
     import numpy as np
     import pandas as pd
 
-    from pgvecto_rs_spark.operators.multimodal import encode_gif
+    from pgvecto_rs_spark.operators.multimodal import (
+        _decode_image_bytes,
+        encode_gif,
+    )
 
     pal = np.stack([(np.arange(16) * 17 + 5) % 256] * 3, axis=1).astype(np.uint8)
     i64 = np.arange(64)
     for pdf in it:
-        payloads = []
-        for did in pdf["doc_id"]:
+        srcs, ss, ms = [], [], []
+        for did, src in zip(pdf["doc_id"], pdf["source"]):
             did = int(did)
             idxs = ((did * 13 + i64 * 5 + 3) % 16).astype(np.uint8).reshape(8, 8)
-            payloads.append(
-                encode_gif(
-                    idxs, pal,
-                    interlace=bool(did % 2),
-                    local_palette=did % 3 == 0,
-                )
+            payload = encode_gif(
+                idxs, pal,
+                interlace=bool(did % 2),
+                local_palette=did % 3 == 0,
             )
+            q = _quantize_1e4(_decode_image_bytes(payload, False))
+            srcs.append(src)
+            ss.append(int(q.sum()))
+            ms.append(int(q.max()))
         yield pd.DataFrame(
-            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            {
+                "source": pd.Series(srcs, dtype="object"),
+                "s": pd.Series(ss, dtype="int64"),
+                "m": pd.Series(ms, dtype="int64"),
+            }
         )
 
 
@@ -610,31 +671,20 @@ def mm_image_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     counterpart to mm_image_progressive's structural oracle.  Oracle
     boundary safety: identical r=g=b mean argument as mm_image_stats
     (values are multiples of 1/51 on the 1e4 grid, boundary distance
-    >= 1/102 vs <= 6e-4 float32 error)."""
-    import pgvecto_rs_spark.operators.multimodal as MM
+    >= 1/102 vs <= 6e-4 float32 error).
 
+    r13 shape: synth, decode, quantize and the per-doc SUM/MAX are
+    FUSED into one mapInPandas pass carrying ``source`` through (guide
+    §4) — same cure as mm_image_stats; decode still goes through the
+    identical real codec path (multimodal._decode_gif)."""
     docs = _docs(spark, sf_dir).select("doc_id", "source")
-    media = _spread_ids(docs.select("doc_id")).mapInPandas(
-        _synth_gif_op, "doc_id bigint, payload binary"
+    per_doc = _spread_ids(docs).mapInPandas(
+        _synth_decode_gif_stats_op, "source string, s bigint, m bigint"
     )
-    feats = MM.decode_image_features(media, id_col="doc_id")
-    q = F.expr(
-        "transform(feature, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5)"
-        " AS BIGINT))"
-    )
-    per_doc = feats.select(
-        "doc_id",
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
-        F.array_max(q).alias("m"),
-    )
-    return (
-        per_doc.join(docs, "doc_id")
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_images"),
-            F.sum("s").cast("long").alias("sum_gray_q"),
-            F.max("m").cast("long").alias("max_gray_q"),
-        )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_images"),
+        F.sum("s").cast("long").alias("sum_gray_q"),
+        F.max("m").cast("long").alias("max_gray_q"),
     )
 
 
@@ -642,7 +692,7 @@ def _synth_gif_anim_op(it):
     """(doc_id) -> (doc_id, payload): animated GIF with
     nf = 1 + doc_id % 4 full-screen 8x8 frames; frame f's indices are
     (doc_id*13 + f*7 + i*5 + 3) % 16 over the same 16-gray palette as
-    _synth_gif_op.  Full-screen opaque frames make every composited
+    _synth_decode_gif_stats_op.  Full-screen opaque frames make every composited
     canvas equal its own frame — value-exact under sampling."""
     import numpy as np
     import pandas as pd
@@ -1155,12 +1205,20 @@ def mm_audio_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.decode_audio_channel_stats(media, id_col="doc_id")
 
 
-def _synth_mp4_idr_op(it):
-    """(doc_id) -> (doc_id, payload): MP4 whose samples are REAL H.264
-    constrained-baseline IDR access units (avcC-format, SPS/PPS in the
-    container's avcC record) built by the operators.h264 encoder twin.
-    2 + doc_id%3 keyframe samples per doc; each is a 32x32 frame of
-    four macroblocks with a closed-form reconstruction:
+def _synth_decode_mp4_idr_op(it):
+    """(doc_id) -> decoded keyframe stats: fused synth +
+    ``decode_video_keyframes`` — the MP4 synthesis, the REAL container
+    walk (operators.mp4 ``index_mp4_samples`` incl. avcC resolution)
+    and the REAL CAVLC baseline IDR pixel decode (operators.h264
+    ``decode_idr_frame``) all happen in the task that built the
+    payload, so the MP4 bytes never cross a second Arrow boundary and
+    the query pays ONE Python stage instead of two (guide §4).
+
+    Synth: MP4 whose samples are REAL H.264 constrained-baseline IDR
+    access units (avcC-format, SPS/PPS in the container's avcC record)
+    built by the operators.h264 encoder twin.  2 + doc_id%3 keyframe
+    samples per doc; each is a 32x32 frame of four macroblocks with a
+    closed-form reconstruction:
 
       v  = 20 + (doc_id*7 + s*13) % 200      (PCM flat luma)
       k  = (doc_id + s) % 9 - 4              (DC residual level)
@@ -1181,11 +1239,15 @@ def _synth_mp4_idr_op(it):
     import numpy as np
     import pandas as pd
 
-    from pgvecto_rs_spark.operators.h264 import encode_idr_stream, split_annexb
-    from pgvecto_rs_spark.operators.mp4 import encode_mp4
+    from pgvecto_rs_spark.operators.h264 import (
+        decode_idr_frame,
+        encode_idr_stream,
+        split_annexb,
+    )
+    from pgvecto_rs_spark.operators.mp4 import encode_mp4, index_mp4_samples
 
     for pdf in it:
-        payloads = []
+        rows: list[tuple] = []
         for did in pdf["doc_id"]:
             did = int(did)
             samples = []
@@ -1208,11 +1270,41 @@ def _synth_mp4_idr_op(it):
                     encode_idr_stream(plan, 2, 2, qp=28)
                 )
                 samples.append(len(idr).to_bytes(4, "big") + idr)
-            payloads.append(
-                encode_mp4(samples, sps=sps, pps=pps, width=32, height=32)
-            )
+            raw = encode_mp4(samples, sps=sps, pps=pps, width=32, height=32)
+            idx = index_mp4_samples(raw)
+            avcc = idx["avcc"]
+            if avcc is None or not avcc["sps"] or not avcc["pps"]:
+                raise ValueError("mm_mp4_idr: synthesized MP4 lost its avcC")
+            for no, _dts, _pts, off, size, kf in idx["samples"]:
+                if not kf:
+                    continue
+                out = decode_idr_frame(
+                    raw[off : off + size],
+                    sps_bytes=avcc["sps"][0],
+                    pps_bytes=avcc["pps"][0],
+                    nal_length_size=avcc["nal_length_size"],
+                )
+                y, cb, cr = out["y"], out["cb"], out["cr"]
+                rows.append((
+                    did, no, out["width"], out["height"],
+                    int(y.astype(np.int64).sum()),
+                    int(y.min()), int(y.max()),
+                    int(cb.astype(np.int64).sum()),
+                    int(cr.astype(np.int64).sum()),
+                ))
+        cols = list(zip(*rows)) if rows else [[] for _ in range(9)]
         yield pd.DataFrame(
-            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            {
+                "doc_id": pd.Series(cols[0], dtype="int64"),
+                "sample_no": pd.Series(cols[1], dtype="int32"),
+                "width": pd.Series(cols[2], dtype="int32"),
+                "height": pd.Series(cols[3], dtype="int32"),
+                "luma_sum": pd.Series(cols[4], dtype="int64"),
+                "luma_min": pd.Series(cols[5], dtype="int32"),
+                "luma_max": pd.Series(cols[6], dtype="int32"),
+                "cb_sum": pd.Series(cols[7], dtype="int64"),
+                "cr_sum": pd.Series(cols[8], dtype="int64"),
+            }
         )
 
 
@@ -1246,27 +1338,41 @@ def mm_mp4_idr(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefixes -> per-keyframe byte slice -> from-spec CAVLC baseline
     I-slice decode (operators/h264.py) -> exact integer plane stats
     (decode_video_keyframes).  The synthetic frames' reconstruction has
-    a closed form (see _synth_mp4_idr_op), so the DuckDB oracle checks
+    a closed form (see _synth_decode_mp4_idr_op), so the DuckDB oracle checks
     every decoded pixel statistic with ZERO tolerance: one wrong
     prediction sample, dequant value or CAVLC level anywhere flips
     luma_sum.  Inter-frame (P/B) decode remains behind the documented
     ffmpeg seam — this makes the KEYFRAME path, which frame-sampling
     curation actually uses, real.  Reference parity: N/A (no media
-    surface in the reference)."""
-    import pgvecto_rs_spark.operators.multimodal as MM
+    surface in the reference).
 
+    r13 shape: synth, container walk and IDR decode are FUSED into one
+    mapInPandas pass (guide §4, same cure as mm_video_frames) — the MP4
+    bytes never cross a second Arrow boundary.  Decode still goes
+    through the identical real paths (operators.mp4 sample index,
+    operators.h264 pixel decode)."""
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(
-        _synth_mp4_idr_op, "doc_id bigint, payload binary"
+    return _spread_ids(docs).mapInPandas(
+        _synth_decode_mp4_idr_op,
+        "doc_id bigint, sample_no int, width int, height int, "
+        "luma_sum bigint, luma_min int, luma_max int, "
+        "cb_sum bigint, cr_sum bigint",
     )
-    return MM.decode_video_keyframes(media, id_col="doc_id")
 
 
-def _synth_mp4_group_op(it):
-    """(doc_id) -> (doc_id, payload): near-duplicate VIDEO groups.
-    Videos with the same doc_id//4 share the frame pattern; the luma
-    is constant over each 4x4 block, with block (i, j) of frame s in
-    group g carrying
+def _synth_hash_mp4_group_op(it):
+    """(doc_id) -> (doc_id, sample_no, sig): fused synth +
+    ``video_keyframe_hashes`` — near-duplicate VIDEO groups synthesized,
+    container-walked, IDR pixel-decoded and aHashed inside one task, so
+    the MP4 bytes never cross a second Arrow boundary and only 16-byte
+    signature rows leave the stage (guide §4).  Decode and hash go
+    through the identical real paths (operators.mp4 sample index,
+    operators.h264 pixel decode, the same ``_resize_nn`` + strict
+    mean-threshold bit rule as ``video_keyframe_hashes``).
+
+    Synth: videos with the same doc_id//4 share the frame pattern; the
+    luma is constant over each 4x4 block, with block (i, j) of frame s
+    in group g carrying
 
         t = (g*2 + s)*64 + i*8 + j + 1
         v = ((t*t % 999983) * t % 999983) % 200 + (doc_id % 4)*2
@@ -1286,11 +1392,17 @@ def _synth_mp4_group_op(it):
     import numpy as np
     import pandas as pd
 
-    from pgvecto_rs_spark.operators.h264 import encode_idr_stream, split_annexb
-    from pgvecto_rs_spark.operators.mp4 import encode_mp4
+    from pgvecto_rs_spark.operators.h264 import (
+        decode_idr_frame,
+        encode_idr_stream,
+        split_annexb,
+    )
+    from pgvecto_rs_spark.operators.mp4 import encode_mp4, index_mp4_samples
+    from pgvecto_rs_spark.operators.multimodal import _resize_nn
 
+    weights = 1 << np.arange(64, dtype=np.uint64)
     for pdf in it:
-        payloads = []
+        ids, nos, sigs = [], [], []
         for did in pdf["doc_id"]:
             did = int(did)
             g, var = did // 4, did % 4
@@ -1313,10 +1425,37 @@ def _synth_mp4_group_op(it):
                 sps, pps, idr = split_annexb(
                     encode_idr_stream(plan, 2, 2, qp=28))
                 samples.append(len(idr).to_bytes(4, "big") + idr)
-            payloads.append(
-                encode_mp4(samples, sps=sps, pps=pps, width=32, height=32))
+            raw = encode_mp4(samples, sps=sps, pps=pps, width=32, height=32)
+            smp = index_mp4_samples(raw)
+            avcc = smp["avcc"]
+            if avcc is None or not avcc["sps"] or not avcc["pps"]:
+                raise ValueError(
+                    "mm_video_idr_neardup: synthesized MP4 lost its avcC"
+                )
+            for no, _dts, _pts, off, size, kf in smp["samples"]:
+                if not kf:
+                    continue
+                out = decode_idr_frame(
+                    raw[off : off + size],
+                    sps_bytes=avcc["sps"][0],
+                    pps_bytes=avcc["pps"][0],
+                    nal_length_size=avcc["nal_length_size"],
+                )
+                v = _resize_nn(out["y"], 8, 8).astype(np.int64)
+                bits = (64 * v.reshape(-1)) > v.sum()
+                sig = int((bits.astype(np.uint64) * weights)
+                          .sum(dtype=np.uint64))
+                if sig >= 1 << 63:
+                    sig -= 1 << 64
+                ids.append(did)
+                nos.append(no)
+                sigs.append(sig)
         yield pd.DataFrame(
-            {"doc_id": pdf["doc_id"].astype("int64"), "payload": payloads}
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "sample_no": pd.Series(nos, dtype="int32"),
+                "sig": pd.Series(sigs, dtype="int64"),
+            }
         )
 
 
@@ -1368,15 +1507,20 @@ def mm_video_idr_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature equality in pure SQL — certifying both the pixel decode
     and the join's completeness.  100 TB shape: 16-byte signatures
     shuffle, video bytes never do.  Reference parity: N/A (no media
-    surface in the reference)."""
+    surface in the reference).
+
+    r13 shape: synth, container walk, IDR decode and aHash are FUSED
+    into one mapInPandas pass (guide §4); the banded-pigeonhole join
+    and rollup are unchanged
+    (multimodal.video_pairs_from_keyframe_hashes)."""
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(
-        _synth_mp4_group_op, "doc_id bigint, payload binary"
+    hashes = _spread_ids(docs).mapInPandas(
+        _synth_hash_mp4_group_op, "doc_id bigint, sample_no int, sig bigint"
     )
-    return MM.video_neardup_pairs(
-        media, id_col="doc_id", max_hamming=0, min_matching_frames=2,
+    return MM.video_pairs_from_keyframe_hashes(
+        hashes, id_col="doc_id", max_hamming=0, min_matching_frames=2,
         max_bucket=4096,
     )
 
