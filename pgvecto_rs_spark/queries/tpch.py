@@ -1056,12 +1056,17 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: instead of two correlated self-joins over lineitem
     (the oracle's literal spelling), ONE per-order aggregation computes
-    (distinct suppliers, distinct late suppliers) per order — for a
-    late line l1, "another supplier exists" == n_supp > 1 and "no other
-    supplier was late" == n_late_supp == 1.  That turns Q21 into two
-    hash aggregates + one join: no lineitem x lineitem shuffle, and the
-    per-order stats table is orders-cardinality, not lineitem-
-    cardinality.  The final group is |suppliers| rows, TakeOrdered."""
+    (distinct suppliers, distinct late suppliers, THE late supplier,
+    late-line count) per order — for a late line l1, "another supplier
+    exists" == n_supp > 1 and "no other supplier was late" ==
+    n_late_supp == 1, and in a qualifying order every late line belongs
+    to the single late supplier, so numwait = SUM(n_late_lines) grouped
+    by that supplier.  r13: the late lines' rollup rides the SAME
+    aggregation (max(late suppkey) + sum(late flags)), so the old
+    lineitem-cardinality re-shuffle + join of `lo WHERE is_late`
+    against per_order is gone — Q21 is one lineitem-keyed hash
+    aggregate, two broadcast joins over orders-cardinality rows, and a
+    TakeOrdered over |suppliers| groups."""
     _tune(spark)
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
@@ -1081,22 +1086,21 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey).withColumn(
         "is_late", late
     )
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
     per_order = lo.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+        F.countDistinct(late_supp).alias("n_late_supp"),
+        # in a qualifying order (n_late_supp == 1) this IS the one late
+        # supplier; sum of flags counts that supplier's late lines
+        F.max(late_supp).alias("late_suppkey"),
+        F.sum(F.col("is_late").cast("long")).alias("n_late_lines"),
     )
-    l1 = (
-        lo.where(F.col("is_late"))
-        .join(per_order, "l_orderkey")
-        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-    )
+    qual = per_order.where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
     out = (
-        l1.join(F.broadcast(supplier), l1.l_suppkey == supplier.s_suppkey)
+        qual.join(F.broadcast(supplier), qual.late_suppkey == supplier.s_suppkey)
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )

@@ -703,6 +703,24 @@ class IndexTransaction:
                 "max_age_seconds?"
             )
 
+    def _staged_write(self, writer, path: str) -> None:
+        """Run a staging parquet append; if it blows up BECAUSE the
+        staging dir was swept mid-write (GC raced the write itself, not
+        just the gaps between writes), surface the documented loud
+        RuntimeError instead of a raw Spark task failure."""
+        try:
+            writer.parquet(path)
+        except Exception as e:  # noqa: BLE001 - re-raised unless swept
+            if os.path.isfile(os.path.join(self._dir, "OPEN")):
+                raise
+            self._open = False
+            raise RuntimeError(
+                f"transaction staging dir {self._dir} was removed "
+                f"mid-write ({self._staged} staged batch(es) may be "
+                "lost) — was it GC'd as stale while staging stalled "
+                "past max_age_seconds?"
+            ) from e
+
     def _touch(self) -> None:
         """Refresh the staging dir's mtime on every stage: parquet writes
         land in ``txn-*/delta/rows/`` and do NOT bump the top-level dir,
@@ -727,7 +745,7 @@ class IndexTransaction:
         v = self._next_version()
         kernel, do_norm = base.resolve_metric(idx.meta["metric"])
         vec = base.normalized_col(idx.meta["vector_col"], do_norm).cast("array<float>")
-        (
+        w = (
             df.where(F.col(idx.meta["vector_col"]).isNotNull())
             .select(
                 F.col(idx.meta["id_col"]).cast("long").alias("id"),
@@ -735,8 +753,8 @@ class IndexTransaction:
                 F.lit(v).alias("version"),
             )
             .write.mode("append")
-            .parquet(os.path.join(self._dir, "delta", "rows"))
         )
+        self._staged_write(w, os.path.join(self._dir, "delta", "rows"))
         self._staged += 1
         self._touch()
         self._check_marker()
@@ -744,11 +762,10 @@ class IndexTransaction:
     def delete(self, ids: Sequence[int]) -> None:
         self._check_open()
         v = self._next_version()
-        self._idx.spark.createDataFrame(
+        w = self._idx.spark.createDataFrame(
             [(int(i), v) for i in ids], "id long, version int"
-        ).write.mode("append").parquet(
-            os.path.join(self._dir, "tombstones", "rows")
-        )
+        ).write.mode("append")
+        self._staged_write(w, os.path.join(self._dir, "tombstones", "rows"))
         self._staged += 1
         self._touch()
         self._check_marker()
@@ -756,13 +773,13 @@ class IndexTransaction:
     def delete_df(self, ids_df: DataFrame, id_col: str = "id") -> None:
         self._check_open()
         v = self._next_version()
-        (
+        w = (
             ids_df.select(
                 F.col(id_col).cast("long").alias("id"), F.lit(v).alias("version")
             )
             .write.mode("append")
-            .parquet(os.path.join(self._dir, "tombstones", "rows"))
         )
+        self._staged_write(w, os.path.join(self._dir, "tombstones", "rows"))
         self._staged += 1
         self._touch()
         self._check_marker()
