@@ -1018,6 +1018,18 @@ def decode_image_features(
     documented ValueError / NotImplementedError only) so web-scale
     ingest survives the corrupt rows every real crawl contains —
     filter ``feature IS NOT NULL`` downstream."""
+    return df.mapInPandas(*decode_image_features_op(payload_col, id_col, fake, on_error))
+
+
+def decode_image_features_op(
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    fake: bool = False,
+    on_error: str = "raise",
+) -> tuple:
+    """(batch_fn, schema) behind :func:`decode_image_features` —
+    exposed (r13, guide §4) so fused synth+decode stages can run the
+    identical batch function in the task that built the payload."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     out_schema = f"{id_col} bigint, feature array<float>"
@@ -1038,7 +1050,7 @@ def decode_image_features(
             feats = [one(b) for b in pdf[payload_col]]
             yield pd.DataFrame({id_col: pdf[id_col].astype("int64"), "feature": feats})
 
-    return df.mapInPandas(op, out_schema)
+    return op, out_schema
 
 
 def decode_audio_features(
@@ -1113,6 +1125,16 @@ def decode_audio_stats(
     multimodal analogue of the repo's scaled-integer aggregation
     discipline.  mapInPandas batch operator, same contract as
     decode_audio_features."""
+    return df.mapInPandas(*decode_audio_stats_op(payload_col, id_col))
+
+
+def decode_audio_stats_op(
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> tuple:
+    """(batch_fn, schema) behind :func:`decode_audio_stats` — exposed
+    (r13, guide §4) so fused synth+decode stages can run the identical
+    batch function in the task that built the payload."""
     out_schema = (
         f"{id_col} bigint, sample_rate int, n_samples bigint, "
         "duration_ms int, energy bigint, zero_crossings bigint"
@@ -1147,7 +1169,7 @@ def decode_audio_stats(
                 }
             )
 
-    return df.mapInPandas(op, out_schema)
+    return op, out_schema
 
 
 def decode_audio_channel_stats(
@@ -1168,6 +1190,16 @@ def decode_audio_channel_stats(
     payloads raise ValueError (same codec-boundary contract as the
     decoders); NULL payloads are skipped.  mapInPandas Arrow batches,
     one output row per (clip, channel)."""
+    return df.mapInPandas(*decode_audio_channel_stats_op(payload_col, id_col))
+
+
+def decode_audio_channel_stats_op(
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> tuple:
+    """(batch_fn, schema) behind :func:`decode_audio_channel_stats` —
+    exposed (r13, guide §4) so fused synth+decode stages can run the
+    identical batch function in the task that built the payload."""
     from .flac import decode_flac, is_flac
 
     out_schema = (
@@ -1208,7 +1240,7 @@ def decode_audio_channel_stats(
                 }
             )
 
-    return df.mapInPandas(op, out_schema)
+    return op, out_schema
 
 
 def image_hashes_df(
@@ -1240,6 +1272,19 @@ def image_hashes_df(
     fails on malformed payloads; "null" drops them (no signature, like
     a NULL payload) so web-scale near-dup ingest survives corrupt
     media."""
+    return df.mapInPandas(*image_hashes_op(payload_col, id_col, method, fake, on_error))
+
+
+def image_hashes_op(
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    method: str = "ahash",
+    fake: bool = False,
+    on_error: str = "raise",
+) -> tuple:
+    """(batch_fn, schema) behind :func:`image_hashes_df` — exposed
+    (r13, guide §4) so fused synth+hash stages can run the identical
+    batch function in the task that built the payload."""
     if method not in ("ahash", "dhash"):
         raise ValueError(f"unknown image hash method: {method!r}")
     if on_error not in ("raise", "null"):
@@ -1277,7 +1322,7 @@ def image_hashes_df(
                 }
             )
 
-    return df.mapInPandas(op, "__id bigint, __sig bigint")
+    return op, "__id bigint, __sig bigint"
 
 
 def image_neardup_pairs(
@@ -1334,6 +1379,17 @@ def audio_hashes_df(
     near-dup; signatures are a per-row map, NO shuffle here.
     ``on_error``: "raise" (default) fails on malformed payloads;
     "null" drops them (no signature, like a NULL payload)."""
+    return df.mapInPandas(*audio_hashes_op(payload_col, id_col, on_error))
+
+
+def audio_hashes_op(
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> tuple:
+    """(batch_fn, schema) behind :func:`audio_hashes_df` — exposed
+    (r13, guide §4) so fused synth+hash stages can run the identical
+    batch function in the task that built the payload."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     skip = on_error == "null"
@@ -1371,7 +1427,7 @@ def audio_hashes_df(
                 }
             )
 
-    return df.mapInPandas(op, "__id bigint, __sig bigint")
+    return op, "__id bigint, __sig bigint"
 
 
 def audio_neardup_pairs(
@@ -1472,6 +1528,21 @@ def sample_video_frames(
     the fan-out inside Arrow batches.  ``on_error``: "raise" (default)
     or "null" (drop malformed/unsupported payloads, like NULL
     payloads)."""
+    return df.mapInPandas(
+        *sample_video_frames_op(payload_col, id_col, every_n, fake, on_error)
+    )
+
+
+def sample_video_frames_op(
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    every_n: int = 10,
+    fake: bool = False,
+    on_error: str = "raise",
+) -> tuple:
+    """(batch_fn, schema) behind :func:`sample_video_frames` — exposed
+    (r13, guide §4) so fused synth+sample stages can run the identical
+    batch function in the task that built the payload."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     skip = on_error == "null"
@@ -1551,7 +1622,7 @@ def sample_video_frames(
                 {id_col: pd.Series(ids, dtype="int64"), "frame_no": pd.Series(frames, dtype="int32"), "frame_payload": payloads}
             )
 
-    return df.mapInPandas(op, out_schema)
+    return op, out_schema
 
 
 def decode_video_keyframes(
@@ -1663,6 +1734,17 @@ def extract_video_captions(
     (exact integers); text is decoded UTF-8.  Payloads without a text
     track, or with a non-tx3g text entry, follow the uniform codec
     ``on_error`` policy (ValueError / NotImplementedError)."""
+    return df.mapInPandas(*extract_video_captions_op(payload_col, id_col, on_error))
+
+
+def extract_video_captions_op(
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> tuple:
+    """(batch_fn, schema) behind :func:`extract_video_captions` —
+    exposed (r13, guide §4) so fused synth+extract stages can run the
+    identical batch function in the task that built the payload."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     skip = on_error == "null"
@@ -1699,7 +1781,7 @@ def extract_video_captions(
                 }
             )
 
-    return df.mapInPandas(op, out_schema)
+    return op, out_schema
 
 
 def index_audio_frames(
@@ -1716,6 +1798,17 @@ def index_audio_frames(
     quality filtering for a 100 TB audio corpus need exactly this and
     no PCM decode; only ~50-byte index rows shuffle.  ``on_error``
     follows the uniform codec ingest policy."""
+    return df.mapInPandas(*index_audio_frames_op(payload_col, id_col, on_error))
+
+
+def index_audio_frames_op(
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> tuple:
+    """(batch_fn, schema) behind :func:`index_audio_frames` — exposed
+    (r13, guide §4) so fused synth+index stages can run the identical
+    batch function in the task that built the payload."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     skip = on_error == "null"
@@ -1753,7 +1846,7 @@ def index_audio_frames(
                 }
             )
 
-    return df.mapInPandas(op, out_schema)
+    return op, out_schema
 
 
 def index_audio_pages(
@@ -1768,6 +1861,17 @@ def index_audio_pages(
     n_packets, bos, eos).  Page CRCs are verified during the walk, so
     a green row set certifies byte-exact container integrity too.
     Same ~50-byte-rows-only shuffle shape as the MP3/MP4 indexes."""
+    return df.mapInPandas(*index_audio_pages_op(payload_col, id_col, on_error))
+
+
+def index_audio_pages_op(
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> tuple:
+    """(batch_fn, schema) behind :func:`index_audio_pages` — exposed
+    (r13, guide §4) so fused synth+index stages can run the identical
+    batch function in the task that built the payload."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     skip = on_error == "null"
@@ -1807,7 +1911,7 @@ def index_audio_pages(
                 }
             )
 
-    return df.mapInPandas(op, out_schema)
+    return op, out_schema
 
 
 def extract_audio_tags(
@@ -1823,6 +1927,17 @@ def extract_audio_tags(
     language routing and dedup keys.  ``on_error`` follows the uniform
     codec ingest policy; files whose container carries no tags yield
     no rows (absence is not an error)."""
+    return df.mapInPandas(*extract_audio_tags_op(payload_col, id_col, on_error))
+
+
+def extract_audio_tags_op(
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> tuple:
+    """(batch_fn, schema) behind :func:`extract_audio_tags` — exposed
+    (r13, guide §4) so fused synth+extract stages can run the identical
+    batch function in the task that built the payload."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     skip = on_error == "null"
@@ -1857,7 +1972,7 @@ def extract_audio_tags(
                 }
             )
 
-    return df.mapInPandas(op, out_schema)
+    return op, out_schema
 
 
 def video_keyframe_hashes(
@@ -2033,6 +2148,17 @@ def index_video_samples(
     rows are what shuffles, never the media.  ``on_error``: "raise"
     (default) or "null" (drop malformed payloads, like NULL payloads —
     the uniform ingest policy of every codec here)."""
+    return df.mapInPandas(*index_video_samples_op(payload_col, id_col, on_error))
+
+
+def index_video_samples_op(
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    on_error: str = "raise",
+) -> tuple:
+    """(batch_fn, schema) behind :func:`index_video_samples` — exposed
+    (r13, guide §4) so fused synth+index stages can run the identical
+    batch function in the task that built the payload."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null', got {on_error!r}")
     skip = on_error == "null"
@@ -2082,4 +2208,4 @@ def index_video_samples(
                 }
             )
 
-    return df.mapInPandas(op, out_schema)
+    return op, out_schema

@@ -166,6 +166,18 @@ def subtitle_cues(
     ``on_error`` ("raise" | "null" drops the whole payload) — the same
     ingest policy as the codec family.  mapInPandas Arrow batches; the
     explode happens batch-side, one output row per cue."""
+    return df.mapInPandas(*subtitle_cues_op(text_col, id_col, fmt, on_error))
+
+
+def subtitle_cues_op(
+    text_col: str = "subtitle",
+    id_col: str = "media_id",
+    fmt: str = "auto",
+    on_error: str = "raise",
+) -> tuple:
+    """(batch_fn, schema) behind :func:`subtitle_cues` — exposed (r13,
+    guide §4) so fused synth+parse stages can run the identical batch
+    function in the task that formatted the sidecar."""
     if fmt not in ("auto", "srt", "webvtt"):
         raise ValueError(f"subtitle_cues: unknown fmt {fmt!r}")
     if on_error not in ("raise", "null"):
@@ -205,4 +217,4 @@ def subtitle_cues(
                 }
             )
 
-    return df.mapInPandas(op, out_schema)
+    return op, out_schema

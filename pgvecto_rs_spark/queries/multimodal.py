@@ -78,6 +78,25 @@ def _spread_ids(df: DataFrame) -> DataFrame:
     return df
 
 
+def _fused_synth(docs: DataFrame, synth_op, *op_schemas) -> DataFrame:
+    """ONE mapInPandas stage running ``synth_op`` and then each
+    operator batch function (from the operators' ``*_op()`` factories)
+    over the same batch iterator (guide §4): the synthesized payload
+    never crosses a second Arrow boundary and the query pays one Python
+    worker round trip instead of two or three.  The parse half IS the
+    operator's own batch function — the real code path is identical by
+    construction, not by duplication."""
+    fns = [synth_op] + [op for op, _schema in op_schemas]
+    schema = op_schemas[-1][1]
+
+    def fused(it):
+        for fn in fns:
+            it = fn(it)
+        return it
+
+    return _spread_ids(docs).mapInPandas(fused, schema)
+
+
 def _synth_ppm_payload(did: int, idx) -> bytes:
     """8x8 P6 PPM for doc ``did``: pixel v_i = (did*31 + i*7 + 13) % 256,
     r=g=b (so gray == v/255 exactly in float32 — see mm_image_stats
@@ -313,12 +332,17 @@ def mm_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero crossings).  8-bit PCM decodes to (u-128)/128 — dyadic — so
     the integer sample is recovered exactly and the oracle needs no
     floating-point tolerance at all (the multimodal analogue of the
-    scaled-integer SUM discipline used by the TPC-H oracles)."""
+    scaled-integer SUM discipline used by the TPC-H oracles).
+
+    r13 shape: synth and decode run as ONE fused Python stage
+    (_fused_synth, guide §4) through decode_audio_stats' own batch
+    function."""
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(_synth_wav_op, "doc_id bigint, payload binary")
-    return MM.decode_audio_stats(media, id_col="doc_id")
+    return _fused_synth(
+        docs, _synth_wav_op, MM.decode_audio_stats_op(id_col="doc_id")
+    )
 
 
 def _synth_wav_groups_op(it):
@@ -428,14 +452,20 @@ def mm_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly in corpus size — see `_synth_wav_groups_op`.  max_bucket
     sits above the corpus's worst band bucket so none is dropped; the
     only shuffle is the band-key exchange on 64-bit signatures, never
-    on samples."""
+    on samples.
+
+    r13 shape: synth, WAV decode and the energy-envelope hash run as
+    ONE fused Python stage (_fused_synth through audio_hashes_df's own
+    batch function, guide §4); only 16-byte signature rows leave it,
+    and the banded join is unchanged."""
     import pgvecto_rs_spark.operators.multimodal as MM
+    from pgvecto_rs_spark.operators.dedup import hamming_candidate_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(_synth_wav_groups_op, "doc_id bigint, payload binary")
-    return MM.audio_neardup_pairs(
-        media, id_col="doc_id", max_hamming=3, max_bucket=100_000
+    sig = _fused_synth(
+        docs, _synth_wav_groups_op, MM.audio_hashes_op(id_col="doc_id")
     )
+    return hamming_candidate_pairs(sig, max_hamming=3, max_bucket=100_000)
 
 
 def _synth_sample_decode_avi_op(it):
@@ -720,6 +750,33 @@ def _synth_gif_anim_op(it):
         )
 
 
+def _gif_frame_quant_op(it):
+    """(doc_id, frame_no, frame_payload) -> (doc_id, frame_no, s): the
+    decode+quantize leg of mm_gif_frames — the REAL image decode
+    (multimodal._decode_image_bytes over the sampled PPM frames) and
+    the same bit-identical 1e4 quantized per-frame sum the old Catalyst
+    column path produced (see :func:`_quantize_1e4`).  Emitting
+    (doc_id, frame_no, s) directly also retires the old id-packing
+    workaround (doc_id*1000 + frame_no) that carried frame_no through
+    decode_image_features' (id, feature) schema."""
+    import pandas as pd
+
+    from pgvecto_rs_spark.operators.multimodal import _decode_image_bytes
+
+    for pdf in it:
+        ss = [
+            int(_quantize_1e4(_decode_image_bytes(bytes(b), False)).sum())
+            for b in pdf["frame_payload"]
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].astype("int64"),
+                "frame_no": pdf["frame_no"].astype("int32"),
+                "s": pd.Series(ss, dtype="int64"),
+            }
+        )
+
+
 @register(
     "mm_gif_frames",
     r"""
@@ -750,30 +807,20 @@ def mm_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum_gray_q).  GIF is lossless and the frames are full-screen
     opaque, so the oracle replays the exact per-frame pixel function —
     the value-exact animated counterpart to mm_video_frames' structural
-    oracle (MJPEG is lossy)."""
+    oracle (MJPEG is lossy).
+
+    r13 shape: synth, GIF compositing/sampling and the per-frame
+    decode+quantize run as ONE fused Python stage (_fused_synth
+    chaining sample_video_frames' own batch function and
+    _gif_frame_quant_op, guide §4) — down from THREE Python stages;
+    only (doc_id, frame_no, s) rows reach the JVM groupBy."""
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(
-        _synth_gif_anim_op, "doc_id bigint, payload binary"
-    )
-    sampled = MM.sample_video_frames(media, id_col="doc_id", every_n=2)
-    # decode_image_features keeps only (id, feature); carry frame_no
-    # through the decode by packing it into the id (frame_no < 1000)
-    q = F.expr(
-        "transform(feature, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0 + 0.5)"
-        " AS BIGINT))"
-    )
-    per_frame = MM.decode_image_features(
-        sampled.select(
-            (F.col("doc_id") * 1000 + F.col("frame_no")).alias("doc_id"),
-            F.col("frame_payload").alias("payload"),
-        ),
-        id_col="doc_id",
-    ).select(
-        F.floor(F.col("doc_id") / 1000).cast("long").alias("doc_id"),
-        (F.col("doc_id") % 1000).cast("int").alias("frame_no"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("s"),
+    per_frame = _fused_synth(
+        docs, _synth_gif_anim_op,
+        MM.sample_video_frames_op(id_col="doc_id", every_n=2),
+        (_gif_frame_quant_op, "doc_id bigint, frame_no int, s bigint"),
     )
     return per_frame.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_sampled"),
@@ -882,14 +929,21 @@ def mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct base images and made pairs (and band buckets) quadratic.
     max_bucket stays far above the worst observed band bucket so no
     bucket is dropped; the only shuffle is the band-key exchange on
-    64-bit signatures, never on pixels."""
+    64-bit signatures, never on pixels.
+
+    r13 shape: synth, decode and aHash run as ONE fused Python stage
+    (_fused_synth through image_hashes_df's own batch function, guide
+    §4); only 16-byte signature rows leave it, and the banded join is
+    unchanged."""
     import pgvecto_rs_spark.operators.multimodal as MM
+    from pgvecto_rs_spark.operators.dedup import hamming_candidate_pairs
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(_synth_ppm_groups_op, "doc_id bigint, payload binary")
-    return MM.image_neardup_pairs(
-        media, id_col="doc_id", max_hamming=3, method="ahash", max_bucket=100_000
+    sig = _fused_synth(
+        docs, _synth_ppm_groups_op,
+        MM.image_hashes_op(id_col="doc_id", method="ahash"),
     )
+    return hamming_candidate_pairs(sig, max_hamming=3, max_bucket=100_000)
 
 
 def _synth_mp4_op(it):
@@ -989,14 +1043,17 @@ def mm_mp4_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     stsc x stco/co64 chunk walk (2 samples/chunk, both offset widths),
     and stss keyframe resolution — everything frame sampling at 100 TB
     needs short of pixel decode (the documented ffmpeg seam).
-    Reference parity: N/A (no media surface in the reference)."""
+    Reference parity: N/A (no media surface in the reference).
+
+    r13 shape: synth and the box walk run as ONE fused Python stage
+    (_fused_synth through index_video_samples' own batch function,
+    guide §4)."""
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(
-        _synth_mp4_op, "doc_id bigint, payload binary"
+    idx = _fused_synth(
+        docs, _synth_mp4_op, MM.index_video_samples_op(id_col="doc_id")
     )
-    idx = MM.index_video_samples(media, id_col="doc_id")
     return idx.select(
         "doc_id",
         "sample_no",
@@ -1032,14 +1089,18 @@ def mm_mp4_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, last sampled index, and total extracted bytes from the
     synthesis formulas — value-exact, certifying the sampling stride
     and the byte-extent slicing; the unit tests additionally pin the
-    extracted BYTES to the synthesized access units."""
+    extracted BYTES to the synthesized access units.
+
+    r13 shape: synth and the container-level sampling run as ONE fused
+    Python stage (_fused_synth through sample_video_frames' own batch
+    function, guide §4)."""
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(
-        _synth_mp4_op, "doc_id bigint, payload binary"
+    sampled = _fused_synth(
+        docs, _synth_mp4_op,
+        MM.sample_video_frames_op(id_col="doc_id", every_n=2),
     )
-    sampled = MM.sample_video_frames(media, id_col="doc_id", every_n=2)
     return sampled.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_sampled"),
         F.max("frame_no").cast("int").alias("max_frame_no"),
@@ -1114,14 +1175,17 @@ def mm_audio_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural oracle this one is value-exact: energy and strict
     sign-flip zero crossings replay the synthesis formula in pure SQL
     with zero tolerance.  Reference parity: N/A (no media surface in
-    the reference)."""
+    the reference).
+
+    r13 shape: FLAC encode and decode run as ONE fused Python stage
+    (_fused_synth through decode_audio_stats' own batch function,
+    guide §4)."""
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(
-        _synth_flac_op, "doc_id bigint, payload binary"
+    return _fused_synth(
+        docs, _synth_flac_op, MM.decode_audio_stats_op(id_col="doc_id")
     )
-    return MM.decode_audio_stats(media, id_col="doc_id")
 
 
 def _synth_flac_stereo_op(it):
@@ -1195,14 +1259,18 @@ def mm_audio_flac_stereo(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the L/R synthesis formulas in pure SQL with zero
     tolerance: a single mis-reconstructed side channel or LPC residual
     flips energy/zero_crossings.  Reference parity: N/A (no media
-    surface in the reference)."""
+    surface in the reference).
+
+    r13 shape: FLAC encode and decode run as ONE fused Python stage
+    (_fused_synth through decode_audio_channel_stats' own batch
+    function, guide §4)."""
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(
-        _synth_flac_stereo_op, "doc_id bigint, payload binary"
+    return _fused_synth(
+        docs, _synth_flac_stereo_op,
+        MM.decode_audio_channel_stats_op(id_col="doc_id"),
     )
-    return MM.decode_audio_channel_stats(media, id_col="doc_id")
 
 
 def _synth_decode_mp4_idr_op(it):
@@ -1588,14 +1656,18 @@ def mm_mp4_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel decode.  The oracle rebuilds every cue string and its
     cumulative stts start time in pure SQL — one wrong sample offset,
     stts run or UTF-8 slice anywhere breaks the hash match.
-    Reference parity: N/A (no media surface in the reference)."""
+    Reference parity: N/A (no media surface in the reference).
+
+    r13 shape: synth and the track walk run as ONE fused Python stage
+    (_fused_synth through extract_video_captions' own batch function,
+    guide §4)."""
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(
-        _synth_mp4_captions_op, "doc_id bigint, payload binary"
+    return _fused_synth(
+        docs, _synth_mp4_captions_op,
+        MM.extract_video_captions_op(id_col="doc_id"),
     )
-    return MM.extract_video_captions(media, id_col="doc_id")
 
 
 def _synth_srt_op(it):
@@ -1644,14 +1716,17 @@ def mm_srt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     -> strict parse (timestamps, multi-line payloads) -> exact cue
     rows.  Completes caption extraction across the common carriers
     (MP4 tx3g in-container + SRT/WebVTT sidecars).  Reference parity:
-    N/A (no media surface in the reference)."""
+    N/A (no media surface in the reference).
+
+    r13 shape: sidecar formatting and the strict parse run as ONE
+    fused Python stage (_fused_synth through subtitle_cues' own batch
+    function, guide §4)."""
     import pgvecto_rs_spark.operators.subtitles as SUB
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    subs = _spread_ids(docs).mapInPandas(
-        _synth_srt_op, "doc_id bigint, subtitle string"
+    return _fused_synth(
+        docs, _synth_srt_op, SUB.subtitle_cues_op(id_col="doc_id", fmt="srt")
     )
-    return SUB.subtitle_cues(subs, id_col="doc_id", fmt="srt")
 
 
 def _synth_webvtt_op(it):
@@ -1694,14 +1769,17 @@ def mm_webvtt_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sidecar WebVTT subtitle harvesting (r9): formatter-twin VTT ->
     strict parse (signature, dot-millis timestamps crossing the hour
     boundary) -> exact cue rows.  Reference parity: N/A (no media
-    surface in the reference)."""
+    surface in the reference).
+
+    r13 shape: sidecar formatting and the strict parse run as ONE
+    fused Python stage (_fused_synth through subtitle_cues' own batch
+    function, guide §4)."""
     import pgvecto_rs_spark.operators.subtitles as SUB
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    subs = _spread_ids(docs).mapInPandas(
-        _synth_webvtt_op, "doc_id bigint, subtitle string"
+    return _fused_synth(
+        docs, _synth_webvtt_op, SUB.subtitle_cues_op(id_col="doc_id", fmt="auto")
     )
-    return SUB.subtitle_cues(subs, id_col="doc_id", fmt="auto")
 
 
 def _synth_mp3_op(it):
@@ -1771,14 +1849,17 @@ def mm_mp3_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix sum — one wrong table entry or padding bit anywhere breaks
     the hash.  The audio leg of the container story next to
     mm_mp4_index.  Reference parity: N/A (no media surface in the
-    reference)."""
+    reference).
+
+    r13 shape: synth and the container walk run as ONE fused Python
+    stage (_fused_synth through index_audio_frames' own batch function,
+    guide §4)."""
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(
-        _synth_mp3_op, "doc_id bigint, payload binary"
+    return _fused_synth(
+        docs, _synth_mp3_op, MM.index_audio_frames_op(id_col="doc_id")
     )
-    return MM.index_audio_frames(media, id_col="doc_id")
 
 
 def _synth_mp3_tags_op(it):
@@ -1828,14 +1909,17 @@ def mm_mp3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 metadata harvesting (r9): real ID3v2.3 tag parse (syncsafe
     sizes, UTF-8 text frames) -> (doc, tag, value) rows — the metadata
     an audio corpus mines for licensing/language/dedup routing.
-    Reference parity: N/A (no media surface in the reference)."""
+    Reference parity: N/A (no media surface in the reference).
+
+    r13 shape: synth and the container walk run as ONE fused Python
+    stage (_fused_synth through extract_audio_tags' own batch function,
+    guide §4)."""
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(
-        _synth_mp3_tags_op, "doc_id bigint, payload binary"
+    return _fused_synth(
+        docs, _synth_mp3_tags_op, MM.extract_audio_tags_op(id_col="doc_id")
     )
-    return MM.extract_audio_tags(media, id_col="doc_id")
 
 
 def _synth_ogg_op(it):
@@ -1895,14 +1979,17 @@ def mm_ogg_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     integrity, not just header plausibility) -> exact byte extents,
     granule positions and BOS/EOS flags.  Completes the container
     matrix alongside mm_mp4_index and mm_mp3_index.  Reference
-    parity: N/A (no media surface in the reference)."""
+    parity: N/A (no media surface in the reference).
+
+    r13 shape: synth and the container walk run as ONE fused Python
+    stage (_fused_synth through index_audio_pages' own batch function,
+    guide §4)."""
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(
-        _synth_ogg_op, "doc_id bigint, payload binary"
+    return _fused_synth(
+        docs, _synth_ogg_op, MM.index_audio_pages_op(id_col="doc_id")
     )
-    return MM.index_audio_pages(media, id_col="doc_id")
 
 
 def _synth_opus_tags_op(it):
@@ -1952,11 +2039,14 @@ def mm_opus_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VorbisComment metadata harvesting (r9): real OpusTags parse
     (vendor + length-prefixed KEY=value entries, UTF-8) through the
     container-sniffing extract_audio_tags surface shared with ID3.
-    Reference parity: N/A (no media surface in the reference)."""
+    Reference parity: N/A (no media surface in the reference).
+
+    r13 shape: synth and the container walk run as ONE fused Python
+    stage (_fused_synth through extract_audio_tags' own batch function,
+    guide §4)."""
     import pgvecto_rs_spark.operators.multimodal as MM
 
     docs = _docs(spark, sf_dir).select("doc_id")
-    media = _spread_ids(docs).mapInPandas(
-        _synth_opus_tags_op, "doc_id bigint, payload binary"
+    return _fused_synth(
+        docs, _synth_opus_tags_op, MM.extract_audio_tags_op(id_col="doc_id")
     )
-    return MM.extract_audio_tags(media, id_col="doc_id")
