@@ -509,6 +509,12 @@ class _BitW:
         if self.nacc:
             self.write(0, 8 - self.nacc)
 
+    def write_bytes(self, b: bytes) -> None:
+        """Append whole bytes to an ALIGNED writer (skips the per-byte
+        bit accounting — byte-identical to 8-bit write() calls)."""
+        assert self.nacc == 0
+        self.buf += b
+
     def bytes(self) -> bytes:
         assert self.nacc == 0
         return bytes(self.buf)

@@ -44,6 +44,8 @@ rest of ``operators.multimodal``.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 
 from .flac import _BitW
@@ -75,15 +77,12 @@ def split_annexb(data: bytes) -> list[bytes]:
     if not is_annexb(data):
         raise ValueError("h264: no Annex-B start code")
     nals: list[bytes] = []
-    i = 0
     n = len(data)
     starts: list[int] = []
-    while i + 3 <= n:
-        if data[i : i + 3] == b"\x00\x00\x01":
-            starts.append(i + 3)
-            i += 3
-        else:
-            i += 1
+    i = data.find(b"\x00\x00\x01")
+    while i != -1:
+        starts.append(i + 3)
+        i = data.find(b"\x00\x00\x01", i + 3)
     for j, s in enumerate(starts):
         e = starts[j + 1] - 3 if j + 1 < len(starts) else n
         # trim the 0x00 that belonged to a 4-byte start code / trailing
@@ -118,61 +117,97 @@ def split_length_prefixed(data: bytes, nal_length_size: int = 4) -> list[bytes]:
 
 
 def _strip_ep(nal: bytes) -> bytes:
-    """Remove emulation-prevention bytes: 00 00 03 -> 00 00."""
+    """Remove emulation-prevention bytes: 00 00 03 -> 00 00.
+
+    ``bytes.replace`` is exactly the spec's stateful scan: both perform
+    left-to-right NON-overlapping replacement of ``00 00 03``, and the
+    spec scan's zeros-reset after a strip is precisely "resume matching
+    after the replaced pair" (pinned against the loop form by
+    ``test_ep_round_trip`` + the byte-flip fuzz contract)."""
     if b"\x00\x00\x03" not in nal:
         return nal
-    out = bytearray()
-    zeros = 0
-    for b in nal:
-        if zeros >= 2 and b == 3:
-            zeros = 0
-            continue
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-    return bytes(out)
+    return nal.replace(b"\x00\x00\x03", b"\x00\x00")
+
+
+# the EP inserter's stateful scan as a regex: a 00 00 pair followed by a
+# byte <= 3 gets an 03 appended; sub() resumes after the consumed pair,
+# which is the loop's zeros-reset
+_EP_INS_RE = re.compile(rb"\x00\x00(?=[\x00-\x03])")
 
 
 def _insert_ep(rbsp: bytes) -> bytes:
     """Insert emulation-prevention bytes so no 00 00 0x (x<=3) runs."""
-    out = bytearray()
-    zeros = 0
-    for b in rbsp:
-        if zeros >= 2 and b <= 3:
-            out.append(3)
-            zeros = 0
-        out.append(b)
-        zeros = zeros + 1 if b == 0 else 0
-    return bytes(out)
+    return _EP_INS_RE.sub(b"\x00\x00\x03", rbsp)
 
 
 class _Bits:
-    """MSB-first bit reader over an RBSP (EP bytes already stripped)."""
+    """MSB-first bit reader over an RBSP (EP bytes already stripped).
 
-    __slots__ = ("data", "pos", "nbits")
+    Same windowed-integer design as ``flac._Bits`` (the r13 codec
+    lesson): ``acc`` caches the next ``nacc`` unread bits top-aligned,
+    with ``pos + nacc`` always byte-aligned so refills gulp whole
+    bytes; ``ue`` counts leading zeros in O(1) per window via
+    ``int.bit_length`` instead of one ``u(1)`` call per zero bit.
+    ``pos`` (bits consumed) stays the source of truth — the PCM
+    byte-skip in ``_parse_mb`` resets the window after moving it."""
+
+    __slots__ = ("data", "pos", "nbits", "acc", "nacc", "_last")
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.nbits = 8 * len(data)
+        self.acc = 0
+        self.nacc = 0
+        self._last = -2  # lazily computed index of the last 1 bit
+
+    def _fill(self, need: int) -> None:
+        a, na = self.acc, self.nacc
+        byte = (self.pos + na) >> 3
+        data = self.data
+        while na < need:
+            chunk = data[byte : byte + 8]
+            if not chunk:
+                raise ValueError("h264: bitstream exhausted")
+            a = (a << (len(chunk) * 8)) | int.from_bytes(chunk, "big")
+            na += len(chunk) * 8
+            byte += len(chunk)
+        self.acc, self.nacc = a, na
 
     def u(self, n: int) -> int:
-        if self.pos + n > self.nbits:
-            raise ValueError("h264: bitstream exhausted")
-        v = 0
-        p = self.pos
-        d = self.data
-        for _ in range(n):
-            v = (v << 1) | ((d[p >> 3] >> (7 - (p & 7))) & 1)
-            p += 1
-        self.pos = p
+        if self.nacc < n:
+            if self.pos + n > self.nbits:
+                raise ValueError("h264: bitstream exhausted")
+            self._fill(n)
+        na = self.nacc - n
+        v = self.acc >> na
+        self.acc &= (1 << na) - 1
+        self.nacc = na
+        self.pos += n
         return v
 
     def ue(self) -> int:
         zeros = 0
-        while self.u(1) == 0:
-            zeros += 1
+        while True:
+            if self.nacc == 0:
+                if self.pos >= self.nbits:
+                    raise ValueError("h264: bitstream exhausted")
+                self._fill(1)
+            if self.acc:
+                lead = self.nacc - self.acc.bit_length()
+                zeros += lead
+                if zeros > 31:
+                    raise ValueError("h264: Exp-Golomb code too long")
+                na = self.nacc - lead - 1  # consume the zeros + stop 1
+                self.acc &= (1 << na) - 1
+                self.nacc = na
+                self.pos += lead + 1
+                break
+            zeros += self.nacc
             if zeros > 31:
                 raise ValueError("h264: Exp-Golomb code too long")
+            self.pos += self.nacc
+            self.nacc = 0
         return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
 
     def se(self) -> int:
@@ -180,19 +215,31 @@ class _Bits:
         return (k + 1) >> 1 if k & 1 else -(k >> 1)
 
     def align(self) -> None:
-        self.pos = (self.pos + 7) & ~7
+        # pos + nacc is byte-aligned, so the bits to drop are nacc & 7
+        d = self.nacc & 7
+        if d:
+            na = self.nacc - d
+            self.acc &= (1 << na) - 1
+            self.nacc = na
+            self.pos += d
+        elif self.pos & 7:  # empty window, unaligned pos (post-skip)
+            self.pos = (self.pos + 7) & ~7
 
     def more_rbsp_data(self) -> bool:
         """True while payload bits remain before rbsp_stop_one_bit."""
         if self.pos >= self.nbits:
             return False
         # find last 1 bit in the stream — everything at/after it is
-        # rbsp_trailing_bits
-        last = self.nbits - 1
-        while last >= 0:
-            if (self.data[last >> 3] >> (7 - (last & 7))) & 1:
-                break
-            last -= 1
+        # rbsp_trailing_bits; data is immutable, so compute it once
+        last = self._last
+        if last == -2:
+            d = self.data
+            i = len(d) - 1
+            while i >= 0 and d[i] == 0:
+                i -= 1
+            last = (-1 if i < 0
+                    else i * 8 + 8 - (d[i] & -d[i]).bit_length())
+            self._last = last
         return self.pos < last
 
 
@@ -284,6 +331,24 @@ def parse_pps(nal: bytes) -> dict:
         "deblock_present": deblock_present,
         "constrained_intra": constrained_intra,
     }
+
+
+_PS_CACHE: dict[tuple[int, bytes], dict] = {}
+
+
+def _parse_ps_cached(kind: int, nal: bytes) -> dict:
+    """Memoized parse_sps/parse_pps (pure functions of the NAL bytes;
+    the per-frame decode path re-sees the same parameter sets for every
+    sample of a stream).  Successful parses only; callers never mutate
+    the returned dicts.  Bounded: cleared at 128 distinct sets."""
+    key = (kind, nal)
+    d = _PS_CACHE.get(key)
+    if d is None:
+        if len(_PS_CACHE) >= 128:
+            _PS_CACHE.clear()
+        d = parse_sps(nal) if kind == 7 else parse_pps(nal)
+        _PS_CACHE[key] = d
+    return d
 
 
 def _parse_slice_header(r: _Bits, nal_type: int, sps: dict, pps: dict) -> dict:
@@ -485,9 +550,17 @@ def _read_vlc(r: _Bits, table: dict, what: str):
     raise ValueError(f"h264: invalid {what} code")
 
 
+_LEN_BITS_PAIRS: dict[tuple[int, int], dict] = {}
+
+
 def _read_len_bits(r: _Bits, lens: list, bits: list, what: str) -> int:
     code, ln = 0, 0
-    pairs = {(lens[i], bits[i]): i for i in range(len(lens))}
+    # lens/bits are module-level constant tables — build each pair dict
+    # once (keyed by identity) instead of per decoded block
+    pairs = _LEN_BITS_PAIRS.get((id(lens), id(bits)))
+    if pairs is None:
+        pairs = {(lens[i], bits[i]): i for i in range(len(lens))}
+        _LEN_BITS_PAIRS[(id(lens), id(bits))] = pairs
     while ln < 12:
         code = (code << 1) | r.u(1)
         ln += 1
@@ -707,17 +780,21 @@ def _chroma_qp(qp_y: int, offset: int) -> int:
     return _CHROMA_QP[max(0, min(51, qp_y + offset))]
 
 
+# flat zigzag index (k -> i*4+j) and per-qp%6 normAdjust aligned to the
+# zigzag SCAN order, so dequant is one vectorized multiply + scatter
+_ZZ_FLAT = np.array([i * 4 + j for (i, j) in _ZIGZAG], dtype=np.int64)
+_NORM_SCAN = np.array(
+    [[_NORM_ADJ[m][_POS_CLASS[i][j]] for (i, j) in _ZIGZAG]
+     for m in range(6)], dtype=np.int64)
+
+
 def _dequant4x4(coeffs: list[int], qp: int) -> np.ndarray:
     """Flat-matrix §8.5.12.1: d = c * normAdjust << (qp/6); ``coeffs``
     in zigzag scan order (16 entries; AC-only blocks pass a leading 0)."""
-    v = _NORM_ADJ[qp % 6]
-    sh = qp // 6
-    d = np.zeros((4, 4), dtype=np.int64)
-    for k, (i, j) in enumerate(_ZIGZAG):
-        c = coeffs[k]
-        if c:
-            d[i, j] = (c * v[_POS_CLASS[i][j]]) << sh
-    return d
+    d = np.zeros(16, dtype=np.int64)
+    d[_ZZ_FLAT] = (np.asarray(coeffs, dtype=np.int64)
+                   * _NORM_SCAN[qp % 6]) << (qp // 6)
+    return d.reshape(4, 4)
 
 
 def _itrans4x4(d: np.ndarray) -> np.ndarray:
@@ -746,10 +823,9 @@ def _luma_dc(levels: list[int], qp: int) -> np.ndarray:
     """§8.5.10: inverse 4x4 Hadamard + DC scaling; ``levels`` in zigzag
     scan; returns the 4x4 matrix of per-block DC values d00 (matrix
     index [blk_y][blk_x])."""
-    c = np.zeros((4, 4), dtype=np.int64)
-    for k, (i, j) in enumerate(_ZIGZAG):
-        c[i, j] = levels[k]
-    f = _HAD4 @ c @ _HAD4
+    c = np.zeros(16, dtype=np.int64)
+    c[_ZZ_FLAT] = levels
+    f = _HAD4 @ c.reshape(4, 4) @ _HAD4
     ls16 = 16 * _NORM_ADJ[qp % 6][0]
     if qp >= 36:
         return (f * ls16) << (qp // 6 - 6)
@@ -759,13 +835,24 @@ def _luma_dc(levels: list[int], qp: int) -> np.ndarray:
 _HAD2 = np.array([[1, 1], [1, -1]], dtype=np.int64)
 
 
+def _chroma_dc_vals(levels: list[int], qp: int) -> tuple[int, int, int, int]:
+    """§8.5.11 as plain ints (raster f00,f01,f10,f11): the 2x2 inverse
+    Hadamard H@C@H written out (exact — |level| < 2^29 from the CAVLC
+    prefix cap, so ls16<<sh stays far inside int64)."""
+    c00, c01, c10, c11 = levels
+    ls16 = 16 * _NORM_ADJ[qp % 6][0]
+    sh = qp // 6
+    return ((((c00 + c01 + c10 + c11) * ls16) << sh) >> 5,
+            (((c00 - c01 + c10 - c11) * ls16) << sh) >> 5,
+            (((c00 + c01 - c10 - c11) * ls16) << sh) >> 5,
+            (((c00 - c01 - c10 + c11) * ls16) << sh) >> 5)
+
+
 def _chroma_dc(levels: list[int], qp: int) -> np.ndarray:
     """§8.5.11: 2x2 inverse Hadamard + scaling; ``levels`` raster
     [c00, c01, c10, c11]; returns 2x2 of per-block DC values."""
-    c = np.array(levels, dtype=np.int64).reshape(2, 2)
-    f = _HAD2 @ c @ _HAD2
-    ls16 = 16 * _NORM_ADJ[qp % 6][0]
-    return ((f * ls16) << (qp // 6)) >> 5
+    return np.array(_chroma_dc_vals(levels, qp),
+                    dtype=np.int64).reshape(2, 2)
 
 
 def _block_residual(ac_scan: list[int], dc: int | None, qp: int):
@@ -797,14 +884,14 @@ def _pred4x4(plane, x, y, mode, avail_l, avail_u, avail_ul, avail_ur):
     """§8.3.1.2 modes 0-8 for the 4x4 at pixel (x, y); neighbors read
     from the partially reconstructed ``plane`` (int array)."""
     if avail_u:
-        top = [int(plane[y - 1, x + i]) for i in range(4)]
-        if avail_ur:
-            top += [int(plane[y - 1, x + 4 + i]) for i in range(4)]
+        top = plane[y - 1, x : x + 4].tolist()
+        if avail_ur:  # avail_ur implies x + 8 <= plane width
+            top += plane[y - 1, x + 4 : x + 8].tolist()
         else:
             top += [top[3]] * 4  # §8.3.1.2: substitute p[3,-1]
     else:
         top = None
-    left = [int(plane[y + i, x - 1]) for i in range(4)] if avail_l else None
+    left = plane[y : y + 4, x - 1].tolist() if avail_l else None
     tl = int(plane[y - 1, x - 1]) if avail_ul else None
     p = np.empty((4, 4), dtype=np.int64)
 
@@ -950,10 +1037,10 @@ def _pred16x16(plane, x, y, mode, avail_l, avail_u):
         a = 16 * (int(left[15]) + int(top[15]))
         b = (5 * hh + 32) >> 6
         c = (5 * vv + 32) >> 6
-        for yy in range(16):
-            for xx in range(16):
-                p[yy, xx] = min(255, max(0, (a + b * (xx - 7) + c * (yy - 7)
-                                             + 16) >> 5))
+        d = np.arange(16, dtype=np.int64) - 7
+        p = (a + 16 + b * d[None, :] + c * d[:, None]) >> 5
+        np.minimum(p, 255, out=p)
+        np.maximum(p, 0, out=p)
     else:
         raise ValueError(f"h264: invalid intra 16x16 mode {mode}")
     return p
@@ -1012,10 +1099,10 @@ def _pred_chroma(plane, x, y, mode, avail_l, avail_u):
         a = 16 * (int(left[7]) + int(top[7]))
         b = (17 * hh + 16) >> 5
         c = (17 * vv + 16) >> 5
-        for yy in range(8):
-            for xx in range(8):
-                p[yy, xx] = min(255, max(0, (a + b * (xx - 3) + c * (yy - 3)
-                                             + 16) >> 5))
+        d = np.arange(8, dtype=np.int64) - 3
+        p = (a + 16 + b * d[None, :] + c * d[:, None]) >> 5
+        np.minimum(p, 255, out=p)
+        np.maximum(p, 0, out=p)
     else:
         raise ValueError(f"h264: invalid chroma pred mode {mode}")
     return p
@@ -1092,6 +1179,8 @@ def _parse_mb(r: _Bits, st: _FrameState, mbx: int, mby: int, qp: int):
         if raw.size < 384:
             raise ValueError("h264: bitstream exhausted in PCM samples")
         r.pos += 384 * 8
+        r.acc = 0  # moving pos invalidates the cached bit window
+        r.nacc = 0
         y = raw[:256].astype(np.int64).reshape(16, 16)
         cb = raw[256:320].astype(np.int64).reshape(8, 8)
         cr = raw[320:384].astype(np.int64).reshape(8, 8)
@@ -1130,7 +1219,7 @@ def _parse_mb(r: _Bits, st: _FrameState, mbx: int, mby: int, qp: int):
             s8 = (by >> 1) * 2 + (bx >> 1)
             if cbp & (1 << s8):
                 blk = _residual_block_cavlc(r, _nc(st.nzl, gbx, gby), 16)
-                st.nzl[gby, gbx] = sum(1 for c in blk if c)
+                st.nzl[gby, gbx] = len(blk) - blk.count(0)
             else:
                 blk = [0] * 16
                 st.nzl[gby, gbx] = 0
@@ -1154,7 +1243,7 @@ def _parse_mb(r: _Bits, st: _FrameState, mbx: int, mby: int, qp: int):
             gbx, gby = bx0 + bx, by0 + by
             if cbp & 15:
                 blk = _residual_block_cavlc(r, _nc(st.nzl, gbx, gby), 15)
-                st.nzl[gby, gbx] = sum(1 for c in blk if c)
+                st.nzl[gby, gbx] = len(blk) - blk.count(0)
             else:
                 blk = [0] * 15
                 st.nzl[gby, gbx] = 0
@@ -1175,7 +1264,7 @@ def _parse_mb(r: _Bits, st: _FrameState, mbx: int, mby: int, qp: int):
             gbx, gby = cx0 + bi % 2, cy0 + bi // 2
             if cbp_c == 2:
                 blk = _residual_block_cavlc(r, _nc(grid, gbx, gby), 15)
-                grid[gby, gbx] = sum(1 for c in blk if c)
+                grid[gby, gbx] = len(blk) - blk.count(0)
             else:
                 blk = [0] * 15
                 grid[gby, gbx] = 0
@@ -1202,13 +1291,26 @@ def _recon_mb(st: _FrameState, mbx: int, mby: int, spec: dict, qp: int,
         pred = _pred16x16(st.y, x0, y0, spec["pred"], avail_l, avail_u)
         dcmat = _luma_dc(spec.get("dc") or [0] * 16, qp)
         ac = spec.get("ac")
-        out = pred.copy()
-        for i in range(16):
-            bx, by = _BLK4[i]
-            res = _block_residual(ac[i] if ac else [0] * 15,
-                                  int(dcmat[by, bx]), qp)
-            out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] += res
-        st.y[y0 : y0 + 16, x0 : x0 + 16] = np.clip(out, 0, 255)
+        if ac is None or not any(any(b) for b in ac):
+            # DC-only blocks: each residual is the constant
+            # (dc + 32) >> 6 (== _block_residual with no AC, incl. the
+            # dc == 0 -> 0 case) — add all 16 at once
+            out = pred
+            # add each block's constant via the (blkrow, row, blkcol,
+            # col) view of the C-contiguous 16x16 (every _pred16x16
+            # output is freshly allocated) — no repeat() allocations
+            v = out.reshape(4, 4, 4, 4)
+            v += ((dcmat + 32) >> 6)[:, None, :, None]
+        else:
+            out = pred
+            for i in range(16):
+                bx, by = _BLK4[i]
+                res = _block_residual(ac[i], int(dcmat[by, bx]), qp)
+                if not (type(res) is int and res == 0):  # scalar-0 skip
+                    out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] += res
+        np.minimum(out, 255, out=out)
+        np.maximum(out, 0, out=out)
+        st.y[y0 : y0 + 16, x0 : x0 + 16] = out
         st.done4[mby * 4 : mby * 4 + 4, mbx * 4 : mbx * 4 + 4] = True
     else:  # i4
         modes = spec["modes"]
@@ -1226,21 +1328,33 @@ def _recon_mb(st: _FrameState, mbx: int, mby: int, spec: dict, qp: int,
             cs = coeffs[i] if coeffs else None
             if cs and any(cs):
                 pred = pred + _itrans4x4(_dequant4x4(cs, qp))
-            st.y[gy : gy + 4, gx : gx + 4] = np.clip(pred, 0, 255)
+            np.minimum(pred, 255, out=pred)
+            np.maximum(pred, 0, out=pred)
+            st.y[gy : gy + 4, gx : gx + 4] = pred
             st.done4[gby, gbx] = True
     for plane, kd, ka in ((st.cb, "cb_dc", "cb_ac"),
                           (st.cr, "cr_dc", "cr_ac")):
-        predc = _pred_chroma(plane, cx0, cy0, spec["chroma_mode"],
-                             avail_l, avail_u)
-        dcmat = _chroma_dc(spec.get(kd) or [0, 0, 0, 0], qpc)
+        out = _pred_chroma(plane, cx0, cy0, spec["chroma_mode"],
+                           avail_l, avail_u)
+        dcv = _chroma_dc_vals(spec.get(kd) or (0, 0, 0, 0), qpc)
         acs = spec.get(ka)
-        out = predc.copy()
-        for bi in range(4):
-            bx, by = bi % 2, bi // 2
-            res = _block_residual(acs[bi] if acs else [0] * 15,
-                                  int(dcmat[by, bx]), qpc)
-            out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] += res
-        plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = np.clip(out, 0, 255)
+        if acs is None or not any(any(b) for b in acs):
+            r00, r01, r10, r11 = ((dcv[0] + 32) >> 6, (dcv[1] + 32) >> 6,
+                                  (dcv[2] + 32) >> 6, (dcv[3] + 32) >> 6)
+            if r00 or r01 or r10 or r11:
+                out[:4, :4] += r00
+                out[:4, 4:] += r01
+                out[4:, :4] += r10
+                out[4:, 4:] += r11
+        else:
+            for bi in range(4):
+                bx, by = bi % 2, bi // 2
+                res = _block_residual(acs[bi], dcv[bi], qpc)
+                if not (type(res) is int and res == 0):  # scalar-0 skip
+                    out[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] += res
+        np.minimum(out, 255, out=out)
+        np.maximum(out, 0, out=out)
+        plane[cy0 : cy0 + 8, cx0 : cx0 + 8] = out
 
 
 # ---------------------------------------------------------------------------
@@ -1268,17 +1382,17 @@ def decode_idr_frame(
         nals = split_length_prefixed(payload, nal_length_size)
     else:
         nals = split_annexb(payload)
-    sps = parse_sps(sps_bytes) if sps_bytes else None
-    pps = parse_pps(pps_bytes) if pps_bytes else None
+    sps = _parse_ps_cached(7, sps_bytes) if sps_bytes else None
+    pps = _parse_ps_cached(8, pps_bytes) if pps_bytes else None
     slice_nal = None
     for nal in nals:
         if len(nal) < 2:
             raise ValueError("h264: runt NAL unit")
         t = nal[0] & 0x1F
         if t == 7:
-            sps = parse_sps(nal)
+            sps = _parse_ps_cached(7, nal)
         elif t == 8:
-            pps = parse_pps(nal)
+            pps = _parse_ps_cached(8, nal)
         elif t == 5:
             slice_nal = nal
             break
@@ -1426,12 +1540,11 @@ def _encode_mb(w: _RbspW, st: _FrameState, mbx: int, mby: int,
     if spec["type"] == "pcm":
         w.ue(25)
         w.align()
-        for v in spec["y"].reshape(-1):
-            w.write(int(v), 8)
-        for v in spec["cb"].reshape(-1):
-            w.write(int(v), 8)
-        for v in spec["cr"].reshape(-1):
-            w.write(int(v), 8)
+        # samples are validated 0..255 by _normalize_plan; after align()
+        # each 8-bit write IS the byte, so emit all 384 at once
+        w.write_bytes(spec["y"].reshape(-1).astype(np.uint8).tobytes())
+        w.write_bytes(spec["cb"].reshape(-1).astype(np.uint8).tobytes())
+        w.write_bytes(spec["cr"].reshape(-1).astype(np.uint8).tobytes())
         st.nzl[by0 : by0 + 4, bx0 : bx0 + 4] = 16
         st.nzcb[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16
         st.nzcr[cy0 : cy0 + 2, cx0 : cx0 + 2] = 16

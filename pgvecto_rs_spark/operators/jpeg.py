@@ -180,8 +180,19 @@ def _idct2(blocks: np.ndarray) -> np.ndarray:
 # Huffman code construction (T.81 Annex C)
 
 
+_CODES_CACHE: dict[bytes, dict[int, tuple[int, int]]] = {}
+
+
 def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
-    """value -> (code, length) for the canonical code defined by BITS."""
+    """value -> (code, length) for the canonical code defined by BITS.
+
+    Cached by table content (same discipline as ``_build_lut``): every
+    encode re-requests the five standard Annex-K tables, so the build
+    is paid once per distinct table.  Callers only read the dict."""
+    key = bytes(bits) + bytes(values)
+    hit = _CODES_CACHE.get(key)
+    if hit is not None:
+        return hit
     codes: dict[int, tuple[int, int]] = {}
     code = 0
     k = 0
@@ -191,6 +202,8 @@ def _build_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int
             code += 1
             k += 1
         code <<= 1
+    if len(_CODES_CACHE) < 64:
+        _CODES_CACHE[key] = codes
     return codes
 
 
@@ -254,26 +267,41 @@ def _build_lut(bits: list[int], values: list[int]) -> tuple[list[int], list[int]
 
 
 class _BitWriter:
+    """MSB-first entropy writer with lazy byte emission: bits pool in
+    one int accumulator and drain in whole-byte chunks, with 0xFF byte
+    stuffing applied chunk-wise via ``bytes.replace`` (identical output
+    to the per-byte loop: a 00 after every FF, in stream order).
+    ``flush()`` fully drains, so callers may append marker bytes to
+    ``out`` right after it (restart markers do)."""
+
     def __init__(self) -> None:
         self.out = bytearray()
         self._acc = 0
         self._nbits = 0
 
+    def _drain(self) -> None:
+        nb = self._nbits >> 3
+        if not nb:
+            return
+        keep = self._nbits & 7
+        chunk = (self._acc >> keep).to_bytes(nb, "big")
+        self._acc &= (1 << keep) - 1
+        self._nbits = keep
+        if b"\xff" in chunk:
+            chunk = chunk.replace(b"\xff", b"\xff\x00")
+        self.out += chunk
+
     def write(self, code: int, length: int) -> None:
         self._acc = (self._acc << length) | (code & ((1 << length) - 1))
         self._nbits += length
-        while self._nbits >= 8:
-            byte = (self._acc >> (self._nbits - 8)) & 0xFF
-            self.out.append(byte)
-            if byte == 0xFF:  # byte stuffing
-                self.out.append(0x00)
-            self._nbits -= 8
-        self._acc &= (1 << self._nbits) - 1
+        if self._nbits >= 256:
+            self._drain()
 
     def flush(self) -> None:
-        if self._nbits:
-            pad = 8 - self._nbits
+        pad = (-self._nbits) % 8
+        if pad:
             self.write((1 << pad) - 1, pad)
+        self._drain()
 
 
 class _BitReader:
@@ -875,8 +903,8 @@ def _encode_block(
     ac_codes: dict[int, tuple[int, int]],
 ) -> int:
     coefs = np.round(_dct2(blk[None, :, :].astype(np.float64) - 128.0)[0] / quant).astype(np.int64)
-    zz = coefs.flat[_ZIGZAG]
-    dc = int(zz[0])
+    zz = coefs.flat[_ZIGZAG].tolist()
+    dc = zz[0]
     diff = dc - pred
     n, bitsv = _magnitude(diff) if diff else (0, 0)
     code, length = dc_codes[n]
@@ -885,11 +913,12 @@ def _encode_block(
         w.write(bitsv, n)
     run = 0
     last_nz = 0
-    for k in range(1, 64):
+    for k in range(63, 0, -1):
         if zz[k]:
             last_nz = k
+            break
     for k in range(1, last_nz + 1):
-        v = int(zz[k])
+        v = zz[k]
         if v == 0:
             run += 1
             continue
@@ -917,14 +946,28 @@ def _dht_body(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
     return bytes([tc << 4 | th]) + bytes(bits) + bytes(values)
 
 
+def _pad_edge(p: np.ndarray, th: int, tw: int) -> np.ndarray:
+    """Bottom/right edge-replication pad to (th, tw) — np.pad(...,
+    mode='edge') without its ~60 us of argument plumbing (bottom rows
+    copy the already-right-padded last row, so the corner matches)."""
+    h, w = p.shape
+    if th == h and tw == w:
+        return p
+    out = np.empty((th, tw), dtype=p.dtype)
+    out[:h, :w] = p
+    if tw > w:
+        out[:h, w:] = p[:, w - 1 : w]
+    if th > h:
+        out[h:, :] = out[h - 1 : h, :]
+    return out
+
+
 def _block_mean_downsample(p: np.ndarray, fy: int, fx: int) -> np.ndarray:
     """Downsample a plane by integer factors with block averaging."""
     if fy == 1 and fx == 1:
         return p
     h, w = p.shape
-    hpad = (fy - h % fy) % fy
-    wpad = (fx - w % fx) % fx
-    p = np.pad(p, ((0, hpad), (0, wpad)), mode="edge")
+    p = _pad_edge(p, h + (fy - h % fy) % fy, w + (fx - w % fx) % fx)
     return p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(axis=(1, 3))
 
 
@@ -999,8 +1042,7 @@ def encode_jpeg(
     # pad each component plane to its MCU-grid size with edge replication
     padded = []
     for p, (hs, vs) in zip(planes, samps):
-        th, tw = mcuy * vs * 8, mcux * hs * 8
-        padded.append(np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge"))
+        padded.append(_pad_edge(p, mcuy * vs * 8, mcux * hs * 8))
 
     if progressive:
         _emit_progressive_scans(

@@ -368,3 +368,91 @@ class TestGoldenStream:
         # second MB = left-column horizontal pred + residuals
         assert out["y"][:2, :4].tolist() == [[0, 1, 2, 3], [16, 17, 18, 19]]
         assert out["y"][0, 16:20].tolist() == [14, 12, 8, 6]
+
+
+class TestR13ReaderWriterRewrite:
+    """Pins the r13 windowed-reader/batched-writer internals of the
+    codec hot-path rewrite (byte-identical streams are separately
+    guaranteed by the frozen-bytes tests above)."""
+
+    def test_ep_strip_insert_match_reference_scan(self):
+        # bytes.replace / re.sub forms vs the spec's stateful scan
+        def ref_strip(nal):
+            out, zeros = bytearray(), 0
+            for b in nal:
+                if zeros >= 2 and b == 3:
+                    zeros = 0
+                    continue
+                out.append(b)
+                zeros = zeros + 1 if b == 0 else 0
+            return bytes(out)
+
+        def ref_insert(rbsp):
+            out, zeros = bytearray(), 0
+            for b in rbsp:
+                if zeros >= 2 and b <= 3:
+                    out.append(3)
+                    zeros = 0
+                out.append(b)
+                zeros = zeros + 1 if b == 0 else 0
+            return bytes(out)
+
+        rng = np.random.default_rng(99)
+        for _ in range(300):
+            n = int(rng.integers(0, 40))
+            # low-entropy alphabet so 00 00 0x runs are dense
+            s = bytes(rng.choice([0, 0, 0, 1, 2, 3, 3, 255], size=n)
+                      .astype(np.uint8))
+            assert _strip_ep(s) == ref_strip(s)
+            assert _insert_ep(s) == ref_insert(s)
+            assert _strip_ep(_insert_ep(s)) == s
+
+    def test_long_exp_golomb_crosses_refill_windows(self):
+        # ue() with 31 leading zeros spans several 8-byte reader gulps
+        from pgvecto_rs_spark.operators.h264 import _Bits, _RbspW
+
+        w = _RbspW()
+        w.ue((1 << 31) - 1)  # 31 zeros + 1 + 31 value bits = 63 bits
+        w.write(1, 1)
+        w.align()
+        r = _Bits(w.bytes())
+        assert r.ue() == (1 << 31) - 1
+        assert r.u(1) == 1
+
+    def test_exp_golomb_too_long_still_rejected(self):
+        from pgvecto_rs_spark.operators.h264 import _Bits
+
+        r = _Bits(bytes(8) + b"\x80")  # 64 zero bits then a 1
+        with pytest.raises(ValueError, match="Exp-Golomb"):
+            r.ue()
+
+    def test_pcm_byte_skip_resets_reader_window(self):
+        # PCM (window-resetting byte skip) followed by coded MBs that
+        # depend on bit-exact reader position
+        rng = np.random.default_rng(5)
+        plan = [
+            {"type": "pcm", "y": rng.integers(0, 256, (16, 16)),
+             "cb": rng.integers(0, 256, (8, 8)),
+             "cr": rng.integers(0, 256, (8, 8))},
+            {"type": "i16", "pred": 1, "chroma_mode": 1,
+             "dc": [3, -2] + [0] * 14,
+             "ac": [[1, 0, -1] + [0] * 12] * 16},
+        ]
+        b = encode_idr_stream(plan, 2, 1, qp=30)
+        out = decode_idr_frame(b)
+        y2, cb2, cr2 = reconstruct_plan(plan, 2, 1, qp=30)
+        assert np.array_equal(out["y"], y2)
+        assert np.array_equal(out["cb"], cb2)
+        assert np.array_equal(out["cr"], cr2)
+
+    def test_parameter_set_cache_is_content_keyed(self):
+        from pgvecto_rs_spark.operators import h264 as H
+
+        p1 = [{"type": "i16", "pred": 2, "chroma_mode": 0}]
+        b1 = H.encode_idr_stream(p1, 1, 1, qp=30)
+        b2 = H.encode_idr_stream([p1[0]] * 4, 2, 2, qp=30)
+        # alternate different geometries (different SPS bytes) through
+        # the cache: each decode must honor ITS stream's dimensions
+        for _ in range(3):
+            assert H.decode_idr_frame(b1)["width"] == 16
+            assert H.decode_idr_frame(b2)["width"] == 32
