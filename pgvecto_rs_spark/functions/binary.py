@@ -225,18 +225,27 @@ def _bvec_cmp(a: Column, b: Column) -> Column:
     dimension; whichever side has that bit set is greater.  (``xor &
     -xor`` isolates the lowest set bit; words are 32-bit values in
     64-bit slots so the negation never overflows under ANSI mode.)"""
-    pairs = F.zip_with(
-        a["data"], b["data"], lambda x, y: F.struct(x.alias("x"), y.alias("y"))
-    )
-    first = F.try_element_at(
-        F.filter(pairs, lambda p: p["x"] != p["y"]), F.lit(1)
-    )
-    xor = first["x"].bitwiseXOR(first["y"])
-    low = xor.bitwiseAND(-xor)
-    cmp = (
-        F.when(first.isNull(), F.lit(0))
-        .when(first["x"].bitwiseAND(low) != 0, F.lit(1))
-        .otherwise(F.lit(-1))
+    # r13: one aggregate() pass with a sticky accumulator instead of
+    # filter + a 6x-referenced try_element_at — HOF-bearing expressions
+    # evaluate interpreted without subexpression reuse, so every extra
+    # reference re-ran the zip/filter over the (possibly binarize(...))
+    # operands per row.
+    def _decide(acc: Column, p: Column) -> Column:
+        xor = p["x"].bitwiseXOR(p["y"])
+        return (
+            F.when(acc != 0, acc)
+            .when(xor == 0, F.lit(0))
+            .when(p["x"].bitwiseAND(xor.bitwiseAND(-xor)) != 0, F.lit(1))
+            .otherwise(F.lit(-1))
+        )
+
+    cmp = F.aggregate(
+        F.zip_with(
+            a["data"], b["data"],
+            lambda x, y: F.struct(x.alias("x"), y.alias("y")),
+        ),
+        F.lit(0),
+        _decide,
     )
     return _checked(a, b, cmp)
 

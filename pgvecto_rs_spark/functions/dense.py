@@ -180,15 +180,18 @@ def _lex_cmp(a: Column, b: Column) -> Column:
     operators' check_matched_dims (src/datatype/operators_vecf32.rs:37-44)
     — the in-memory PartialOrd (vect.rs) returns None on mismatch but the
     SQL surface rejects it, and the SQL surface is what this mirrors."""
-    diffs = F.filter(
+    # r13: one aggregate() pass with a sticky accumulator (same cure as
+    # _sv_cmp/_bvec_cmp — the filter + multi-referenced try_element_at
+    # form re-ran the zip/filter per reference, HOFs being interpreted
+    # without subexpression reuse).  First element where exactly one of
+    # </> holds == first element where x != y under Spark's total order.
+    cmp = F.aggregate(
         F.zip_with(a, b, lambda x, y: F.struct(x.alias("x"), y.alias("y"))),
-        lambda p: p["x"] != p["y"],
-    )
-    first = F.try_element_at(diffs, F.lit(1))  # NULL when no difference (ANSI-safe)
-    cmp = (
-        F.when(first.isNotNull() & (first["x"] < first["y"]), F.lit(-1))
-        .when(first.isNotNull(), F.lit(1))
-        .otherwise(F.lit(0))
+        F.lit(0),
+        lambda acc, p: F.when(acc != 0, acc)
+        .when(p["x"] < p["y"], F.lit(-1))
+        .when(p["x"] > p["y"], F.lit(1))
+        .otherwise(F.lit(0)),
     )
     return _checked(a, b, cmp)
 

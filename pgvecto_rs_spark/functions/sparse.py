@@ -65,9 +65,18 @@ def _vals_dbl(v: Column) -> Column:
 
 
 def _lookup(v: Column, idx: Column) -> Column:
-    """Value of sparse vector ``v`` at index ``idx`` (0.0 if absent)."""
-    m = F.map_from_arrays(v["indexes"], _vals_dbl(v))
-    return F.coalesce(F.element_at(m, idx), F.lit(0.0))
+    """Value of sparse vector ``v`` at index ``idx`` (0.0 if absent).
+
+    r13: array_position + a single-element cast instead of
+    ``map_from_arrays(indexes, cast(values))`` — callers use this inside
+    higher-order lambdas, which evaluate interpreted and re-evaluate
+    captured subtrees PER ELEMENT, so the map (and the whole-array
+    double cast) was being rebuilt for every looked-up index.  Same
+    result: svector indexes are sorted-unique by construction."""
+    p = F.array_position(v["indexes"], idx)
+    return F.when(
+        p > 0, F.element_at(v["values"], p.cast("int")).cast("double")
+    ).otherwise(F.lit(0.0))
 
 
 def _checked(a: Column, b: Column, result: Column) -> Column:
@@ -309,24 +318,33 @@ def _sv_cmp(a: Column, b: Column) -> Column:
     absent index as 0 — exactly the lexicographic order of the densified
     vectors.  Here: the first index (over the sorted union of supports)
     whose looked-up values differ decides; equal everywhere -> 0.
-    O(nnz log nnz) per row, never densifies to ``dims``."""
+    O(nnz^2) per row over the supports only, never densifies to ``dims``.
+
+    r13 shape: ONE aggregate() pass with per-element lookups that touch
+    only the operands' own arrays (array_position + a single-element
+    cast).  The r12 form captured ``map_from_arrays(indexes,
+    cast(values))`` inside HOF lambdas — higher-order lambdas evaluate
+    interpreted and re-evaluate every captured subtree PER ELEMENT, so
+    each union element rebuilt both maps (and, when the operand itself
+    was an expression like dense_to_svector(...), the whole conversion)
+    — measured 15 ms/row in vec_order_ops.  Sticky accumulator keeps
+    first-difference semantics; CaseWhen branches evaluate lazily, so
+    settled rows do no lookups."""
     union = F.array_sort(F.array_union(a["indexes"], b["indexes"]))
-    ma = F.map_from_arrays(a["indexes"], _vals_dbl(a))
-    mb = F.map_from_arrays(b["indexes"], _vals_dbl(b))
 
-    def _va(i: Column) -> Column:
-        return F.coalesce(F.element_at(ma, i), F.lit(0.0))
+    def _val(v: Column, i: Column) -> Column:
+        p = F.array_position(v["indexes"], i)
+        return F.when(
+            p > 0, F.element_at(v["values"], p.cast("int")).cast("double")
+        ).otherwise(F.lit(0.0))
 
-    def _vb(i: Column) -> Column:
-        return F.coalesce(F.element_at(mb, i), F.lit(0.0))
-
-    first = F.try_element_at(
-        F.filter(union, lambda i: _va(i) != _vb(i)), F.lit(1)
-    )
-    cmp = (
-        F.when(first.isNull(), F.lit(0))
-        .when(_va(first) < _vb(first), F.lit(-1))
-        .otherwise(F.lit(1))
+    cmp = F.aggregate(
+        union,
+        F.lit(0),
+        lambda acc, i: F.when(acc != 0, acc)
+        .when(_val(a, i) < _val(b, i), F.lit(-1))
+        .when(_val(a, i) > _val(b, i), F.lit(1))
+        .otherwise(F.lit(0)),
     )
     return _checked(a, b, cmp)
 

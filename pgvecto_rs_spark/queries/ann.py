@@ -630,17 +630,47 @@ def vec_order_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     an independent formulation of the same order.
 
     Scale shape: a single projection + partial-agg scan, no shuffle of
-    vector data; the comparators are pure Column expressions
-    (zip_with/filter), whole-stage friendly."""
+    vector data; the comparators are pure Column expressions.
+
+    r13 shape: the row-side conversions (dense_to_svector, binarize)
+    are PROJECTED once per row and the anchor svector/bvector are PURE
+    LITERAL structs (indices/words computed in Python, same float32
+    semantics — the sparse_topk_dot trick).  The old form passed the
+    conversion subtrees straight into the comparators, whose interpreted
+    HOF lambdas re-evaluated them per union element per comparator —
+    measured 30 s of single-task wall on 2,000 rows at sf0.1; now ~0.2 s.
+    A unit test pins literal == operator output for the anchors."""
+    import numpy as np
+
     _materialize_f16_oracle(sf_dir)
     emb = _emb(spark, sf_dir).where(F.col("embedding").isNotNull())
     anchor_f = F.array(*[F.lit(float(x)) for x in ORDER_ANCHOR]).cast("array<float>")
-    sv = VS.dense_to_svector(F.col("embedding"))
-    asv = VS.dense_to_svector(anchor_f)
-    bv = VB.binarize(F.col("embedding"))
-    abv = VB.binarize(anchor_f)
+    # anchor svector literal == dense_to_svector(anchor_f): float32
+    # values, exact zeros dropped
+    a32 = [float(np.float32(x)) for x in ORDER_ANCHOR]
+    asv = VS.svector(
+        len(a32),
+        F.array(*[F.lit(i) for i, x in enumerate(a32) if x != 0.0]),
+        F.array(*[F.lit(x) for x in a32 if x != 0.0]),
+    )
+    # anchor bvector literal == binarize(anchor_f): bit i = (v[i] > 0)
+    words = []
+    for j in range((len(a32) + VB.BITS_PER_WORD - 1) // VB.BITS_PER_WORD):
+        w = 0
+        for k in range(VB.BITS_PER_WORD):
+            i = j * VB.BITS_PER_WORD + k
+            if i < len(a32) and a32[i] > 0.0:
+                w |= 1 << k
+        words.append(w)
+    abv = VB.bvector(len(a32), F.array(*[F.lit(w) for w in words]))
+    proj = emb.select(
+        F.col("embedding"),
+        VS.dense_to_svector(F.col("embedding")).alias("__sv"),
+        VB.binarize(F.col("embedding")).alias("__bv"),
+    )
+    sv, bv = F.col("__sv"), F.col("__bv")
     one = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")
-    return emb.agg(
+    return proj.agg(
         one(VS.svector_lt(sv, asv)).alias("sv_lt"),
         one(VS.svector_le(sv, asv)).alias("sv_le"),
         one(VS.svector_gt(sv, asv)).alias("sv_gt"),

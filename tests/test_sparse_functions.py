@@ -288,3 +288,45 @@ class TestNearLimitDims:
         assert out == {1: -3.0, 2: -3.0, 3: -1.0}
         rng = {r["id"] for r in idx.range_search(q, radius=-2.0).collect()}
         assert rng == {1, 2}
+
+
+class TestOrderAnchorLiterals:
+    """vec_order_ops builds its comparison anchors as PURE LITERAL
+    structs (r13 — interpreted HOF lambdas re-evaluate captured
+    conversion subtrees per element, so the operator-built anchors were
+    reconverted for every union index of every row).  Pins literal ==
+    operator output so the literals can never drift from
+    dense_to_svector / binarize semantics."""
+
+    def test_literal_anchors_equal_operator_anchors(self, spark):
+        import numpy as np
+
+        from pgvecto_rs_spark.functions import binary as VB
+        from pgvecto_rs_spark.queries.ann import ORDER_ANCHOR
+
+        anchor_f = F.array(
+            *[F.lit(float(x)) for x in ORDER_ANCHOR]
+        ).cast("array<float>")
+        a32 = [float(np.float32(x)) for x in ORDER_ANCHOR]
+        asv = S.svector(
+            len(a32),
+            F.array(*[F.lit(i) for i, x in enumerate(a32) if x != 0.0]),
+            F.array(*[F.lit(x) for x in a32 if x != 0.0]),
+        )
+        words = []
+        for j in range((len(a32) + VB.BITS_PER_WORD - 1) // VB.BITS_PER_WORD):
+            w = 0
+            for k in range(VB.BITS_PER_WORD):
+                i = j * VB.BITS_PER_WORD + k
+                if i < len(a32) and a32[i] > 0.0:
+                    w |= 1 << k
+            words.append(w)
+        abv = VB.bvector(len(a32), F.array(*[F.lit(w) for w in words]))
+        row = spark.range(1).select(
+            S.dense_to_svector(anchor_f).alias("sv_op"),
+            asv.alias("sv_lit"),
+            VB.binarize(anchor_f).alias("bv_op"),
+            abv.alias("bv_lit"),
+        ).first()
+        assert row["sv_op"] == row["sv_lit"]
+        assert row["bv_op"] == row["bv_lit"]
