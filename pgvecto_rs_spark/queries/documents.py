@@ -629,19 +629,31 @@ def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Each stage is one of the registry's individually-verified operators;
     this query proves they compose (stage boundaries are plain
-    DataFrames, so Catalyst plans the whole chain as one job)."""
+    DataFrames).
+
+    r13: the two stage outputs that downstream stages consume MORE THAN
+    ONCE (``quality`` feeds the dedup agg AND its semi-join probe side;
+    ``kept`` feeds decontamination AND the final semi-join) are
+    materialized with an eager localCheckpoint — without it Catalyst
+    re-evaluated the quality predicate (an interpreted stopword HOF over
+    every token) once per consuming branch: same-session A/B min-of-4
+    3.31-3.89 s -> 2.18-2.40 s, rows identical.  This is the in-engine
+    analogue of what a real 100 TB curation run does anyway: each stage
+    writes its survivors before the next stage reads them (the same
+    materialize-once discipline as doc_dup_ngrams and the shared
+    near-dup pair stage)."""
     docs = _docs(spark, sf_dir)
     bench = docs.filter(F.col("doc_id") % 7 == 0)
     corpus = docs.filter(F.col("doc_id") % 7 != 0)
     quality = corpus.where(
         (TA.token_count("text") >= 20) & (TA.language_score("text") > 0.02)
-    )
+    ).localCheckpoint(eager=True)
     keep = (
         quality.groupBy(TA.doc_fingerprint("text").alias("__fp"))
         .agg(F.min("doc_id").alias("doc_id"))
         .select("doc_id")
     )
-    kept = quality.join(keep, "doc_id", "left_semi")
+    kept = quality.join(keep, "doc_id", "left_semi").localCheckpoint(eager=True)
     clean_ids = (
         CU.decontaminate(kept, bench, n=_DECON_N)
         .where(~F.col("contaminated"))
