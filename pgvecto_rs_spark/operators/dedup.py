@@ -45,6 +45,11 @@ __all__ = [
 # instead — products stay < 2^62, exact under ANSI longs.
 _P = (1 << 31) - 1  # Mersenne prime, classic MinHash modulus
 
+# r14 A/B toggle: Arrow shingle hashing in verify_pairs_jaccard (True)
+# vs the interpreted Catalyst HOF (False).  Both produce bit-identical
+# jaccard values; see verify_pairs_jaccard.
+_ARROW_VERIFY_SHINGLES = True
+
 
 def _perm_constants(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for h_i(x) = (a*x + b) mod p."""
@@ -72,6 +77,99 @@ def _shingle_hashes(text: Column | str, k: int = 5) -> Column:
         shingles(text, k),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_P)).cast("long"),
     )
+
+
+def _norm_text(text: Column | str) -> Column:
+    """The shingle normalization (lower/trim/ws-collapse), as a column —
+    kept JVM-side so Java-regex ``\\s`` semantics can never diverge from
+    a Python reimplementation."""
+    return F.regexp_replace(
+        F.lower(F.trim(text if isinstance(text, Column) else F.col(text))),
+        r"\s+",
+        " ",
+    )
+
+
+def _shingle_hash_arrays(texts: "pd.Series", k: int) -> list:
+    """Distinct xxhash64 per character-k-shingle, one uint64 array per
+    NORMALIZED text (r14, guide §4.2).
+
+    Replaces the Catalyst ``array_distinct(transform(shingles(t, k),
+    xxhash64))`` pipeline: higher-order functions are CodegenFallback,
+    so every shingle paid ~10 us of interpreted evaluation (measured
+    r13) — ~15 s of task time for the sf0.1 corpus' 1.5 M shingles vs
+    ~50 ms in this vectorized pass.  Hashes are bit-identical to
+    Spark's ``xxhash64`` (operators._xxh64, parity-tested); distinct is
+    taken on the hash values, which equals distinct-on-strings unless
+    two distinct shingles collide in 64 bits (P ~ 1e-15 per document —
+    and a collision would have altered the old pipeline's Jaccard
+    too).
+
+    Fast path: pure-ASCII docs (chars == UTF-8 bytes) hash every window
+    of every doc in ONE numpy pass; non-ASCII or shorter-than-k docs
+    take a scalar per-row fallback with identical semantics (a doc
+    shorter than k yields its whole text as the single shingle, exactly
+    like :func:`shingles`).  None is treated as ''."""
+    from ._xxh64 import xxh64_bytes, xxh64_windows
+
+    n = len(texts)
+    per_doc: list = [None] * n
+    fast_rows: list[int] = []
+    enc: list[bytes] = []
+    for idx, t in enumerate(texts):
+        if t is None:
+            t = ""
+        b = t.encode("utf-8")
+        nc = len(t)
+        if nc >= k and len(b) == nc:
+            fast_rows.append(idx)
+            enc.append(b)
+        elif nc < k:
+            per_doc[idx] = np.array([xxh64_bytes(b)], dtype=np.int64).view(np.uint64)
+        else:  # non-ASCII: character windows != byte windows
+            hs = np.fromiter(
+                (xxh64_bytes(t[i : i + k].encode("utf-8")) for i in range(nc - k + 1)),
+                dtype=np.int64,
+                count=nc - k + 1,
+            )
+            per_doc[idx] = np.unique(hs.view(np.uint64))
+    if fast_rows:
+        lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+        big = np.frombuffer(b"".join(enc), dtype=np.uint8)
+        n_wins = lens - (k - 1)
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        cw = np.concatenate(([0], np.cumsum(n_wins)))
+        total = int(cw[-1])
+        doc_of = np.repeat(np.arange(len(enc), dtype=np.int64), n_wins)
+        pos = np.repeat(starts, n_wins) + (
+            np.arange(total, dtype=np.int64) - np.repeat(cw[:-1], n_wins)
+        )
+        wins = np.lib.stride_tricks.sliding_window_view(big, k)[pos]
+        h = xxh64_windows(wins)
+        order = np.lexsort((h, doc_of))
+        d2, h2 = doc_of[order], h[order]
+        keep = np.ones(total, dtype=bool)
+        keep[1:] = (d2[1:] != d2[:-1]) | (h2[1:] != h2[:-1])
+        d2, h2 = d2[keep], h2[keep]
+        cnts = np.bincount(d2, minlength=len(enc))
+        offs = np.concatenate(([0], np.cumsum(cnts)))
+        for j, idx in enumerate(fast_rows):
+            per_doc[idx] = h2[offs[j] : offs[j + 1]]
+    return per_doc
+
+
+def _shingle_hashes_udf(k: int):
+    """pandas UDF: normalized text -> sorted distinct shingle-xxhash64
+    array (array<long>) — the Arrow replacement for the interpreted
+    shingle HOF wherever only the hash SET matters (Jaccard verify)."""
+
+    @F.pandas_udf("array<long>")
+    def sh(texts: pd.Series) -> pd.Series:
+        return pd.Series(
+            [a.view(np.int64) for a in _shingle_hash_arrays(texts, k)]
+        )
+
+    return sh
 
 
 def minhash_signature(text: Column | str, num_perm: int = 32, k: int = 5, seed: int = 42) -> Column:
@@ -176,33 +274,31 @@ def simhash_signatures_df(
 ) -> DataFrame:
     """(__id, __sig long) — 64-bit SimHash.
 
-    Shingle hashing stays JVM-side (xxhash64, deterministic); the 64-way
-    bit-majority runs as a vectorized Arrow batch over each row's hash
-    array.  This needs NO shuffle at all — signatures are a per-row map
-    (the earlier explode + 64-sum groupBy formulation shuffled 200x the
-    rows and was the dominant cost of the whole pipeline at sf0.1).
+    One fused Arrow stage: normalized text -> distinct shingle xxhash64
+    (vectorized, `_shingle_hash_arrays`) -> 64-way bit-majority, all in
+    numpy.  NO shuffle at all — signatures are a per-row map (the
+    earlier explode + 64-sum groupBy formulation shuffled 200x the rows;
+    the r13 form kept hashing in a Catalyst ``transform`` HOF, which
+    evaluates interpreted at ~10 us/shingle and dominated the stage —
+    r14 moves it into the same Arrow batch as the majority vote).
     """
-    hashed = _spread(df).select(
-        F.col(id_col).alias("__id"),
-        F.transform(shingles(text_col, k), lambda s: F.xxhash64(s)).alias("__hs"),
+    base = _spread(df).select(
+        F.col(id_col).alias("__id"), _norm_text(text_col).alias("__t")
     )
 
     @F.pandas_udf("long")
-    def majority(hs: pd.Series) -> pd.Series:
+    def sig_of(texts: pd.Series) -> pd.Series:
         shifts = np.arange(64, dtype=np.uint64)
         weights = np.uint64(1) << shifts
-        out = np.empty(len(hs), dtype=np.int64)
-        for i, arr in enumerate(hs):
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            if len(h) == 0:
-                out[i] = 0
-                continue
+        per_doc = _shingle_hash_arrays(texts, k)
+        out = np.empty(len(per_doc), dtype=np.int64)
+        for i, h in enumerate(per_doc):
             votes = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
             sig = int((votes * 2 > len(h)).astype(np.uint64) @ weights)
             out[i] = sig - (1 << 64) if sig >= (1 << 63) else sig
         return pd.Series(out)
 
-    return hashed.select("__id", majority("__hs").alias("__sig"))
+    return base.select("__id", sig_of("__t").alias("__sig"))
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -568,13 +664,18 @@ def verify_pairs_jaccard(
         .distinct()
     )
     src = _spread(df.join(F.broadcast(cand_ids), id_col, "left_semi"))
-    sh = F.broadcast(
-        src.select(
-            F.col(id_col).alias("__vid"),
-            F.array_distinct(
-                F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
-            ).alias("__sh"),
+    # r14: shingle hashing moved from the interpreted Catalyst HOF into
+    # one vectorized Arrow batch (same xxhash64 bits, same distinct set
+    # — see _shingle_hash_arrays; Jaccard depends only on set sizes, so
+    # the sorted order is immaterial)
+    if _ARROW_VERIFY_SHINGLES:
+        sh_col = _shingle_hashes_udf(k)(_norm_text(text_col))
+    else:
+        sh_col = F.array_distinct(
+            F.transform(shingles(text_col, k), lambda s: F.xxhash64(s))
         )
+    sh = F.broadcast(
+        src.select(F.col(id_col).alias("__vid"), sh_col.alias("__sh"))
     )
     # identical broadcast subtree on both sides -> Spark's ReuseExchange
     # builds it once (aliasing after the broadcast, not before)

@@ -241,3 +241,87 @@ class TestSrpNearDup:
         df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         got = DD.srp_neardup_pairs(df, threshold=2.0, bands=4, band_bits=16)
         assert got.count() == 0
+
+
+class TestArrowShingleKernel:
+    """r14: the vectorized shingle-hash kernel must match the Catalyst
+    HOF pipeline (array_distinct(transform(shingles(t,k), xxhash64)))
+    bit for bit — hash values AND distinct sets — including unicode,
+    astral chars, short and empty docs."""
+
+    FUZZ = [
+        "", "a", "abcd", "abcde", " x ", "\t\n mixed   WS\r doc ",
+        "héllo wörld ünïcøde shingles test",
+        "日本語のテキストです長い文字列",
+        "emoji 😀😀 astral 𝕏𝕐 mix ascii",
+        "a" * 600,
+        "the same word the same word the same word",
+    ]
+
+    def test_kernel_matches_catalyst_hof(self, spark):
+        import random
+
+        random.seed(9)
+        rows = list(self.FUZZ)
+        for _ in range(120):
+            n = random.randrange(0, 80)
+            rows.append(
+                "".join(random.choice("abcdefgh ij\tkl mn") for _ in range(n))
+            )
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+        )
+        old = df.select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(DD.shingles("text", 5), lambda s: F.xxhash64(s))
+                )
+            ).alias("h"),
+        ).collect()
+        new = df.select(
+            "doc_id", DD._shingle_hashes_udf(5)(DD._norm_text("text")).alias("h")
+        ).collect()
+        om = {r["doc_id"]: sorted(r["h"]) for r in old}
+        nm = {r["doc_id"]: sorted(r["h"]) for r in new}
+        assert om == nm
+
+    def test_xxh64_matches_spark(self, spark):
+        """numpy XXH64 == Spark xxhash64 (seed 42) on raw strings."""
+        from pgvecto_rs_spark.operators._xxh64 import xxh64_bytes
+
+        rows = [t for t in self.FUZZ if t]
+        df = spark.createDataFrame([(t,) for t in rows], "s string")
+        got = [r[0] for r in df.select(F.xxhash64("s")).collect()]
+        assert got == [xxh64_bytes(t.encode("utf-8")) for t in rows]
+
+    def test_simhash_signature_unchanged(self, spark):
+        """Pinned signatures: the fused Arrow stage must reproduce the
+        r13 majority-vote signatures (computed here from the Catalyst
+        hash arrays, the old pipeline's exact input)."""
+        import numpy as np
+
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(self.FUZZ)], "doc_id long, text string"
+        )
+        old = df.select(
+            "doc_id",
+            F.transform(DD.shingles("text", 5), lambda s: F.xxhash64(s)).alias("h"),
+        ).collect()
+
+        def majority(hs):
+            h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+            shifts = np.arange(64, dtype=np.uint64)
+            votes = ((h[:, None] >> shifts) & np.uint64(1)).sum(axis=0)
+            sig = int(
+                (votes * 2 > len(h)).astype(np.uint64)
+                @ (np.uint64(1) << shifts)
+            )
+            return sig - (1 << 64) if sig >= (1 << 63) else sig
+
+        want = {r["doc_id"]: majority(r["h"]) for r in old}
+        got = {
+            r["__id"]: r["__sig"]
+            for r in DD.simhash_signatures_df(df, "text", "doc_id", 5).collect()
+        }
+        assert want == got
