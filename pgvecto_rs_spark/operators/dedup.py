@@ -217,53 +217,43 @@ def minhash_signatures_df(
 ) -> DataFrame:
     """(__id, __sig array<long>) — the scale formulation.
 
-    Everything stays JVM-side with WHOLE-STAGE CODEGEN (r13): explode
-    the shingle POSITIONS, hash each substring once in a codegen'd
-    projection (xxhash64 folded to 31 bits), and compute the num_perm
-    running minimums as plain partial-aggregable ``min((a·h + b) mod
-    p)`` columns in one groupBy(id).  min over a multiset equals min
-    over the distinct set, so the old per-row ``array_distinct`` +
-    interpreted higher-order transform — measured ~10 us per shingle,
-    the dominant task time of every near-dup query — drops out
-    entirely.  The map-side partial aggregation collapses each
-    document's shingles before the one id-keyed exchange, so the
-    shuffle carries one 32-long row per document (the r8 explode
-    formulation this replaces shuffled raw (id, perm, value) rows with
-    no map-side reduction; the r10 Arrow-batch variant this also
-    replaces paid a fixed Python-stage latency plus the interpreted
-    shingle transform feeding it).  Products fit signed 64-bit: a, b,
+    One fused Arrow MAP stage, NO shuffle at all (r14): normalized text
+    -> distinct shingle xxhash64 (vectorized `_shingle_hash_arrays`,
+    bit-identical to the JVM hash) -> fold to 31 bits mod p -> the
+    num_perm minimums of ``(a·h + b) mod p`` per document, all in
+    numpy.  min over the distinct shingle set equals min over the
+    position multiset, so this reproduces the r13 explode + partial-agg
+    formulation bit for bit while deleting its one exchange: at corpus
+    scale the r13 shape still shuffled one 32-long row per DOCUMENT
+    through a ``groupBy(id)``; signatures are logically a per-row map
+    and now execute as one.  (History: the r8 explode form shuffled raw
+    (id, perm, value) rows; the r10 Arrow variant paid an interpreted
+    Catalyst shingle ``transform`` at ~10 us/shingle feeding the
+    Python stage — the r14 kernel hashes every window of a batch in
+    one numpy pass instead.)  Products fit signed 64-bit: a, b,
     h < 2^31 so a·h + b < 2^62.
     """
     consts = _perm_constants(num_perm, seed)
-    t = F.regexp_replace(
-        F.lower(F.trim(F.col(text_col) if isinstance(text_col, str) else text_col)),
-        r"\s+",
-        " ",
+    pa_ = np.array([a for a, _ in consts], dtype=np.int64)
+    pb_ = np.array([b for _, b in consts], dtype=np.int64)
+    base = _spread(df).select(
+        F.col(id_col).alias("__id"), _norm_text(text_col).alias("__t")
     )
-    base = _spread(df).select(F.col(id_col).alias("__id"), t.alias("__t"))
-    # one row per shingle position; substring clamps, so a doc shorter
-    # than k yields its whole text as the single shingle (same contract
-    # as :func:`shingles`)
-    rows = base.select(
-        "__id",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("__t") - (k - 1), F.lit(1)))
-        ).alias("__i"),
-        "__t",
-    ).select(
-        "__id",
-        F.pmod(
-            F.xxhash64(F.substring(F.col("__t"), F.col("__i"), k)), F.lit(_P)
-        ).alias("__h"),
-    )
-    mins = [
-        F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_P))).alias(f"__m{j}")
-        for j, (a, b) in enumerate(consts)
-    ]
-    agg = rows.groupBy("__id").agg(*mins)
-    return agg.select(
-        "__id", F.array(*[F.col(f"__m{j}") for j in range(num_perm)]).alias("__sig")
-    )
+
+    @F.pandas_udf("array<long>")
+    def sig_of(texts: pd.Series) -> pd.Series:
+        per_doc = _shingle_hash_arrays(texts, k)
+        if not per_doc:
+            return pd.Series([], dtype=object)
+        flat = np.concatenate(per_doc).view(np.int64) % _P  # pmod: P > 0
+        offs = np.zeros(len(per_doc), dtype=np.int64)
+        np.cumsum([len(a) for a in per_doc[:-1]], out=offs[1:])
+        sigs = np.empty((len(per_doc), len(pa_)), dtype=np.int64)
+        for j in range(len(pa_)):
+            sigs[:, j] = np.minimum.reduceat((pa_[j] * flat + pb_[j]) % _P, offs)
+        return pd.Series(list(sigs))
+
+    return base.select("__id", sig_of("__t").alias("__sig"))
 
 
 def simhash_signatures_df(
@@ -658,12 +648,16 @@ def verify_pairs_jaccard(
     # broadcast semi-join filters rows before the shingle fan-out, so
     # lookup construction is O(candidate ids), not O(corpus) — at 100 TB
     # the candidates are a vanishing fraction of the table.
-    cand_ids = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .unionByName(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # r14: no .distinct() — LEFT SEMI dedups build-side keys itself, so
+    # the extra exchange+agg job bought nothing; and no _spread — the
+    # Arrow shingle kernel (below) made re-shingling the candidate docs
+    # ~ms-cheap, so the repartition job cost more than the parallelism
+    # it bought (at scale the semi-join output inherits the corpus
+    # scan's many partitions and _spread was a no-op anyway).
+    cand_ids = pairs.select(F.col("id_a").alias(id_col)).unionByName(
+        pairs.select(F.col("id_b").alias(id_col))
     )
-    src = _spread(df.join(F.broadcast(cand_ids), id_col, "left_semi"))
+    src = df.join(F.broadcast(cand_ids), id_col, "left_semi")
     # r14: shingle hashing moved from the interpreted Catalyst HOF into
     # one vectorized Arrow batch (same xxhash64 bits, same distinct set
     # — see _shingle_hash_arrays; Jaccard depends only on set sizes, so

@@ -325,3 +325,58 @@ class TestArrowShingleKernel:
             for r in DD.simhash_signatures_df(df, "text", "doc_id", 5).collect()
         }
         assert want == got
+
+    def test_minhash_signature_matches_explode_form(self, spark):
+        """r14: the fused Arrow map-stage signatures must reproduce the
+        r13 explode + partial-agg formulation bit for bit (min over the
+        distinct shingle set == min over the position multiset)."""
+        import random
+
+        from pgvecto_rs_spark.operators.dedup import _P, _perm_constants
+
+        random.seed(5)
+        rows = list(self.FUZZ)
+        for _ in range(80):
+            rows.append(
+                "".join(
+                    random.choice("abcde fgh\tij")
+                    for _ in range(random.randrange(0, 100))
+                )
+            )
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(rows)], "doc_id long, text string"
+        )
+        num_perm, k = 32, 5
+        consts = _perm_constants(num_perm, 42)
+        t = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+        base = df.select(F.col("doc_id").alias("__id"), t.alias("__t"))
+        toks = base.select(
+            "__id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("__t") - (k - 1), F.lit(1))
+                )
+            ).alias("__i"),
+            "__t",
+        ).select(
+            "__id",
+            F.pmod(
+                F.xxhash64(F.substring(F.col("__t"), F.col("__i"), k)), F.lit(_P)
+            ).alias("__h"),
+        )
+        mins = [
+            F.min(F.pmod(F.lit(a) * F.col("__h") + F.lit(b), F.lit(_P))).alias(
+                f"__m{j}"
+            )
+            for j, (a, b) in enumerate(consts)
+        ]
+        agg = toks.groupBy("__id").agg(*mins)
+        old = {
+            r["__id"]: tuple(r[f"__m{j}"] for j in range(num_perm))
+            for r in agg.collect()
+        }
+        new = {
+            r["__id"]: tuple(r["__sig"])
+            for r in DD.minhash_signatures_df(df).collect()
+        }
+        assert old == new
