@@ -199,7 +199,10 @@ def train_split(
 
 
 def unigram_lm_score(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize: bool = False,
 ) -> DataFrame:
     """Corpus-unigram language-model quality score per document:
     (id, n_tokens, lm_score) with lm_score = mean over tokens of
@@ -220,9 +223,22 @@ def unigram_lm_score(
     instead of token instances — was built and A/B'd at sf0.1: the
     Catalyst run-length expressions cost 3.6x the explode's codegen'd
     hash aggregation, swamping the byte savings.  Kept the explode.)
+
+    ``materialize=True`` (r14) eagerly ``localCheckpoint``-s the
+    vocabulary-sized ``freq`` relation.  Without it the plan re-derives
+    freq AND the total from scratch — the r14 plan audit showed the
+    corpus scanned and exploded THREE times (probe, freq build, total
+    build; Catalyst does not reuse the aggregation subtree).  With it
+    the explode runs once, and both the broadcast join and the total
+    read the materialized table — the natural stage boundary a real
+    corpus-LM run writes anyway.  Default stays False: a plain library
+    call must be side-effect-free (r8 discipline); the query layer
+    opts in.
     """
     toks = _spread_tokens(df, text_col, id_col)
     freq = toks.groupBy("term").agg(F.count("*").alias("__tf"))
+    if materialize:
+        freq = freq.localCheckpoint(eager=True)
     total = freq.agg(F.sum("__tf").alias("__total"))
     scored = (
         toks.join(freq, "term")

@@ -438,7 +438,7 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram LM quality score (CCNet-style filter shape):
     mean token log-probability under the corpus's own unigram model,
     with scaled-integer summation for engine-exact determinism."""
-    out = CU.unigram_lm_score(_docs(spark, sf_dir))
+    out = CU.unigram_lm_score(_docs(spark, sf_dir), materialize=True)
     return out.select("doc_id", "n_tokens", _r4t(F.col("lm_score")).alias("lm_score"))
 
 
@@ -474,7 +474,7 @@ def doc_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the unigram-LM score — computed DISTRIBUTED via the two-pass
     global rank (range repartition + partition offsets), never a
     one-partition ORDER BY window."""
-    scored = CU.unigram_lm_score(_docs(spark, sf_dir)).select(
+    scored = CU.unigram_lm_score(_docs(spark, sf_dir), materialize=True).select(
         "doc_id", _r4t(F.col("lm_score")).alias("lm_score")
     )
     out = CU.quality_ntile(scored, "lm_score", "doc_id", n=4)
