@@ -108,17 +108,32 @@ def decontaminate(
     """
     from .dedup import _spread
 
-    gram = ngram_strings(F.col(text_col), n)
-    if hash_grams:
-        gram = F.transform(gram, lambda g: F.xxhash64(g))
+    # tokenize ONCE into a named column; building the grams from the
+    # attribute keeps the tokenizer out of the transform lambda, which
+    # interpreted HOFs would otherwise re-evaluate PER GRAM POSITION
+    # (the r13 comparator lesson; measured 2.3x on the 3-gram explode)
+    def _grams_of(toks: Column) -> Column:
+        gram = token_ngram_strings(toks, n)
+        if hash_grams:
+            gram = F.transform(gram, lambda g: F.xxhash64(g))
+        return gram
+
     # the n-gram build fans each row out ~token_count times; single-file
     # inputs arrive as 1 partition, so spread before the fan-out (no-op
     # on real multi-file inputs)
-    doc_grams = _spread(docs).select(
-        F.col(id_col), F.explode_outer(F.array_distinct(gram)).alias("__gram")
+    doc_grams = (
+        _spread(docs)
+        .select(F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            F.col(id_col),
+            F.explode_outer(F.array_distinct(_grams_of(F.col("__toks")))).alias("__gram"),
+        )
     )
     bench_grams = (
-        _spread(benchmark).select(F.explode(gram).alias("__gram")).distinct()
+        _spread(benchmark)
+        .select(_norm_tokens(F.col(text_col)).alias("__toks"))
+        .select(F.explode(_grams_of(F.col("__toks"))).alias("__gram"))
+        .distinct()
     )
     hits = (
         doc_grams.join(F.broadcast(bench_grams), "__gram", "left_semi")
@@ -287,7 +302,13 @@ def chunk_documents(
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be < chunk_tokens")
     step = chunk_tokens - overlap
-    toks = _norm_tokens(F.col(text_col))
+    # tokenize ONCE into a named column: the window transform's slice
+    # would otherwise re-run the tokenizer regex per CHUNK (interpreted
+    # HOFs re-evaluate captured subtrees per element — r13 lesson)
+    toked = df.select(
+        F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     extra = F.greatest(n - F.lit(chunk_tokens), F.lit(0))
     # ceil(extra/step) + 1 in pure integer math
@@ -301,7 +322,7 @@ def chunk_documents(
         ),
     )
     out = (
-        df.where(n > 0)
+        toked.where(n > 0)
         .select(F.col(id_col), F.explode(chunks).alias("__c"))
         .select(
             id_col,
@@ -515,7 +536,12 @@ def dedup_passages(
     the decision logic is unchanged.
     """
     w = window_tokens
-    toks = _norm_tokens(F.col(text_col))
+    # tokenize ONCE into a named column (the window transform's slice
+    # would otherwise re-run the tokenizer per WINDOW — r13 HOF lesson)
+    toked = df.select(
+        F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks")
+    )
+    toks = F.col("__toks")
     n = F.size(toks)
     n_wins = F.floor((n + F.lit(w - 1)).cast("long") / F.lit(w)).cast("int")
     wins = F.transform(
@@ -526,7 +552,7 @@ def dedup_passages(
         ),
     )
     exploded = (
-        df.where(n > 0)
+        toked.where(n > 0)
         .select(F.col(id_col), F.explode(wins).alias("__w"))
         .select(id_col, "__w.win_idx", "__w.win_text")
     )
@@ -558,7 +584,7 @@ def dedup_passages(
             " ",
         ).alias("dedup_text"),
     )
-    docs = df.where(n > 0).select(
+    docs = toked.where(n > 0).select(
         F.col(id_col), n_wins.cast("long").alias("n_windows")
     )
     return docs.join(kept, on=id_col, how="left").select(
@@ -676,11 +702,17 @@ def dup_ngram_fraction(
     """
     from .dedup import _spread
 
-    gram = ngram_strings(F.col(text_col), n)
+    # tokenize ONCE into a named column (see decontaminate: interpreted
+    # HOFs re-evaluate captured subtrees per element — inlining the
+    # tokenizer in the gram transform re-tokenized the document once per
+    # gram position; measured 2.3x on this explode at sf0.1)
+    gram = token_ngram_strings(F.col("__toks"), n)
     if hash_grams:
         gram = F.transform(gram, lambda g: F.xxhash64(g))
-    inst = _spread(docs).select(
-        F.col(id_col), F.explode(gram).alias("__gram")
+    inst = (
+        _spread(docs)
+        .select(F.col(id_col), _norm_tokens(F.col(text_col)).alias("__toks"))
+        .select(F.col(id_col), F.explode(gram).alias("__gram"))
     )
     # three consumers branch off pair (gram document-frequency, per-doc
     # totals, per-doc dup sums); AQE's ReuseExchange only deduplicated
