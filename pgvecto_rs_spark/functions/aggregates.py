@@ -33,32 +33,35 @@ __all__ = ["avg_svector", "avg_vector", "sum_svector", "sum_vector"]
 def _grouped_vector(df, group_cols, vector_col, avg):
     gc = list(group_cols)
     base = df.select(*gc, F.col(vector_col).alias("__v"))
-    nn = base.where(F.col("__v").isNotNull())
-    counts = nn.groupBy(*gc).agg(
-        F.count(F.lit(1)).alias("__n"),
+    # ONE aggregate over all rows: count()/count_distinct() skip NULLs
+    # natively, so every group (including all-NULL ones) gets a row here
+    # and the old separate distinct + left join — two extra exchanges
+    # per query — is folded away (r14)
+    counts = base.groupBy(*gc).agg(
+        F.count(F.col("__v")).alias("__n"),
         F.count_distinct(F.size("__v")).alias("__ndims"),
     )
     per_dim = (
-        nn.select(*gc, F.posexplode("__v").alias("__pos", "__x"))
+        base.where(F.col("__v").isNotNull())
+        .select(*gc, F.posexplode("__v").alias("__pos", "__x"))
         .groupBy(*gc, "__pos")
         .agg(F.sum(F.col("__x").cast("double")).alias("__s"))
     )
     packed = per_dim.groupBy(*gc).agg(
         F.array_sort(F.collect_list(F.struct("__pos", "__s"))).alias("__pairs")
     )
-    joined = packed.join(counts, gc)
+    joined = counts.join(packed, gc, "left")
     val = F.transform(
         F.col("__pairs"),
         lambda p: (p["__s"] / F.col("__n") if avg else p["__s"]).cast("float"),
     )
-    # dims mismatch within a group errors (check_matched_dims analogue)
+    # dims mismatch within a group errors (check_matched_dims analogue);
+    # an all-NULL group has __ndims = 0 and a NULL __pairs, so the first
+    # branch yields the NULL aggregate directly
     result = F.when(
-        F.col("__ndims") == 1, val
+        F.col("__ndims") <= 1, val
     ).otherwise(F.raise_error(F.lit("sum(vector): differently-dimensioned vectors in group")))
-    out = joined.select(*gc, result.alias("__agg"))
-    # groups whose vectors were all NULL -> NULL aggregate
-    all_groups = base.select(*gc).distinct()
-    return all_groups.join(out, gc, "left")
+    return joined.select(*gc, result.alias("__agg"))
 
 
 def sum_vector(df: DataFrame, group_cols: Sequence[str], vector_col: str, alias: str = "sum_vec") -> DataFrame:
@@ -75,10 +78,12 @@ def _grouped_svector(df, group_cols, svec_col, avg):
     gc = list(group_cols)
     base = df.select(*gc, F.col(svec_col).alias("__v"))
     nn = base.where(F.col("__v").isNotNull())
-    counts = nn.groupBy(*gc).agg(
-        F.count(F.lit(1)).alias("__n"),
+    # ONE aggregate over all rows (NULL-skipping natively) — see
+    # _grouped_vector: folds the old distinct + left join away (r14)
+    counts = base.groupBy(*gc).agg(
+        F.count(F.col("__v")).alias("__n"),
         F.count_distinct(F.col("__v")["dims"]).alias("__ndims"),
-        F.first(F.col("__v")["dims"]).alias("__dims"),
+        F.first(F.col("__v")["dims"], ignorenulls=True).alias("__dims"),
     )
     entries = nn.select(
         *gc,
@@ -88,7 +93,7 @@ def _grouped_svector(df, group_cols, svec_col, avg):
     packed = per_idx.groupBy(*gc).agg(
         F.array_sort(F.collect_list(F.struct("__i", "__s"))).alias("__pairs")
     )
-    joined = packed.join(counts, gc)
+    joined = counts.join(packed, gc, "left")
     scaled = F.transform(
         F.col("__pairs"),
         lambda p: F.struct(
@@ -104,12 +109,16 @@ def _grouped_svector(df, group_cols, svec_col, avg):
         F.transform(kept, lambda p: p["i"]).cast("array<int>").alias("indexes"),
         F.transform(kept, lambda p: p["v"]).alias("values"),
     )
-    result = F.when(F.col("__ndims") == 1, sv).otherwise(
-        F.raise_error(F.lit("sum(svector): differently-dimensioned vectors in group"))
+    # an all-NULL group has __ndims = 0: return a NULL aggregate (the
+    # old shape realized this via the left-join miss), never the struct
+    result = (
+        F.when(F.col("__ndims") == 0, F.lit(None))
+        .when(F.col("__ndims") == 1, sv)
+        .otherwise(
+            F.raise_error(F.lit("sum(svector): differently-dimensioned vectors in group"))
+        )
     )
-    out = joined.select(*gc, result.alias("__agg"))
-    all_groups = base.select(*gc).distinct()
-    return all_groups.join(out, gc, "left")
+    return joined.select(*gc, result.alias("__agg"))
 
 
 def sum_svector(df: DataFrame, group_cols: Sequence[str], svec_col: str, alias: str = "sum_svec") -> DataFrame:
