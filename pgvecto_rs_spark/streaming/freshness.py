@@ -346,12 +346,30 @@ class FreshVectorIndex:
     def _tomb_agg(self, tomb: DataFrame | None = None) -> DataFrame | None:
         """Per-id max tombstone version, as a DataFrame — never collected
         to the driver (at scale the tombstone set is millions of ids; it
-        flows into searches as a broadcast anti-/left-join only)."""
+        flows into searches as a broadcast anti-/left-join only).
+
+        The aggregate is MATERIALIZED once per tombstone-file
+        fingerprint (eager localCheckpoint, cached like the raw handles
+        in ``_read_cached``): every search consumes it in TWO broadcast
+        builds (sealed-side anti-join + growing-side visibility join),
+        so without this each search re-ran the tombstone parquet scan +
+        groupBy twice — the in-memory delete map the reference keeps
+        (crates/index/src/delete.rs) is the design analogue.  Writers
+        clear ``_df_cache``, which invalidates this too."""
         if tomb is None:
             tomb = self._tombstones()
         if tomb is None:
             return None
-        return tomb.groupBy("id").agg(F.max("version").alias("tv"))
+        fp = self._df_cache.get("tombstones")
+        hit = self._df_cache.get("tomb_agg")
+        if hit is not None and fp is not None and hit[0] == fp[0]:
+            return hit[1]
+        agg = tomb.groupBy("id").agg(F.max("version").alias("tv")).localCheckpoint(
+            eager=True
+        )
+        if fp is not None:
+            self._df_cache["tomb_agg"] = (fp[0], agg)
+        return agg
 
     def search(self, query: Sequence[float], k: int = 10, **search_opts) -> DataFrame:
         """Top-k over sealed ∪ growing, minus tombstoned rows — the
