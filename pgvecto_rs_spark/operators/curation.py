@@ -1067,14 +1067,16 @@ def bpe_encode_counts(
             lambda i: F.col("word").substr(i, F.lit(1)),
         ).alias("seq"),
     )
-    for _r, a, b, _c in merges:
-        # checkpoint per round: each fold references `seq` several
-        # times, and letting CollapseProject inline k rounds would grow
-        # the expression tree ~4^k; the vocab table is tiny relative to
-        # the corpus, so an eager materialization per rule is cheap
+    for i, (_r, a, b, _c) in enumerate(merges):
         seqs = seqs.select(
             "word", _bpe_merge_fold(F.col("seq"), a, b).alias("seq")
-        ).localCheckpoint(eager=True)
+        )
+        # chained folds collapse into one ~4^k-node projection; truncate
+        # lineage every 4 folds — the SAME cadence bpe_train uses — so a
+        # 6-rule encode pays 1 checkpoint job instead of 6 (r14; the old
+        # per-rule checkpoint was 6 driver round-trips of ~0ms task work)
+        if (i + 1) % 4 == 0 and i + 1 < len(merges):
+            seqs = seqs.localCheckpoint(eager=True)
     sub = seqs.select("word", F.size("seq").cast("long").alias("n_sub"))
     out = (
         doc_words.join(sub, "word")
