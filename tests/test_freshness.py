@@ -794,3 +794,24 @@ class TestTransactions:
                 assert os.path.isdir(t1._dir) and not os.path.isdir(t2._dir)
             finally:
                 os.chmod(t1._dir, _stat.S_IRWXU)
+
+
+def test_tomb_agg_materialized_once_per_generation(spark, emb):
+    """r14: the per-id max-version tombstone aggregate is checkpointed
+    once per tombstone-file fingerprint (the in-memory delete-map
+    analogue) — reused across searches, invalidated by a write."""
+    with tempfile.TemporaryDirectory() as d:
+        idx = make(spark, emb, d)
+        idx.delete([3, 5])
+        a1 = idx._tomb_agg()
+        a2 = idx._tomb_agg()
+        assert a1 is a2, "same generation must reuse the materialized agg"
+        idx.delete([7])
+        idx._refresh()
+        a3 = idx._tomb_agg()
+        assert a3 is not a1, "a new tombstone file must invalidate the agg"
+        got = {(r["id"], r["tv"]) for r in a3.collect()}
+        assert {i for i, _ in got} == {3, 5, 7}
+        # and the search result reflects the newest tombstone set
+        ids = {r["id"] for r in idx.search(Q64, k=400).collect()}
+        assert not ids & {3, 5, 7}
