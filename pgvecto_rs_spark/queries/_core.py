@@ -219,16 +219,25 @@ _DRIVER_WINDOW: list[str] = [
     #    the recursive _parquet_rows; search_batch threads qrows into
     #    the quantized branch (flat.py/ivf.py) behind batch_topk_l2
     #    and ivf_pq_topk_l2. --
-    # -- (a) code changed in r13: the 1024-dim regime is new
-    #    (ivf_pq_1024_topk); pq_train's stride cap flipped to floor
-    #    (quantization.py) behind every *_pq query; the IVF ladder
-    #    gained the stable_stop kwarg (behavior-neutral default) behind
-    #    fresh_*; _per_segment_apply gained the row cap behind every
-    #    hnsw build; the brute guard sits behind emb_neardup_cos. --
-    "ivf_pq_1024_topk", "ivf_pq_topk_l2", "fresh_topk_l2",
-    "fresh_range_l2", "emb_neardup_cos", "hnsw_topk_l2",
+    # -- (a) code changed in r14: tokenize-once in dup_ngram_fraction /
+    #    decontaminate / dedup_passages / chunk_documents (behind the
+    #    doc_* and chunk_* rows below); the vector-aggregate all-groups
+    #    fold (aggregates.py) behind agg_*; the tombstone-aggregate
+    #    materialization (freshness.py) behind fresh_*; the shared LM
+    #    vocabulary behind doc_lm_score / doc_quality_ntile; the
+    #    bpe_encode checkpoint cadence behind doc_bpe_tokens; plus the
+    #    interrupted r14 session's XXH64 kernel + map-side MinHash
+    #    behind the dedup/neardup family (minhash/simhash have no
+    #    oracle-hash rows; doc_dedup_keep and doc_dedup_exact cover the
+    #    shared stages). --
+    "doc_dup_ngrams", "doc_decontaminate", "doc_dup_passages",
+    "doc_chunks", "chunk_embed_topk", "chunk_embed_pool",
+    "doc_maxsim_topk", "agg_sum_vector", "agg_avg_vector",
+    "agg_sum_svector", "fresh_topk_l2", "fresh_range_l2",
+    "doc_lm_score", "doc_quality_ntile", "doc_bpe_tokens",
+    "doc_dedup_keep",
     # -- (b) stable anchors --
-    "topk_l2", "doc_dedup_exact",
+    "topk_l2", "doc_dedup_exact", "ivf_pq_1024_topk", "hnsw_topk_l2",
 ]
 
 
